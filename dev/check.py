@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run each oracle SQL
+in DuckDB over the sf parquet tables and compare (column-sorted,
+row-sorted, exact values) against the parquet Verify wrote.
+
+Usage: python3 dev/check.py [sfDir] [outDir]
+"""
+import sys, json, math
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def main():
+    sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    ok = fail = 0
+    for name in sorted(oracle):
+        try:
+            exp = con.sql(oracle[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            fail += 1
+            continue
+        try:
+            got = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
+        except Exception as e:
+            print(f"FAIL {name}: missing spark output: {e}")
+            fail += 1
+            continue
+        r = compare(name, exp, got)
+        if r:
+            ok += 1
+        else:
+            fail += 1
+    print(f"\n{ok} ok, {fail} fail")
+    sys.exit(1 if fail else 0)
+
+def compare(name, exp, got):
+    ecols, gcols = sorted(exp.columns), sorted(got.columns)
+    if ecols != gcols:
+        print(f"FAIL {name}: columns differ: spark={gcols} oracle={ecols}")
+        return False
+    exp = exp.reindex(ecols, axis=1)
+    got = got.reindex(gcols, axis=1)
+    if len(exp) != len(got):
+        print(f"FAIL {name}: row count spark={len(got)} oracle={len(exp)}")
+        return False
+    key = list(exp.columns)
+    exp = exp.sort_values(by=key, na_position="first").reset_index(drop=True)
+    got = got.sort_values(by=key, na_position="first").reset_index(drop=True)
+    bad = []
+    for c in exp.columns:
+        e, g = exp[c], got[c]
+        if str(e.dtype) != str(g.dtype):
+            bad.append(f"{c}: dtype spark={g.dtype} oracle={e.dtype}")
+            continue
+        if e.dtype.kind == "f":
+            neq = ~((e == g) | (e.isna() & g.isna()))
+        else:
+            neq = ~((e == g) | (e.isna() & g.isna()))
+        n = int(neq.sum())
+        if n:
+            i = neq.idxmax()
+            bad.append(f"{c}: {n} rows differ, first at {i}: spark={got[c][i]!r} oracle={exp[c][i]!r}")
+    if bad:
+        print(f"FAIL {name}: " + "; ".join(bad[:4]))
+        return False
+    print(f"ok   {name} ({len(exp)} rows)")
+    return True
+
+if __name__ == "__main__":
+    main()
