@@ -1,0 +1,302 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Num, Tables}
+import graft.core.Num._
+import graft.ops._
+
+/** Aggregation / window / sort / set-op queries (SURVEY §2.4-2.7). */
+object QueryCatalogAgg {
+  import QueryCatalog.Q
+
+  // ---------------------------------------------------------------- A3
+  /** Fixed-column pivot via conditional aggregation (SURVEY A3, ref
+    * base.py:421-453 pivot_data; modon.py:150-243 parity x status
+    * crosstab). Static output schema — no distinct-values pre-job. */
+  val q13Pivot: Q = (s, d) => {
+    val years = (1995 to 2001).map(_.toString)
+    val o = Tables.orders(s, d).withColumn("yr", year(col("o_orderdate")).cast("string"))
+    val aggs = years.map(y =>
+      sum(when(col("yr") === y, dec2(col("o_totalprice")))).cast("double").as(s"total_$y"))
+    o.groupBy("o_orderstatus")
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("o_orderstatus")
+  }
+
+  private val q13Sql = {
+    val cols = (1995 to 2001).map(y =>
+      s"CAST(SUM(CASE WHEN year(o_orderdate) = $y THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_$y")
+      .mkString(",\n ")
+    s"""SELECT o_orderstatus,
+       | $cols
+       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- A7/A12
+  /** Histogram buckets + percentage share (SURVEY A7/A12, ref
+    * mating.py:258-267 return-interval buckets; accident.py:190-194
+    * per-cause share). */
+  val q14Hist: Q = (s, d) => {
+    val bucket = Buckets.byUpperEdges(col("l_quantity"),
+      edges = Seq(10, 20, 30, 40), labels = Seq("b00_10", "b11_20", "b21_30", "b31_40", "b41_up"))
+    val b = Tables.lineitem(s, d)
+      .groupBy(bucket.as("qty_bucket")).agg(count(lit(1)).as("cnt"))
+    val total = Window.partitionBy()
+    b.withColumn("pct", col("cnt").cast("double") / sum(col("cnt")).over(total) * 100.0)
+      .orderBy("qty_bucket")
+  }
+
+  private val q14Sql =
+    """WITH b AS (
+      |  SELECT CASE WHEN l_quantity <= 10 THEN 'b00_10'
+      |              WHEN l_quantity <= 20 THEN 'b11_20'
+      |              WHEN l_quantity <= 30 THEN 'b21_30'
+      |              WHEN l_quantity <= 40 THEN 'b31_40'
+      |              ELSE 'b41_up' END AS qty_bucket,
+      |         COUNT(*) AS cnt
+      |  FROM lineitem GROUP BY 1)
+      |SELECT qty_bucket, cnt,
+      |       CAST(cnt AS DOUBLE) / SUM(cnt) OVER () * 100.0 AS pct
+      |FROM b ORDER BY qty_bucket""".stripMargin
+
+  // ---------------------------------------------------------------- A5
+  /** Weighted average = ratio of sums with zero guard (SURVEY A5, ref
+    * orchestrator.py:678-692 SUM(cnt*amt)/NULLIF(SUM(cnt),0)). */
+  val q15WeightedAvg: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(Num.weightedAvg2(col("l_extendedprice"), col("l_quantity")).as("wavg_price"),
+        dsum2(col("l_quantity")).as("total_qty"))
+      .orderBy("l_returnflag")
+
+  private val q15Sql =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |    / NULLIF(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS wavg_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- A6
+  /** Avg-of-ratios, explicitly != ratio-of-sums (SURVEY A6, ref
+    * processors/config.py:174-221 rearing rate = AVG of monthly
+    * ratios). Each monthly ratio is a deterministic double; the outer
+    * mean re-quantizes through DECIMAL(18,8) so the cross-month sum
+    * is order-independent. */
+  val q16AvgOfRatios: Q = (s, d) => {
+    val monthly = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"),
+        date_trunc("month", col("l_shipdate")).cast("date").as("mo"))
+      .agg((dsum2(col("l_discount") * lit(100)) / count(lit(1)))
+        .as("avg_disc_pct"))
+    monthly.groupBy("l_returnflag")
+      .agg((sum(col("avg_disc_pct").cast(DECIMAL8)).cast("double") / count(lit(1)))
+        .as("mean_monthly_disc_pct"),
+        count(lit(1)).as("n_months"))
+      .orderBy("l_returnflag")
+  }
+
+  private val DECIMAL8 = org.apache.spark.sql.types.DecimalType(18, 8)
+
+  private val q16Sql =
+    """WITH m AS (
+      |  SELECT l_returnflag, CAST(date_trunc('month', l_shipdate) AS DATE) AS mo,
+      |         CAST(SUM(CAST(l_discount * 100 AS DECIMAL(18,2))) AS DOUBLE)
+      |           / COUNT(*) AS avg_disc_pct
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT l_returnflag,
+      |  CAST(SUM(CAST(avg_disc_pct AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS mean_monthly_disc_pct,
+      |  COUNT(*) AS n_months
+      |FROM m GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- A10
+  /** Mode — most frequent value per group, ties to the smallest
+    * (SURVEY A10, ref weather.py:935-944 Counter.most_common daily
+    * weather code). */
+  val q17Mode: Q = (s, d) => {
+    val counts = Tables.events(s, d)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("cnt").desc, col("event_type"))
+    counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("mode_type"), col("cnt").as("mode_cnt"))
+      .orderBy("user_id")
+  }
+
+  private val q17Sql =
+    """WITH c AS (SELECT user_id, event_type, COUNT(*) AS cnt FROM events GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rn FROM c)
+      |SELECT user_id, event_type AS mode_type, cnt AS mode_cnt
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- A11/A4
+  /** Week / month / YTD rollups in ONE pass via windowed sum(when)
+    * (SURVEY A11, ref mating.py:98-117, farrowing.py:81-115 — the
+    * reference re-aggregates per window; one conditional pass replaces
+    * three scans). */
+  val q18Ytd: Q = (s, d) => {
+    val sd = col("l_shipdate")
+    def inWin(from: String, to: String): Column =
+      sd >= to_timestamp(lit(from)) && sd < to_timestamp(lit(to))
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(inWin("2001-06-04", "2001-06-11"), dec2(col("l_quantity")))).cast("double").as("week_qty"),
+        count(when(inWin("2001-06-04", "2001-06-11"), lit(1))).as("week_cnt"),
+        sum(when(inWin("2001-06-01", "2001-07-01"), dec2(col("l_quantity")))).cast("double").as("month_qty"),
+        count(when(inWin("2001-06-01", "2001-07-01"), lit(1))).as("month_cnt"),
+        sum(when(inWin("2001-01-01", "2001-06-11"), dec2(col("l_quantity")))).cast("double").as("ytd_qty"),
+        count(when(inWin("2001-01-01", "2001-06-11"), lit(1))).as("ytd_cnt"))
+      .orderBy("l_returnflag")
+  }
+
+  private val q18Sql =
+    """SELECT l_returnflag,
+      | CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '2001-06-04' AND l_shipdate < TIMESTAMP '2001-06-11' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS week_qty,
+      | COUNT(CASE WHEN l_shipdate >= TIMESTAMP '2001-06-04' AND l_shipdate < TIMESTAMP '2001-06-11' THEN 1 END) AS week_cnt,
+      | CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '2001-06-01' AND l_shipdate < TIMESTAMP '2001-07-01' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS month_qty,
+      | COUNT(CASE WHEN l_shipdate >= TIMESTAMP '2001-06-01' AND l_shipdate < TIMESTAMP '2001-07-01' THEN 1 END) AS month_cnt,
+      | CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '2001-01-01' AND l_shipdate < TIMESTAMP '2001-06-11' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS ytd_qty,
+      | COUNT(CASE WHEN l_shipdate >= TIMESTAMP '2001-01-01' AND l_shipdate < TIMESTAMP '2001-06-11' THEN 1 END) AS ytd_cnt
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- A13
+  /** Tall->wide API pivot: first value per (row, col) into fixed
+    * columns (SURVEY A13, ref productivity.py:297-373 STATCD pivot to
+    * C001..C043). "First" = earliest by a total order. */
+  val q19PivotFirst: Q = (s, d) => {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val firsts = Tables.events(s, d)
+      .groupBy("user_id", "event_type")
+      .agg(min(struct(col("ts"), col("event_id"), col("value"))).as("f"))
+      .select(col("user_id"), col("event_type"), col("f.value").as("v"))
+    val aggs = types.map(t => max(when(col("event_type") === t, col("v"))).as(s"first_$t"))
+    firsts.groupBy("user_id").agg(aggs.head, aggs.tail: _*).orderBy("user_id")
+  }
+
+  private val q19Sql = {
+    val cols = Seq("click", "error", "purchase", "signup", "view").map(t =>
+      s"MAX(CASE WHEN event_type = '$t' AND rn = 1 THEN value END) AS first_$t").mkString(",\n ")
+    s"""WITH r AS (
+       |  SELECT user_id, event_type, value,
+       |         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+       |  FROM events)
+       |SELECT user_id,
+       | $cols
+       |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- A8
+  /** Distinct pairs then count (SURVEY A8, ref weather.py:1244-1252
+    * distinct grids). */
+  val q20Distinct: Q = (s, d) =>
+    Tables.events(s, d)
+      .select("user_id", "event_type").dropDuplicates()
+      .groupBy("event_type").agg(count(lit(1)).as("n_users"))
+      .orderBy("event_type")
+
+  private val q20Sql =
+    """SELECT event_type, COUNT(*) AS n_users
+      |FROM (SELECT DISTINCT user_id, event_type FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- T1/W6
+  /** Global top-k by measure (SURVEY T1/W6, ref base.py:455-481 top_n;
+    * server.py:243-252 FETCH FIRST). Plans as TakeOrderedAndProject —
+    * per-partition heads, no global sort. */
+  val q21TopN: Q = (s, d) => {
+    val byCust = Tables.orders(s, d)
+      .groupBy("o_custkey").agg(dsum2(col("o_totalprice")).as("total_spend"),
+        count(lit(1)).as("n_orders"))
+    Ranking.topK(byCust, 10, Seq(col("total_spend").desc, col("o_custkey")))
+  }
+
+  private val q21Sql =
+    """SELECT o_custkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_custkey
+      |ORDER BY total_spend DESC, o_custkey LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- T2/W7
+  /** Custom multi-key sort chunked into fixed-width wide rows (SURVEY
+    * T2, ref culling.py:258-309 — "other" code last, count desc, then
+    * packed 15 per output row; here width 5 over part brands). */
+  val q22Chunked: Q = (s, d) => {
+    val counts = Tables.part(s, d).groupBy("p_brand").agg(count(lit(1)).as("n"))
+    val othersLast = when(col("p_brand") === "Brand#55", 1).otherwise(0)
+    Ranking.chunkWide(counts,
+        ord = Seq(othersLast, col("n").desc, col("p_brand")),
+        valueCol = "p_brand", width = 5)
+      .orderBy("chunk_no")
+  }
+
+  private val q22Sql = {
+    val cells = (0 until 5).map(i =>
+      s"MAX(CASE WHEN __i % 5 = $i THEN p_brand END) AS p_brand_${i + 1}").mkString(",\n ")
+    s"""WITH c AS (SELECT p_brand, COUNT(*) AS n FROM part GROUP BY 1),
+       |o AS (SELECT p_brand,
+       |        row_number() OVER (ORDER BY CASE WHEN p_brand = 'Brand#55' THEN 1 ELSE 0 END, n DESC, p_brand) - 1 AS __i
+       |      FROM c)
+       |SELECT CAST(__i // 5 AS BIGINT) AS chunk_no,
+       | $cells
+       |FROM o GROUP BY 1 ORDER BY chunk_no""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- §2.7
+  /** UNION ALL of heterogeneous tagged branches (SURVEY §2.7, ref
+    * schedule.py:436-507 five mating-candidate branches; alert.py:
+    * 181-187 five alert types). */
+  val q23Union: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val big = o.filter(col("o_totalprice") > 150000.0).withColumn("tag", lit("BIG"))
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").withColumn("tag", lit("URGENT"))
+    val recent = o.filter(col("o_orderdate") >= to_timestamp(lit("2001-06-01")))
+      .withColumn("tag", lit("RECENT"))
+    big.unionByName(urgent).unionByName(recent)
+      .groupBy("tag")
+      .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("total"))
+      .orderBy("tag")
+  }
+
+  private val q23Sql =
+    """WITH u AS (
+      |  SELECT *, 'BIG' AS tag FROM orders WHERE o_totalprice > 150000
+      |  UNION ALL
+      |  SELECT *, 'URGENT' AS tag FROM orders WHERE o_orderpriority = '1-URGENT'
+      |  UNION ALL
+      |  SELECT *, 'RECENT' AS tag FROM orders WHERE o_orderdate >= TIMESTAMP '2001-06-01')
+      |SELECT tag, COUNT(*) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM u GROUP BY tag ORDER BY tag""".stripMargin
+
+  // ----------------------------------------------------------------
+  val all: Map[String, Q] = Map(
+    "q13_pivot_years" -> q13Pivot,
+    "q14_histogram_share" -> q14Hist,
+    "q15_weighted_avg" -> q15WeightedAvg,
+    "q16_avg_of_ratios" -> q16AvgOfRatios,
+    "q17_mode" -> q17Mode,
+    "q18_ytd_rollup" -> q18Ytd,
+    "q19_pivot_first" -> q19PivotFirst,
+    "q20_distinct" -> q20Distinct,
+    "q21_topn" -> q21TopN,
+    "q22_chunked_sort" -> q22Chunked,
+    "q23_union_branches" -> q23Union,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q13_pivot_years" -> q13Sql,
+    "q14_histogram_share" -> q14Sql,
+    "q15_weighted_avg" -> q15Sql,
+    "q16_avg_of_ratios" -> q16Sql,
+    "q17_mode" -> q17Sql,
+    "q18_ytd_rollup" -> q18Sql,
+    "q19_pivot_first" -> q19Sql,
+    "q20_distinct" -> q20Sql,
+    "q21_topn" -> q21Sql,
+    "q22_chunked_sort" -> q22Sql,
+    "q23_union_branches" -> q23Sql,
+  )
+}
