@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.multimodal.MultimodalOps
+import graft.ops.similarity.VectorOps
+
+/** Similarity search over embeddings + multimodal column plumbing. */
+object QueryCatalogSim {
+  import QueryCatalog.Q
+
+  // ---------------------------------------------------------------- knn brute force
+  /** Brute-force cosine top-5 (the correctness baseline for ANN). */
+  val q45Knn: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    VectorOps.bruteForceKnn(emb.filter(col("vec_id") < 20), emb, k = 5)
+      .withColumn("rank", col("rank").cast("int"))
+      .orderBy("q_id", "rank")
+  }
+
+  private val q45Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM e),
+      |p AS (SELECT * FROM n WHERE vec_id < 20),
+      |pr AS (SELECT p.vec_id AS q_id, c.vec_id AS c_id,
+      |              list_dot_product(p.v, c.v) / (p.nm * c.nm) AS cos
+      |       FROM p CROSS JOIN n c WHERE c.vec_id != p.vec_id),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS INT) AS rank
+      |      FROM pr)
+      |SELECT q_id, c_id, rank, cos FROM r WHERE rank <= 5
+      |ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- lsh ann
+  /** Random-hyperplane LSH ANN: bucket signatures from md5-derived
+    * hyperplane signs over integer-quantized components; probes only
+    * scored against same-bucket candidates (the scale path: bucket
+    * equi-join instead of cross join). */
+  val q46LshAnn: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    VectorOps.lshAnn(emb.filter(col("vec_id") < 20), emb, k = 3, nPlanes = 8)
+      .withColumn("rank", col("rank").cast("int"))
+      .orderBy("q_id", "rank")
+  }
+
+  private val q46Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |x AS (SELECT vec_id,
+      |             generate_subscripts(v, 1) - 1 AS k,
+      |             CAST(round(unnest(v) * 1e6) AS BIGINT) AS xi
+      |      FROM e),
+      |pl AS (SELECT vec_id, k, xi, j.j AS j,
+      |              ((('0x' || substr(md5(CAST(j.j AS VARCHAR) || '_' || CAST(k AS VARCHAR)), 1, 1))::INT % 2) * 2 - 1) AS sgn
+      |       FROM x, (SELECT unnest(range(8)) AS j) j),
+      |votes AS (SELECT vec_id, j, SUM(sgn * xi) AS vsum FROM pl GROUP BY 1, 2),
+      |bk AS (SELECT vec_id,
+      |              CAST(SUM(CASE WHEN vsum > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      |       FROM votes GROUP BY 1),
+      |n AS (SELECT e.vec_id, v, sqrt(list_dot_product(v, v)) AS nm, bucket
+      |      FROM e JOIN bk ON bk.vec_id = e.vec_id),
+      |p AS (SELECT * FROM n WHERE vec_id < 20),
+      |pr AS (SELECT p.vec_id AS q_id, c.vec_id AS c_id, p.bucket AS bucket,
+      |              list_dot_product(p.v, c.v) / (p.nm * c.nm) AS cos
+      |       FROM p JOIN n c ON c.bucket = p.bucket AND c.vec_id != p.vec_id),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS INT) AS rank
+      |      FROM pr)
+      |SELECT q_id, c_id, bucket, rank, cos FROM r WHERE rank <= 3
+      |ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- multimodal metadata
+  /** Opaque binary payload + typed metadata columns (decode-free
+    * plumbing: sizes, chunk counts, head bytes). */
+  val q51MultimodalMeta: Q = (s, d) =>
+    MultimodalOps.attachPayload(Tables.documents(s, d).filter(col("doc_id") < 200), "text")
+      .select(col("doc_id"),
+        col("payload_len"),
+        col("meta.n_chunks").as("n_chunks"),
+        col("meta.mime").as("mime"),
+        base64(substring(col("payload"), 1, 12)).as("head_b64"))
+      .orderBy("doc_id")
+
+  private val q51Sql =
+    """SELECT doc_id,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS payload_len,
+      |  CAST(ceil(octet_length(CAST(text AS BLOB)) / 256.0) AS BIGINT) AS n_chunks,
+      |  'text/fake' AS mime,
+      |  to_base64(CAST(substring(text, 1, 12) AS BLOB)) AS head_b64
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- multimodal decode
+  /** Batch-shaped (mapPartitions) stub decode: md5-derived features —
+    * the oracle replays the same features from SQL hex slices. */
+  val q52MultimodalDecode: Q = (s, d) =>
+    MultimodalOps.fakeDecodeFeatures(
+      MultimodalOps.attachPayload(Tables.documents(s, d).filter(col("doc_id") < 100), "text"),
+      "doc_id")
+      .orderBy("doc_id")
+
+  private val q52Sql =
+    """SELECT doc_id,
+      |  ('0x' || substr(md5(text), 1, 8))::BIGINT AS f0,
+      |  ('0x' || substr(md5(text), 9, 8))::BIGINT AS f1,
+      |  ('0x' || substr(md5(text), 17, 8))::BIGINT AS f2,
+      |  ('0x' || substr(md5(text), 25, 8))::BIGINT AS f3
+      |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  val all: Map[String, Q] = Map(
+    "q45_embed_knn" -> q45Knn,
+    "q46_embed_lsh_ann" -> q46LshAnn,
+    "q51_multimodal_meta" -> q51MultimodalMeta,
+    "q52_multimodal_decode" -> q52MultimodalDecode,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q45_embed_knn" -> q45Sql,
+    "q46_embed_lsh_ann" -> q46Sql,
+    "q51_multimodal_meta" -> q51Sql,
+    "q52_multimodal_decode" -> q52Sql,
+  )
+}

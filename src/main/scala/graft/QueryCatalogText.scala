@@ -1,0 +1,376 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.dedup.Dedup
+import graft.ops.text.TextOps
+
+/** Training-data pipeline queries: dedup family + text analysis over
+  * the `documents` corpus. */
+object QueryCatalogText {
+  import QueryCatalog.Q
+
+  /** DuckDB replay of Dedup.h60: ('0x'||substr(md5(seed||'|'||x),1,15))::BIGINT */
+  private def h60Sql(seedExpr: String, xExpr: String): String =
+    s"('0x' || substr(md5($seedExpr || '|' || $xExpr), 1, 15))::BIGINT"
+
+  // ---------------------------------------------------------------- dedup: exact
+  /** Exact dedup by content hash, keep min id (re-crawl simulation:
+    * first 50 docs duplicated under new ids). */
+  val q40DedupExact: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val dup = docs.unionByName(
+      docs.filter(col("doc_id") < 50).withColumn("doc_id", col("doc_id") + 1000000))
+    Dedup.exact(dup, "doc_id", "text", minOf = Seq("lang"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_unique"),
+        sum(col("n_copies")).cast("long").as("n_total"),
+        sum(col("n_copies") - 1).cast("long").as("n_removed"))
+      .orderBy("lang")
+  }
+
+  private val q40Sql =
+    """WITH dup AS (
+      |  SELECT * FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+      |  FROM documents WHERE doc_id < 50),
+      |g AS (SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+      |             COUNT(*) AS n_copies, MIN(lang) AS lang
+      |      FROM dup GROUP BY 1)
+      |SELECT lang, COUNT(*) AS n_unique,
+      |       CAST(SUM(n_copies) AS BIGINT) AS n_total,
+      |       CAST(SUM(n_copies - 1) AS BIGINT) AS n_removed
+      |FROM g GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- dedup: minhash signatures
+  /** MinHash signature matrix (16 md5-derived hash functions over the
+    * word set), pivoted wide. */
+  val q41MinHashSig: Q = (s, d) => {
+    val words = Dedup.wordSet(Tables.documents(s, d).filter(col("doc_id") < 50),
+      "doc_id", "text")
+    val sig = Dedup.minHash(words, "doc_id", n = 16)
+    val aggs = (0 until 16).map(i =>
+      max(when(col("seed") === i, col("minhash"))).as(f"mh$i%02d"))
+    sig.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).orderBy("doc_id")
+  }
+
+  private val q41Sql = {
+    val cols = (0 until 16).map(i =>
+      f"MAX(CASE WHEN seed = $i THEN mh END) AS mh$i%02d").mkString(",\n ")
+    s"""WITH w AS (SELECT DISTINCT doc_id, w FROM (
+       |       SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+       |       FROM documents WHERE doc_id < 50)),
+       |x AS (SELECT doc_id, s.seed,
+       |             MIN(${h60Sql("CAST(s.seed AS VARCHAR)", "w")}) AS mh
+       |      FROM w, (SELECT unnest(range(16)) AS seed) s
+       |      GROUP BY 1, 2)
+       |SELECT doc_id,
+       | $cols
+       |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- dedup: LSH candidate pairs + jaccard
+  /** Full MinHash+LSH near-dup pipeline over word-TRIGRAM shingles:
+    * signatures -> 4-row bands -> bucket-join candidates -> exact
+    * shingle Jaccard >= 0.7. Shingles (not word sets) keep the
+    * candidate set selective on a small shared vocabulary, and the
+    * verification cost is bounded by bucket collisions, never N^2. */
+  val q42LshPairs: Q = (s, d) => {
+    // shingles feed three downstream consumers (signatures, jaccard
+    // sides, counts) — cache once instead of recomputing the
+    // tokenize+window pipeline per consumer (the reference's
+    // scan-once-reuse discipline, data_loader.py:93-99).
+    val shingles = Dedup.shingleSet(Tables.documents(s, d), "doc_id", "text", k = 3).cache()
+    val sig = Dedup.minHash(shingles, "doc_id", n = 16)
+    val bands = Dedup.lshBands(sig, "doc_id", rowsPerBand = 4)
+    val cand = Dedup.candidatePairs(bands, "doc_id")
+    Dedup.jaccard(cand, shingles, "doc_id")
+      .filter(col("jaccard") >= 0.7)
+      .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  private val q42Sql =
+    s"""WITH tok AS (SELECT doc_id,
+       |       unnest(string_split_regex(text, '\\s+')) AS tok,
+       |       generate_subscripts(string_split_regex(text, '\\s+'), 1) AS pos
+       |     FROM documents),
+       |sh0 AS (SELECT doc_id,
+       |        lag(tok, 2) OVER dw || ' ' || lag(tok, 1) OVER dw || ' ' || tok AS w
+       |        FROM tok WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+       |w AS (SELECT DISTINCT doc_id, w FROM sh0 WHERE w IS NOT NULL),
+       |sig AS (SELECT doc_id, s.seed,
+       |               MIN(${h60Sql("CAST(s.seed AS VARCHAR)", "w")}) AS mh
+       |        FROM w, (SELECT unnest(range(16)) AS seed) s GROUP BY 1, 2),
+       |b AS (SELECT doc_id, seed // 4 AS band,
+       |             md5(string_agg(CAST(mh AS VARCHAR), ':' ORDER BY seed)) AS band_key
+       |      FROM sig GROUP BY doc_id, seed // 4),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+       |         FROM b a JOIN b b2 USING (band, band_key)
+       |         WHERE a.doc_id < b2.doc_id),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY 1),
+       |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+       |          FROM cand c
+       |          JOIN w wa ON wa.doc_id = c.id_a
+       |          JOIN w wb ON wb.doc_id = c.id_b AND wb.w = wa.w
+       |          GROUP BY 1, 2)
+       |SELECT c.id_a, c.id_b,
+       |       COALESCE(i.n_inter, 0) AS n_inter, ca.n AS n_a, cb.n AS n_b,
+       |       CAST(COALESCE(i.n_inter, 0) AS DOUBLE) / (ca.n + cb.n - COALESCE(i.n_inter, 0)) AS jaccard
+       |FROM cand c
+       |LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+       |JOIN cnt ca ON ca.doc_id = c.id_a
+       |JOIN cnt cb ON cb.doc_id = c.id_b
+       |WHERE CAST(COALESCE(i.n_inter, 0) AS DOUBLE) / (ca.n + cb.n - COALESCE(i.n_inter, 0)) >= 0.7
+       |ORDER BY c.id_a, c.id_b""".stripMargin
+
+  // ---------------------------------------------------------------- dedup: simhash
+  /** 64-bit SimHash per doc (as two 32-bit halves), md5 bit votes
+    * over the word set. */
+  val q43SimHash: Q = (s, d) => {
+    val words = Dedup.wordSet(Tables.documents(s, d).filter(col("doc_id") < 100),
+      "doc_id", "text")
+    Dedup.simHash(words, "doc_id").orderBy("doc_id")
+  }
+
+  private val q43Sql =
+    """WITH w AS (SELECT DISTINCT doc_id, w FROM (
+      |       SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w
+      |       FROM documents WHERE doc_id < 100)),
+      |bits AS (
+      |  SELECT doc_id, j.j AS j,
+      |         ((('0x' || substr(md5(w), (j.j // 4) + 1, 1))::INT
+      |           // (CASE WHEN j.j % 4 = 0 THEN 8 WHEN j.j % 4 = 1 THEN 4
+      |                    WHEN j.j % 4 = 2 THEN 2 ELSE 1 END)) % 2) AS bit
+      |  FROM w, (SELECT unnest(range(64)) AS j) j),
+      |votes AS (SELECT doc_id, j, SUM(bit * 2 - 1) AS v FROM bits GROUP BY 1, 2),
+      |sel AS (SELECT doc_id, j, CASE WHEN v > 0 THEN 1 ELSE 0 END AS b FROM votes)
+      |SELECT doc_id,
+      |  CAST(SUM(CASE WHEN j >= 32 THEN b * CAST(pow(2, j - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash_hi,
+      |  CAST(SUM(CASE WHEN j < 32 THEN b * CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash_lo
+      |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- dedup: n-gram jaccard
+  /** Bigram-shingle Jaccard within (lang, source) groups via an
+    * inverted-index join (shingle -> docs), no all-pairs stage. */
+  val q44NgramJaccard: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val t = docs.select(col("doc_id"), col("lang"), col("source"),
+      posexplode(split(col("text"), "\\s+")).as(Seq("pos", "w")))
+    val dw = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bg = t.withColumn("bg", concat(col("w"), lit(" "), lead(col("w"), 1).over(dw)))
+      .filter(col("bg").isNotNull)
+      .select("doc_id", "lang", "source", "bg").distinct()
+    val cnt = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = bg.select(col("doc_id").as("id_a"), col("lang"), col("source"), col("bg"))
+    val b = bg.select(col("doc_id").as("id_b"), col("lang"), col("source"), col("bg"))
+    val inter = a.join(b, Seq("lang", "source", "bg"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(cnt.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+      .join(cnt.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= 0.2)
+      .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  private val q44Sql =
+    """WITH t AS (SELECT doc_id, lang, source,
+      |                  unnest(string_split_regex(text, '\s+')) AS w,
+      |                  generate_subscripts(string_split_regex(text, '\s+'), 1) AS pos
+      |           FROM documents),
+      |bg0 AS (SELECT doc_id, lang, source,
+      |               w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+      |        FROM t),
+      |bg AS (SELECT DISTINCT doc_id, lang, source, bg FROM bg0 WHERE bg IS NOT NULL),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM bg GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      |          FROM bg a JOIN bg b USING (lang, source, bg)
+      |          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT id_a, id_b, n_inter, ca.n AS n_a, cb.n AS n_b,
+      |       CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) AS jaccard
+      |FROM inter
+      |JOIN cnt ca ON ca.doc_id = id_a
+      |JOIN cnt cb ON cb.doc_id = id_b
+      |WHERE CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) >= 0.2
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- text: tokens
+  /** Token counting: whitespace tokens, BPE-ish regex tokens,
+    * distinct words, mean word length. */
+  val q47Tokens: Q = (s, d) =>
+    Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        TextOps.nWsTokens(col("text")).as("n_ws_tokens"),
+        TextOps.nRegexTokens(col("text")).as("n_re_tokens"),
+        TextOps.nDistinctWords(col("text")).as("n_distinct_words"),
+        TextOps.meanWordLen(col("text")).as("mean_word_len"))
+      .orderBy("doc_id")
+
+  private val q47Sql =
+    """SELECT doc_id,
+      |  CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS n_re_tokens,
+      |  CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS INT) AS n_distinct_words,
+      |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+      |    / len(string_split_regex(text, '\s+')) AS mean_word_len
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- text: quality
+  /** Quality scoring: length saturation + stopword density composite. */
+  val q48Quality: Q = (s, d) => {
+    val stop = Seq("the", "a")
+    Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars_calc"),
+        TextOps.nWsTokens(col("text")).as("n_tokens"),
+        TextOps.markerCount(col("text"), stop).as("stop_cnt"),
+        (TextOps.markerCount(col("text"), stop).cast("double") /
+          TextOps.nWsTokens(col("text"))).as("stop_ratio"),
+        TextOps.qualityScore(col("text"), stop).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  private val q48Sql =
+    """SELECT doc_id,
+      |  CAST(length(text) AS INT) AS n_chars_calc,
+      |  CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_tokens,
+      |  CAST(len(list_filter(string_split_regex(text, '\s+'),
+      |                       x -> x = 'the' OR x = 'a')) AS INT) AS stop_cnt,
+      |  CAST(len(list_filter(string_split_regex(text, '\s+'),
+      |                       x -> x = 'the' OR x = 'a')) AS DOUBLE)
+      |    / len(string_split_regex(text, '\s+')) AS stop_ratio,
+      |  least(length(text), 400)::DOUBLE / 400 * 0.5
+      |    + CAST(len(list_filter(string_split_regex(text, '\s+'),
+      |                           x -> x = 'the' OR x = 'a')) AS DOUBLE)
+      |      / len(string_split_regex(text, '\s+')) * 0.5 AS quality
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- text: language-ID
+  /** Language-ID heuristic: marker-word density per language, argmax
+    * with lexicographic tiebreak (CASE chain evaluated in lex order —
+    * identical in both engines). */
+  val q49LangId: Q = (s, d) => {
+    val markers = Seq(
+      "de" -> Seq("window", "batch"), "en" -> Seq("the", "a"),
+      "es" -> Seq("data", "stream"), "fr" -> Seq("query", "value"),
+      "zh" -> Seq("spark", "table"))
+    val base = Tables.documents(s, d).filter(col("doc_id") < 200)
+    val scored = markers.foldLeft(base) { case (df, (lg, ms)) =>
+      df.withColumn(s"s_$lg", TextOps.langScore(col("text"), ms))
+    }
+    val langs = markers.map(_._1)
+    val predicted = langs.zipWithIndex.foldRight(lit(langs.last): Column) {
+      case ((lg, i), acc) =>
+        if (i == langs.size - 1) acc
+        else {
+          val geAll = langs.drop(i + 1).map(o => col(s"s_$lg") >= col(s"s_$o")).reduce(_ && _)
+          when(geAll, lg).otherwise(acc)
+        }
+    }
+    scored
+      .withColumn("predicted", predicted)
+      .withColumn("is_match", col("predicted") === col("lang"))
+      .select("doc_id", "lang", "s_de", "s_en", "s_es", "s_fr", "s_zh",
+        "predicted", "is_match")
+      .orderBy("doc_id")
+  }
+
+  private val q49Sql = {
+    def sc(ms: Seq[String]) = {
+      val cond = ms.map(m => s"x = '$m'").mkString(" OR ")
+      s"CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> $cond)) AS DOUBLE) / len(string_split_regex(text, '\\s+'))"
+    }
+    s"""WITH s AS (SELECT doc_id, lang,
+       |  ${sc(Seq("window", "batch"))} AS s_de,
+       |  ${sc(Seq("the", "a"))} AS s_en,
+       |  ${sc(Seq("data", "stream"))} AS s_es,
+       |  ${sc(Seq("query", "value"))} AS s_fr,
+       |  ${sc(Seq("spark", "table"))} AS s_zh
+       |FROM documents WHERE doc_id < 200)
+       |SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh,
+       |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+       |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+       |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+       |       WHEN s_fr >= s_zh THEN 'fr'
+       |       ELSE 'zh' END AS predicted,
+       |  (CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+       |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+       |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+       |       WHEN s_fr >= s_zh THEN 'fr'
+       |       ELSE 'zh' END) = lang AS is_match
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- text: fingerprint
+  /** Winnowing document fingerprints: rolling min of md5-hashed word
+    * trigrams over a 4-shingle window (ref-style rolling hash). */
+  val q50Fingerprint: Q = (s, d) => {
+    val t = Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"), posexplode(split(col("text"), "\\s+")).as(Seq("pos", "w")))
+    val dw = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val sh = t
+      .withColumn("w2", lag(col("w"), 2).over(dw))
+      .withColumn("w1", lag(col("w"), 1).over(dw))
+      .filter(col("w2").isNotNull)
+      .withColumn("sh", concat(col("w2"), lit(" "), col("w1"), lit(" "), col("w")))
+      .withColumn("hv", Dedup.h60(lit(0), col("sh")))
+    val fp = sh.withColumn("fp",
+      min(col("hv")).over(dw.rowsBetween(-3, 0)))
+    fp.groupBy("doc_id")
+      .agg(countDistinct(col("fp")).as("n_fingerprints"),
+        min(col("fp")).as("min_fp"),
+        count(lit(1)).as("n_windows"))
+      .orderBy("doc_id")
+  }
+
+  private val q50Sql =
+    """WITH t AS (SELECT doc_id,
+      |                  unnest(string_split_regex(text, '\s+')) AS w,
+      |                  generate_subscripts(string_split_regex(text, '\s+'), 1) AS pos
+      |           FROM documents WHERE doc_id < 200),
+      |s AS (SELECT doc_id, pos,
+      |             lag(w, 2) OVER dw || ' ' || lag(w, 1) OVER dw || ' ' || w AS sh
+      |      FROM t WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+      |h AS (SELECT doc_id, pos,
+      |             ('0x' || substr(md5('0|' || sh), 1, 15))::BIGINT AS hv
+      |      FROM s WHERE sh IS NOT NULL),
+      |f AS (SELECT doc_id,
+      |             MIN(hv) OVER (PARTITION BY doc_id ORDER BY pos
+      |                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+      |      FROM h)
+      |SELECT doc_id, COUNT(DISTINCT fp) AS n_fingerprints,
+      |       MIN(fp) AS min_fp, COUNT(*) AS n_windows
+      |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  val all: Map[String, Q] = Map(
+    "q40_dedup_exact" -> q40DedupExact,
+    "q41_minhash_sig" -> q41MinHashSig,
+    "q42_lsh_pairs" -> q42LshPairs,
+    "q43_simhash" -> q43SimHash,
+    "q44_ngram_jaccard" -> q44NgramJaccard,
+    "q47_text_tokens" -> q47Tokens,
+    "q48_text_quality" -> q48Quality,
+    "q49_langid" -> q49LangId,
+    "q50_fingerprint" -> q50Fingerprint,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q40_dedup_exact" -> q40Sql,
+    "q41_minhash_sig" -> q41Sql,
+    "q42_lsh_pairs" -> q42Sql,
+    "q43_simhash" -> q43Sql,
+    "q44_ngram_jaccard" -> q44Sql,
+    "q47_text_tokens" -> q47Sql,
+    "q48_text_quality" -> q48Sql,
+    "q49_langid" -> q49Sql,
+    "q50_fingerprint" -> q50Sql,
+  )
+}

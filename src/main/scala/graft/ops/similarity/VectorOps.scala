@@ -1,0 +1,88 @@
+package graft.ops.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over an embedding column (Array[Float]).
+  *
+  * Cosine is computed as a left-to-right double fold (dot and norms),
+  * then dot / (sqrt(na) * sqrt(nb)) — the exact operation sequence
+  * DuckDB's list_dot_product/sqrt replay, so results are bit-identical
+  * for the oracle.
+  *
+  * Brute-force top-k is the correctness baseline (probes x all
+  * candidates); the LSH-bucketed variant is the scale path: random
+  * hyperplanes derived from md5 bits quantize each vector to a bucket
+  * signature, and search only touches same-bucket candidates. At
+  * 100 TB the bucket join replaces the cross join — candidate count
+  * per probe drops from N to N / 2^planes on average.
+  */
+object VectorOps {
+
+  /** Sequential-fold dot product of two float-array columns in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
+  /** Brute-force cosine top-k: for each probe, the k nearest
+    * candidates (excluding itself), rank by (cos desc, cand id). */
+  def bruteForceKnn(probes: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val p = probes.select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+      norm(col("embedding")).as("qn"))
+    val c = candidates.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+      norm(col("embedding")).as("cn"))
+    val pairs = p.crossJoin(c).filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("q_id", "c_id", "rank", "cos")
+  }
+
+  /** Sign bit of hyperplane j for dimension kk: md5-derived, the same
+    * formula the oracle SQL replays. +1 / -1. */
+  private def planeSign(j: Column, kk: Column): Column = {
+    val digit = conv(substring(md5(concat(j.cast("string"), lit("_"), kk.cast("string"))), 1, 1), 16, 10)
+      .cast("int")
+    (digit % 2) * 2 - 1
+  }
+
+  /** Random-hyperplane LSH bucket signature (nPlanes bits) per vector.
+    * Components are quantized to integers (round(x * 1e6)) so the
+    * per-plane vote sum is order-independent integer arithmetic —
+    * deterministic under any shuffle order. Output (id, bucket). */
+  def lshBucket(df: DataFrame, idCol: String, nPlanes: Int = 8): DataFrame =
+    df.select(col(idCol), posexplode(col("embedding")).as(Seq("k", "x")))
+      .withColumn("xi", round(col("x").cast("double") * 1e6).cast("long"))
+      .select(col(idCol), col("k"), col("xi"),
+        explode(sequence(lit(0), lit(nPlanes - 1))).as("j"))
+      .withColumn("contrib", planeSign(col("j"), col("k")) * col("xi"))
+      .groupBy(col(idCol), col("j"))
+      .agg(sum(col("contrib")).as("v"))
+      .withColumn("bit", when(col("v") > 0, 1L).otherwise(0L))
+      .groupBy(col(idCol))
+      .agg(sum(col("bit") * pow(lit(2.0), col("j")).cast("long")).as("bucket"))
+
+  /** LSH-bucketed ANN: probes only scored against same-bucket
+    * candidates. Smaller recall than brute force by construction;
+    * rank/tie rules identical. */
+  def lshAnn(probes: DataFrame, candidates: DataFrame, k: Int,
+             nPlanes: Int = 8): DataFrame = {
+    val pb = lshBucket(probes, "vec_id", nPlanes).withColumnRenamed("vec_id", "q_id")
+    val cb = lshBucket(candidates, "vec_id", nPlanes).withColumnRenamed("vec_id", "c_id")
+    val p = probes.select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+      norm(col("embedding")).as("qn")).join(pb, "q_id")
+    val c = candidates.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+      norm(col("embedding")).as("cn")).join(cb, "c_id")
+    val pairs = p.join(c, Seq("bucket")).filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("q_id", "c_id", "bucket", "rank", "cos")
+  }
+}

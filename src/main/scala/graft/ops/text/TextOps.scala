@@ -1,0 +1,49 @@
+package graft.ops.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column kit for large-scale corpus pipelines:
+  * tokenization, quality signals, language-ID scoring. All pure
+  * codegen'd column expressions — no UDFs, so whole-stage codegen
+  * keeps the scan→score pipeline in one pass at 100 TB.
+  */
+object TextOps {
+
+  /** Whitespace tokens (Spark `split` keeps trailing empties — same
+    * contract as DuckDB string_split_regex, unlike Java's split). */
+  def wsTokens(text: Column): Column = split(text, "\\s+")
+
+  def nWsTokens(text: Column): Column = size(wsTokens(text))
+
+  /** BPE-ish pre-tokenizer count: letter runs, digit runs, or single
+    * non-space symbols (pattern valid in both Java regex and RE2). */
+  val bpeishPattern = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+  def nRegexTokens(text: Column): Column = regexp_count(text, lit(bpeishPattern))
+
+  def nDistinctWords(text: Column): Column = size(array_distinct(wsTokens(text)))
+
+  /** Mean word length = non-space chars / token count (single double
+    * division of exact ints — cross-engine deterministic). */
+  def meanWordLen(text: Column): Column =
+    length(regexp_replace(text, "\\s", "")).cast("double") / nWsTokens(text)
+
+  /** Count of tokens belonging to a marker set (stopword counting). */
+  def markerCount(text: Column, markers: Seq[String]): Column =
+    size(filter(wsTokens(text), w => w.isin(markers: _*)))
+
+  /** Quality score in [0,1]: half length-saturation, half stopword
+    * density (ref-style composite; both halves are *0.5 which is an
+    * exact exponent shift, so the sum is a single rounding). */
+  def qualityScore(text: Column, stopwords: Seq[String], satChars: Int = 400): Column = {
+    val lenScore = least(length(text), lit(satChars)).cast("double") / satChars
+    val stopRatio = markerCount(text, stopwords).cast("double") / nWsTokens(text)
+    lenScore * 0.5 + stopRatio * 0.5
+  }
+
+  /** Language-ID by marker-word density: score per language =
+    * marker hits / tokens; caller argmaxes (n-gram heuristic shape —
+    * deterministic, no model). */
+  def langScore(text: Column, markers: Seq[String]): Column =
+    markerCount(text, markers).cast("double") / nWsTokens(text)
+}
