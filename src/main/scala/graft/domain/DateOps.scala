@@ -1,0 +1,54 @@
+package graft.domain
+
+import java.time.LocalDate
+import java.time.format.DateTimeFormatter
+import java.time.temporal.IsoFields
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Reporting-window date math, mirroring the reference exactly
+  * (/root/reference/src/weekly/orchestrator.py:148-164). */
+object DateOps {
+  val Ymd: DateTimeFormatter = DateTimeFormatter.ofPattern("yyyyMMdd")
+
+  final case class WeekWindow(dtFrom: String, dtTo: String, isoYear: Int, isoWeek: Int)
+
+  /** Last full Monday..Sunday week strictly before the base date.
+    * days_to_last_sunday = (weekday + 1) % 7, or 7 when that is 0
+    * (i.e. base is Sunday -> previous Sunday, never itself).
+    * ISO year/week are taken from last_sunday (ref :162-164). */
+  def lastWeekWindow(baseDate: LocalDate): WeekWindow = {
+    val weekday = baseDate.getDayOfWeek.getValue - 1 // Monday=0 like Python
+    val days = { val d = (weekday + 1) % 7; if (d == 0) 7 else d }
+    val lastSunday = baseDate.minusDays(days)
+    val lastMonday = lastSunday.minusDays(6)
+    WeekWindow(lastMonday.format(Ymd), lastSunday.format(Ymd),
+      lastSunday.get(IsoFields.WEEK_BASED_YEAR),
+      lastSunday.get(IsoFields.WEEK_OF_WEEK_BASED_YEAR))
+  }
+
+  def lastWeekWindow(baseDate: String): WeekWindow =
+    lastWeekWindow(LocalDate.parse(baseDate, Ymd))
+
+  // ---- column-level variants (same formula over a date column) ----
+
+  /** (weekday+1)%7 or 7 — weekday() is Monday=0 in Spark, matching
+    * Python's date.weekday(). */
+  def daysToLastSunday(d: Column): Column = {
+    val m = (weekday(d) + 1) % 7
+    when(m === 0, 7).otherwise(m)
+  }
+
+  def lastSunday(d: Column): Column = date_sub(d, daysToLastSunday(d))
+  def lastMonday(d: Column): Column = date_sub(lastSunday(d), 6)
+
+  /** ISO week-numbering year via the Thursday trick (Spark has no
+    * isoyear builtin; weekofyear IS ISO). */
+  def isoYear(d: Column): Column = year(date_add(d, lit(3) - weekday(d)))
+  def isoWeek(d: Column): Column = weekofyear(d)
+
+  /** yyyyMMdd string <-> date, the storage convention of the domain
+    * (FIXTURES.md: boundary types stay strings, compare lexicographic). */
+  def ymdToDate(c: Column): Column = to_date(c, "yyyyMMdd")
+  def dateToYmd(c: Column): Column = date_format(c, "yyyyMMdd")
+}

@@ -1,0 +1,222 @@
+package graft.domain
+
+import java.time.LocalDate
+import scala.collection.mutable.ArrayBuffer
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Deterministic domain fixtures conforming to the reference's source
+  * schemas (FIXTURES.md §1): sow master, work-event log, farrowing,
+  * weaning, piglet transfers. Generated with a fixed LCG so the SAME
+  * rows are rendered both as Spark DataFrames and as SQL VALUES
+  * clauses for the DuckDB oracle — the domain queries are verified on
+  * identical inputs in both engines.
+  *
+  * Lifecycles follow the reference's event grammar
+  * (data_loader.py:28-46): per parity G -> (B -> E | F), gapless SEQ,
+  * 2-year horizon around base date 2025-11-12 (the reference's own
+  * test-date neighbourhood, orchestrator.py:31-41). Edge rows
+  * included: sows with no work history (alert.py:108-117), a foster
+  * mother (DAERI_YN='Y'), culled vs alive-sentinel OUT_DT.
+  */
+object Fixtures {
+  val BaseDate = "20251112"            // Wednesday
+  val DtFrom = "20251103"              // last-week window of BaseDate
+  val DtTo = "20251109"
+
+  private final class Lcg(seed: Long) {
+    private var s = seed
+    def next(n: Int): Int = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      (((s >>> 33) % n).toInt + n) % n
+    }
+  }
+
+  private val ymd = DateOps.Ymd
+  private def f(d: LocalDate) = d.format(ymd)
+
+  // row buffers: (table schemas follow FIXTURES.md §1)
+  final case class Tables(
+    modon: Seq[Row], modonWk: Seq[Row], bunman: Seq[Row],
+    eu: Seq[Row], trans: Seq[Row])
+
+  lazy val generated: Tables = {
+    val modon = ArrayBuffer[Row]()
+    val wk = ArrayBuffer[Row]()
+    val bun = ArrayBuffer[Row]()
+    val eu = ArrayBuffer[Row]()
+    val tr = ArrayBuffer[Row]()
+    var trSeq = 0
+
+    for (farm <- 1 to 2; i <- 1 to 30) {
+      val rng = new Lcg(farm * 7919L + i * 104729L)
+      val pig = "P%03d".format(i)
+      val birth = LocalDate.of(2023, 1, 1).plusDays(rng.next(400))
+      val inDt = birth.plusDays(220 + rng.next(40))
+
+      if (i == 28) {
+        // no work history: status falls back to TB_MODON.STATUS_CD
+        // (branches 2/3 of the mating schedule, schedule.py:450-480)
+        val (status, lastWk, bd) =
+          if (farm == 1) ("010005", "20251020", null)
+          else ("010001", null, "20250301") // birth+240 lands in the window
+        modon += Row(farm, pig, status, f(inDt),
+          Codes.AliveOutDt, if (bd != null) bd else f(birth), lastWk, null, null, "Y")
+      } else if (i == 25) {
+        // planted accident-as-latest sows: status 010006 (return) on
+        // farm 1, 010007 (abortion) on farm 2 at the base date
+        val sago = if (farm == 1) "020001" else "020002"
+        wk += Row(farm, pig, 1, "20250920", "G", 1, null, "N", "Y")
+        wk += Row(farm, pig, 2, "20251108", "F", 1, sago, "N", "Y")
+        modon += Row(farm, pig, "010001", f(inDt), Codes.AliveOutDt, f(birth),
+          "20251108", null, null, "Y")
+      } else if (i == 26 || i == 27) {
+        // planted schedule candidates (schedule.py:513-560): a
+        // lactating sow (B + 21 lands in the report week) and a
+        // pregnant sow (G + 115 lands in the report week)
+        if (i == 26) {
+          wk += Row(farm, pig, 1, "20250622", "G", 1, null, "N", "Y")
+          wk += Row(farm, pig, 2, "20251015", "B", 1, null, "N", "Y")
+          bun += Row(farm, pig, "20251015", "B", 11, 1, 0, 14.5, "Y")
+          modon += Row(farm, pig, "010001", f(inDt), Codes.AliveOutDt, f(birth),
+            "20251015", null, null, "Y")
+        } else {
+          wk += Row(farm, pig, 1, "20250714", "G", 1, null, "N", "Y")
+          modon += Row(farm, pig, "010001", f(inDt), Codes.AliveOutDt, f(birth),
+            "20250714", null, null, "Y")
+        }
+      } else {
+        val culled = i == 30
+        val foster = i == 29
+        var t = LocalDate.of(2024, 1, 1).plusDays(rng.next(120))
+        val endDate = if (culled) LocalDate.of(2025, 6, 1) else LocalDate.of(2025, 12, 1)
+        var seq = 0; var parity = 1
+        var lastDt: LocalDate = null
+        while (t.isBefore(endDate)) {
+          seq += 1
+          wk += Row(farm, pig, seq, f(t), "G", parity, null, "N", "Y")
+          lastDt = t
+          val roll = rng.next(10)
+          if (roll < 8) {
+            val b = t.plusDays(114 + rng.next(3))
+            if (b.isBefore(endDate)) {
+              seq += 1
+              val daeri = if (foster) "Y" else "N"
+              wk += Row(farm, pig, seq, f(b), "B", parity, null, daeri, "Y")
+              val silsan = 8 + rng.next(7); val sasan = rng.next(3); val mila = rng.next(2)
+              bun += Row(farm, pig, f(b), "B", silsan, sasan, mila,
+                (95 + rng.next(60)) / 10.0, "Y")
+              val e = b.plusDays(19 + rng.next(5))
+              seq += 1
+              wk += Row(farm, pig, seq, f(e), "E", parity, null, daeri, "Y")
+              val dusu = math.max(silsan - 1 - rng.next(3), 4)
+              eu += Row(farm, pig, f(e), "E", dusu, rng.next(2),
+                java.time.temporal.ChronoUnit.DAYS.between(b, e).toInt,
+                (550 + rng.next(200)) / 10.0, daeri, "Y")
+              // piglet transfers between farrowing and weaning
+              val k = rng.next(3)
+              for (_ <- 0 until k) {
+                trSeq += 1
+                val code = Seq("160001", "160003", "160004")(rng.next(3))
+                val wkd = b.plusDays(1 + rng.next(math.max(1,
+                  java.time.temporal.ChronoUnit.DAYS.between(b, e).toInt - 2)))
+                tr += Row(farm, pig, trSeq, parity, code, f(wkd),
+                  1 + rng.next(3), 0, f(b), f(e), "Y")
+              }
+              lastDt = e
+              t = e.plusDays(4 + rng.next(6))
+            } else {
+              t = endDate // pregnant at horizon end
+            }
+          } else {
+            val fd = t.plusDays(18 + rng.next(10))
+            if (fd.isBefore(endDate)) {
+              seq += 1
+              val sago = if (rng.next(2) == 0) "020001" else "020002"
+              wk += Row(farm, pig, seq, f(fd), "F", parity, sago, "N", "Y")
+              lastDt = fd
+              t = fd.plusDays(1 + rng.next(5))
+            } else t = endDate
+          }
+          parity += 1
+        }
+        val outDt = if (culled) "20250615" else Codes.AliveOutDt
+        val outGubun = if (culled) "080001" else null
+        val outReason = if (culled) "031001" else null
+        modon += Row(farm, pig, "010001", f(inDt), outDt, f(birth),
+          if (lastDt == null) null else f(lastDt), outGubun, outReason, "Y")
+      }
+    }
+    Tables(modon.toSeq, wk.toSeq, bun.toSeq, eu.toSeq, tr.toSeq)
+  }
+
+  // ---- schemas ----
+  private def st(fields: (String, DataType)*): StructType =
+    StructType(fields.map { case (n, t) => StructField(n, t) })
+
+  val modonSchema: StructType = st(
+    "farm_no" -> IntegerType, "pig_no" -> StringType, "status_cd" -> StringType,
+    "in_dt" -> StringType, "out_dt" -> StringType, "birth_dt" -> StringType,
+    "last_wk_dt" -> StringType, "out_gubun_cd" -> StringType,
+    "out_reason_cd" -> StringType, "use_yn" -> StringType)
+
+  val modonWkSchema: StructType = st(
+    "farm_no" -> IntegerType, "pig_no" -> StringType, "seq" -> IntegerType,
+    "wk_dt" -> StringType, "wk_gubun" -> StringType, "sancha" -> IntegerType,
+    "sago_gubun_cd" -> StringType, "daeri_yn" -> StringType, "use_yn" -> StringType)
+
+  val bunmanSchema: StructType = st(
+    "farm_no" -> IntegerType, "pig_no" -> StringType, "wk_dt" -> StringType,
+    "wk_gubun" -> StringType, "silsan" -> IntegerType, "sasan" -> IntegerType,
+    "mila" -> IntegerType, "saengsi_kg" -> DoubleType, "use_yn" -> StringType)
+
+  val euSchema: StructType = st(
+    "farm_no" -> IntegerType, "pig_no" -> StringType, "wk_dt" -> StringType,
+    "wk_gubun" -> StringType, "dusu" -> IntegerType, "dusu_su" -> IntegerType,
+    "ilryung" -> IntegerType, "total_kg" -> DoubleType, "daeri_yn" -> StringType,
+    "use_yn" -> StringType)
+
+  val transSchema: StructType = st(
+    "farm_no" -> IntegerType, "pig_no" -> StringType, "seq" -> IntegerType,
+    "sancha" -> IntegerType, "gubun_cd" -> StringType, "wk_dt" -> StringType,
+    "dusu" -> IntegerType, "dusu_su" -> IntegerType, "bun_dt" -> StringType,
+    "eu_dt" -> StringType, "use_yn" -> StringType)
+
+  private def toDf(s: SparkSession, rows: Seq[Row], schema: StructType): DataFrame =
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+
+  def modonDf(s: SparkSession): DataFrame  = toDf(s, generated.modon, modonSchema)
+  def modonWkDf(s: SparkSession): DataFrame = toDf(s, generated.modonWk, modonWkSchema)
+  def bunmanDf(s: SparkSession): DataFrame = toDf(s, generated.bunman, bunmanSchema)
+  def euDf(s: SparkSession): DataFrame     = toDf(s, generated.eu, euSchema)
+  def transDf(s: SparkSession): DataFrame  = toDf(s, generated.trans, transSchema)
+
+  // ---- SQL VALUES rendering (for the DuckDB oracle) ----
+  private def litSql(v: Any): String = v match {
+    case null => "NULL"
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case d: Double => d.toString
+    case x => x.toString
+  }
+
+  private def valuesCte(name: String, schema: StructType, rows: Seq[Row]): String = {
+    val cols = schema.fields.map(_.name).mkString(", ")
+    val vals = rows.map(r =>
+      "(" + (0 until r.length).map(i => litSql(r.get(i))).mkString(",") + ")")
+      .mkString(",\n")
+    s"$name($cols) AS (VALUES\n$vals)"
+  }
+
+  /** WITH-clause text defining the requested fixture tables. */
+  def withClause(tables: String*): String = {
+    val g = generated
+    val parts = tables.map {
+      case "modon" => valuesCte("modon", modonSchema, g.modon)
+      case "modon_wk" => valuesCte("modon_wk", modonWkSchema, g.modonWk)
+      case "bunman" => valuesCte("bunman", bunmanSchema, g.bunman)
+      case "eu" => valuesCte("eu", euSchema, g.eu)
+      case "trans" => valuesCte("trans", transSchema, g.trans)
+    }
+    parts.mkString(",\n")
+  }
+}
