@@ -1,6 +1,7 @@
 package graft.domain
 
 import java.time.LocalDate
+import java.time.format.DateTimeFormatter
 import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
@@ -61,7 +62,7 @@ object Fixtures {
           if (farm == 1) ("010005", "20251020", null)
           else ("010001", null, "20250301") // birth+240 lands in the window
         modon += Row(farm, pig, status, f(inDt),
-          Codes.AliveOutDt, if (bd != null) bd else f(birth), lastWk, null, null, "Y")
+          Codes.AliveOutDt, if (bd != null) bd else f(birth), lastWk, 0, null, null, "Y")
       } else if (i == 25) {
         // planted accident-as-latest sows: status 010006 (return) on
         // farm 1, 010007 (abortion) on farm 2 at the base date
@@ -69,7 +70,7 @@ object Fixtures {
         wk += Row(farm, pig, 1, "20250920", "G", 1, null, "N", "Y")
         wk += Row(farm, pig, 2, "20251108", "F", 1, sago, "N", "Y")
         modon += Row(farm, pig, "010001", f(inDt), Codes.AliveOutDt, f(birth),
-          "20251108", null, null, "Y")
+          "20251108", 0, null, null, "Y")
       } else if (i == 26 || i == 27) {
         // planted schedule candidates (schedule.py:513-560): a
         // lactating sow (B + 21 lands in the report week) and a
@@ -79,17 +80,21 @@ object Fixtures {
           wk += Row(farm, pig, 2, "20251015", "B", 1, null, "N", "Y")
           bun += Row(farm, pig, "20251015", "B", 11, 1, 0, 14.5, "Y")
           modon += Row(farm, pig, "010001", f(inDt), Codes.AliveOutDt, f(birth),
-            "20251015", null, null, "Y")
+            "20251015", 0, null, null, "Y")
         } else {
           wk += Row(farm, pig, 1, "20250714", "G", 1, null, "N", "Y")
           modon += Row(farm, pig, "010001", f(inDt), Codes.AliveOutDt, f(birth),
-            "20250714", null, null, "Y")
+            "20250714", 0, null, null, "Y")
         }
       } else {
-        val culled = i == 30
+        val culled = i == 30 || i == 24 || i == 23
         val foster = i == 29
         var t = LocalDate.of(2024, 1, 1).plusDays(rng.next(120))
-        val endDate = if (culled) LocalDate.of(2025, 6, 1) else LocalDate.of(2025, 12, 1)
+        val endDate =
+          if (i == 30) LocalDate.of(2025, 6, 1)
+          else if (i == 24) LocalDate.of(2025, 10, 25)
+          else if (i == 23) LocalDate.of(2025, 10, 8)
+          else LocalDate.of(2025, 12, 1)
         var seq = 0; var parity = 1
         var lastDt: LocalDate = null
         while (t.isBefore(endDate)) {
@@ -140,14 +145,81 @@ object Fixtures {
           }
           parity += 1
         }
-        val outDt = if (culled) "20250615" else Codes.AliveOutDt
-        val outGubun = if (culled) "080001" else null
-        val outReason = if (culled) "031001" else null
+        val outDt =
+          if (i == 30) "20250615" else if (i == 24) "20251105"
+          else if (i == 23) "20251018" else Codes.AliveOutDt
+        val outGubun =
+          if (i == 30 || i == 24) "080001" else if (i == 23) "080002" else null
+        val outReason =
+          if (i == 30) null // exercises the null -> '031001' other-bucket
+          else if (i == 24) { if (farm == 1) "031003" else "031002" }
+          else if (i == 23) "031002" else null
         modon += Row(farm, pig, "010001", f(inDt), outDt, f(birth),
-          if (lastDt == null) null else f(lastDt), outGubun, outReason, "Y")
+          if (lastDt == null) null else f(lastDt), 0, outGubun, outReason, "Y")
       }
     }
     Tables(modon.toSeq, wk.toSeq, bun.toSeq, eu.toSeq, tr.toSeq)
+  }
+
+  /** Slaughter records (TM_LPD_DATA shape, data_loader.py:500-536;
+    * NOTE dochuk_dt is 'yyyy-MM-dd' — the reference's odd-one-out
+    * date format). Some days intentionally have zero rows (the
+    * NULL-day contract, shipment.py:266-289). */
+  lazy val lpd: Seq[Row] = {
+    val out = ArrayBuffer[Row]()
+    val qualities = Seq("1+", "1", "2", null)
+    val sexes = Seq("암", "수", "-")
+    for (farm <- 1 to 2) {
+      val rng = new Lcg(farm * 52361L + 7)
+      var d = LocalDate.of(2025, 10, 13)
+      while (!d.isAfter(LocalDate.of(2025, 11, 9))) {
+        val n = rng.next(4) // 0..3 head per day; 0 => empty day
+        for (_ <- 0 until n) {
+          out += Row(farm, d.format(DateTimeFormatterIsoLocal), // yyyy-MM-dd
+            (850 + rng.next(150)) / 10.0, (140 + rng.next(120)) / 10.0,
+            qualities(rng.next(4)), sexes(rng.next(3)), "Y")
+        }
+        d = d.plusDays(1)
+      }
+    }
+    out.toSeq
+  }
+  private val DateTimeFormatterIsoLocal = DateTimeFormatter.ISO_LOCAL_DATE
+
+  /** Tall hourly weather category rows (KMA forecast shape,
+    * weather.py:741-982): TMP/POP/PTY per (grid, date, hour), plus
+    * nowcast (src='NCT') rows for a morning slice that must override
+    * the forecast (weather.py:1879-1918 precedence). */
+  lazy val weatherHourly: Seq[Row] = {
+    val out = ArrayBuffer[Row]()
+    for ((nx, ny) <- Seq((60, 127), (98, 76))) {
+      val rng = new Lcg(nx * 31L + ny)
+      for (day <- Seq("20251108", "20251109"); h <- 0 until 24) {
+        val t = "%02d00".format(h)
+        out += Row(nx, ny, day, t, "TMP", (rng.next(250) - 50) / 10.0, "FCT")
+        out += Row(nx, ny, day, t, "POP", rng.next(11) * 10.0, "FCT")
+        out += Row(nx, ny, day, t, "PTY", rng.next(5).toDouble, "FCT")
+      }
+      for (h <- 0 until 7) { // nowcast slice on day 2
+        val t = "%02d00".format(h)
+        out += Row(nx, ny, "20251109", t, "TMP", (rng.next(250) - 30) / 10.0, "NCT")
+        out += Row(nx, ny, "20251109", t, "PTY", rng.next(5).toDouble, "NCT")
+      }
+    }
+    out.toSeq
+  }
+
+  /** Tall productivity-API rows (productivity.py:297-373): STATCD =
+    * PCODE(3) || column suffix(3), one value per (farm, statcd). */
+  lazy val prodTall: Seq[Row] = {
+    val out = ArrayBuffer[Row]()
+    for (farm <- 1 to 2; pcode <- Seq("031", "043")) {
+      val rng = new Lcg(farm * 881L + pcode.toInt)
+      for (sfx <- 29 to 36) {
+        out += Row(farm, pcode + "%03d".format(sfx), rng.next(200) / 10.0)
+      }
+    }
+    out.toSeq
   }
 
   // ---- schemas ----
@@ -157,7 +229,8 @@ object Fixtures {
   val modonSchema: StructType = st(
     "farm_no" -> IntegerType, "pig_no" -> StringType, "status_cd" -> StringType,
     "in_dt" -> StringType, "out_dt" -> StringType, "birth_dt" -> StringType,
-    "last_wk_dt" -> StringType, "out_gubun_cd" -> StringType,
+    "last_wk_dt" -> StringType, "in_sancha" -> IntegerType,
+    "out_gubun_cd" -> StringType,
     "out_reason_cd" -> StringType, "use_yn" -> StringType)
 
   val modonWkSchema: StructType = st(
@@ -182,6 +255,19 @@ object Fixtures {
     "dusu" -> IntegerType, "dusu_su" -> IntegerType, "bun_dt" -> StringType,
     "eu_dt" -> StringType, "use_yn" -> StringType)
 
+  val lpdSchema: StructType = st(
+    "farm_no" -> IntegerType, "dochuk_dt" -> StringType, "net_kg" -> DoubleType,
+    "back_depth" -> DoubleType, "meat_quality" -> StringType,
+    "sex_gubun" -> StringType, "use_yn" -> StringType)
+
+  val weatherHourlySchema: StructType = st(
+    "nx" -> IntegerType, "ny" -> IntegerType, "wk_date" -> StringType,
+    "wk_time" -> StringType, "category" -> StringType, "val" -> DoubleType,
+    "src" -> StringType)
+
+  val prodTallSchema: StructType = st(
+    "farm_no" -> IntegerType, "stat_cd" -> StringType, "val" -> DoubleType)
+
   private def toDf(s: SparkSession, rows: Seq[Row], schema: StructType): DataFrame =
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
 
@@ -190,6 +276,9 @@ object Fixtures {
   def bunmanDf(s: SparkSession): DataFrame = toDf(s, generated.bunman, bunmanSchema)
   def euDf(s: SparkSession): DataFrame     = toDf(s, generated.eu, euSchema)
   def transDf(s: SparkSession): DataFrame  = toDf(s, generated.trans, transSchema)
+  def lpdDf(s: SparkSession): DataFrame    = toDf(s, lpd, lpdSchema)
+  def weatherHourlyDf(s: SparkSession): DataFrame = toDf(s, weatherHourly, weatherHourlySchema)
+  def prodTallDf(s: SparkSession): DataFrame = toDf(s, prodTall, prodTallSchema)
 
   // ---- SQL VALUES rendering (for the DuckDB oracle) ----
   private def litSql(v: Any): String = v match {
@@ -216,6 +305,9 @@ object Fixtures {
       case "bunman" => valuesCte("bunman", bunmanSchema, g.bunman)
       case "eu" => valuesCte("eu", euSchema, g.eu)
       case "trans" => valuesCte("trans", transSchema, g.trans)
+      case "lpd" => valuesCte("lpd", lpdSchema, lpd)
+      case "weather_hourly" => valuesCte("weather_hourly", weatherHourlySchema, weatherHourly)
+      case "prod_tall" => valuesCte("prod_tall", prodTallSchema, prodTall)
     }
     parts.mkString(",\n")
   }

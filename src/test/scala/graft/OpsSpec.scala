@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("LatestRecord: agg and window forms agree on a total order") {
+    val df = Seq(
+      (1, "a", 1, "x"), (1, "a", 3, "y"), (1, "a", 2, "z"),
+      (1, "b", 7, "p"), (2, "a", 1, "q")).toDF("farm", "pig", "seq", "v")
+    val viaAgg = LatestRecord.viaAgg(df, Seq("farm", "pig"), Seq("seq"))
+      .orderBy("farm", "pig").collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getString(3)))
+    val viaWin = LatestRecord.viaWindow(df, Seq("farm", "pig"), Seq(col("seq")))
+      .select("farm", "pig", "seq", "v")
+      .orderBy("farm", "pig").collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getString(3)))
+    assert(viaAgg.toSeq == Seq((1, "a", 3, "y"), (1, "b", 7, "p"), (2, "a", 1, "q")))
+    assert(viaAgg.toSeq == viaWin.toSeq)
+  }
+
+  test("PrevNext.viaSelfJoin honours SEQ gaps (reference SEQ±1 semantics)") {
+    // seq 1,2,4: row 4 must see NO prev (gap), row 2 must see no next
+    val df = Seq((1, "a", 1, "G"), (1, "a", 2, "B"), (1, "a", 4, "E"))
+      .toDF("farm", "pig", "seq", "g")
+    val out = PrevNext.viaSelfJoin(df, Seq("farm", "pig"), "seq", Seq("g"))
+      .orderBy("seq").collect()
+    assert(out.map(_.getAs[String]("prev_g")).toSeq == Seq(null, "G", null))
+    assert(out.map(_.getAs[String]("next_g")).toSeq == Seq("B", null, null))
+    // while the window form bridges the gap
+    val win = PrevNext.viaWindow(df, Seq("farm", "pig"), Seq(col("seq")), Seq("g"))
+      .orderBy("seq").collect()
+    assert(win.map(_.getAs[String]("prev_g")).toSeq == Seq(null, "G", "B"))
+  }
+
+  test("AsOf.join equals the naive theta-join formulation") {
+    val rng = new scala.util.Random(7)
+    val events = (1 to 200).map(_ => (rng.nextInt(5), rng.nextInt(1000), rng.nextInt(100000), rng.nextDouble()))
+      .toDF("k", "t", "tie", "v")
+    val probes = (1 to 100).map(i => (rng.nextInt(6), rng.nextInt(1000), i))
+      .toDF("k", "t", "pid")
+    val got = AsOf.join(events, probes, Seq("k"), "t", "tie", Seq("v"))
+      .select("pid", "asof_v").orderBy("pid")
+      .collect().map(r => (r.getInt(0), Option(r.get(1))))
+    // naive: per probe, event with max (t, tie) among t <= probe.t
+    val evRows = events.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    val exp = probes.collect().map { p =>
+      val (k, t, pid) = (p.getInt(0), p.getInt(1), p.getInt(2))
+      val cands = evRows.filter(e => e._1 == k && e._2 <= t)
+      (pid, if (cands.isEmpty) None else Some(cands.maxBy(e => (e._2, e._3))._4))
+    }.sortBy(_._1)
+    assert(got.toSeq == exp.toSeq)
+  }
+
+  test("UpsertMerge: incoming wins; insertIfAbsent keeps old") {
+    val old = Seq((1, "a", 10), (2, "b", 20)).toDF("k", "n", "v")
+    val inc = Seq((1, "a", 99), (3, "c", 30)).toDF("k", "n", "v")
+    val up = UpsertMerge.upsert(old, inc, Seq("k")).orderBy("k")
+      .collect().map(r => (r.getInt(0), r.getInt(2)))
+    assert(up.toSeq == Seq((1, 99), (2, 20), (3, 30)))
+    val ifa = UpsertMerge.insertIfAbsent(old, inc, Seq("k")).orderBy("k")
+      .collect().map(r => (r.getInt(0), r.getInt(2)))
+    assert(ifa.toSeq == Seq((1, 10), (2, 20), (3, 30)))
+    val di = UpsertMerge.deleteInsert(old, inc, Seq("k")).orderBy("k")
+      .collect().map(r => (r.getInt(0), r.getInt(2)))
+    assert(di.toSeq == Seq((1, 99), (2, 20), (3, 30)))
+  }
+
+  test("Buckets: upper-inclusive edges") {
+    val df = Seq(3.0, 10.0, 10.5, 40.0, 41.0).toDF("x")
+      .select(Buckets.byUpperEdges(col("x"), Seq(10, 40), Seq("lo", "mid", "hi")).as("b"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("lo", "lo", "mid", "mid", "hi"))
+  }
+
+  test("Ranking.chunkWide packs rows in order") {
+    val df = Seq("e", "d", "c", "b", "a").toDF("v")
+    val out = Ranking.chunkWide(df, Seq(col("v")), "v", 2).orderBy("chunk_no").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSeq ==
+      Seq((0L, "a", Some("b")), (1L, "c", Some("d")), (2L, "e", None)))
+  }
+
+  test("DateSpine fills missing days") {
+    val daily = Seq(("2024-01-02", 5L)).toDF("d", "n")
+      .select(to_date(col("d")).as("d"), col("n"))
+    val out = DateSpine.leftJoin(DateSpine.daily(spark, "2024-01-01", "2024-01-03"),
+        daily, "d", Map("n" -> 0L))
+      .orderBy("day").collect().map(_.getLong(1))
+    assert(out.toSeq == Seq(0L, 5L, 0L))
+  }
+}

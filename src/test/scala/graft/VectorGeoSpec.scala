@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.domain.GeoOps
+import graft.ops.similarity.VectorOps
+
+class VectorGeoSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: self-similarity 1.0, orthogonal 0.0") {
+    val df = Seq((Array(1f, 0f, 2f), Array(1f, 0f, 2f), Array(0f, 3f, 0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      VectorOps.cosine(col("a"), col("b"), VectorOps.norm(col("a")), VectorOps.norm(col("b"))),
+      VectorOps.cosine(col("a"), col("c"), VectorOps.norm(col("a")), VectorOps.norm(col("c"))))
+      .collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12) // dot/(sqrt*sqrt) rounds within ulps
+    assert(r.getDouble(1) == 0.0)
+  }
+
+  test("bruteForceKnn: k rows per probe, self excluded, rank by similarity") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0f, 1f)), (3L, Array(1f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val out = VectorOps.bruteForceKnn(vecs.filter(col("vec_id") === 0), vecs, 2)
+      .orderBy("rank").collect()
+    assert(out.length == 2)
+    assert(out.map(_.getAs[Long]("c_id")).toSeq == Seq(3L, 1L)) // closest first
+  }
+
+  test("lshAnn results are a subset of brute-force pairs with same scores") {
+    val rng = new scala.util.Random(11)
+    val vecs = (0L until 40L).map(i => (i, Array.fill(16)(rng.nextFloat()))).toDF("vec_id", "embedding")
+    val bf = VectorOps.bruteForceKnn(vecs.filter(col("vec_id") < 5), vecs, 40)
+      .select("q_id", "c_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ann = VectorOps.lshAnn(vecs.filter(col("vec_id") < 5), vecs, 3, nPlanes = 4)
+      .select("q_id", "c_id", "cos").collect()
+    assert(ann.nonEmpty)
+    ann.foreach { r =>
+      assert(bf((r.getLong(0), r.getLong(1))) == r.getDouble(2), "ANN cosine must equal brute-force")
+    }
+  }
+
+  test("KMA grid matches published values; haversine sanity") {
+    val df = Seq((37.5665, 126.978), (35.1796, 129.0756), (33.4996, 126.5312))
+      .toDF("lat", "lon")
+    val g = df.select(GeoOps.gridNx(col("lat"), col("lon")), GeoOps.gridNy(col("lat"), col("lon")))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(g.toSeq == Seq((60, 127), (98, 76), (53, 38)))
+    val h = Seq((37.5665, 126.978)).toDF("lat", "lon").select(
+      GeoOps.haversineKm(col("lat"), col("lon"), col("lat"), col("lon")),
+      GeoOps.haversineKm(col("lat"), col("lon"), lit(35.1796), lit(129.0756)))
+      .collect()(0)
+    assert(h.getDouble(0) == 0.0)
+    assert(math.abs(h.getDouble(1) - 325.0) < 5.0) // Seoul-Busan ~325 km
+  }
+}
