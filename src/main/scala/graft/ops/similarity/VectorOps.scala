@@ -20,8 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Sequential-fold dot product of two float-array columns in double. */
+  /** Sequential-fold dot product of two float-array columns in double.
+    * Native codegen'd expression (graft.functions.DotProduct) — same
+    * fold order as the HOF form below, but stays in WholeStageCodegen. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.DotProduct.dot(a, b)
+
+  /** Composable higher-order-function formulation (interpreted; kept
+    * as the semantic reference the native expression must match). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

@@ -1,0 +1,96 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryCatalogDomain, QueryCatalogDomain2}
+import graft.sinks.Sinks
+
+/** The weekly report as ONE Spark job over all farms (SURVEY §3.1
+  * "Spark shape"): the reference's per-farm thread pool
+  * (orchestrator.py:544-628) disappears — sections are whole-table
+  * transforms keyed by farm_no, unioned into the TS_INS_WEEK_SUB wide
+  * schema (docs/db/ins/02_TABLE.md:409-441), and the per-section
+  * UPDATE dance (base.py:148-178) collapses into one summary row per
+  * farm assembled by joins before a single write.
+  */
+object WeeklyReportJob {
+
+  /** TS_INS_WEEK_SUB-shaped columns (compact: CODE_1, CNT/VAL_1..15,
+    * STR_1..15 kept where used; absent cells NULL). */
+  private val subCols: Seq[String] =
+    Seq("farm_no", "gubun", "sub_gubun", "sort_no", "code_1") ++
+      (1 to 15).map(i => s"cnt_$i") ++ (1 to 15).map(i => s"val_$i") ++
+      (1 to 15).map(i => s"str_$i")
+
+  /** Pad/select a section frame into the canonical SUB schema. */
+  private def conform(df: DataFrame, mapping: Map[String, Column]): DataFrame = {
+    val cols = subCols.map { c =>
+      mapping.getOrElse(c,
+        if (c == "sort_no") lit(0)
+        else if (c.startsWith("cnt_") || c.startsWith("val_")) lit(null).cast("double")
+        else lit(null).cast("string")).as(c)
+    }
+    df.select(cols: _*)
+  }
+
+  /** All SUB rows for the fixture week, every farm at once. */
+  def subRows(spark: SparkSession): DataFrame = {
+    val modon = conform(QueryCatalogDomain2.q67ParityStatus(spark, ""), Map(
+      "farm_no" -> col("farm_no"), "gubun" -> lit("MODON"), "sub_gubun" -> lit("-"),
+      "sort_no" -> col("sort_no"), "code_1" -> col("parity_label"),
+      "cnt_1" -> col("hubo").cast("double"), "cnt_2" -> col("imsin").cast("double"),
+      "cnt_3" -> col("poyu").cast("double"), "cnt_4" -> col("eumo").cast("double"),
+      "cnt_5" -> col("sago").cast("double")))
+    val gbChart = conform(QueryCatalogDomain2.q68ReturnBuckets(spark, ""), Map(
+      "farm_no" -> col("farm_no"), "gubun" -> lit("GB"), "sub_gubun" -> lit("CHART"),
+      "sort_no" -> col("sort_no"), "code_1" -> col("bucket"),
+      "cnt_1" -> col("cnt").cast("double")))
+    val dopeList = conform(QueryCatalogDomain2.q69CullingChunked(spark, ""),
+      Map("farm_no" -> col("farm_no"), "gubun" -> lit("DOPE"), "sub_gubun" -> lit("LIST"),
+        "sort_no" -> col("sort_no")) ++
+        (1 to 15).flatMap(i => Seq(
+          s"cnt_$i" -> col(s"cnt_$i").cast("double"),
+          s"val_$i" -> col(s"val_$i").cast("double"),
+          s"str_$i" -> col(s"str_$i"))).toMap)
+    val shipRows = conform(QueryCatalogDomain2.q70ShipmentDaily(spark, ""), Map(
+      "farm_no" -> col("farm_no"), "gubun" -> lit("SHIP"), "sub_gubun" -> lit("ROW"),
+      "sort_no" -> dense_rank().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("farm_no")).orderBy(col("day"))),
+      "code_1" -> col("day"),
+      "cnt_1" -> col("cnt").cast("double"), "val_1" -> col("avg_net"),
+      "cnt_2" -> col("q11").cast("double"), "cnt_3" -> col("q1").cast("double"),
+      "cnt_4" -> col("q2").cast("double"),
+      "cnt_5" -> col("f_cnt").cast("double"), "cnt_6" -> col("m_cnt").cast("double")))
+    modon.unionByName(gbChart).unionByName(dopeList).unionByName(shipRows)
+  }
+
+  /** One summary row per farm: section aggregates joined, replacing
+    * the reference's ten UPDATE statements (S6). */
+  def summary(spark: SparkSession): DataFrame = {
+    val bm = QueryCatalogDomain.q62Farrowing(spark, "")
+      .select(col("farm_no"), col("total_cnt").as("bm_cnt"),
+        col("sum_live").as("bm_live"), col("avg_live").as("bm_avg_live"),
+        col("sum_pogae").as("bm_pogae"))
+    val eu = QueryCatalogDomain.q63Weaning(spark, "")
+      .select(col("farm_no"), col("total_cnt").as("eu_cnt"),
+        col("sum_eudusu").as("eu_dusu"), col("avg_pougigan").as("eu_avg_days"))
+    val sow = QueryCatalogDomain2.q67ParityStatus(spark, "")
+      .groupBy("farm_no")
+      .agg(sum(col("hubo") + col("imsin") + col("poyu") + col("eumo") + col("sago"))
+        .cast("long").as("sow_total"))
+    val sched = QueryCatalogDomain.q64ScheduleMating(spark, "")
+      .groupBy("farm_no").agg(sum(col("n")).cast("long").as("gb_plan"))
+    sow.join(bm, Seq("farm_no"), "left")
+      .join(eu, Seq("farm_no"), "left")
+      .join(sched, Seq("farm_no"), "left")
+      .orderBy("farm_no")
+  }
+
+  /** Run the whole report and write both outputs (SUB rows partition-
+    * overwritten by gubun — the reference's delete-section-then-insert
+    * becomes partition replacement). */
+  def run(spark: SparkSession, outDir: String): Unit = {
+    Sinks.overwritePartitions(subRows(spark), s"$outDir/week_sub", Seq("gubun"))
+    summary(spark).write.mode("overwrite").parquet(s"$outDir/week_summary")
+  }
+}

@@ -1,0 +1,65 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.UpsertMerge
+
+/** Sink layer (SURVEY §2.1 S5-S9), re-expressed for a lakehouse:
+  *
+  *  - S5 delete-section-then-insert (`base.py:90-146` save_sub) and
+  *    S8 delete+insert by key (`productivity.py:406-451`) both become
+  *    dynamic partition overwrite: rewrite exactly the partitions the
+  *    incoming batch touches, leave the rest untouched.
+  *  - S7 MERGE upsert (`weather.py:1697-1732`) becomes read-merge-
+  *    replace with precedence dedup (UpsertMerge); on a Delta/Iceberg
+  *    target this maps to a literal MERGE INTO.
+  *  - S6 per-section UPDATE of summary columns (`base.py:148-178`)
+  *    disappears: sections join into ONE summary row per farm before a
+  *    single write (see SURVEY §2.1 S6 note).
+  *  - S9 run-log append (`farm_processor.py:245-344`).
+  */
+object Sinks {
+
+  /** Overwrite only the partitions present in `df` (S5/S8). */
+  def overwritePartitions(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Keyed upsert into a parquet table (S7): read-if-exists, merge
+    * with incoming-wins precedence, write to a staging dir, swap.
+    * The swap gives the same all-or-nothing behavior as the
+    * reference's completeness gate (weather.py:1460-1478). */
+  def upsertParquet(spark: SparkSession, incoming: DataFrame, path: String,
+                    keys: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(path)
+    val merged =
+      if (fs.exists(target)) UpsertMerge.upsert(spark.read.parquet(path), incoming, keys)
+      else incoming
+    val staging = new Path(path + "__staging")
+    fs.delete(staging, true)
+    merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val backup = new Path(path + "__old")
+    fs.delete(backup, true)
+    if (fs.exists(target)) fs.rename(target, backup)
+    fs.rename(staging, target)
+    fs.delete(backup, true)
+  }
+
+  /** Append run-log rows (S9): job name, status, elapsed ms, ts. */
+  def appendJobLog(spark: SparkSession, path: String, job: String,
+                   status: String, elapsedMs: Long): Unit = {
+    import spark.implicits._
+    Seq((job, status, elapsedMs, java.time.Instant.now().toString))
+      .toDF("job_name", "status", "elapsed_ms", "logged_at")
+      .write.mode(SaveMode.Append).parquet(path)
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.sinks.Sinks
+import graft.streaming.StreamingJobs
+
+class SinksStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_sink").toString
+
+  test("overwritePartitions rewrites only the touched partitions (S5/S8)") {
+    val path = tmp() + "/t"
+    Seq((1, "d1", 10), (2, "d1", 20), (3, "d2", 30))
+      .toDF("id", "day", "v")
+      .write.partitionBy("day").parquet(path)
+    // new batch touches only d1
+    Sinks.overwritePartitions(
+      Seq((9, "d1", 99)).toDF("id", "day", "v"), path, Seq("day"))
+    val out = spark.read.parquet(path).orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(2), r.getInt(1)))
+    assert(out.toSeq == Seq((3, "d2", 30), (9, "d1", 99)))
+  }
+
+  test("upsertParquet merges on key with incoming-wins (S7)") {
+    val path = tmp() + "/t"
+    Sinks.upsertParquet(spark, Seq((1, "a"), (2, "b")).toDF("k", "v"), path, Seq("k"))
+    Sinks.upsertParquet(spark, Seq((2, "B"), (3, "c")).toDF("k", "v"), path, Seq("k"))
+    val out = spark.read.parquet(path).orderBy("k")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(out.toSeq == Seq((1, "a"), (2, "B"), (3, "c")))
+  }
+
+  test("job log appends rows (S9)") {
+    val path = tmp() + "/log"
+    Sinks.appendJobLog(spark, path, "weekly", "COMPLETE", 1234L)
+    Sinks.appendJobLog(spark, path, "weather", "ERROR", 55L)
+    val out = spark.read.parquet(path)
+    assert(out.count() == 2)
+    assert(out.filter(col("status") === "ERROR").count() == 1)
+  }
+
+  test("streaming windowed aggregation with watermark (§2.9)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamingJobs.windowedCounts(events, "ts", "10 minutes", "30 minutes")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_counts").start()
+    def t(m: String) = java.sql.Timestamp.valueOf(s"2024-01-01 10:$m:00")
+    mem.addData((t("01"), "click", 1.0), (t("03"), "click", 2.0), (t("12"), "view", 5.0))
+    q.processAllAvailable()
+    val rows = spark.table("win_counts")
+      .select("event_type", "n").orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    q.stop()
+    assert(rows.toSeq == Seq(("click", 2L), ("view", 1L)))
+  }
+
+  test("streaming keyed upsert via foreachBatch (weather MERGE as a stream)") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmp() + "/t"
+    val chk = tmp() + "/chk"
+    val mem = MemoryStream[(Int, String)]
+    val df = mem.toDF().toDF("k", "v")
+    mem.addData((1, "a"), (2, "b"))
+    val q1 = StreamingJobs.upsertStream(df, Seq("k"), path, chk)
+    q1.awaitTermination()
+    mem.addData((2, "B"), (3, "c"))
+    val q2 = StreamingJobs.upsertStream(df, Seq("k"), path, chk)
+    q2.awaitTermination()
+    val out = spark.read.parquet(path).orderBy("k")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(out.toSeq == Seq((1, "a"), (2, "B"), (3, "c")))
+  }
+}

@@ -7,6 +7,15 @@ import graft.ops.similarity.VectorOps
 class VectorGeoSpec extends SparkSpec {
   import spark.implicits._
 
+  test("native DotProduct expression is bit-identical to the HOF fold") {
+    val rng = new scala.util.Random(3)
+    val vecs = (0 until 50).map(_ => (Array.fill(64)(rng.nextFloat()), Array.fill(64)(rng.nextFloat())))
+      .toDF("a", "b")
+    val rows = vecs.select(VectorOps.dot(col("a"), col("b")).as("native"),
+      VectorOps.dotHof(col("a"), col("b")).as("hof")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1), "fold order must match exactly"))
+  }
+
   test("cosine: self-similarity 1.0, orthogonal 0.0") {
     val df = Seq((Array(1f, 0f, 2f), Array(1f, 0f, 2f), Array(0f, 3f, 0f)))
       .toDF("a", "b", "c")
