@@ -51,10 +51,7 @@ object QueryCatalogText {
   val q41MinHashSig: Q = (s, d) => {
     val words = Dedup.wordSet(Tables.documents(s, d).filter(col("doc_id") < 50),
       "doc_id", "text")
-    val sig = Dedup.minHash(words, "doc_id", n = 16)
-    val aggs = (0 until 16).map(i =>
-      max(when(col("seed") === i, col("minhash"))).as(f"mh$i%02d"))
-    sig.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).orderBy("doc_id")
+    Dedup.minHash(words, "doc_id", n = 16).orderBy("doc_id")
   }
 
   private val q41Sql = {
@@ -85,7 +82,7 @@ object QueryCatalogText {
     // scan-once-reuse discipline, data_loader.py:93-99).
     val shingles = Dedup.shingleSet(Tables.documents(s, d), "doc_id", "text", k = 3).cache()
     val sig = Dedup.minHash(shingles, "doc_id", n = 16)
-    val bands = Dedup.lshBands(sig, "doc_id", rowsPerBand = 4)
+    val bands = Dedup.lshBands(sig, "doc_id", n = 16, rowsPerBand = 4)
     val cand = Dedup.candidatePairs(bands, "doc_id")
     Dedup.jaccard(cand, shingles, "doc_id")
       .filter(col("jaccard") >= 0.7)

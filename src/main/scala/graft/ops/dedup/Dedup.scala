@@ -58,25 +58,28 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash signatures: for each of `n` seeds, the min h60 over the
-    * doc's word set. Output (id, seed, minhash). */
-  def minHash(words: DataFrame, idCol: String, n: Int = 16): DataFrame =
-    words
-      .select(col(idCol), col("w"),
-        explode(sequence(lit(0), lit(n - 1))).as("seed"))
-      .groupBy(col(idCol), col("seed"))
-      .agg(min(h60(col("seed"), col("w"))).as("minhash"))
+  /** MinHash signatures, wide form: ALL `n` hash functions as n
+    * min-aggregate columns over the shingle rows — no n-times row
+    * explosion, one partial-agg (map-side combined) shuffle. Output
+    * (id, mh00..mh<n-1>). This is the 100 TB-shaped formulation: the
+    * shuffle carries one pre-reduced row per doc, not n. */
+  def minHash(words: DataFrame, idCol: String, n: Int = 16): DataFrame = {
+    val aggs = (0 until n).map(i => min(h60(lit(i), col("w"))).as(f"mh$i%02d"))
+    words.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
 
-  /** LSH banding: group signature rows into bands of `rowsPerBand`
-    * seeds; band key = md5 of ':'-joined minhash values in seed
-    * order. Output (id, band, band_key). */
-  def lshBands(sig: DataFrame, idCol: String, rowsPerBand: Int = 4): DataFrame =
-    sig
-      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
-      .groupBy(col(idCol), col("band"))
-      .agg(md5(array_join(
-        expr("transform(array_sort(collect_list(struct(seed, minhash))), x -> CAST(x.minhash AS STRING))"),
-        ":")).as("band_key"))
+  /** LSH banding over the wide signature: band key = md5 of
+    * ':'-joined minhash values in seed order. Output (id, band,
+    * band_key) — one narrow select per band, unioned. */
+  def lshBands(sig: DataFrame, idCol: String, n: Int = 16,
+               rowsPerBand: Int = 4): DataFrame = {
+    val bands = (0 until n / rowsPerBand).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(f"mh${b * rowsPerBand + r}%02d"))
+      sig.select(col(idCol), lit(b).as("band"),
+        md5(concat_ws(":", cols: _*)).as("band_key"))
+    }
+    bands.reduce(_ unionByName _)
+  }
 
   /** Candidate pairs: ids sharing any (band, band_key) bucket,
     * a < b, distinct. The whole point of LSH: the later exact
@@ -118,26 +121,26 @@ object Dedup {
     * word take md5 bits, sum ±1 votes per bit position over the doc,
     * bit = (vote sum > 0). Output (id, simhash_hi, simhash_lo).
     *
-    * The 64x explode is the portable formulation; a custom Catalyst
-    * Expression computing the 64 votes per word in one pass is the
-    * optimized path at scale. */
+    * Wide form: the word's first/second 8 hex chars are parsed once,
+    * then the 64 per-bit vote sums are 64 aggregate columns with
+    * literal shifts — no 64x row explosion, one partial-agg shuffle.
+    * Bit j (0-based, j<32 in the first half) is bit (31 - j) of the
+    * parsed 32-bit half — identical to the per-hex-digit definition
+    * the oracle replays: digit j/4, in-digit bit (3 - j%4). */
   def simHash(words: DataFrame, idCol: String): DataFrame = {
-    val bits = words
+    val withHalves = words
       .withColumn("wh", md5(col("w")))
-      .select(col(idCol), col("wh"), explode(sequence(lit(0), lit(63))).as("j"))
-      // hex digit (j div 4) of md5, bit (3 - j%4) within the digit
-      .withColumn("hexd", conv(expr("substring(wh, CAST(j / 4 AS INT) + 1, 1)"), 16, 10).cast("int"))
-      .withColumn("p",
-        when(col("j") % 4 === 0, 8).when(col("j") % 4 === 1, 4)
-          .when(col("j") % 4 === 2, 2).otherwise(1))
-      .withColumn("bit", (col("hexd") / col("p")).cast("int") % 2)
-      .withColumn("vote", col("bit") * 2 - 1)
-    bits.groupBy(col(idCol), col("j"))
-      .agg(sum(col("vote")).as("v"))
-      .withColumn("b", when(col("v") > 0, 1L).otherwise(0L))
-      .groupBy(col(idCol))
-      .agg(
-        sum(when(col("j") >= 32, col("b") * pow(lit(2.0), col("j") - 32).cast("long"))).as("simhash_hi"),
-        sum(when(col("j") < 32, col("b") * pow(lit(2.0), col("j")).cast("long"))).as("simhash_lo"))
+      .withColumn("h1", conv(substring(col("wh"), 1, 8), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(col("wh"), 9, 8), 16, 10).cast("long"))
+    def vote(half: Column, j: Int): Column =
+      sum(shiftright(half, 31 - j).bitwiseAND(1) * 2 - 1)
+    val aggs = (0 until 32).map(j => vote(col("h1"), j).as(f"v$j%02d")) ++
+      (0 until 32).map(j => vote(col("h2"), j).as(f"v${j + 32}%02d"))
+    val voted = withHalves.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    def packed(lo: Int): Column = (0 until 32).map { j =>
+      when(col(f"v${lo + j}%02d") > 0, shiftleft(lit(1L), j)).otherwise(0L)
+    }.reduce(_ + _)
+    // old layout: lo packs bits j=0..31 as b<<j, hi packs j=32..63 as b<<(j-32)
+    voted.select(col(idCol), packed(32).as("simhash_hi"), packed(0).as("simhash_lo"))
   }
 }

@@ -22,18 +22,18 @@ class DedupSpec extends SparkSpec {
 
   test("minhash: identical docs identical signatures; near-dups mostly agree") {
     val sh = Dedup.shingleSet(docs, "doc_id", "text", 3)
-    val sig = Dedup.minHash(sh, "doc_id", 16)
-      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
-    assert((0 until 16).forall(i => sig((1L, i)) == sig((2L, i))))
-    val agree13 = (0 until 16).count(i => sig((1L, i)) == sig((3L, i)))
-    val agree14 = (0 until 16).count(i => sig((1L, i)) == sig((4L, i)))
+    val rows = Dedup.minHash(sh, "doc_id", 16).collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(r.getLong).toSeq).toMap
+    assert(rows(1L) == rows(2L))
+    val agree13 = rows(1L).zip(rows(3L)).count(p => p._1 == p._2)
+    val agree14 = rows(1L).zip(rows(4L)).count(p => p._1 == p._2)
     assert(agree13 > 8, s"near-dup should share most minhashes, got $agree13/16")
     assert(agree14 < 4, s"unrelated docs should share few minhashes, got $agree14/16")
   }
 
   test("LSH bucket-join surfaces the duplicate pair without N^2 work") {
     val sh = Dedup.shingleSet(docs, "doc_id", "text", 3)
-    val bands = Dedup.lshBands(Dedup.minHash(sh, "doc_id", 16), "doc_id", 4)
+    val bands = Dedup.lshBands(Dedup.minHash(sh, "doc_id", 16), "doc_id", 16, 4)
     val pairs = Dedup.candidatePairs(bands, "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
