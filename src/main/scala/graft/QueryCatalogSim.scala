@@ -67,6 +67,45 @@ object QueryCatalogSim {
       |SELECT q_id, c_id, bucket, rank, cos FROM r WHERE rank <= 3
       |ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- ivf ann
+  /** IVF-style ANN: the label column is the coarse inverted-file
+    * cell; integer-quantized centroids, nprobe=2 nearest cells per
+    * probe, exact cosine only within those cells. The second named
+    * scale path next to LSH (cell equi-join replaces cross join). */
+  val q77IvfAnn: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    VectorOps.ivfAnn(emb.filter(col("vec_id") < 20), emb, "label", k = 3, nprobe = 2)
+      .withColumn("rank", col("rank").cast("int"))
+      .orderBy("q_id", "rank")
+  }
+
+  private val q77Sql =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |x AS (SELECT label AS cell, generate_subscripts(v, 1) - 1 AS dim,
+      |             CAST(round(unnest(v) * 1e6) AS BIGINT) AS xi
+      |      FROM e),
+      |comp AS (SELECT cell, dim, CAST(SUM(xi) AS DOUBLE) / COUNT(*) / 1e6 AS c
+      |         FROM x GROUP BY 1, 2),
+      |cent AS (SELECT cell, list(c ORDER BY dim) AS cv FROM comp GROUP BY 1),
+      |p AS (SELECT vec_id AS q_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
+      |      FROM e WHERE vec_id < 20),
+      |pc AS (SELECT p.q_id, c.cell,
+      |              list_dot_product(p.qv, c.cv) / (p.qn * sqrt(list_dot_product(c.cv, c.cv))) AS ccos
+      |       FROM p CROSS JOIN cent c),
+      |cells AS (SELECT q_id, cell FROM (
+      |            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY ccos DESC, cell) AS crn
+      |            FROM pc) WHERE crn <= 2),
+      |cand AS (SELECT label AS cell, vec_id AS c_id, v AS cv2,
+      |                sqrt(list_dot_product(v, v)) AS cn FROM e),
+      |pr AS (SELECT p.q_id, c.c_id, c.cell,
+      |              list_dot_product(p.qv, c.cv2) / (p.qn * c.cn) AS cos
+      |       FROM p JOIN cells ON cells.q_id = p.q_id
+      |       JOIN cand c ON c.cell = cells.cell AND c.c_id != p.q_id),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS INT) AS rank
+      |      FROM pr)
+      |SELECT q_id, c_id, cell, rank, cos FROM r WHERE rank <= 3
+      |ORDER BY q_id, rank""".stripMargin
+
   // ---------------------------------------------------------------- multimodal metadata
   /** Opaque binary payload + typed metadata columns (decode-free
     * plumbing: sizes, chunk counts, head bytes). */
@@ -108,6 +147,7 @@ object QueryCatalogSim {
   val all: Map[String, Q] = Map(
     "q45_embed_knn" -> q45Knn,
     "q46_embed_lsh_ann" -> q46LshAnn,
+    "q77_embed_ivf_ann" -> q77IvfAnn,
     "q51_multimodal_meta" -> q51MultimodalMeta,
     "q52_multimodal_decode" -> q52MultimodalDecode,
   )
@@ -115,6 +155,7 @@ object QueryCatalogSim {
   val oracle: Map[String, String] = Map(
     "q45_embed_knn" -> q45Sql,
     "q46_embed_lsh_ann" -> q46Sql,
+    "q77_embed_ivf_ann" -> q77Sql,
     "q51_multimodal_meta" -> q51Sql,
     "q52_multimodal_decode" -> q52Sql,
   )

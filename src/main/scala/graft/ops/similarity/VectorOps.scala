@@ -75,6 +75,48 @@ object VectorOps {
       .groupBy(col(idCol))
       .agg(sum(col("bit") * pow(lit(2.0), col("j")).cast("long")).as("bucket"))
 
+  /** Fold dot product for double arrays (centroids — cold path). */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** IVF-style ANN: candidates are coarse-partitioned into cells (a
+    * precomputed cluster id column); cell centroids are the
+    * integer-quantized per-dimension means (exact int sums / count —
+    * order-independent, so deterministic under shuffle); each probe
+    * searches only its `nprobe` nearest cells. The inverted-file
+    * analogue of lshAnn: a cell equi-join replaces the cross join. */
+  def ivfAnn(probes: DataFrame, candidates: DataFrame, cellCol: String,
+             k: Int, nprobe: Int = 2): DataFrame = {
+    // centroid components from integer-quantized values: exact sums
+    val comp = candidates
+      .select(col(cellCol).as("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("xi", round(col("x").cast("double") * 1e6).cast("long"))
+      .groupBy("cell", "dim")
+      .agg((sum(col("xi")).cast("double") / count(lit(1)) / 1e6).as("c"))
+    val centroids = comp.groupBy("cell")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").as("cv"))
+    // fresh probe projection per consumer: probeCells shares lineage
+    // with its own copy, avoiding the ambiguous-self-join trap
+    def p = probes.select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+      norm(col("embedding")).as("qn"))
+    // nprobe nearest cells per probe by centroid cosine
+    val pc = p.crossJoin(broadcast(centroids))
+      .withColumn("ccos", dotD(col("qv"), col("cv")) /
+        (col("qn") * sqrt(dotD(col("cv"), col("cv")))))
+    val wCell = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cell"))
+    val probeCells = pc.withColumn("crn", row_number().over(wCell))
+      .filter(col("crn") <= nprobe).select(col("q_id"), col("cell"))
+    val c = candidates.select(col(cellCol).as("cell"), col("vec_id").as("c_id"),
+      col("embedding").as("cv2"), norm(col("embedding")).as("cn"))
+    val pairs = p.join(probeCells, "q_id").join(c, "cell")
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv2"), col("qn"), col("cn")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("q_id", "c_id", "cell", "rank", "cos")
+  }
+
   /** LSH-bucketed ANN: probes only scored against same-bucket
     * candidates. Smaller recall than brute force by construction;
     * rank/tie rules identical. */

@@ -25,6 +25,25 @@ object StreamingJobs {
       .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Custom keyed state across micro-batches (SURVEY §2.9 /
+    * KeyValueGroupedDataset.mapGroupsWithState): per-key running
+    * aggregates that survive batch boundaries — the building block
+    * for sessionization / dedup-across-batches at 100 TB stream
+    * scale. Emits (key, events_in_batch, events_total) per batch. */
+  def runningCounts(events: org.apache.spark.sql.Dataset[(Long, Double)]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Double)], state: GroupState[Long]) =>
+          val n = rows.size.toLong
+          val total = state.getOption.getOrElse(0L) + n
+          state.update(total)
+          (key, n, total)
+      }
+      .toDF("user_id", "n_batch", "n_total")
+  }
+
   /** Micro-batch keyed upsert: every batch MERGEs into the parquet
     * target on `keys` (the weather MERGE, weather.py:1697-1732, as a
     * stream). foreachBatch is the batch-engine bridge — on Delta this

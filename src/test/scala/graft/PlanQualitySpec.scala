@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the scale behaviors the mandate calls
+  * out ("is this join broadcast-able, and did I broadcast it?",
+  * bucketing for co-located joins) checked against the actual
+  * executed plans — not assumed. */
+class PlanQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // force AQE to finalize
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("dimension joins in q06 resolve to broadcast hash joins") {
+    val p = plan(QueryCatalog.q06JoinChain(spark, "/root/testdata/sf0.001"))
+    assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
+  }
+
+  test("scan queries push filters into the parquet scan") {
+    val p = QueryCatalog.q02Scan(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(500))
+  }
+
+  test("bucketed tables join co-located — no shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS bk_orders")
+    spark.sql("DROP TABLE IF EXISTS bk_lineitem")
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val l = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("bk_orders")
+    l.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("bk_lineitem")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bk_lineitem")
+        .join(spark.table("bk_orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)))
+      val p = plan(joined)
+      // the join itself must read bucketed data with no Exchange below it
+      val joinSection = p.substring(p.indexOf("SortMergeJoin"))
+      assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey"),
+        "bucketed join must not reshuffle the fact side")
+      assert(p.contains("SelectedBucketsCount"), "scan must be bucket-aware")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}

@@ -60,6 +60,24 @@ class SinksStreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("click", 2L), ("view", 1L)))
   }
 
+  test("mapGroupsWithState keeps per-key state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val out = graft.streaming.StreamingJobs.runningCounts(mem.toDS())
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("running").start()
+    mem.addData((1L, 1.0), (1L, 2.0), (2L, 3.0))
+    q.processAllAvailable()
+    mem.addData((1L, 4.0))
+    q.processAllAvailable()
+    val rows = spark.table("running")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    assert(rows.contains((1L, 2L, 2L))) // batch 1
+    assert(rows.contains((1L, 1L, 3L))) // batch 2: state carried the 2
+    assert(rows.contains((2L, 1L, 1L)))
+  }
+
   test("streaming keyed upsert via foreachBatch (weather MERGE as a stream)") {
     implicit val sqlCtx = spark.sqlContext
     val path = tmp() + "/t"
