@@ -172,16 +172,139 @@ object QueryCatalogDomain3 {
        |FROM monthly GROUP BY farm_no ORDER BY farm_no""".stripMargin
   }
 
+  // ---------------------------------------------------------------- weekly summary join
+  /** The S6 assembly: independent per-farm section aggregates joined
+    * into ONE summary row per farm (replacing the reference's ten
+    * UPDATE statements, base.py:148-178); farms with no section data
+    * get explicit zeros. */
+  val q78WeeklySummary: Q = (s, d) => {
+    val farms = Fixtures.modonDf(s).select("farm_no").distinct()
+    val wk = Fixtures.modonWkDf(s).filter(col("use_yn") === "Y" &&
+      col("wk_dt").between(Fixtures.DtFrom, DtTo))
+    val events = wk.groupBy("farm_no").agg(
+      count(when(col("wk_gubun") === "G", 1)).as("gb_cnt"),
+      count(when(col("wk_gubun") === "B", 1)).as("bm_cnt"),
+      count(when(col("wk_gubun") === "E", 1)).as("eu_cnt"),
+      count(when(col("wk_gubun") === "F", 1)).as("sg_cnt"))
+    val bm = Fixtures.bunmanDf(s).filter(col("use_yn") === "Y" &&
+        col("wk_dt").between(Fixtures.DtFrom, DtTo))
+      .groupBy("farm_no").agg(sum(col("silsan")).cast("long").as("bm_live"))
+    val cull = Fixtures.modonDf(s).filter(col("use_yn") === "Y" &&
+        col("out_dt").between(Fixtures.DtFrom, DtTo))
+      .groupBy("farm_no").agg(count(lit(1)).as("cull_cnt"))
+    farms.join(events, Seq("farm_no"), "left")
+      .join(bm, Seq("farm_no"), "left")
+      .join(cull, Seq("farm_no"), "left")
+      .select(col("farm_no"),
+        coalesce(col("gb_cnt"), lit(0L)).as("gb_cnt"),
+        coalesce(col("bm_cnt"), lit(0L)).as("bm_cnt"),
+        coalesce(col("eu_cnt"), lit(0L)).as("eu_cnt"),
+        coalesce(col("sg_cnt"), lit(0L)).as("sg_cnt"),
+        coalesce(col("bm_live"), lit(0L)).as("bm_live"),
+        coalesce(col("cull_cnt"), lit(0L)).as("cull_cnt"))
+      .orderBy("farm_no")
+  }
+
+  private lazy val q78Sql =
+    s"""WITH ${Fixtures.withClause("modon", "modon_wk", "bunman")},
+       |farms AS (SELECT DISTINCT farm_no FROM modon),
+       |ev AS (
+       |  SELECT farm_no,
+       |    COUNT(CASE WHEN wk_gubun = 'G' THEN 1 END) AS gb_cnt,
+       |    COUNT(CASE WHEN wk_gubun = 'B' THEN 1 END) AS bm_cnt,
+       |    COUNT(CASE WHEN wk_gubun = 'E' THEN 1 END) AS eu_cnt,
+       |    COUNT(CASE WHEN wk_gubun = 'F' THEN 1 END) AS sg_cnt
+       |  FROM modon_wk
+       |  WHERE use_yn = 'Y' AND wk_dt BETWEEN '${Fixtures.DtFrom}' AND '$DtTo'
+       |  GROUP BY 1),
+       |bm AS (SELECT farm_no, CAST(SUM(silsan) AS BIGINT) AS bm_live
+       |       FROM bunman WHERE use_yn = 'Y' AND wk_dt BETWEEN '${Fixtures.DtFrom}' AND '$DtTo'
+       |       GROUP BY 1),
+       |cull AS (SELECT farm_no, COUNT(*) AS cull_cnt
+       |         FROM modon WHERE use_yn = 'Y' AND out_dt BETWEEN '${Fixtures.DtFrom}' AND '$DtTo'
+       |         GROUP BY 1)
+       |SELECT f.farm_no,
+       |  COALESCE(ev.gb_cnt, 0) AS gb_cnt, COALESCE(ev.bm_cnt, 0) AS bm_cnt,
+       |  COALESCE(ev.eu_cnt, 0) AS eu_cnt, COALESCE(ev.sg_cnt, 0) AS sg_cnt,
+       |  COALESCE(bm.bm_live, 0) AS bm_live, COALESCE(cull.cull_cnt, 0) AS cull_cnt
+       |FROM farms f
+       |LEFT JOIN ev ON ev.farm_no = f.farm_no
+       |LEFT JOIN bm ON bm.farm_no = f.farm_no
+       |LEFT JOIN cull ON cull.farm_no = f.farm_no
+       |ORDER BY f.farm_no""".stripMargin
+
+  // ---------------------------------------------------------------- prior-week deltas
+  /** Cross-week Δ columns (modon.py:267-371, SURVEY risk 5): weekly
+    * farrowing stats over 4 consecutive report weeks, each row
+    * carrying the previous completed week's value and the delta. */
+  val q79WeekDeltas: Q = (s, d) => {
+    val weeks = Seq(("W1", "20251013", "20251019"), ("W2", "20251020", "20251026"),
+      ("W3", "20251027", "20251102"), ("W4", "20251103", "20251109"))
+    val b = Fixtures.bunmanDf(s).filter(col("use_yn") === "Y")
+    val perWeek = weeks.map { case (wn, lo, hi) =>
+      b.filter(col("wk_dt").between(lo, hi))
+        .groupBy("farm_no")
+        .agg(count(lit(1)).as("bm_cnt"), sum(col("silsan")).cast("long").as("bm_live"))
+        .withColumn("week_no", lit(wn))
+    }.reduce(_ unionByName _)
+    val farms = Fixtures.modonDf(s).select("farm_no").distinct()
+    import s.implicits._
+    val spine = farms.crossJoin(weeks.map(_._1).toDF("week_no"))
+    val filled = spine.join(perWeek, Seq("farm_no", "week_no"), "left")
+      .select(col("farm_no"), col("week_no"),
+        coalesce(col("bm_cnt"), lit(0L)).as("bm_cnt"),
+        coalesce(col("bm_live"), lit(0L)).as("bm_live"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("farm_no")).orderBy(col("week_no"))
+    filled
+      .withColumn("prev_bm_cnt", lag(col("bm_cnt"), 1).over(w))
+      .withColumn("delta_bm_cnt", col("bm_cnt") - col("prev_bm_cnt"))
+      .orderBy("farm_no", "week_no")
+  }
+
+  private lazy val q79Sql = {
+    val weekCtes = Seq(("W1", "20251013", "20251019"), ("W2", "20251020", "20251026"),
+      ("W3", "20251027", "20251102"), ("W4", "20251103", "20251109"))
+    val union = weekCtes.map { case (wn, lo, hi) =>
+      s"""SELECT farm_no, '$wn' AS week_no, COUNT(*) AS bm_cnt,
+         |       CAST(SUM(silsan) AS BIGINT) AS bm_live
+         |FROM bunman WHERE use_yn = 'Y' AND wk_dt BETWEEN '$lo' AND '$hi'
+         |GROUP BY 1""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val wkVals = weekCtes.map(w => s"('${w._1}')").mkString(",")
+    s"""WITH ${Fixtures.withClause("modon", "bunman")},
+       |pw AS (
+       |  $union),
+       |farms AS (SELECT DISTINCT farm_no FROM modon),
+       |wk(week_no) AS (VALUES $wkVals),
+       |filled AS (
+       |  SELECT f.farm_no, wk.week_no,
+       |         COALESCE(pw.bm_cnt, 0) AS bm_cnt,
+       |         COALESCE(pw.bm_live, 0) AS bm_live
+       |  FROM farms f CROSS JOIN wk
+       |  LEFT JOIN pw ON pw.farm_no = f.farm_no AND pw.week_no = wk.week_no)
+       |SELECT farm_no, week_no, bm_cnt, bm_live,
+       |  lag(bm_cnt) OVER w AS prev_bm_cnt,
+       |  bm_cnt - lag(bm_cnt) OVER w AS delta_bm_cnt
+       |FROM filled
+       |WINDOW w AS (PARTITION BY farm_no ORDER BY week_no)
+       |ORDER BY farm_no, week_no""".stripMargin
+  }
+
   // ----------------------------------------------------------------
   val all: Map[String, Q] = Map(
     "q74_prevnext_seq_literal" -> q74PrevNextSeq,
     "q75_alert_matrix" -> q75Alerts,
     "q76_rearing_rate" -> q76Rearing,
+    "q78_weekly_summary" -> q78WeeklySummary,
+    "q79_week_deltas" -> q79WeekDeltas,
   )
 
   lazy val oracle: Map[String, String] = Map(
     "q74_prevnext_seq_literal" -> q74Sql,
     "q75_alert_matrix" -> q75Sql,
     "q76_rearing_rate" -> q76Sql,
+    "q78_weekly_summary" -> q78Sql,
+    "q79_week_deltas" -> q79Sql,
   )
 }

@@ -28,6 +28,13 @@ class PlanQualitySpec extends SparkSpec {
   test("bucketed tables join co-located — no shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS bk_orders")
     spark.sql("DROP TABLE IF EXISTS bk_lineitem")
+    // a previous JVM's managed-table locations survive the in-memory
+    // catalog — clear them or CTAS refuses the location
+    import org.apache.hadoop.fs.Path
+    val fs = new Path("/tmp/graft_warehouse")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path("/tmp/graft_warehouse/bk_orders"), true)
+    fs.delete(new Path("/tmp/graft_warehouse/bk_lineitem"), true)
     val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val l = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("bk_orders")
