@@ -25,6 +25,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(500))
   }
 
+  test("approx_count_distinct within 5% of exact (100 TB extension, SURVEY §2.4 note)") {
+    val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.01")
+    val r = ev.agg(countDistinct(col("user_id")).as("exact"),
+      approx_count_distinct(col("user_id")).as("approx")).collect()(0)
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
   test("bucketed tables join co-located — no shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS bk_orders")
     spark.sql("DROP TABLE IF EXISTS bk_lineitem")
