@@ -11,6 +11,9 @@ object QueryCatalogDomain3 {
   import QueryCatalog.Q
   import Fixtures.{BaseDate, DtTo}
 
+  private def ymdD(base: String, minus: Int): String =
+    java.time.LocalDate.parse(base, DateOps.Ymd).minusDays(minus).format(DateOps.Ymd)
+
   // ---------------------------------------------------------------- literal SEQ±1
   /** The reference's exact SEQ±1 self-join (data_loader.py:299-327) on
     * a FILTERED log — gaps yield NULL neighbours even when an
@@ -291,6 +294,107 @@ object QueryCatalogDomain3 {
        |ORDER BY farm_no, week_no""".stripMargin
   }
 
+  // ---------------------------------------------------------------- template-mode scheduler
+  /** FN_MD_SCHEDULE_BSE_2020, template ("modon") mode — the SURVEY
+    * §2.10 headline reconstruction: TS_INS_CONF JSON configs select
+    * TB_PLAN_MODON templates per job; candidate sows by current
+    * status; PASS_DT = anchor + PASS_DAY; popup rows with CNT + D1..D7
+    * (D1 absorbs overdue). Exercises from_json config parsing, the
+    * tri-state seq_filter (farm 2's mating config has no tasks key ->
+    * zero rows), and the farm-mode exclusion (farm 2 farrowing =
+    * method 'farm'). */
+  val q80ScheduleModon: Q = (s, d) => {
+    val jobCols = Seq("week_tw_gy" -> "150005", "week_tw_bm" -> "150002",
+      "week_tw_eu" -> "150003")
+    val conf = SchedulePlanner.parseConf(Fixtures.insConfDf(s), jobCols)
+    val active = SchedulePlanner.activeTemplates(Fixtures.planModonDf(s), conf)
+    val latest = LatestRecord.viaAgg(
+      Fixtures.modonWkDf(s).filter(col("use_yn") === "Y"),
+      keys = Seq("farm_no", "pig_no"), ord = Seq("seq"))
+      .select(col("farm_no"), col("pig_no"), col("wk_dt"), col("wk_gubun"),
+        col("sago_gubun_cd"), col("daeri_yn"))
+    val cohort = Fixtures.modonDf(s)
+      .filter(col("use_yn") === "Y" && col("out_dt") === Codes.AliveOutDt)
+      .join(latest, Seq("farm_no", "pig_no"), "left")
+      .withColumn("status", SowStatus.status(col("wk_gubun"),
+        col("sago_gubun_cd"), col("daeri_yn"), col("status_cd")))
+      .withColumn("anchor_date",
+        when(col("status") === "010001", DateOps.ymdToDate(col("birth_dt")))
+          .otherwise(DateOps.ymdToDate(col("wk_dt"))))
+      .filter(col("anchor_date").isNotNull)
+      .select("farm_no", "pig_no", "status", "anchor_date")
+    val sdt = DateOps.ymdToDate(lit(ymdD(Fixtures.DtFrom, 7)))
+    val edt = DateOps.ymdToDate(lit(DtTo))
+    val sched = SchedulePlanner.schedule(active, cohort, sdt, edt)
+    SchedulePlanner.popup(active, sched, DateOps.ymdToDate(lit(Fixtures.DtFrom)))
+      .orderBy("farm_no", "job_gubun_cd", "sort_no")
+  }
+
+  private lazy val q80Sql = {
+    val sdt = ymdD(Fixtures.DtFrom, 7)
+    s"""WITH ${Fixtures.withClause("modon", "modon_wk", "plan_modon", "ins_conf")},
+       |conf AS (
+       |  SELECT farm_no, '150005' AS job_gubun_cd, week_tw_gy AS j FROM ins_conf
+       |  UNION ALL SELECT farm_no, '150002', week_tw_bm FROM ins_conf
+       |  UNION ALL SELECT farm_no, '150003', week_tw_eu FROM ins_conf),
+       |parsed AS (
+       |  SELECT farm_no, job_gubun_cd,
+       |         json_extract_string(j, '$$.method') AS method,
+       |         regexp_replace(CAST(json_extract(j, '$$.tasks') AS VARCHAR), '[\\[\\] ]', '', 'g') AS tasks_csv
+       |  FROM conf),
+       |active AS (
+       |  SELECT p.* FROM plan_modon p
+       |  JOIN parsed c ON c.farm_no = p.farm_no AND c.job_gubun_cd = p.job_gubun_cd
+       |  WHERE p.use_yn = 'Y' AND c.method = 'modon'
+       |    AND c.tasks_csv IS NOT NULL AND c.tasks_csv <> ''
+       |    AND (c.tasks_csv = '-1'
+       |         OR list_contains(string_split(c.tasks_csv, ','), CAST(p.seq AS VARCHAR)))),
+       |latest AS (
+       |  SELECT farm_no, pig_no, wk_dt, wk_gubun, sago_gubun_cd, daeri_yn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY farm_no, pig_no ORDER BY seq DESC) AS rn
+       |    FROM modon_wk WHERE use_yn = 'Y')
+       |  WHERE rn = 1),
+       |cohort AS (
+       |  SELECT m.farm_no, m.pig_no,
+       |         ${SowStatus.sqlCase} AS status,
+       |         CASE WHEN ${SowStatus.sqlCase} = '010001'
+       |              THEN strptime(m.birth_dt, '%Y%m%d')::DATE
+       |              ELSE strptime(w.wk_dt, '%Y%m%d')::DATE END AS anchor_date
+       |  FROM modon m
+       |  LEFT JOIN latest w ON w.farm_no = m.farm_no AND w.pig_no = m.pig_no
+       |  WHERE m.use_yn = 'Y' AND m.out_dt = '99991231'),
+       |sched AS (
+       |  SELECT a.farm_no, a.job_gubun_cd, a.wk_nm,
+       |         c.anchor_date + a.pass_day AS pass_dt
+       |  FROM active a
+       |  JOIN cohort c ON c.farm_no = a.farm_no AND c.status = a.modon_status_cd
+       |  WHERE c.anchor_date IS NOT NULL
+       |    AND c.anchor_date + a.pass_day
+       |        BETWEEN strptime('$sdt', '%Y%m%d')::DATE AND strptime('$DtTo', '%Y%m%d')::DATE),
+       |cnts AS (
+       |  SELECT farm_no, job_gubun_cd, wk_nm, COUNT(*) AS cnt,
+       |    COUNT(CASE WHEN date_diff('day', strptime('${Fixtures.DtFrom}', '%Y%m%d')::DATE, pass_dt) <= 0 THEN 1 END) AS d1,
+       |    COUNT(CASE WHEN date_diff('day', strptime('${Fixtures.DtFrom}', '%Y%m%d')::DATE, pass_dt) = 1 THEN 1 END) AS d2,
+       |    COUNT(CASE WHEN date_diff('day', strptime('${Fixtures.DtFrom}', '%Y%m%d')::DATE, pass_dt) = 2 THEN 1 END) AS d3,
+       |    COUNT(CASE WHEN date_diff('day', strptime('${Fixtures.DtFrom}', '%Y%m%d')::DATE, pass_dt) = 3 THEN 1 END) AS d4,
+       |    COUNT(CASE WHEN date_diff('day', strptime('${Fixtures.DtFrom}', '%Y%m%d')::DATE, pass_dt) = 4 THEN 1 END) AS d5,
+       |    COUNT(CASE WHEN date_diff('day', strptime('${Fixtures.DtFrom}', '%Y%m%d')::DATE, pass_dt) = 5 THEN 1 END) AS d6,
+       |    COUNT(CASE WHEN date_diff('day', strptime('${Fixtures.DtFrom}', '%Y%m%d')::DATE, pass_dt) = 6 THEN 1 END) AS d7
+       |  FROM sched GROUP BY 1, 2, 3)
+       |SELECT a.farm_no, a.job_gubun_cd,
+       |  CAST(row_number() OVER (PARTITION BY a.farm_no, a.job_gubun_cd ORDER BY a.wk_nm) AS INT) AS sort_no,
+       |  a.wk_nm, a.std_cd, a.modon_status_cd,
+       |  CAST(a.pass_day AS VARCHAR) || 'D' AS pass_day_str,
+       |  COALESCE(c.cnt, 0) AS cnt,
+       |  COALESCE(c.d1, 0) AS d1, COALESCE(c.d2, 0) AS d2, COALESCE(c.d3, 0) AS d3,
+       |  COALESCE(c.d4, 0) AS d4, COALESCE(c.d5, 0) AS d5, COALESCE(c.d6, 0) AS d6,
+       |  COALESCE(c.d7, 0) AS d7
+       |FROM active a
+       |LEFT JOIN cnts c ON c.farm_no = a.farm_no AND c.job_gubun_cd = a.job_gubun_cd
+       |  AND c.wk_nm = a.wk_nm
+       |ORDER BY a.farm_no, a.job_gubun_cd, sort_no""".stripMargin
+  }
+
   // ----------------------------------------------------------------
   val all: Map[String, Q] = Map(
     "q74_prevnext_seq_literal" -> q74PrevNextSeq,
@@ -298,6 +402,7 @@ object QueryCatalogDomain3 {
     "q76_rearing_rate" -> q76Rearing,
     "q78_weekly_summary" -> q78WeeklySummary,
     "q79_week_deltas" -> q79WeekDeltas,
+    "q80_schedule_modon" -> q80ScheduleModon,
   )
 
   lazy val oracle: Map[String, String] = Map(
@@ -306,5 +411,6 @@ object QueryCatalogDomain3 {
     "q76_rearing_rate" -> q76Sql,
     "q78_weekly_summary" -> q78Sql,
     "q79_week_deltas" -> q79Sql,
+    "q80_schedule_modon" -> q80Sql,
   )
 }

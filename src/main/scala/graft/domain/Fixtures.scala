@@ -211,6 +211,33 @@ object Fixtures {
     out.toSeq
   }
 
+  /** Per-farm schedule task templates (TB_PLAN_MODON shape,
+    * schedule.py:905-930): required sow status + day offset per task. */
+  lazy val planModon: Seq[Row] = {
+    val base = Seq(
+      (1, "150005", "RECHECK", "STD1", "010006", 1),
+      (2, "150005", "WEAN_MATE", "STD2", "010005", 5),
+      (3, "150005", "GILT_MATE", "STD3", "010001", 240),
+      (4, "150002", "FARROW_PREP", "STD4", "010002", 110),
+      (5, "150003", "WEAN_PLAN", "STD5", "010003", 21),
+      (6, "150003", "WEAN_LATE", "STD6", "010003", 28))
+    for (farm <- 1 to 2; (seq, job, nm, std, st, pd) <- base)
+      yield Row(farm, seq, job, nm, std, st, pd, "Y")
+  }
+
+  /** Per-farm schedule-method config (TS_INS_CONF shape,
+    * schedule.py:138-210): JSON per job column; missing/empty tasks
+    * mean "no tasks selected" (zero rows), a present list restricts
+    * template SEQs. Farm 2's mating config has NO tasks key — the
+    * documented JSON-degenerate case. */
+  lazy val insConf: Seq[Row] = Seq(
+    Row(1, """{"method":"modon","tasks":[1,2]}""",
+      """{"method":"modon","tasks":[4]}""",
+      """{"method":"modon","tasks":[5,6]}"""),
+    Row(2, """{"method":"modon"}""",
+      """{"method":"farm"}""",
+      """{"method":"modon","tasks":[6]}"""))
+
   /** Tall productivity-API rows (productivity.py:297-373): STATCD =
     * PCODE(3) || column suffix(3), one value per (farm, statcd). */
   lazy val prodTall: Seq[Row] = {
@@ -270,6 +297,15 @@ object Fixtures {
   val prodTallSchema: StructType = st(
     "farm_no" -> IntegerType, "stat_cd" -> StringType, "val" -> DoubleType)
 
+  val planModonSchema: StructType = st(
+    "farm_no" -> IntegerType, "seq" -> IntegerType, "job_gubun_cd" -> StringType,
+    "wk_nm" -> StringType, "std_cd" -> StringType, "modon_status_cd" -> StringType,
+    "pass_day" -> IntegerType, "use_yn" -> StringType)
+
+  val insConfSchema: StructType = st(
+    "farm_no" -> IntegerType, "week_tw_gy" -> StringType,
+    "week_tw_bm" -> StringType, "week_tw_eu" -> StringType)
+
   private def toDf(s: SparkSession, rows: Seq[Row], schema: StructType): DataFrame =
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
 
@@ -281,6 +317,8 @@ object Fixtures {
   def lpdDf(s: SparkSession): DataFrame    = toDf(s, lpd, lpdSchema)
   def weatherHourlyDf(s: SparkSession): DataFrame = toDf(s, weatherHourly, weatherHourlySchema)
   def prodTallDf(s: SparkSession): DataFrame = toDf(s, prodTall, prodTallSchema)
+  def planModonDf(s: SparkSession): DataFrame = toDf(s, planModon, planModonSchema)
+  def insConfDf(s: SparkSession): DataFrame = toDf(s, insConf, insConfSchema)
 
   // ---- SQL VALUES rendering (for the DuckDB oracle) ----
   private def litSql(v: Any): String = v match {
@@ -310,6 +348,8 @@ object Fixtures {
       case "lpd" => valuesCte("lpd", lpdSchema, lpd)
       case "weather_hourly" => valuesCte("weather_hourly", weatherHourlySchema, weatherHourly)
       case "prod_tall" => valuesCte("prod_tall", prodTallSchema, prodTall)
+      case "plan_modon" => valuesCte("plan_modon", planModonSchema, planModon)
+      case "ins_conf" => valuesCte("ins_conf", insConfSchema, insConf)
     }
     parts.mkString(",\n")
   }
