@@ -30,7 +30,7 @@ object PrevNext {
     * yields NULL neighbours even though an earlier/later row exists. */
   def viaSelfJoin(df: DataFrame, keys: Seq[String], seqCol: String,
                   attach: Seq[String]): DataFrame = {
-    def side(tag: String, offset: Int): DataFrame =
+    def side(tag: String): DataFrame =
       df.select((keys :+ seqCol).map(c => col(c).as(s"__${tag}_$c")) ++
         attach.map(c => col(c).as(s"${tag}_$c")): _*)
 
@@ -38,8 +38,8 @@ object PrevNext {
       keys.map(k => col(k) === d(s"__${tag}_$k")).reduce(_ && _) &&
         col(seqCol) + offset === d(s"__${tag}_$seqCol")
 
-    val prev = side("prev", -1)
-    val next = side("next", 1)
+    val prev = side("prev")
+    val next = side("next")
     df.join(prev, cond(prev, "prev", -1), "left")
       .join(next, cond(next, "next", 1), "left")
       .drop((keys :+ seqCol).flatMap(c => Seq(s"__prev_$c", s"__next_$c")): _*)
