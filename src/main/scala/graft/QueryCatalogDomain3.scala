@@ -305,7 +305,8 @@ object QueryCatalogDomain3 {
     * method 'farm'). */
   val q80ScheduleModon: Q = (s, d) => {
     val jobCols = Seq("week_tw_gy" -> "150005", "week_tw_bm" -> "150002",
-      "week_tw_eu" -> "150003")
+      "week_tw_im" -> "150001", "week_tw_eu" -> "150003",
+      "week_tw_vc" -> "150004")
     val conf = SchedulePlanner.parseConf(Fixtures.insConfDf(s), jobCols)
     val active = SchedulePlanner.activeTemplates(Fixtures.planModonDf(s), conf)
     val latest = LatestRecord.viaAgg(
@@ -336,7 +337,9 @@ object QueryCatalogDomain3 {
        |conf AS (
        |  SELECT farm_no, '150005' AS job_gubun_cd, week_tw_gy AS j FROM ins_conf
        |  UNION ALL SELECT farm_no, '150002', week_tw_bm FROM ins_conf
-       |  UNION ALL SELECT farm_no, '150003', week_tw_eu FROM ins_conf),
+       |  UNION ALL SELECT farm_no, '150001', week_tw_im FROM ins_conf
+       |  UNION ALL SELECT farm_no, '150003', week_tw_eu FROM ins_conf
+       |  UNION ALL SELECT farm_no, '150004', week_tw_vc FROM ins_conf),
        |parsed AS (
        |  SELECT farm_no, job_gubun_cd,
        |         json_extract_string(j, '$$.method') AS method,
@@ -395,6 +398,64 @@ object QueryCatalogDomain3 {
        |ORDER BY a.farm_no, a.job_gubun_cd, sort_no""".stripMargin
   }
 
+  // ---------------------------------------------------------------- accident as-of
+  /** Accident section core (accident.py:129-174, :291-371): for every
+    * accident event, the latest EARLIER mating of the same sow
+    * (ops.AsOf union+window — the scan-backwards Python loop as one
+    * shuffle), elapsed days bucketed <=7, 8-10, .., 46+, counted per
+    * (farm, accident subtype, bucket). */
+  val q81AccidentAsOf: Q = (s, d) => {
+    val wkAll = Fixtures.modonWkDf(s).filter(col("use_yn") === "Y")
+    val matings = wkAll.filter(col("wk_gubun") === "G")
+      .select(col("farm_no"), col("pig_no"), col("wk_dt").as("t"),
+        col("seq"), col("wk_dt"))
+    // probe at accident_date - 1 so the inclusive as-of becomes the
+    // reference's STRICT "last mating before the accident"
+    val accidents = wkAll.filter(col("wk_gubun") === "F")
+      .select(col("farm_no"), col("pig_no"),
+        DateOps.dateToYmd(date_sub(DateOps.ymdToDate(col("wk_dt")), 1)).as("t"),
+        col("wk_dt"), col("seq").as("acc_seq"), col("sago_gubun_cd"))
+    val joined = graft.ops.AsOf.join(matings, accidents,
+        keys = Seq("farm_no", "pig_no"), time = "t", tie = "seq",
+        attach = Seq("wk_dt"))
+      .withColumn("elapsed",
+        datediff(DateOps.ymdToDate(col("wk_dt")), DateOps.ymdToDate(col("asof_wk_dt"))))
+      .filter(col("elapsed").isNotNull)
+    val bucket = when(col("elapsed") <= 7, "E07")
+      .when(col("elapsed") <= 10, "E10").when(col("elapsed") <= 17, "E17")
+      .when(col("elapsed") <= 24, "E24").when(col("elapsed") <= 31, "E31")
+      .when(col("elapsed") <= 38, "E38").when(col("elapsed") <= 45, "E45")
+      .otherwise("E46UP")
+    joined.groupBy(col("farm_no"), col("sago_gubun_cd"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("elapsed")).cast("long").as("sum_days"))
+      .orderBy("farm_no", "sago_gubun_cd", "bucket")
+  }
+
+  private lazy val q81Sql =
+    s"""WITH ${Fixtures.withClause("modon_wk")},
+       |wk AS (SELECT * FROM modon_wk WHERE use_yn = 'Y'),
+       |j AS (
+       |  SELECT a.farm_no, a.sago_gubun_cd,
+       |         date_diff('day', strptime(g.wk_dt, '%Y%m%d')::DATE,
+       |                   strptime(a.wk_dt, '%Y%m%d')::DATE) AS elapsed,
+       |         row_number() OVER (PARTITION BY a.farm_no, a.pig_no, a.seq
+       |                            ORDER BY g.wk_dt DESC, g.seq DESC) AS rn
+       |  FROM (SELECT * FROM wk WHERE wk_gubun = 'F') a
+       |  JOIN (SELECT * FROM wk WHERE wk_gubun = 'G') g
+       |    ON g.farm_no = a.farm_no AND g.pig_no = a.pig_no AND g.wk_dt < a.wk_dt),
+       |e AS (SELECT farm_no, sago_gubun_cd, elapsed FROM j WHERE rn = 1),
+       |b AS (
+       |  SELECT farm_no, sago_gubun_cd, elapsed,
+       |    (CASE WHEN elapsed <= 7 THEN 'E07' WHEN elapsed <= 10 THEN 'E10'
+       |          WHEN elapsed <= 17 THEN 'E17' WHEN elapsed <= 24 THEN 'E24'
+       |          WHEN elapsed <= 31 THEN 'E31' WHEN elapsed <= 38 THEN 'E38'
+       |          WHEN elapsed <= 45 THEN 'E45' ELSE 'E46UP' END) AS bucket
+       |  FROM e)
+       |SELECT farm_no, sago_gubun_cd, bucket, COUNT(*) AS cnt,
+       |       CAST(SUM(elapsed) AS BIGINT) AS sum_days
+       |FROM b GROUP BY 1, 2, 3 ORDER BY farm_no, sago_gubun_cd, bucket""".stripMargin
+
   // ----------------------------------------------------------------
   val all: Map[String, Q] = Map(
     "q74_prevnext_seq_literal" -> q74PrevNextSeq,
@@ -403,6 +464,7 @@ object QueryCatalogDomain3 {
     "q78_weekly_summary" -> q78WeeklySummary,
     "q79_week_deltas" -> q79WeekDeltas,
     "q80_schedule_modon" -> q80ScheduleModon,
+    "q81_accident_asof" -> q81AccidentAsOf,
   )
 
   lazy val oracle: Map[String, String] = Map(
@@ -412,5 +474,6 @@ object QueryCatalogDomain3 {
     "q78_weekly_summary" -> q78Sql,
     "q79_week_deltas" -> q79Sql,
     "q80_schedule_modon" -> q80Sql,
+    "q81_accident_asof" -> q81Sql,
   )
 }

@@ -63,6 +63,16 @@ object Fixtures {
           else ("010001", null, "20250301") // birth+240 lands in the window
         modon += Row(farm, pig, status, f(inDt),
           Codes.AliveOutDt, if (bd != null) bd else f(birth), lastWk, 0, null, null, "Y")
+      } else if (i == 22 && farm == 1) {
+        // planted overdue-weaned sow: last E well past the 7-day
+        // return interval at the base date (GB_OVER alert branch)
+        wk += Row(farm, pig, 1, "20250601", "G", 1, null, "N", "Y")
+        wk += Row(farm, pig, 2, "20250923", "B", 1, null, "N", "Y")
+        bun += Row(farm, pig, "20250923", "B", 12, 1, 0, 13.8, "Y")
+        wk += Row(farm, pig, 3, "20251017", "E", 1, null, "N", "Y")
+        eu += Row(farm, pig, "20251017", "E", 10, 1, 24, 61.5, "N", "Y")
+        modon += Row(farm, pig, "010001", f(inDt), Codes.AliveOutDt, f(birth),
+          "20251017", 0, null, null, "Y")
       } else if (i == 25) {
         // planted accident-as-latest sows: status 010006 (return) on
         // farm 1, 010007 (abortion) on farm 2 at the base date
@@ -220,7 +230,9 @@ object Fixtures {
       (3, "150005", "GILT_MATE", "STD3", "010001", 240),
       (4, "150002", "FARROW_PREP", "STD4", "010002", 110),
       (5, "150003", "WEAN_PLAN", "STD5", "010003", 21),
-      (6, "150003", "WEAN_LATE", "STD6", "010003", 28))
+      (6, "150003", "WEAN_LATE", "STD6", "010003", 28),
+      (7, "150001", "PREG_CHECK3W", "STD7", "010002", 21),
+      (8, "150004", "PRRS_VAC", "STD8", "010002", 30))
     for (farm <- 1 to 2; (seq, job, nm, std, st, pd) <- base)
       yield Row(farm, seq, job, nm, std, st, pd, "Y")
   }
@@ -233,10 +245,14 @@ object Fixtures {
   lazy val insConf: Seq[Row] = Seq(
     Row(1, """{"method":"modon","tasks":[1,2]}""",
       """{"method":"modon","tasks":[4]}""",
-      """{"method":"modon","tasks":[5,6]}"""),
+      """{"method":"modon","tasks":[7]}""",
+      """{"method":"modon","tasks":[5,6]}""",
+      """{"method":"modon","tasks":[-1]}"""),
     Row(2, """{"method":"modon"}""",
       """{"method":"farm"}""",
-      """{"method":"modon","tasks":[6]}"""))
+      """{"method":"farm"}""",
+      """{"method":"modon","tasks":[6]}""",
+      """{"method":"modon","tasks":[8]}"""))
 
   /** Tall productivity-API rows (productivity.py:297-373): STATCD =
     * PCODE(3) || column suffix(3), one value per (farm, statcd). */
@@ -304,7 +320,8 @@ object Fixtures {
 
   val insConfSchema: StructType = st(
     "farm_no" -> IntegerType, "week_tw_gy" -> StringType,
-    "week_tw_bm" -> StringType, "week_tw_eu" -> StringType)
+    "week_tw_bm" -> StringType, "week_tw_im" -> StringType,
+    "week_tw_eu" -> StringType, "week_tw_vc" -> StringType)
 
   private def toDf(s: SparkSession, rows: Seq[Row], schema: StructType): DataFrame =
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
