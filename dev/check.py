@@ -59,10 +59,10 @@ def compare(name, exp, got):
         if str(e.dtype) != str(g.dtype):
             bad.append(f"{c}: dtype spark={g.dtype} oracle={e.dtype}")
             continue
-        if e.dtype.kind == "f":
-            neq = ~((e == g) | (e.isna() & g.isna()))
-        else:
-            neq = ~((e == g) | (e.isna() & g.isna()))
+        # Exact equality for ALL dtypes including floats: the engine's
+        # determinism contract is bit-identical results (COVERAGE.md
+        # "Cross-engine determinism"), so no float tolerance on purpose.
+        neq = ~((e == g) | (e.isna() & g.isna()))
         n = int(neq.sum())
         if n:
             i = neq.idxmax()

@@ -240,10 +240,15 @@ object QueryCatalog {
 
   // ---------------------------------------------------------------- J9
   /** Anti-join (SURVEY J9, ref alert.py:108-117 sows with no work
-    * history): customers with no orders at all. */
+    * history): customers with no RECENT order (none since 1998-01-01)
+    * — the date restriction guarantees a non-empty result so the
+    * anti-join path is genuinely exercised by the correctness gate
+    * (every customer in the fixture has at least one all-time order). */
   val q10Anti: Q = (s, d) =>
     Tables.customer(s, d)
-      .join(Tables.orders(s, d).select(col("o_custkey")),
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1998-01-01").cast("date"))
+          .select(col("o_custkey")),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
       .orderBy("c_mktsegment")
@@ -251,7 +256,9 @@ object QueryCatalog {
   private val q10Sql =
     """SELECT c_mktsegment, COUNT(*) AS n_customers
       |FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= DATE '1998-01-01')
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
   // ---------------------------------------------------------------- J11/W5

@@ -23,9 +23,17 @@ object Tables {
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
     * default. Read it as a long (legacy flag) and floor-divide to
     * microseconds — matching DuckDB's ns->us truncation so the oracle
-    * compares equal. */
+    * compares equal.
+    *
+    * The flag is an INTENTIONAL session-global toggle: the driver's
+    * harness calls `SparkEntry.queries` on a session it builds itself,
+    * so the flag cannot be assumed preset. Setting it here is
+    * idempotent (every caller wants `true`, and our own mains/specs
+    * also set it at session build), but it does flip read behavior of
+    * nanos-parquet for anything else sharing the session. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").forall(_ != "true"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     read(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

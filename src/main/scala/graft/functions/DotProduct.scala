@@ -19,13 +19,28 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * Semantics: left-to-right fold of Σ double(x_i) * double(y_i) over
   * min(len) elements — the exact operation sequence of both the HOF
   * form and DuckDB's list_dot_product, so results are bit-identical
-  * (the oracle contract).
+  * (the oracle contract). A null ELEMENT in either array (possible
+  * only when the input type's containsNull is true) yields NULL,
+  * matching the null propagation of `aggregate(zip_with(a,b,*),+)`.
+  * Equal-length inputs are assumed for HOF equivalence (zip_with pads
+  * the shorter array with nulls; this folds over min(len) instead).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
+
+  /** Whether either child array type admits null elements; when false
+    * (the common case for parquet embeddings) the per-element null
+    * checks compile away entirely. */
+  private lazy val elementsNullable: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case org.apache.spark.sql.types.ArrayType(_, containsNull) => containsNull
+      case _ => false
+    }
+  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -34,6 +49,7 @@ case class DotProduct(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (elementsNullable && (x.isNullAt(i) || y.isNullAt(i))) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -45,10 +61,15 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val nullCheck =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |}
          |${ev.value} = $acc;

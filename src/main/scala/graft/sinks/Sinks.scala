@@ -34,13 +34,22 @@ object Sinks {
 
   /** Keyed upsert into a parquet table (S7): read-if-exists, merge
     * with incoming-wins precedence, write to a staging dir, swap.
-    * The swap gives the same all-or-nothing behavior as the
-    * reference's completeness gate (weather.py:1460-1478). */
+    *
+    * The swap approximates the reference's completeness gate
+    * (weather.py:1460-1478): the new data is fully materialized in
+    * `__staging` before the target is touched. It is NOT crash-proof:
+    * a failure between rename(target, __old) and rename(__staging,
+    * target) leaves the target missing with the old data in `__old` —
+    * `recoverOrphan` (called on entry) heals that window on the next
+    * run by restoring `__old`. On object stores rename is a non-atomic
+    * copy; use a transactional table format (Delta/Iceberg MERGE INTO)
+    * there instead of this filesystem swap. */
   def upsertParquet(spark: SparkSession, incoming: DataFrame, path: String,
                     keys: Seq[String]): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new Path(path)
+    recoverOrphan(spark, path)
     val merged =
       if (fs.exists(target)) UpsertMerge.upsert(spark.read.parquet(path), incoming, keys)
       else incoming
@@ -52,6 +61,18 @@ object Sinks {
     if (fs.exists(target)) fs.rename(target, backup)
     fs.rename(staging, target)
     fs.delete(backup, true)
+  }
+
+  /** Crash recovery for `upsertParquet`'s swap window: if a previous
+    * run died after moving the live table to `__old` but before
+    * promoting `__staging`, restore `__old`; stale `__staging` dirs
+    * are discarded (their batch never committed). */
+  def recoverOrphan(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(path)
+    val backup = new Path(path + "__old")
+    if (!fs.exists(target) && fs.exists(backup)) fs.rename(backup, target)
   }
 
   /** Append run-log rows (S9): job name, status, elapsed ms, ts. */

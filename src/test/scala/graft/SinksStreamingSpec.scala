@@ -34,6 +34,20 @@ class SinksStreamingSpec extends SparkSpec {
     assert(out.toSeq == Seq((1, "a"), (2, "B"), (3, "c")))
   }
 
+  test("upsertParquet recovers an interrupted swap from __old (ADVICE r1)") {
+    import org.apache.hadoop.fs.Path
+    val path = tmp() + "/t"
+    Sinks.upsertParquet(spark, Seq((1, "a")).toDF("k", "v"), path, Seq("k"))
+    // simulate a crash between rename(target,__old) and rename(__staging,target)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new Path(path), new Path(path + "__old"))
+    fs.mkdirs(new Path(path + "__staging")) // stale, never-committed batch
+    Sinks.upsertParquet(spark, Seq((2, "b")).toDF("k", "v"), path, Seq("k"))
+    val out = spark.read.parquet(path).orderBy("k")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(out.toSeq == Seq((1, "a"), (2, "b")), "pre-crash rows must survive recovery")
+  }
+
   test("job log appends rows (S9)") {
     val path = tmp() + "/log"
     Sinks.appendJobLog(spark, path, "weekly", "COMPLETE", 1234L)

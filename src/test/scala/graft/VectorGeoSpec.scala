@@ -16,6 +16,16 @@ class VectorGeoSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1), "fold order must match exactly"))
   }
 
+  test("DotProduct propagates null ELEMENTS like the HOF form (ADVICE r1)") {
+    val df = Seq(
+      (Seq[Option[Float]](Some(1f), None, Some(3f)), Seq[Option[Float]](Some(1f), Some(2f), Some(3f))),
+      (Seq[Option[Float]](Some(1f), Some(2f)), Seq[Option[Float]](Some(4f), Some(5f))))
+      .toDF("a", "b")
+    val rows = df.select(VectorOps.dot(col("a"), col("b")).as("d")).collect()
+    assert(rows(0).isNullAt(0), "null element must yield NULL, not treat slot as 0")
+    assert(rows(1).getDouble(0) == 14.0)
+  }
+
   test("cosine: self-similarity 1.0, orthogonal 0.0") {
     val df = Seq((Array(1f, 0f, 2f), Array(1f, 0f, 2f), Array(0f, 3f, 0f)))
       .toDF("a", "b", "c")
