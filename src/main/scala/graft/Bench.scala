@@ -25,7 +25,9 @@ object Bench {
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional args: restrict to the named queries (dev iteration)
+    val names0 = SparkEntry.queries.keys.toSeq.sorted
+    val names = if (args.nonEmpty) names0.filter(args.contains) else names0
     names.foreach { n =>
       try run(warmDir, n)
       catch { case _: Throwable => () }
@@ -39,10 +41,18 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Keep the JSON line SHORT (3-decimal times, basename sf) and print
+    // it LAST, after spark.stop(): the driver keeps only a tail of the
+    // process output and parses the JSON from it — round 1's
+    // full-precision 61-query line overflowed that buffer and the
+    // bench went unparsed (BENCH_r01.json "parsed": null).
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfName = sfDir.split('/').last
     spark.stop()
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
   }
 }

@@ -149,12 +149,24 @@ object QueryCatalog {
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .select("c_custkey", "n_name", "r_name"))
-    Tables.lineitem(s, d)
-      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+    // Partial-aggregate lineitem BELOW the fact-fact join: decimal
+    // partial sums are exact, so summing per-order partials after the
+    // join is bit-identical to aggregating raw rows after it — and the
+    // orderkey shuffle carries one pre-reduced row per order instead
+    // of every lineitem (the decisive reduction at 100 TB, where both
+    // sides of this join are fact-sized and must shuffle).
+    val lpart = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1.0) - col("l_discount")).cast(D2))
+          .as("rev_part"),
+        count(lit(1)).as("n_part"))
+    lpart
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
       .join(dims, col("o_custkey") === col("c_custkey"))
       .groupBy("r_name", "n_name")
-      .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
-        count(lit(1)).as("n_items"))
+      .agg(sum(col("rev_part")).cast("double").as("revenue"),
+        sum(col("n_part")).as("n_items"))
       .orderBy("r_name", "n_name")
   }
 

@@ -16,6 +16,17 @@ object QueryCatalogText {
   private def h60Sql(seedExpr: String, xExpr: String): String =
     s"('0x' || substr(md5($seedExpr || '|' || $xExpr), 1, 15))::BIGINT"
 
+  /** DuckDB replay of Dedup.minHash's Carter-Wegman family: one md5,
+    * h1 = hex[1..15], h2 = hex[17..31], h_i = (h1 + i*h2) mod 2^60
+    * with the same 2^30 product split (every intermediate < 2^61, so
+    * BIGINT-exact — DuckDB errors on int64 overflow otherwise). */
+  private def mhSql(iExpr: String, xExpr: String): String =
+    s"""((('0x' || substr(md5($xExpr), 1, 15))::BIGINT
+       |   + ($iExpr * (('0x' || substr(md5($xExpr), 17, 15))::BIGINT // 1073741824)
+       |      % 1073741824) * 1073741824
+       |   + $iExpr * (('0x' || substr(md5($xExpr), 17, 15))::BIGINT % 1073741824))
+       |  % 1152921504606846976)""".stripMargin
+
   // ---------------------------------------------------------------- dedup: exact
   /** Exact dedup by content hash, keep min id (re-crawl simulation:
     * first 50 docs duplicated under new ids). */
@@ -61,7 +72,7 @@ object QueryCatalogText {
        |       SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
        |       FROM documents WHERE doc_id < 50)),
        |x AS (SELECT doc_id, s.seed,
-       |             MIN(${h60Sql("CAST(s.seed AS VARCHAR)", "w")}) AS mh
+       |             MIN(${mhSql("s.seed", "w")}) AS mh
        |      FROM w, (SELECT unnest(range(16)) AS seed) s
        |      GROUP BY 1, 2)
        |SELECT doc_id,
@@ -100,7 +111,7 @@ object QueryCatalogText {
        |        FROM tok WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
        |w AS (SELECT DISTINCT doc_id, w FROM sh0 WHERE w IS NOT NULL),
        |sig AS (SELECT doc_id, s.seed,
-       |               MIN(${h60Sql("CAST(s.seed AS VARCHAR)", "w")}) AS mh
+       |               MIN(${mhSql("s.seed", "w")}) AS mh
        |        FROM w, (SELECT unnest(range(16)) AS seed) s GROUP BY 1, 2),
        |b AS (SELECT doc_id, seed // 4 AS band,
        |             md5(string_agg(CAST(mh AS VARCHAR), ':' ORDER BY seed)) AS band_key
@@ -152,15 +163,23 @@ object QueryCatalogText {
 
   // ---------------------------------------------------------------- dedup: n-gram jaccard
   /** Bigram-shingle Jaccard within (lang, source) groups via an
-    * inverted-index join (shingle -> docs), no all-pairs stage. */
+    * inverted-index join (shingle -> docs), no all-pairs stage.
+    * Bigrams come straight from the per-row token array (map-side,
+    * no tokens-wide window sort). */
   val q44NgramJaccard: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val t = docs.select(col("doc_id"), col("lang"), col("source"),
-      posexplode(split(col("text"), "\\s+")).as(Seq("pos", "w")))
-    val dw = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val bg = t.withColumn("bg", concat(col("w"), lit(" "), lead(col("w"), 1).over(dw)))
-      .filter(col("bg").isNotNull)
-      .select("doc_id", "lang", "source", "bg").distinct()
+    val bg = docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        split(col("text"), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(expr(
+          "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', slice(toks, i + 1, 2)))"))
+          .as("bg"))
+      .distinct()
+      // bg feeds three consumers (counts + both join sides): cache the
+      // one distinct-shuffle instead of re-tokenizing the corpus 3x
+      .cache()
     val cnt = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = bg.select(col("doc_id").as("id_a"), col("lang"), col("source"), col("bg"))
     val b = bg.select(col("doc_id").as("id_b"), col("lang"), col("source"), col("bg"))

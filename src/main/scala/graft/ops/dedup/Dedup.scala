@@ -41,44 +41,63 @@ object Dedup {
   /** Distinct (id, w) pairs where w is a word k-gram shingle — the
     * order-sensitive unit for near-dup detection (word sets are too
     * coarse on small vocabularies: reordered text still matches).
-    * Same output shape as wordSet so minHash/jaccard compose. */
-  def shingleSet(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val t = df.select(col(idCol),
-      posexplode(split(col(textCol), "\\s+")).as(Seq("pos", "tok")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val withLags = (1 until k).foldLeft(t) { (d, i) =>
-      d.withColumn(s"tok_$i", lag(col("tok"), i).over(w))
-    }
-    val parts = ((k - 1) to 1 by -1).map(i => col(s"tok_$i")) :+ col("tok")
-    withLags
-      .filter(col(s"tok_${k - 1}").isNotNull)
+    * Same output shape as wordSet so minHash/jaccard compose.
+    *
+    * Shingles are assembled per-row from the token ARRAY (slice +
+    * concat_ws over a generated index sequence) — pure map-side
+    * compute. The earlier formulation (posexplode + k-1 window lags
+    * partitioned by doc) paid a full shuffle+sort of every token row
+    * before the first shingle existed; at corpus scale that sort is
+    * the whole job. */
+  def shingleSet(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
+    df.select(col(idCol), split(col(textCol), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= k)
       .select(col(idCol),
-        concat(parts.flatMap(p => Seq(p, lit(" "))).dropRight(1): _*).as("w"))
+        explode(expr(
+          s"transform(sequence(0, size(toks) - $k), i -> concat_ws(' ', slice(toks, i + 1, $k)))"))
+          .as("w"))
       .distinct()
-  }
 
   /** MinHash signatures, wide form: ALL `n` hash functions as n
     * min-aggregate columns over the shingle rows — no n-times row
     * explosion, one partial-agg (map-side combined) shuffle. Output
     * (id, mh00..mh<n-1>). This is the 100 TB-shaped formulation: the
-    * shuffle carries one pre-reduced row per doc, not n. */
+    * shuffle carries one pre-reduced row per doc, not n.
+    *
+    * The n functions are a Carter-Wegman family over ONE md5 per
+    * shingle: h1 = hex[1..15], h2 = hex[17..31] (60 bits each),
+    * h_i = (h1 + i*h2) mod 2^60. One digest instead of n; the i*h2
+    * product is split at 2^30 so every intermediate stays < 2^61 —
+    * exact in int64 for BOTH engines (DuckDB BIGINT errors on
+    * overflow; Spark would silently wrap — the split sidesteps both). */
   def minHash(words: DataFrame, idCol: String, n: Int = 16): DataFrame = {
-    val aggs = (0 until n).map(i => min(h60(lit(i), col("w"))).as(f"mh$i%02d"))
+    val dig = md5(col("w"))
+    val h1 = conv(substring(dig, 1, 15), 16, 10).cast("long")
+    val h2 = conv(substring(dig, 17, 15), 16, 10).cast("long")
+    // integral split (Column./ would go through double and lose bits)
+    val h2hi = shiftright(h2, 30)
+    val h2lo = h2.bitwiseAND(lit(1073741823L)) // 2^30 - 1
+    def hi(i: Int): Column =
+      (h1 + (lit(i.toLong) * h2hi % lit(1073741824L)) * lit(1073741824L)
+        + lit(i.toLong) * h2lo) % lit(1152921504606846976L) // 2^60
+    val aggs = (0 until n).map(i => min(hi(i).cast("long")).as(f"mh$i%02d"))
     words.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding over the wide signature: band key = md5 of
     * ':'-joined minhash values in seed order. Output (id, band,
-    * band_key) — one narrow select per band, unioned. */
+    * band_key) — ONE pass: all band structs built in a single select
+    * and exploded. (A union of per-band selects re-evaluates the
+    * whole upstream signature aggregation once per band — 4x the agg
+    * work for n=16/r=4.) */
   def lshBands(sig: DataFrame, idCol: String, n: Int = 16,
                rowsPerBand: Int = 4): DataFrame = {
-    val bands = (0 until n / rowsPerBand).map { b =>
+    val entries = (0 until n / rowsPerBand).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(f"mh${b * rowsPerBand + r}%02d"))
-      sig.select(col(idCol), lit(b).as("band"),
-        md5(concat_ws(":", cols: _*)).as("band_key"))
+      struct(lit(b).as("band"), md5(concat_ws(":", cols: _*)).as("band_key"))
     }
-    bands.reduce(_ unionByName _)
+    sig.select(col(idCol), explode(array(entries: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
   }
 
   /** Candidate pairs: ids sharing any (band, band_key) bucket,

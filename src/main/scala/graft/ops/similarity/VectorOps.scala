@@ -51,29 +51,43 @@ object VectorOps {
       .select("q_id", "c_id", "rank", "cos")
   }
 
-  /** Sign bit of hyperplane j for dimension kk: md5-derived, the same
-    * formula the oracle SQL replays. +1 / -1. */
-  private def planeSign(j: Column, kk: Column): Column = {
-    val digit = conv(substring(md5(concat(j.cast("string"), lit("_"), kk.cast("string"))), 1, 1), 16, 10)
-      .cast("int")
-    (digit % 2) * 2 - 1
+  /** Sign of hyperplane j for dimension k, computed driver-side:
+    * parity of the first hex digit of md5("<j>_<k>") — the exact
+    * formula the oracle SQL replays per element. +1 / -1. */
+  private def planeSign(j: Int, k: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digest = md.digest(s"${j}_$k".getBytes("UTF-8"))
+    val firstHexDigit = (digest(0) >> 4) & 0xf
+    (firstHexDigit % 2) * 2 - 1
   }
 
   /** Random-hyperplane LSH bucket signature (nPlanes bits) per vector.
     * Components are quantized to integers (round(x * 1e6)) so the
     * per-plane vote sum is order-independent integer arithmetic —
-    * deterministic under any shuffle order. Output (id, bucket). */
-  def lshBucket(df: DataFrame, idCol: String, nPlanes: Int = 8): DataFrame =
-    df.select(col(idCol), posexplode(col("embedding")).as(Seq("k", "x")))
-      .withColumn("xi", round(col("x").cast("double") * 1e6).cast("long"))
-      .select(col(idCol), col("k"), col("xi"),
-        explode(sequence(lit(0), lit(nPlanes - 1))).as("j"))
-      .withColumn("contrib", planeSign(col("j"), col("k")) * col("xi"))
-      .groupBy(col(idCol), col("j"))
-      .agg(sum(col("contrib")).as("v"))
-      .withColumn("bit", when(col("v") > 0, 1L).otherwise(0L))
-      .groupBy(col(idCol))
-      .agg(sum(col("bit") * pow(lit(2.0), col("j")).cast("long")).as("bucket"))
+    * deterministic under any shuffle order. Output (id, bucket).
+    *
+    * The hyperplane sign matrix depends only on (plane, dim) — a
+    * small deterministic constant — so it is materialized driver-side
+    * as nPlanes literal arrays and each vote is a per-row zip_with
+    * fold. Bucket assignment is therefore a pure MAP with no shuffle
+    * at all (the earlier row-explosion form shuffled N x dims x
+    * planes rows through two aggregations); at 100 TB this is the
+    * difference between a free projection and the dominant exchange.
+    * Dimensionality is probed from the first row (constant per
+    * dataset; pass-through metadata at scale). */
+  def lshBucket(df: DataFrame, idCol: String, nPlanes: Int = 8): DataFrame = {
+    val dims = df.select(size(col("embedding"))).head().getInt(0)
+    val xi = transform(col("embedding"),
+      x => round(x.cast("double") * 1e6).cast("long"))
+    val votes = (0 until nPlanes).map { j =>
+      val signs = lit(Array.tabulate(dims)(k => planeSign(j, k).toLong))
+      aggregate(zip_with(xi, signs, (a, b) => a * b), lit(0L), (acc, v) => acc + v)
+    }
+    val bucket = votes.zipWithIndex
+      .map { case (v, j) => when(v > 0, lit(1L << j)).otherwise(0L) }
+      .reduce(_ + _)
+    df.select(col(idCol), bucket.as("bucket"))
+  }
 
   /** Fold dot product for double arrays (centroids — cold path). */
   def dotD(a: Column, b: Column): Column =
