@@ -106,6 +106,62 @@ object QueryCatalogSim {
       |SELECT q_id, c_id, cell, rank, cos FROM r WHERE rank <= 3
       |ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- embedding near-dup
+  /** Embedding-cosine near-dup (the dedup-family member over vectors,
+    * completing exact/minhash/simhash/jaccard): re-ingest simulation
+    * plants copies of the first 25 vectors (new ids, component 0
+    * zeroed — a true near-duplicate, not an exact copy), then LSH
+    * buckets replace the N^2 cross join and only same-bucket pairs
+    * are cosine-verified at >= 0.99. Fixture embeddings are
+    * near-orthogonal, so surviving pairs are exactly the planted
+    * re-ingests that stayed in their source's bucket (deterministic:
+    * both engines replay the same sign votes). */
+  val q53EmbedNearDup: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val planted = emb.filter(col("vec_id") < 25)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        expr("transform(embedding, (x, i) -> CASE WHEN i = 0 THEN CAST(0.0 AS FLOAT) ELSE x END)")
+          .as("embedding"))
+    val all = emb.unionByName(planted)
+    val b = VectorOps.lshBucket(all, "vec_id", nPlanes = 8)
+    val v = all.join(b, "vec_id")
+      .select(col("vec_id"), col("bucket"), col("embedding"),
+        VectorOps.norm(col("embedding")).as("nm"))
+    val a1 = v.select(col("vec_id").as("id_a"), col("bucket"),
+      col("embedding").as("va"), col("nm").as("na"))
+    val a2 = v.select(col("vec_id").as("id_b"), col("bucket"),
+      col("embedding").as("vb"), col("nm").as("nb"))
+    a1.join(a2, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", VectorOps.cosine(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("cos") >= 0.99)
+      .select(col("id_a"), col("id_b"), col("bucket"), col("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
+  private val q53Sql =
+    """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |planted AS (
+      |  SELECT vec_id + 100000 AS vec_id, list_prepend(0.0, v[2:]) AS v
+      |  FROM base WHERE vec_id < 25),
+      |e AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+      |x AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS k,
+      |             CAST(round(unnest(v) * 1e6) AS BIGINT) AS xi
+      |      FROM e),
+      |pl AS (SELECT vec_id, k, xi, j.j AS j,
+      |              ((('0x' || substr(md5(CAST(j.j AS VARCHAR) || '_' || CAST(k AS VARCHAR)), 1, 1))::INT % 2) * 2 - 1) AS sgn
+      |       FROM x, (SELECT unnest(range(8)) AS j) j),
+      |votes AS (SELECT vec_id, j, SUM(sgn * xi) AS vsum FROM pl GROUP BY 1, 2),
+      |bk AS (SELECT vec_id,
+      |              CAST(SUM(CASE WHEN vsum > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      |       FROM votes GROUP BY 1),
+      |n AS (SELECT e.vec_id, v, sqrt(list_dot_product(v, v)) AS nm, bucket
+      |      FROM e JOIN bk ON bk.vec_id = e.vec_id),
+      |pr AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b, a.bucket,
+      |              list_dot_product(a.v, b2.v) / (a.nm * b2.nm) AS cos
+      |       FROM n a JOIN n b2 ON b2.bucket = a.bucket AND a.vec_id < b2.vec_id)
+      |SELECT id_a, id_b, bucket, cos FROM pr WHERE cos >= 0.99
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ---------------------------------------------------------------- multimodal metadata
   /** Opaque binary payload + typed metadata columns (decode-free
     * plumbing: sizes, chunk counts, head bytes). */
@@ -147,6 +203,7 @@ object QueryCatalogSim {
   val all: Map[String, Q] = Map(
     "q45_embed_knn" -> q45Knn,
     "q46_embed_lsh_ann" -> q46LshAnn,
+    "q53_embed_neardup" -> q53EmbedNearDup,
     "q77_embed_ivf_ann" -> q77IvfAnn,
     "q51_multimodal_meta" -> q51MultimodalMeta,
     "q52_multimodal_decode" -> q52MultimodalDecode,
@@ -155,6 +212,7 @@ object QueryCatalogSim {
   val oracle: Map[String, String] = Map(
     "q45_embed_knn" -> q45Sql,
     "q46_embed_lsh_ann" -> q46Sql,
+    "q53_embed_neardup" -> q53Sql,
     "q77_embed_ivf_ann" -> q77Sql,
     "q51_multimodal_meta" -> q51Sql,
     "q52_multimodal_decode" -> q52Sql,

@@ -217,6 +217,45 @@ object QueryCatalogText {
       |WHERE CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) >= 0.2
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------- hll distinct sketch
+  /** Distinct-word estimate per language via the native HyperLogLog
+    * TypedImperativeAggregate (functions.HyperLogLog — 64 exact
+    * integer registers over the corpus md5-60bit hash, raw alpha*m^2 /
+    * Σ2^-M estimator), next to the exact distinct count. The oracle
+    * replays the registers bucket-by-bucket in SQL, so even the sketch
+    * is hash-verified — unlike approx_count_distinct, whose internals
+    * no oracle can replay. */
+  val q54Hll: Q = (s, d) => {
+    val words = Tables.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), "\\s+")).as("w"))
+    words.groupBy("lang")
+      .agg(countDistinct(col("w")).as("n_exact"),
+        graft.functions.HyperLogLog.hll(col("w")).as("n_hll"))
+      .orderBy("lang")
+  }
+
+  private val q54Sql = {
+    // rank = 55 - bitlength(r), bitlength via an exact CASE chain
+    // (no float log2 at power-of-two boundaries)
+    val rankCase = (53 to 0 by -1)
+      .map(k => s"WHEN r >= ${1L << k} THEN ${54 - k}")
+      .mkString("CASE WHEN r = 0 THEN 55 ", " ", " END")
+    s"""WITH w AS (SELECT lang, unnest(string_split_regex(text, '\\s+')) AS w
+       |           FROM documents),
+       |h AS (SELECT DISTINCT lang, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM w),
+       |br AS (SELECT lang, h % 64 AS b, h // 64 AS r FROM h),
+       |rk AS (SELECT lang, b, MAX($rankCase) AS m FROM br GROUP BY 1, 2),
+       |regs AS (SELECT l.lang, g.b, COALESCE(rk.m, 0) AS m
+       |         FROM (SELECT DISTINCT lang FROM documents) l
+       |         CROSS JOIN (SELECT unnest(range(64)) AS b) g
+       |         LEFT JOIN rk ON rk.lang = l.lang AND rk.b = g.b),
+       |s AS (SELECT lang, SUM(CAST(pow(2, 55 - m) AS BIGINT)) AS si FROM regs GROUP BY 1),
+       |x AS (SELECT lang, COUNT(DISTINCT w) AS n_exact FROM w GROUP BY 1)
+       |SELECT s.lang, x.n_exact,
+       |       ((0.709::DOUBLE * 4096::DOUBLE) * 36028797018963968::DOUBLE) / (si::DOUBLE) AS n_hll
+       |FROM s JOIN x ON x.lang = s.lang ORDER BY s.lang""".stripMargin
+  }
+
   // ---------------------------------------------------------------- text: tokens
   /** Token counting: whitespace tokens, BPE-ish regex tokens,
     * distinct words, mean word length. */
@@ -372,6 +411,7 @@ object QueryCatalogText {
     "q42_lsh_pairs" -> q42LshPairs,
     "q43_simhash" -> q43SimHash,
     "q44_ngram_jaccard" -> q44NgramJaccard,
+    "q54_hll_distinct" -> q54Hll,
     "q47_text_tokens" -> q47Tokens,
     "q48_text_quality" -> q48Quality,
     "q49_langid" -> q49LangId,
@@ -384,6 +424,7 @@ object QueryCatalogText {
     "q42_lsh_pairs" -> q42Sql,
     "q43_simhash" -> q43Sql,
     "q44_ngram_jaccard" -> q44Sql,
+    "q54_hll_distinct" -> q54Sql,
     "q47_text_tokens" -> q47Sql,
     "q48_text_quality" -> q48Sql,
     "q49_langid" -> q49Sql,

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.HyperLogLog
+
+class HyperLogLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("estimate is partition-count invariant (merge = single pass)") {
+    val vals = (1 to 5000).map(i => s"value_$i")
+    val one = vals.toDF("w").repartition(1)
+      .agg(HyperLogLog.hll(col("w"))).head.getDouble(0)
+    val many = vals.toDF("w").repartition(17)
+      .agg(HyperLogLog.hll(col("w"))).head.getDouble(0)
+    assert(one == many, "register merge must be exactly order/partition independent")
+  }
+
+  test("estimate within expected HLL error for m=64 (~13% rse)") {
+    for (n <- Seq(500, 5000, 20000)) {
+      val est = (1 to n).map(i => s"v$i").toDF("w")
+        .agg(HyperLogLog.hll(col("w"))).head.getDouble(0)
+      val err = math.abs(est - n) / n
+      assert(err < 0.4, s"n=$n est=$est err=$err")
+    }
+  }
+
+  test("duplicates do not move the estimate") {
+    val base = (1 to 1000).map(i => s"v$i")
+    val a = base.toDF("w").agg(HyperLogLog.hll(col("w"))).head.getDouble(0)
+    val b = (base ++ base ++ base).toDF("w")
+      .agg(HyperLogLog.hll(col("w"))).head.getDouble(0)
+    assert(a == b)
+  }
+
+  test("hash60 equals the corpus md5-60bit convention") {
+    // replay ('0x' || substr(md5('abc'), 1, 15))::BIGINT
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("abc".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = java.lang.Long.parseLong(hex.take(15), 16)
+    assert(HyperLogLog.hash60("abc".getBytes("UTF-8")) == expected)
+  }
+}
