@@ -456,6 +456,62 @@ object QueryCatalogDomain3 {
        |       CAST(SUM(elapsed) AS BIGINT) AS sum_days
        |FROM b GROUP BY 1, 2, 3 ORDER BY farm_no, sago_gubun_cd, bucket""".stripMargin
 
+  // ---------------------------------------------------------------- weekly SUB union
+  /** The assembled weekly report: every section conformed into the
+    * TS_INS_WEEK_SUB wide schema and unioned (pipeline.WeeklyReportJob
+    * .subRows — the reference's per-section INSERT dance as ONE
+    * relation, orchestrator.py:745-828 / 02_TABLE.md:409-441). The
+    * oracle re-derives each section from its own verified SQL and
+    * replays the identical conform+union, so the composition itself —
+    * padding, types, sort_no rules — is hash-gated, not just the
+    * individual sections. */
+  val q82WeekSub: Q = (s, _) =>
+    graft.pipeline.WeeklyReportJob.subRows(s)
+      .orderBy("gubun", "sub_gubun", "farm_no", "sort_no")
+
+  /** Conform one section subquery to the SUB schema in SQL. */
+  private def subSectionSql(inner: String, gubun: String, subGubun: String,
+                            sortNo: String, code1: String,
+                            cnt: Map[Int, String] = Map(),
+                            valm: Map[Int, String] = Map(),
+                            strm: Map[Int, String] = Map()): String = {
+    val cols = Seq("farm_no",
+      s"'$gubun' AS gubun", s"'$subGubun' AS sub_gubun",
+      s"CAST($sortNo AS INT) AS sort_no", s"$code1 AS code_1") ++
+      (1 to 15).map(i => s"CAST(${cnt.getOrElse(i, "NULL")} AS DOUBLE) AS cnt_$i") ++
+      (1 to 15).map(i => s"CAST(${valm.getOrElse(i, "NULL")} AS DOUBLE) AS val_$i") ++
+      (1 to 15).map(i => s"CAST(${strm.getOrElse(i, "NULL")} AS VARCHAR) AS str_$i")
+    s"SELECT ${cols.mkString(",\n  ")} FROM ($inner)"
+  }
+
+  private lazy val q82Sql = {
+    val modon = subSectionSql(
+      QueryCatalogDomain2.oracle("q67_parity_status_crosstab"),
+      "MODON", "-", "sort_no", "parity_label",
+      cnt = Map(1 -> "hubo", 2 -> "imsin", 3 -> "poyu", 4 -> "eumo", 5 -> "sago"))
+    val gb = subSectionSql(
+      QueryCatalogDomain2.oracle("q68_return_buckets"),
+      "GB", "CHART", "sort_no", "bucket", cnt = Map(1 -> "cnt"))
+    val dope = subSectionSql(
+      QueryCatalogDomain2.oracle("q69_culling_chunked"),
+      "DOPE", "LIST", "sort_no", "NULL",
+      cnt = (1 to 15).map(i => i -> s"cnt_$i").toMap,
+      valm = (1 to 15).map(i => i -> s"val_$i").toMap,
+      strm = (1 to 15).map(i => i -> s"str_$i").toMap)
+    val ship = subSectionSql(
+      QueryCatalogDomain2.oracle("q70_shipment_daily"),
+      "SHIP", "ROW",
+      "dense_rank() OVER (PARTITION BY farm_no ORDER BY day)", "day",
+      cnt = Map(1 -> "cnt", 2 -> "q11", 3 -> "q1", 4 -> "q2",
+        5 -> "f_cnt", 6 -> "m_cnt"),
+      valm = Map(1 -> "avg_net"))
+    s"""$modon
+       |UNION ALL BY NAME $gb
+       |UNION ALL BY NAME $dope
+       |UNION ALL BY NAME $ship
+       |ORDER BY gubun, sub_gubun, farm_no, sort_no""".stripMargin
+  }
+
   // ----------------------------------------------------------------
   val all: Map[String, Q] = Map(
     "q74_prevnext_seq_literal" -> q74PrevNextSeq,
@@ -465,6 +521,7 @@ object QueryCatalogDomain3 {
     "q79_week_deltas" -> q79WeekDeltas,
     "q80_schedule_modon" -> q80ScheduleModon,
     "q81_accident_asof" -> q81AccidentAsOf,
+    "q82_week_sub" -> q82WeekSub,
   )
 
   lazy val oracle: Map[String, String] = Map(
@@ -475,5 +532,6 @@ object QueryCatalogDomain3 {
     "q79_week_deltas" -> q79Sql,
     "q80_schedule_modon" -> q80Sql,
     "q81_accident_asof" -> q81Sql,
+    "q82_week_sub" -> q82Sql,
   )
 }

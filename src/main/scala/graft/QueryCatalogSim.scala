@@ -199,6 +199,35 @@ object QueryCatalogSim {
       |  ('0x' || substr(md5(text), 25, 8))::BIGINT AS f3
       |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- multimodal frame sampling
+  /** Frame sampling over the opaque payload (every 2nd 64-byte frame
+    * — the keyframe/audio-window sampler): per-frame rows with an
+    * md5 frame fingerprint, all column ops (no UDF), byte-replayed by
+    * the oracle. */
+  val q55FrameSample: Q = (s, d) =>
+    MultimodalOps.frameSample(
+      MultimodalOps.attachPayload(Tables.documents(s, d).filter(col("doc_id") < 50), "text"),
+      frameLen = 64, stride = 2)
+      .select(col("doc_id"), col("frame_no"), col("frame_len"),
+        md5(col("frame")).as("frame_md5"))
+      .orderBy("doc_id", "frame_no")
+
+  // DuckDB substring() has no BLOB overload; the fixture corpus is
+  // pure ASCII (verified octet_length == length at every SF), so
+  // character slicing of the VARCHAR is byte-identical to Spark's
+  // binary slicing and md5 hashes the same bytes.
+  private val q55Sql =
+    """WITH p AS (SELECT doc_id, text,
+      |                  CAST(ceil(octet_length(CAST(text AS BLOB)) / 64.0) AS INT) AS n_frames
+      |           FROM documents WHERE doc_id < 50),
+      |f AS (SELECT doc_id, CAST(g.i AS INT) AS frame_no,
+      |             substring(text, CAST(g.i AS INT) * 64 + 1, 64) AS frame
+      |      FROM p, LATERAL (SELECT unnest(range(n_frames)) AS i) g
+      |      WHERE g.i % 2 = 0)
+      |SELECT doc_id, frame_no, CAST(octet_length(CAST(frame AS BLOB)) AS INT) AS frame_len,
+      |       md5(frame) AS frame_md5
+      |FROM f ORDER BY doc_id, frame_no""".stripMargin
+
   // ----------------------------------------------------------------
   val all: Map[String, Q] = Map(
     "q45_embed_knn" -> q45Knn,
@@ -207,6 +236,7 @@ object QueryCatalogSim {
     "q77_embed_ivf_ann" -> q77IvfAnn,
     "q51_multimodal_meta" -> q51MultimodalMeta,
     "q52_multimodal_decode" -> q52MultimodalDecode,
+    "q55_frame_sample" -> q55FrameSample,
   )
 
   val oracle: Map[String, String] = Map(
@@ -216,5 +246,6 @@ object QueryCatalogSim {
     "q77_embed_ivf_ann" -> q77Sql,
     "q51_multimodal_meta" -> q51Sql,
     "q52_multimodal_decode" -> q52Sql,
+    "q55_frame_sample" -> q55Sql,
   )
 }

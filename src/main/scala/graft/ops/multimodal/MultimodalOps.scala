@@ -40,6 +40,23 @@ object MultimodalOps {
     (0 until 4).map(i => java.lang.Long.parseLong(hex.substring(i * 8, i * 8 + 8), 16)).toArray
   }
 
+  /** Frame sampling: slice the payload into fixed `frameLen`-byte
+    * frames and keep every `stride`-th one (a video keyframe / audio
+    * window sampler over the opaque payload). Pure column ops —
+    * explode over a generated frame-index sequence + substring — so
+    * the sampler runs inside codegen with no UDF, and the oracle can
+    * replay it byte-for-byte. Output: (id cols…, frame_no, frame
+    * binary, frame_len). */
+  def frameSample(df: DataFrame, frameLen: Int, stride: Int): DataFrame =
+    df.withColumn("n_frames",
+        ceil(octet_length(col("payload")).cast("double") / frameLen).cast("int"))
+      .withColumn("frame_no",
+        explode(expr(s"filter(sequence(0, n_frames - 1), i -> i % $stride = 0)")))
+      .withColumn("frame",
+        expr(s"substring(payload, frame_no * $frameLen + 1, $frameLen)"))
+      .withColumn("frame_len", octet_length(col("frame")))
+      .drop("n_frames")
+
   /** Batch-shaped feature extraction over (id, payload) rows:
     * mapPartitions, batches of `batchSize` rows — the decoder
     * amortization boundary. Output (id, f0..f3). */

@@ -44,6 +44,31 @@ object StreamingJobs {
       .toDF("user_id", "n_batch", "n_total")
   }
 
+  /** Streaming exact dedup (the corpus dedup family's stream face):
+    * drop re-ingested duplicates by content key across micro-batches,
+    * bounded by a watermark so the dedup state is evictable — the
+    * only shape that survives an unbounded 100 TB/day ingest (state
+    * holds one key per document seen inside the watermark horizon,
+    * not the corpus). */
+  def dedupStream(docs: DataFrame, tsCol: String, keyCols: Seq[String],
+                  watermark: String): DataFrame =
+    docs.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Session windows (gap-close sessionization) over an event stream:
+    * the watermarked session_window aggregation — Spark's native
+    * answer to the reference's per-sow event-run grouping, applied to
+    * the event stream. */
+  def sessionCounts(events: DataFrame, tsCol: String, gap: String,
+                    watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("user_id"), col("n"), col("sum_value"))
+
   /** Micro-batch keyed upsert: every batch MERGEs into the parquet
     * target on `keys` (the weather MERGE, weather.py:1697-1732, as a
     * stream). foreachBatch is the batch-engine bridge — on Delta this

@@ -92,6 +92,42 @@ class SinksStreamingSpec extends SparkSpec {
     assert(rows.contains((2L, 1L, 1L)))
   }
 
+  test("streaming exact dedup drops re-ingested duplicates across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, String)]
+    val docs = mem.toDF().toDF("ts", "doc_key", "text")
+    val out = StreamingJobs.dedupStream(docs, "ts", Seq("doc_key"), "1 hour")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream").start()
+    def t(m: String) = java.sql.Timestamp.valueOf(s"2024-01-01 10:$m:00")
+    mem.addData((t("01"), "a", "first"), (t("02"), "b", "second"))
+    q.processAllAvailable()
+    mem.addData((t("03"), "a", "dup-of-first"), (t("04"), "c", "third"))
+    q.processAllAvailable()
+    val keys = spark.table("dedup_stream")
+      .select("doc_key").collect().map(_.getString(0)).sorted
+    q.stop()
+    assert(keys.toSeq == Seq("a", "b", "c"), "duplicate 'a' must be dropped")
+  }
+
+  test("session windows close on gap (sessionization §2.9)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val events = mem.toDF().toDF("ts", "user_id", "value")
+    val agg = StreamingJobs.sessionCounts(events, "ts", "5 minutes", "1 hour")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("sessions").start()
+    def t(m: String) = java.sql.Timestamp.valueOf(s"2024-01-01 10:$m:00")
+    // user 1: events at :01 and :03 (one session), then :30 (a new one)
+    mem.addData((t("01"), 1L, 1.0), (t("03"), 1L, 2.0), (t("30"), 1L, 4.0))
+    q.processAllAvailable()
+    val rows = spark.table("sessions")
+      .select("user_id", "n", "sum_value").orderBy("sess_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    q.stop()
+    assert(rows.toSeq == Seq((1L, 2L, 3.0), (1L, 1L, 4.0)))
+  }
+
   test("streaming keyed upsert via foreachBatch (weather MERGE as a stream)") {
     implicit val sqlCtx = spark.sqlContext
     val path = tmp() + "/t"
