@@ -219,6 +219,30 @@ object QueryCatalogAgg {
       |FROM orders GROUP BY o_custkey
       |ORDER BY total_spend DESC, o_custkey LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- T1 per-key (custom plan)
+  /** Per-key top-k through the custom Catalyst operator
+    * (plans.TopKPerKey: logical node + strategy + partial/final
+    * physical pair): top-2 orders per customer by price. The partial
+    * exec bounds what crosses the shuffle to k rows per (key,
+    * partition) and NO sort appears anywhere in the plan — the
+    * scale-shaped alternative to the window/row_number formulation
+    * the oracle replays. */
+  val q56TopKPerKey: Q = (s, d) =>
+    graft.plans.TopKPerKey.topK(
+      Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice"),
+      keys = Seq(col("o_custkey")),
+      order = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+      k = 2)
+      .orderBy("o_custkey", "o_orderkey")
+
+  private val q56Sql =
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 2 ORDER BY o_custkey, o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- T2/W7
   /** Custom multi-key sort chunked into fixed-width wide rows (SURVEY
     * T2, ref culling.py:258-309 — "other" code last, count desc, then
@@ -284,6 +308,7 @@ object QueryCatalogAgg {
     "q21_topn" -> q21TopN,
     "q22_chunked_sort" -> q22Chunked,
     "q23_union_branches" -> q23Union,
+    "q56_topk_per_key" -> q56TopKPerKey,
   )
 
   val oracle: Map[String, String] = Map(
@@ -298,5 +323,6 @@ object QueryCatalogAgg {
     "q21_topn" -> q21Sql,
     "q22_chunked_sort" -> q22Sql,
     "q23_union_branches" -> q23Sql,
+    "q56_topk_per_key" -> q56Sql,
   )
 }
