@@ -219,6 +219,32 @@ object QueryCatalogAgg {
       |FROM orders GROUP BY o_custkey
       |ORDER BY total_spend DESC, o_custkey LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- A11 rollup (native)
+  /** Native ROLLUP over the status hierarchy (SURVEY A11 — the
+    * reference computes its week/month/YTD and per-flag/total layers
+    * with separate scans; rollup produces every level in ONE pass
+    * with partial aggregation at each grouping set). Null grouping
+    * cells are labeled 'ALL' so the Spark and DuckDB results align on
+    * plain string columns. */
+  val q57Rollup: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum2(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n_items"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_price"), col("n_items"))
+      .orderBy("returnflag", "linestatus")
+
+  private val q57Sql =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |       COUNT(*) AS n_items
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
   // ---------------------------------------------------------------- T1 per-key (custom plan)
   /** Per-key top-k through the custom Catalyst operator
     * (plans.TopKPerKey: logical node + strategy + partial/final
@@ -309,6 +335,7 @@ object QueryCatalogAgg {
     "q22_chunked_sort" -> q22Chunked,
     "q23_union_branches" -> q23Union,
     "q56_topk_per_key" -> q56TopKPerKey,
+    "q57_rollup" -> q57Rollup,
   )
 
   val oracle: Map[String, String] = Map(
@@ -324,5 +351,6 @@ object QueryCatalogAgg {
     "q22_chunked_sort" -> q22Sql,
     "q23_union_branches" -> q23Sql,
     "q56_topk_per_key" -> q56Sql,
+    "q57_rollup" -> q57Sql,
   )
 }

@@ -118,12 +118,16 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
 
-  /** Exact word-set Jaccard for given candidate pairs. */
+  /** Exact word-set Jaccard for given candidate pairs. The candidate
+    * set is small BY CONSTRUCTION (bucket collisions only), so both
+    * probe sides broadcast: the corpus-sized word/shingle relation is
+    * streamed map-side twice and never shuffled here — the right call
+    * at any scale where LSH has done its job. */
   def jaccard(pairs: DataFrame, words: DataFrame, idCol: String): DataFrame = {
     val counts = words.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val wa = words.select(col(idCol).as("id_a"), col("w"))
     val wb = words.select(col(idCol).as("id_b"), col("w"))
-    val inter = pairs.join(wa, "id_a").join(wb, Seq("id_b", "w"))
+    val inter = broadcast(broadcast(pairs).join(wa, "id_a")).join(wb, Seq("id_b", "w"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
     pairs
       .join(inter, Seq("id_a", "id_b"), "left")

@@ -62,4 +62,32 @@ class PlanQualitySpec extends SparkSpec {
       assert(p.contains("SelectedBucketsCount"), "scan must be bucket-aware")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("LSH bucket assignment is a pure map — zero exchanges (round-2 posture)") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val p = graft.ops.similarity.VectorOps.lshBucket(emb, "vec_id", 8)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"bucket signature must not shuffle:\n${p.take(800)}")
+  }
+
+  test("q06 partial-aggregates lineitem BELOW the orderkey join") {
+    val p = plan(QueryCatalog.q06JoinChain(spark, "/root/testdata/sf0.001"))
+    // the per-orderkey HashAggregate must appear deeper in the tree
+    // than the orders join (plan prints root-first)
+    val iJoin = p.indexOf("o_orderkey")
+    val iAgg = p.indexOf("HashAggregate(keys=[l_orderkey")
+    assert(iAgg > iJoin && iAgg >= 0,
+      s"expected partial agg below the join:\n${p.take(1200)}")
+  }
+
+  test("custom top-k over parquet orders plans partial/exchange/final with no sort") {
+    // the operator itself (q56 adds a presentation ORDER BY on top)
+    val orders = graft.core.Tables.orders(spark, "/root/testdata/sf0.001")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val q = graft.plans.TopKPerKey.topK(orders, Seq(col("o_custkey")),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), 2)
+    val p = q.queryExecution.sparkPlan.toString
+    assert(p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal"))
+    assert(!p.contains("Sort"), s"no sort expected:\n$p")
+  }
 }
