@@ -456,6 +456,52 @@ object QueryCatalogDomain3 {
        |       CAST(SUM(elapsed) AS BIGINT) AS sum_days
        |FROM b GROUP BY 1, 2, 3 ORDER BY farm_no, sago_gubun_cd, bucket""".stripMargin
 
+  // ---------------------------------------------------------------- config-driven schedule
+  /** The CONFIG read-back as an explicit DAG edge (SURVEY §7.4 risk
+    * 6): the reference's alert/schedule sections re-read a per-farm
+    * CONFIG row from the sink and fall back to hard defaults
+    * (config.py:41-51: gestation 115, weaning 21, ...). Here the
+    * config is a broadcast dimension joined into the section: expected
+    * farrowing = latest mating + COALESCE(farm preg_days, 115). Farm 1
+    * overrides to 114, farm 2 is all-NULL — both branches land in the
+    * verified output as visibly different dates. */
+  val q83ConfigSchedule: Q = (s, _) => {
+    val latest = LatestRecord.viaAgg(
+      Fixtures.modonWkDf(s).filter(col("use_yn") === "Y"),
+      keys = Seq("farm_no", "pig_no"), ord = Seq("seq"))
+      .filter(col("wk_gubun") === "G")
+      .select(col("farm_no"), col("pig_no"), col("wk_dt").as("mate_dt"))
+    val alive = Fixtures.modonDf(s)
+      .filter(col("use_yn") === "Y" && col("out_dt") === Codes.AliveOutDt)
+      .select("farm_no", "pig_no")
+    val cfg = broadcast(Fixtures.farmConfigDf(s).select("farm_no", "preg_days"))
+    latest.join(alive, Seq("farm_no", "pig_no"))
+      .join(cfg, Seq("farm_no"), "left")
+      .withColumn("preg_used", coalesce(col("preg_days"), lit(115)))
+      .withColumn("pass_dt",
+        DateOps.dateToYmd(expr("date_add(to_date(mate_dt, 'yyyyMMdd'), preg_used)")))
+      .select("farm_no", "pig_no", "mate_dt", "preg_used", "pass_dt")
+      .orderBy("farm_no", "pig_no")
+  }
+
+  private lazy val q83Sql =
+    s"""WITH ${Fixtures.withClause("modon", "modon_wk", "farm_config")},
+       |latest AS (
+       |  SELECT farm_no, pig_no, wk_dt AS mate_dt FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY farm_no, pig_no ORDER BY seq DESC) AS rn
+       |    FROM modon_wk WHERE use_yn = 'Y')
+       |  WHERE rn = 1 AND wk_gubun = 'G'),
+       |alive AS (SELECT farm_no, pig_no FROM modon
+       |          WHERE use_yn = 'Y' AND out_dt = '99991231')
+       |SELECT l.farm_no, l.pig_no, l.mate_dt,
+       |       COALESCE(c.preg_days, 115) AS preg_used,
+       |       strftime(strptime(l.mate_dt, '%Y%m%d')::DATE
+       |                + COALESCE(c.preg_days, 115), '%Y%m%d') AS pass_dt
+       |FROM latest l
+       |JOIN alive a ON a.farm_no = l.farm_no AND a.pig_no = l.pig_no
+       |LEFT JOIN farm_config c ON c.farm_no = l.farm_no
+       |ORDER BY l.farm_no, l.pig_no""".stripMargin
+
   // ---------------------------------------------------------------- weekly SUB union
   /** The assembled weekly report: every section conformed into the
     * TS_INS_WEEK_SUB wide schema and unioned (pipeline.WeeklyReportJob
@@ -522,6 +568,7 @@ object QueryCatalogDomain3 {
     "q80_schedule_modon" -> q80ScheduleModon,
     "q81_accident_asof" -> q81AccidentAsOf,
     "q82_week_sub" -> q82WeekSub,
+    "q83_config_schedule" -> q83ConfigSchedule,
   )
 
   lazy val oracle: Map[String, String] = Map(
@@ -533,5 +580,6 @@ object QueryCatalogDomain3 {
     "q80_schedule_modon" -> q80Sql,
     "q81_accident_asof" -> q81Sql,
     "q82_week_sub" -> q82Sql,
+    "q83_config_schedule" -> q83Sql,
   )
 }

@@ -254,6 +254,17 @@ object Fixtures {
       """{"method":"modon","tasks":[6]}""",
       """{"method":"modon","tasks":[8]}"""))
 
+  /** Per-farm numeric policy config (the CONFIG row the reference's
+    * alert/schedule/rearing sections re-read from the sink,
+    * config.py:257-293, with hard defaults 115/21/180/240/7/90 at
+    * config.py:41-51). Farm 1 overrides gestation + weaning; farm 2
+    * is all-NULL — the fall-back-to-default branch. In Spark the
+    * read-back becomes an explicit broadcast-join DAG edge
+    * (SURVEY §7.4 risk 6). */
+  lazy val farmConfig: Seq[Row] = Seq(
+    Row(1, 114, 28, 180, 240, 7, 90),
+    Row(2, null, null, null, null, null, null))
+
   /** Tall productivity-API rows (productivity.py:297-373): STATCD =
     * PCODE(3) || column suffix(3), one value per (farm, statcd). */
   lazy val prodTall: Seq[Row] = {
@@ -323,6 +334,12 @@ object Fixtures {
     "week_tw_bm" -> StringType, "week_tw_im" -> StringType,
     "week_tw_eu" -> StringType, "week_tw_vc" -> StringType)
 
+  val farmConfigSchema: StructType = st(
+    "farm_no" -> IntegerType, "preg_days" -> IntegerType,
+    "wean_days" -> IntegerType, "cull_age_days" -> IntegerType,
+    "gilt_first_mate_days" -> IntegerType, "alert_days" -> IntegerType,
+    "return_check_days" -> IntegerType)
+
   private def toDf(s: SparkSession, rows: Seq[Row], schema: StructType): DataFrame =
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
 
@@ -336,6 +353,7 @@ object Fixtures {
   def prodTallDf(s: SparkSession): DataFrame = toDf(s, prodTall, prodTallSchema)
   def planModonDf(s: SparkSession): DataFrame = toDf(s, planModon, planModonSchema)
   def insConfDf(s: SparkSession): DataFrame = toDf(s, insConf, insConfSchema)
+  def farmConfigDf(s: SparkSession): DataFrame = toDf(s, farmConfig, farmConfigSchema)
 
   // ---- SQL VALUES rendering (for the DuckDB oracle) ----
   private def litSql(v: Any): String = v match {
@@ -367,6 +385,7 @@ object Fixtures {
       case "prod_tall" => valuesCte("prod_tall", prodTallSchema, prodTall)
       case "plan_modon" => valuesCte("plan_modon", planModonSchema, planModon)
       case "ins_conf" => valuesCte("ins_conf", insConfSchema, insConf)
+      case "farm_config" => valuesCte("farm_config", farmConfigSchema, farmConfig)
     }
     parts.mkString(",\n")
   }
