@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Num, Tables}
 import graft.core.Num._
+import graft.domain.DateOps
 
 /** Scalar-function surface (SURVEY §2.8): dates, strings, rounding,
   * JSON, hashing, NVL/DECODE conditionals. */
@@ -166,6 +167,34 @@ object QueryCatalogScalar {
       |FROM lineitem WHERE l_orderkey % 101 = 0
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  // ---------------------------------------------------------------- iso week boundaries
+  /** ISO week/year across year boundaries (SURVEY §7.4 risk 8: Python
+    * %G/%V vs Spark) on exactly the tricky dates: a spine spanning
+    * 2019-12-23 .. 2021-01-10 covers a 52-week year end, the 53-week
+    * ISO year 2020, and days whose ISO year differs from the calendar
+    * year (2021-01-01..03 are 2020-W53). Spark's weekofyear IS ISO;
+    * ISO year comes from the Thursday trick (domain.DateOps.isoYear)
+    * — replayed by DuckDB's isoyear()/week() builtins. */
+  val q58IsoWeek: Q = (s, _) =>
+    s.range(1).select(explode(expr(
+        "sequence(to_date('2019-12-23'), to_date('2021-01-10'))")).as("d"))
+      .select(col("d"),
+        DateOps.isoYear(col("d")).as("iso_year"),
+        DateOps.isoWeek(col("d")).as("iso_week"),
+        date_sub(col("d"), weekday(col("d"))).as("week_monday"))
+      .filter(DateOps.isoYear(col("d")) =!= year(col("d")) ||
+        DateOps.isoWeek(col("d")) >= 53 || col("iso_week") === 1)
+      .orderBy("d")
+
+  private val q58Sql =
+    """SELECT d, CAST(isoyear(d) AS INT) AS iso_year,
+      |       CAST(week(d) AS INT) AS iso_week,
+      |       d - CAST(isodow(d) - 1 AS INT) AS week_monday
+      |FROM (SELECT unnest(generate_series(DATE '2019-12-23', DATE '2021-01-10',
+      |                                    INTERVAL 1 DAY))::DATE AS d)
+      |WHERE isoyear(d) != year(d) OR week(d) >= 53 OR week(d) = 1
+      |ORDER BY d""".stripMargin
+
   // ----------------------------------------------------------------
   val all: Map[String, Q] = Map(
     "q24_date_kit" -> q24Dates,
@@ -174,6 +203,7 @@ object QueryCatalogScalar {
     "q27_json_extract" -> q27Json,
     "q28_hash_tokens" -> q28Hash,
     "q29_case_nvl" -> q29Case,
+    "q58_iso_week" -> q58IsoWeek,
   )
 
   val oracle: Map[String, String] = Map(
@@ -183,5 +213,6 @@ object QueryCatalogScalar {
     "q27_json_extract" -> q27Sql,
     "q28_hash_tokens" -> q28Sql,
     "q29_case_nvl" -> q29Sql,
+    "q58_iso_week" -> q58Sql,
   )
 }
