@@ -41,18 +41,20 @@ object Bench {
       }
       name -> times.min
     }
-    // Keep the JSON line SHORT (3-decimal times, basename sf) and print
-    // it LAST, after spark.stop(): the driver keeps only a tail of the
-    // process output and parses the JSON from it — round 1's
-    // full-precision 61-query line overflowed that buffer and the
-    // bench went unparsed (BENCH_r01.json "parsed": null).
-    def f3(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+    // Keep the JSON line SHORT (2-decimal times, basename sf) and print
+    // it LAST, after spark.stop(): the driver keeps only the final
+    // 2000 chars of process output (measured from BENCH_r01.json) and
+    // parses the JSON from that tail — round 1's full-precision line
+    // overflowed it and the bench went unparsed ("parsed": null).
+    // 72 queries x ~24 chars + the trailing sbt success line must stay
+    // under 2000.
+    def f2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val sfName = sfDir.split('/').last
     spark.stop()
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
   }
 }

@@ -75,6 +75,29 @@ object Sinks {
     if (!fs.exists(target) && fs.exists(backup)) fs.rename(backup, target)
   }
 
+  /** Compact a parquet table's small files to ~`targetMb` outputs
+    * (the operational fix for the small-files problem every
+    * long-running ingest — hourly weather, streaming upsert — creates
+    * at scale: a 100 TB table of 1 MB files is unreadable). Sizes from
+    * the file system, rewrite via the same staging+swap discipline as
+    * upsertParquet; `recoverOrphan` heals an interrupted swap. */
+  def compact(spark: SparkSession, path: String, targetMb: Int = 128): Unit = {
+    import org.apache.hadoop.fs.Path
+    recoverOrphan(spark, path)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(new Path(path)).getLength
+    val nFiles = math.max(1, (totalBytes / (targetMb * 1024L * 1024L)).toInt +
+      (if (totalBytes % (targetMb * 1024L * 1024L) > 0) 1 else 0))
+    val staging = new Path(path + "__staging")
+    val backup = new Path(path + "__old")
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode("overwrite").parquet(staging.toString)
+    fs.delete(backup, true)
+    fs.rename(new Path(path), backup)
+    fs.rename(staging, new Path(path))
+    fs.delete(backup, true)
+  }
+
   /** Append run-log rows (S9): job name, status, elapsed ms, ts. */
   def appendJobLog(spark: SparkSession, path: String, job: String,
                    status: String, elapsedMs: Long): Unit = {
