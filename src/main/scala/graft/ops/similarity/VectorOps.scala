@@ -77,16 +77,9 @@ object VectorOps {
     * dataset; pass-through metadata at scale). */
   def lshBucket(df: DataFrame, idCol: String, nPlanes: Int = 8): DataFrame = {
     val dims = df.select(size(col("embedding"))).head().getInt(0)
-    val xi = transform(col("embedding"),
-      x => round(x.cast("double") * 1e6).cast("long"))
-    val votes = (0 until nPlanes).map { j =>
-      val signs = lit(Array.tabulate(dims)(k => planeSign(j, k).toLong))
-      aggregate(zip_with(xi, signs, (a, b) => a * b), lit(0L), (acc, v) => acc + v)
-    }
-    val bucket = votes.zipWithIndex
-      .map { case (v, j) => when(v > 0, lit(1L << j)).otherwise(0L) }
-      .reduce(_ + _)
-    df.select(col(idCol), bucket.as("bucket"))
+    val signs = Array.tabulate(nPlanes, dims)((j, k) => planeSign(j, k).toLong)
+    df.select(col(idCol),
+      graft.functions.LshBucketExpr.bucket(col("embedding"), signs).as("bucket"))
   }
 
   /** Fold dot product for double arrays (centroids — cold path). */

@@ -26,6 +26,37 @@ class VectorGeoSpec extends SparkSpec {
     assert(rows(1).getDouble(0) == 14.0)
   }
 
+  test("LshBucketExpr equals the per-plane HOF vote formulation") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rng = new scala.util.Random(42)
+    val rows = (1 to 200).map { i =>
+      Row(i.toLong, Array.fill(16)(rng.nextFloat() * 2f - 1f).toSeq)
+    }
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType, containsNull = false)))))
+    // the sign formula, recomputed independently of VectorOps
+    def sign(j: Int, k: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${j}_$k".getBytes("UTF-8"))
+      (((d(0) >> 4) & 0xf) % 2) * 2 - 1
+    }
+    val signs = Array.tabulate(4, 16)((j, k) => sign(j, k))
+    val native = graft.functions.LshBucketExpr.bucket(col("embedding"), signs)
+    val hofXi = transform(col("embedding"),
+      x => round(x.cast("double") * 1e6).cast("long"))
+    val hof = (0 until 4).map { j =>
+      val votes = aggregate(
+        zip_with(hofXi, lit(signs(j)), (a, b) => a * b), lit(0L), (a, v) => a + v)
+      when(votes > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    val bad = df.select(native.as("n"), hof.as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(bad == 0, "native bucket must be bit-identical to the HOF votes")
+  }
+
   test("cosine: self-similarity 1.0, orthogonal 0.0") {
     val df = Seq((Array(1f, 0f, 2f), Array(1f, 0f, 2f), Array(0f, 3f, 0f)))
       .toDF("a", "b", "c")
