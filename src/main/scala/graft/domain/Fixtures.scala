@@ -170,6 +170,42 @@ object Fixtures {
           if (lastDt == null) null else f(lastDt), 0, outGubun, outReason, "Y")
       }
     }
+    // ---- farm 3: a sparse newly-onboarded herd. Deliberately ABSENT
+    // from ins_conf, farm_config and plan_modon — every LEFT join that
+    // carries defaults now exercises the missing-row branch (distinct
+    // from farm 2's present-but-NULL config row), and the schedule
+    // planners' inner joins must drop it without losing other farms.
+    for (i <- 1 to 6) {
+      val rng3 = new Lcg(3 * 7919L + i * 104729L)
+      val pig = "P%03d".format(i)
+      val birth = LocalDate.of(2024, 6, 1).plusDays(rng3.next(200))
+      val inDt = birth.plusDays(230)
+      if (i <= 3) {
+        // gilts with no work rows at all (alert.py:108-117 anti-join)
+        modon += Row(3, pig, "010001", f(inDt), Codes.AliveOutDt, f(birth),
+          null, 0, null, null, "Y")
+      } else if (i == 4) {
+        // mated once, still pregnant at the horizon
+        wk += Row(3, pig, 1, "20250801", "G", 1, null, "N", "Y")
+        modon += Row(3, pig, "010001", f(inDt), Codes.AliveOutDt, f(birth),
+          "20250801", 0, null, null, "Y")
+      } else if (i == 5) {
+        // weaned well past the return interval (GB_OVER shape on a
+        // farm with no schedule templates at all)
+        wk += Row(3, pig, 1, "20250520", "G", 1, null, "N", "Y")
+        wk += Row(3, pig, 2, "20250912", "B", 1, null, "N", "Y")
+        bun += Row(3, pig, "20250912", "B", 10, 1, 0, 12.9, "Y")
+        wk += Row(3, pig, 3, "20251005", "E", 1, null, "N", "Y")
+        eu += Row(3, pig, "20251005", "E", 9, 0, 23, 58.2, "N", "Y")
+        modon += Row(3, pig, "010001", f(inDt), Codes.AliveOutDt, f(birth),
+          "20251005", 0, null, null, "Y")
+      } else {
+        // culled inside the report week, no reason code
+        wk += Row(3, pig, 1, "20250610", "G", 1, null, "N", "Y")
+        modon += Row(3, pig, "010001", f(inDt), "20251106", f(birth),
+          "20250610", 0, "080001", null, "Y")
+      }
+    }
     Tables(modon.toSeq, wk.toSeq, bun.toSeq, eu.toSeq, tr.toSeq)
   }
 
