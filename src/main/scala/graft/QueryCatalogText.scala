@@ -288,6 +288,7 @@ object QueryCatalogText {
         TextOps.markerCount(col("text"), stop).as("stop_cnt"),
         (TextOps.markerCount(col("text"), stop).cast("double") /
           TextOps.nWsTokens(col("text"))).as("stop_ratio"),
+        TextOps.punctRatio(col("text")).as("punct_ratio"),
         TextOps.qualityScore(col("text"), stop).as("quality"))
       .orderBy("doc_id")
   }
@@ -301,6 +302,8 @@ object QueryCatalogText {
       |  CAST(len(list_filter(string_split_regex(text, '\s+'),
       |                       x -> x = 'the' OR x = 'a')) AS DOUBLE)
       |    / len(string_split_regex(text, '\s+')) AS stop_ratio,
+      |  CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+      |    / length(text) AS punct_ratio,
       |  least(length(text), 400)::DOUBLE / 400 * 0.5
       |    + CAST(len(list_filter(string_split_regex(text, '\s+'),
       |                           x -> x = 'the' OR x = 'a')) AS DOUBLE)

@@ -41,6 +41,12 @@ object TextOps {
     lenScore * 0.5 + stopRatio * 0.5
   }
 
+  /** Punctuation density: non-alphanumeric non-space chars / total
+    * chars (the punct-ratio leg of the brief's quality triple; a
+    * single exact-int division). */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("double") / length(text)
+
   /** Language-ID by marker-word density: score per language =
     * marker hits / tokens; caller argmaxes (n-gram heuristic shape —
     * deterministic, no model). */

@@ -75,6 +75,22 @@ object Sinks {
     if (!fs.exists(target) && fs.exists(backup)) fs.rename(backup, target)
   }
 
+  /** Range-partitioned, within-file-sorted parquet layout: rows are
+    * range-partitioned then sorted on `sortCols` before write, so
+    * every output file covers a narrow key range and parquet's
+    * row-group min/max stats actually PRUNE on those columns. At
+    * 100 TB this layout (or its Z-order cousin) is the difference
+    * between a selective date/farm query touching one file or all of
+    * them — the write-side half of predicate pushdown. */
+  def writeSorted(df: DataFrame, path: String, sortCols: Seq[String],
+                  nFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    val cols = sortCols.map(col)
+    df.repartitionByRange(nFiles, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Compact a parquet table's small files to ~`targetMb` outputs
     * (the operational fix for the small-files problem every
     * long-running ingest — hourly weather, streaming upsert — creates

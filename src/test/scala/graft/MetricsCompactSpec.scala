@@ -25,6 +25,24 @@ class MetricsCompactSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(log)
   }
 
+  test("writeSorted produces range-disjoint files that prune selective scans") {
+    val path = Files.createTempDirectory("graft_sorted").toString + "/t"
+    val df = (1 to 100000).map(i => (i % 365, i.toLong)).toDF("day", "id")
+    Sinks.writeSorted(df, path, Seq("day"), nFiles = 8)
+    // each file's day-range must be disjoint: read per-file min/max
+    val perFile = spark.read.parquet(path)
+      .select(input_file_name().as("f"), col("day"))
+      .groupBy("f").agg(min("day").as("lo"), max("day").as("hi"))
+      .collect().map(r => (r.getInt(1), r.getInt(2))).sortBy(_._1)
+    assert(perFile.length == 8)
+    perFile.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(hi1 <= lo2, s"file ranges must not interleave: $perFile")
+    }
+    // a selective filter must read back correct results (stats-pruned)
+    assert(spark.read.parquet(path).filter(col("day") === 17).count() ===
+      df.filter(col("day") === 17).count())
+  }
+
   test("compact rewrites many small files into few, preserving rows") {
     val path = Files.createTempDirectory("graft_compact").toString + "/t"
     (1 to 5000).toDF("x").repartition(64).write.parquet(path)
