@@ -199,6 +199,47 @@ object QueryCatalogSim {
       |  ('0x' || substr(md5(text), 25, 8))::BIGINT AS f3
       |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- embedding quantization
+  /** int8 embedding quantization (VectorOps.quantizeInt8): per-vector
+    * scale, code checksums, and max reconstruction error — the 4x
+    * storage compression step of a corpus-scale vector pipeline,
+    * verified exactly (scale arithmetic, half-up rounding and the
+    * error fold all replay in the oracle). */
+  val q59EmbedQuantize: Q = (s, d) => {
+    val q = VectorOps.quantizeInt8(
+      Tables.embeddings(s, d).filter(col("vec_id") < 100), "embedding")
+    q.select(col("vec_id"), col("q_scale"),
+        aggregate(col("q_codes"), lit(0L), (a, c) => a + c).as("code_sum"),
+        array_min(col("q_codes")).as("code_min"),
+        array_max(col("q_codes")).as("code_max"),
+        aggregate(
+          zip_with(transform(col("embedding"), _.cast("double")),
+            VectorOps.dequantize(col("q_codes"), col("q_scale")),
+            (x, y) => abs(x - y)),
+          lit(0.0), (m, v) => greatest(m, v)).as("max_err"))
+      .orderBy("vec_id")
+  }
+
+  private val q59Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |           WHERE vec_id < 100),
+      |s AS (SELECT vec_id, v,
+      |             list_max(list_transform(v, x -> abs(x))) / 127.0 AS q_scale
+      |      FROM e),
+      |c AS (SELECT vec_id, v, q_scale,
+      |             CASE WHEN q_scale = 0
+      |                  THEN list_transform(v, x -> 0)
+      |                  ELSE list_transform(v, x -> CAST(round(x / q_scale) AS INT))
+      |             END AS codes
+      |      FROM s)
+      |SELECT vec_id, q_scale,
+      |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+      |  CAST(list_min(codes) AS INT) AS code_min,
+      |  CAST(list_max(codes) AS INT) AS code_max,
+      |  list_max(list_transform(range(len(v)),
+      |                          i -> abs(v[i + 1] - codes[i + 1] * q_scale))) AS max_err
+      |FROM c ORDER BY vec_id""".stripMargin
+
   // ---------------------------------------------------------------- multimodal frame sampling
   /** Frame sampling over the opaque payload (every 2nd 64-byte frame
     * — the keyframe/audio-window sampler): per-frame rows with an
@@ -237,6 +278,7 @@ object QueryCatalogSim {
     "q51_multimodal_meta" -> q51MultimodalMeta,
     "q52_multimodal_decode" -> q52MultimodalDecode,
     "q55_frame_sample" -> q55FrameSample,
+    "q59_embed_quantize" -> q59EmbedQuantize,
   )
 
   val oracle: Map[String, String] = Map(
@@ -247,5 +289,6 @@ object QueryCatalogSim {
     "q51_multimodal_meta" -> q51Sql,
     "q52_multimodal_decode" -> q52Sql,
     "q55_frame_sample" -> q55Sql,
+    "q59_embed_quantize" -> q59Sql,
   )
 }

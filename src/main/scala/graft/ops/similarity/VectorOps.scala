@@ -124,6 +124,28 @@ object VectorOps {
       .select("q_id", "c_id", "cell", "rank", "cos")
   }
 
+  /** Symmetric int8 quantization of an embedding column: per-vector
+    * scale = max|x| / 127, codes = round-half-up(x / scale) in
+    * [-127, 127] (the storage/serving compression every corpus-scale
+    * vector store applies — 4x smaller than float32; dequantized dot
+    * products differ by O(scale)). All column ops, exact double
+    * arithmetic, oracle-replayable. Output: original columns +
+    * `q_scale` (double) + `q_codes` (array<int>). */
+  def quantizeInt8(df: DataFrame, embCol: String): DataFrame =
+    df.withColumn("q_scale",
+        aggregate(transform(col(embCol), x => abs(x.cast("double"))),
+          lit(0.0), (m, v) => greatest(m, v)) / 127.0)
+      .withColumn("q_codes",
+        when(col("q_scale") === 0.0,
+          transform(col(embCol), _ => lit(0)))
+          .otherwise(transform(col(embCol),
+            x => round(x.cast("double") / col("q_scale")).cast("int"))))
+
+  /** Reconstruction: codes * scale (float32 round-trip not applied —
+    * callers compare in double). */
+  def dequantize(codes: Column, scale: Column): Column =
+    transform(codes, c => c.cast("double") * scale)
+
   /** LSH-bucketed ANN: probes only scored against same-bucket
     * candidates. Smaller recall than brute force by construction;
     * rank/tie rules identical. */
