@@ -219,6 +219,29 @@ object QueryCatalogAgg {
       |FROM orders GROUP BY o_custkey
       |ORDER BY total_spend DESC, o_custkey LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- event-time tumbling window
+  /** Tumbling event-time windows as a BATCH query — the exact
+    * `window()` semantics the streaming jobs use (StreamingJobs.
+    * windowedCounts), pushed through the batch correctness gate so
+    * stream/batch parity is hash-verified: per (hour bucket, type)
+    * counts and exact decimal sums. Oracle = time_bucket. */
+  val q84Tumbling: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+
+  private val q84Sql =
+    """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start,
+      |       time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS win_end,
+      |       event_type, COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2, 3 ORDER BY win_start, event_type""".stripMargin
+
   // ---------------------------------------------------------------- A11 rollup (native)
   /** Native ROLLUP over the status hierarchy (SURVEY A11 — the
     * reference computes its week/month/YTD and per-flag/total layers
@@ -336,6 +359,7 @@ object QueryCatalogAgg {
     "q23_union_branches" -> q23Union,
     "q56_topk_per_key" -> q56TopKPerKey,
     "q57_rollup" -> q57Rollup,
+    "q84_tumbling_window" -> q84Tumbling,
   )
 
   val oracle: Map[String, String] = Map(
@@ -352,5 +376,6 @@ object QueryCatalogAgg {
     "q23_union_branches" -> q23Sql,
     "q56_topk_per_key" -> q56Sql,
     "q57_rollup" -> q57Sql,
+    "q84_tumbling_window" -> q84Sql,
   )
 }
