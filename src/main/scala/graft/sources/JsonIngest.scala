@@ -55,4 +55,21 @@ object JsonIngest {
     * returns true only when every expected key produced rows. */
   def isComplete(parsed: DataFrame, keyCols: Seq[String], expected: Long): Boolean =
     parsed.select(keyCols.map(col): _*).distinct().count() == expected
+
+  /** Key-rotation decision (api_key_manager.py:40, weather.py:455,698):
+    * rotate to the next API key on auth/quota HTTP statuses or the
+    * KMA envelope codes for invalid/expired keys (22) and quota (99).
+    * Pure function — the driver-side fetch loop consults it; no
+    * network here. */
+  def shouldRotateKey(httpStatus: Int, resultCode: Option[String]): Boolean =
+    httpStatus == 401 || httpStatus == 403 || httpStatus == 429 ||
+      resultCode.exists(c => c == "22" || c == "99")
+
+  /** Retry decision: transient server/network statuses retry on the
+    * SAME key (bounded by the caller's attempt budget); rotation
+    * cases retry on the next key; 2xx with a success code does not
+    * retry. */
+  def shouldRetry(httpStatus: Int, resultCode: Option[String]): Boolean =
+    shouldRotateKey(httpStatus, resultCode) ||
+      httpStatus >= 500 || httpStatus == 408
 }

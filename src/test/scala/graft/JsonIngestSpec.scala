@@ -37,4 +37,14 @@ class JsonIngestSpec extends SparkSpec {
     assert(JsonIngest.isComplete(parsed, Seq("nx", "ny"), expected = 1))
     assert(!JsonIngest.isComplete(parsed, Seq("nx", "ny"), expected = 2))
   }
+
+  test("key rotation on auth/quota statuses and KMA codes 22/99") {
+    import JsonIngest.{shouldRetry, shouldRotateKey}
+    assert(Seq(401, 403, 429).forall(shouldRotateKey(_, None)))
+    assert(shouldRotateKey(200, Some("22")) && shouldRotateKey(200, Some("99")))
+    assert(!shouldRotateKey(200, Some("00")) && !shouldRotateKey(500, None))
+    // 5xx/timeout retries the SAME key; success does not retry
+    assert(shouldRetry(503, None) && shouldRetry(408, None))
+    assert(!shouldRetry(200, Some("00")))
+  }
 }
