@@ -219,6 +219,25 @@ object QueryCatalogAgg {
       |FROM orders GROUP BY o_custkey
       |ORDER BY total_spend DESC, o_custkey LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- T1 per-key via rewrite rule
+  /** The SAME query as q56 written as plain window SQL — with
+    * plans.RewriteWindowTopK installed, the optimizer rewrites
+    * Project(Filter(rn <= k, Window(row_number))) into the custom
+    * TopKPerKeyNode automatically. Verified against the identical
+    * window oracle: the rewrite's correctness is hash-gated, not just
+    * spec-asserted. (install is an intentional additive session
+    * registration, idempotent per session like Tables.events' conf.) */
+  val q85TopkRewrite: Q = (s, d) => {
+    graft.plans.TopKPerKey.install(s)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   // ---------------------------------------------------------------- event-time tumbling window
   /** Tumbling event-time windows as a BATCH query — the exact
     * `window()` semantics the streaming jobs use (StreamingJobs.
@@ -360,6 +379,7 @@ object QueryCatalogAgg {
     "q56_topk_per_key" -> q56TopKPerKey,
     "q57_rollup" -> q57Rollup,
     "q84_tumbling_window" -> q84Tumbling,
+    "q85_topk_rewrite" -> q85TopkRewrite,
   )
 
   val oracle: Map[String, String] = Map(
@@ -377,5 +397,6 @@ object QueryCatalogAgg {
     "q56_topk_per_key" -> q56Sql,
     "q57_rollup" -> q57Sql,
     "q84_tumbling_window" -> q84Sql,
+    "q85_topk_rewrite" -> q56Sql,
   )
 }

@@ -8,6 +8,8 @@ import org.apache.spark.sql.SparkSessionExtensions
   * route; `TopKPerKey.install` is the programmatic equivalent for an
   * already-built session). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => TopKPerKey.TopKStrategy)
+    ext.injectOptimizerRule(_ => RewriteWindowTopK)
+  }
 }

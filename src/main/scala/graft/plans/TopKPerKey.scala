@@ -104,13 +104,17 @@ object TopKPerKey {
       copy(child = newChild)
   }
 
-  /** Register the strategy on a session (idempotent) — the
-    * experimental-methods route; GraftExtensions is the
-    * spark.sql.extensions route. */
-  def install(spark: SparkSession): Unit =
+  /** Register the strategy + the window-rewrite optimizer rule on a
+    * session (idempotent) — the experimental-methods route;
+    * GraftExtensions is the spark.sql.extensions route. */
+  def install(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies =
         TopKStrategy +: spark.experimental.extraStrategies
+    if (!spark.experimental.extraOptimizations.contains(RewriteWindowTopK))
+      spark.experimental.extraOptimizations =
+        RewriteWindowTopK +: spark.experimental.extraOptimizations
+  }
 
   /** DataFrame API: top `k` rows per `keys` group in `order` (give a
     * total order — break ties on a unique column — for deterministic

@@ -60,6 +60,38 @@ class TopKPerKeySpec extends SparkSpec {
     assert(partial.execute().count() == 4 * 5)
   }
 
+  test("optimizer rule rewrites window/row_number/filter into the custom plan") {
+    graft.plans.TopKPerKey.install(spark)
+    val big = (1 to 2000).map(i => (s"k${i % 11}", i.toLong, (i * 2654435761L % 997).toDouble))
+      .toDF("k", "id", "v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(col("v").desc, col("id").asc)
+    // user writes plain window SQL and projects rn away...
+    val q = big.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("k", "id", "v")
+    val plan = q.queryExecution.sparkPlan.toString
+    assert(plan.contains("TopKPerKeyFinal"), s"rule must fire:\n$plan")
+    assert(!plan.contains("WindowExec") && !plan.contains("Sort"), plan)
+    // ...and the rows are the window rows
+    val viaWindow = big.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("k", "id").orderBy("k", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val got = q.select("k", "id").orderBy("k", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == viaWindow)
+  }
+
+  test("rule does NOT fire when the rank column is still referenced") {
+    graft.plans.TopKPerKey.install(spark)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(col("v").desc, col("id").asc)
+    val q = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .select("k", "id", "rn") // rn survives -> semantics need the window
+    val plan = q.queryExecution.sparkPlan.toString
+    assert(!plan.contains("TopKPerKeyFinal"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
   test("extensions class registers the strategy") {
     // the spark.sql.extensions route: constructing and applying must
     // succeed (strategy list itself is private[sql]; the functional
