@@ -261,6 +261,39 @@ object QueryCatalogAgg {
       |FROM events
       |GROUP BY 1, 2, 3 ORDER BY win_start, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- event-time session windows
+  /** Gap-close sessionization as a BATCH query — the `session_window`
+    * semantics StreamingJobs.sessionCounts uses, hash-gated against a
+    * classic gaps-and-islands oracle (lag + running break-sum).
+    * Boundary rule: an event exactly `gap` after the previous one
+    * starts a NEW session (Spark's [start, last+gap) interval), hence
+    * the STRICT `<` in the oracle's merge condition. */
+  val q86Session: Q = (s, d) =>
+    Tables.events(s, d).filter(col("user_id") < 100)
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("user_id"), col("n"), col("sum_value"))
+      .orderBy("user_id", "sess_start")
+
+  private val q86Sql =
+    """WITH e AS (SELECT user_id, ts, value FROM events WHERE user_id < 100),
+      |m AS (SELECT user_id, ts, value,
+      |             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |                       < INTERVAL 10 MINUTE
+      |                  THEN 0 ELSE 1 END AS brk
+      |      FROM e),
+      |g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                               ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM m)
+      |SELECT min(ts) AS sess_start,
+      |       max(ts) + INTERVAL 10 MINUTE AS sess_end,
+      |       user_id, COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM g GROUP BY user_id, sid
+      |ORDER BY user_id, sess_start""".stripMargin
+
   // ---------------------------------------------------------------- A11 rollup (native)
   /** Native ROLLUP over the status hierarchy (SURVEY A11 — the
     * reference computes its week/month/YTD and per-flag/total layers
@@ -380,6 +413,7 @@ object QueryCatalogAgg {
     "q57_rollup" -> q57Rollup,
     "q84_tumbling_window" -> q84Tumbling,
     "q85_topk_rewrite" -> q85TopkRewrite,
+    "q86_session_window" -> q86Session,
   )
 
   val oracle: Map[String, String] = Map(
@@ -398,5 +432,6 @@ object QueryCatalogAgg {
     "q57_rollup" -> q57Sql,
     "q84_tumbling_window" -> q84Sql,
     "q85_topk_rewrite" -> q56Sql,
+    "q86_session_window" -> q86Sql,
   )
 }
