@@ -238,6 +238,58 @@ object QueryCatalogAgg {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  // ---------------------------------------------------------------- exact quantiles
+  /** Exact discrete quantiles (p25/50/75 of quantity per flag) via
+    * the sorted-array formulation — index ceil(q*n), identical in
+    * both engines, bit-exact on doubles. The 100 TB path swaps
+    * collect_list for approx_percentile / a KLL sketch; THIS
+    * formulation is the correctness baseline those must approximate
+    * (groups here are bounded: one array per returnflag). */
+  val q87Quantiles: Q = (s, d) => {
+    val g = Tables.lineitem(s, d).groupBy("l_returnflag")
+      .agg(sort_array(collect_list(col("l_quantity"))).as("arr"),
+        count(lit(1)).as("n"))
+    def pick(q: Double) = element_at(col("arr"), ceil(lit(q) * col("n")).cast("int"))
+    g.select(col("l_returnflag"), col("n"),
+        pick(0.25).as("p25"), pick(0.5).as("p50"), pick(0.75).as("p75"))
+      .orderBy("l_returnflag")
+  }
+
+  private val q87Sql =
+    """WITH g AS (SELECT l_returnflag, list_sort(list(l_quantity)) AS arr,
+      |                  COUNT(*) AS n
+      |           FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, n,
+      |       arr[CAST(ceil(0.25 * n) AS INT)] AS p25,
+      |       arr[CAST(ceil(0.5 * n) AS INT)] AS p50,
+      |       arr[CAST(ceil(0.75 * n) AS INT)] AS p75
+      |FROM g ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- grouping sets
+  /** Explicit GROUPING SETS with grouping_id disambiguation (the
+    * general form behind q57's rollup): per (flag, status), per flag,
+    * and grand total in one pass; gid labels which cell is which so
+    * NULL group values never collide with real data. */
+  val q88GroupingSets: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("int").as("gid"),
+        dsum2(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
+      .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n_items")
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
+  private val q88Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |       COUNT(*) AS n_items
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+
   // ---------------------------------------------------------------- event-time tumbling window
   /** Tumbling event-time windows as a BATCH query — the exact
     * `window()` semantics the streaming jobs use (StreamingJobs.
@@ -414,6 +466,8 @@ object QueryCatalogAgg {
     "q84_tumbling_window" -> q84Tumbling,
     "q85_topk_rewrite" -> q85TopkRewrite,
     "q86_session_window" -> q86Session,
+    "q87_quantiles" -> q87Quantiles,
+    "q88_grouping_sets" -> q88GroupingSets,
   )
 
   val oracle: Map[String, String] = Map(
@@ -433,5 +487,7 @@ object QueryCatalogAgg {
     "q84_tumbling_window" -> q84Sql,
     "q85_topk_rewrite" -> q56Sql,
     "q86_session_window" -> q86Sql,
+    "q87_quantiles" -> q87Sql,
+    "q88_grouping_sets" -> q88Sql,
   )
 }

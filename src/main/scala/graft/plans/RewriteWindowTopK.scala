@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
 
@@ -50,7 +50,15 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
           !projectList.exists(_.references.contains(alias.toAttribute)) =>
       kOf(cond, alias.toAttribute) match {
         case Some(k) if k > 0 =>
-          Project(projectList, TopKPerKey.TopKPerKeyNode(part, order, k, child))
+          // Spark's InferWindowGroupLimit may already have wrapped the
+          // child in a WindowGroupLimit (its own sort-based rank-limit
+          // pushdown); our bounded-heap operator subsumes it — unwrap,
+          // or the plan double-pays with a sort below the heaps.
+          val input = child match {
+            case wgl: WindowGroupLimit => wgl.child
+            case c => c
+          }
+          Project(projectList, TopKPerKey.TopKPerKeyNode(part, order, k, input))
         case _ => p
       }
   }
