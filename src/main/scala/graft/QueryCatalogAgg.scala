@@ -238,6 +238,38 @@ object QueryCatalogAgg {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  // ---------------------------------------------------------------- set ops
+  /** INTERSECT / EXCEPT (SURVEY §2.7 beyond the tagged-union form):
+    * customers active in BOTH halves of 1997 vs only the first half —
+    * distinct set semantics, identical in both engines. */
+  val q89SetOps: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    def custs(lo: String, hi: String) =
+      o.filter(col("o_orderdate") >= lit(lo).cast("date") &&
+          col("o_orderdate") < lit(hi).cast("date"))
+        .select("o_custkey")
+    val both = custs("1997-01-01", "1997-07-01")
+      .intersect(custs("1997-07-01", "1998-01-01"))
+    val onlyH1 = custs("1997-01-01", "1997-07-01")
+      .except(custs("1997-07-01", "1998-01-01"))
+    both.withColumn("cohort", lit("both_halves"))
+      .unionByName(onlyH1.withColumn("cohort", lit("h1_only")))
+      .groupBy("cohort").agg(count(lit(1)).as("n_customers"))
+      .orderBy("cohort")
+  }
+
+  private val q89Sql =
+    """WITH h1 AS (SELECT o_custkey FROM orders
+      |            WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-07-01'),
+      |h2 AS (SELECT o_custkey FROM orders
+      |       WHERE o_orderdate >= DATE '1997-07-01' AND o_orderdate < DATE '1998-01-01'),
+      |u AS (
+      |  SELECT o_custkey, 'both_halves' AS cohort FROM (SELECT * FROM h1 INTERSECT SELECT * FROM h2)
+      |  UNION ALL
+      |  SELECT o_custkey, 'h1_only' FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2))
+      |SELECT cohort, COUNT(*) AS n_customers FROM u
+      |GROUP BY cohort ORDER BY cohort""".stripMargin
+
   // ---------------------------------------------------------------- exact quantiles
   /** Exact discrete quantiles (p25/50/75 of quantity per flag) via
     * the sorted-array formulation — index ceil(q*n), identical in
@@ -468,6 +500,7 @@ object QueryCatalogAgg {
     "q86_session_window" -> q86Session,
     "q87_quantiles" -> q87Quantiles,
     "q88_grouping_sets" -> q88GroupingSets,
+    "q89_set_ops" -> q89SetOps,
   )
 
   val oracle: Map[String, String] = Map(
@@ -489,5 +522,6 @@ object QueryCatalogAgg {
     "q86_session_window" -> q86Sql,
     "q87_quantiles" -> q87Sql,
     "q88_grouping_sets" -> q88Sql,
+    "q89_set_ops" -> q89Sql,
   )
 }
