@@ -1,0 +1,155 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.domain.Fixtures
+
+/** DataSource V2 provider exposing the deterministic domain fixtures
+  * as a real Spark format:
+  *
+  *   spark.read.format("graft.sources.FixtureSource")
+  *     .option("table", "modon").load()
+  *
+  * The §2.1 custom-source leg done the connector way (TableProvider →
+  * ScanBuilder → Batch → PartitionReader) with BOTH optimizer
+  * contracts implemented: SupportsPushDownRequiredColumns (column
+  * pruning reaches the reader) and SupportsPushDownFilters
+  * (equality/comparison/null predicates evaluated inside the
+  * partition reader, reported as pushed in the scan description). In
+  * a real deployment the reader would wrap the farm API / Oracle
+  * extract; the contract with Catalyst is exactly this.
+  */
+class FixtureSource extends TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FixtureSource.schemaOf(options.get("table"))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new FixtureTable(properties.get("table"))
+}
+
+object FixtureSource {
+  def schemaOf(table: String): StructType = table match {
+    case "modon" => Fixtures.modonSchema
+    case "modon_wk" => Fixtures.modonWkSchema
+    case "bunman" => Fixtures.bunmanSchema
+    case "farm_config" => Fixtures.farmConfigSchema
+    case other => throw new IllegalArgumentException(s"unknown fixture table: $other")
+  }
+
+  def rowsOf(table: String): Seq[org.apache.spark.sql.Row] = table match {
+    case "modon" => Fixtures.generated.modon
+    case "modon_wk" => Fixtures.generated.modonWk
+    case "bunman" => Fixtures.generated.bunman
+    case "farm_config" => Fixtures.farmConfig
+    case other => throw new IllegalArgumentException(s"unknown fixture table: $other")
+  }
+
+  /** Evaluate a pushed source filter against a fixture Row by name. */
+  def eval(f: Filter, schema: StructType, r: org.apache.spark.sql.Row): Boolean = {
+    def v(attr: String): Any = r.get(schema.fieldIndex(attr))
+    def cmp(a: Any, b: Any): Int = (a, b) match {
+      case (x: Int, y: Number) => java.lang.Integer.compare(x, y.intValue())
+      case (x: Long, y: Number) => java.lang.Long.compare(x, y.longValue())
+      case (x: Double, y: Number) => java.lang.Double.compare(x, y.doubleValue())
+      case (x: String, y: String) => x.compareTo(y)
+      case _ => throw new IllegalArgumentException(s"uncomparable: $a vs $b")
+    }
+    f match {
+      case EqualTo(a, x) => v(a) != null && cmp(v(a), x.asInstanceOf[AnyRef]) == 0
+      case GreaterThan(a, x) => v(a) != null && cmp(v(a), x.asInstanceOf[AnyRef]) > 0
+      case GreaterThanOrEqual(a, x) => v(a) != null && cmp(v(a), x.asInstanceOf[AnyRef]) >= 0
+      case LessThan(a, x) => v(a) != null && cmp(v(a), x.asInstanceOf[AnyRef]) < 0
+      case LessThanOrEqual(a, x) => v(a) != null && cmp(v(a), x.asInstanceOf[AnyRef]) <= 0
+      case IsNotNull(a) => v(a) != null
+      case IsNull(a) => v(a) == null
+      case In(a, xs) => v(a) != null && xs.exists(x => cmp(v(a), x.asInstanceOf[AnyRef]) == 0)
+      case And(l, rr) => eval(l, schema, r) && eval(rr, schema, r)
+      case Or(l, rr) => eval(l, schema, r) || eval(rr, schema, r)
+      case _ => true // unsupported filters are never accepted as pushed
+    }
+  }
+
+  def supported(f: Filter): Boolean = f match {
+    case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual | _: LessThan |
+         _: LessThanOrEqual | _: IsNotNull | _: IsNull | _: In => true
+    case And(l, r) => supported(l) && supported(r)
+    case Or(l, r) => supported(l) && supported(r)
+    case _ => false
+  }
+}
+
+class FixtureTable(tableName: String) extends Table with SupportsRead {
+  override def name(): String = s"fixtures.$tableName"
+  override def schema(): StructType = FixtureSource.schemaOf(tableName)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new FixtureScanBuilder(tableName)
+}
+
+class FixtureScanBuilder(tableName: String)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private val full = FixtureSource.schemaOf(tableName)
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = full
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, rest) = filters.partition(FixtureSource.supported)
+    pushed = ok
+    rest // residual filters Spark must still evaluate
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new FixtureScan(tableName, full, required, pushed)
+}
+
+class FixtureScan(tableName: String, full: StructType, required: StructType,
+                  pushed: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"FixtureScan($tableName) PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
+      s"ReadSchema: ${required.catalogString}"
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(FixturePartition(tableName))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FixtureReaderFactory(full, required, pushed)
+}
+
+case class FixturePartition(tableName: String) extends InputPartition
+
+class FixtureReaderFactory(full: StructType, required: StructType,
+                           pushed: Array[Filter]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val table = partition.asInstanceOf[FixturePartition].tableName
+    new PartitionReader[InternalRow] {
+      private val idx = required.fields.map(f => full.fieldIndex(f.name))
+      private val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToCatalystConverter(required)
+      private val it = FixtureSource.rowsOf(table).iterator
+        .filter(r => pushed.forall(FixtureSource.eval(_, full, r)))
+        .map { r =>
+          val pruned = org.apache.spark.sql.Row.fromSeq(idx.toIndexedSeq.map(r.get))
+          conv(pruned).asInstanceOf[InternalRow]
+        }
+      private var cur: InternalRow = _
+      override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}

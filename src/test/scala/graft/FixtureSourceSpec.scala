@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.domain.Fixtures
+
+class FixtureSourceSpec extends SparkSpec {
+
+  private def read(table: String) =
+    spark.read.format("graft.sources.FixtureSource")
+      .option("table", table).load()
+
+  test("DSv2 source reads fixture tables with correct schema and rows") {
+    val df = read("modon")
+    assert(df.schema == Fixtures.modonSchema)
+    assert(df.count() == Fixtures.modonDf(spark).count())
+    val wk = read("modon_wk")
+    assert(wk.count() == Fixtures.modonWkDf(spark).count())
+  }
+
+  test("filters are pushed into the scan and evaluated by the reader") {
+    val df = read("modon").filter(col("farm_no") === 3 && col("out_dt") === "99991231")
+    // the scan description must report the pushed predicates
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("farm_no"), scan.take(800))
+    val expected = Fixtures.modonDf(spark)
+      .filter(col("farm_no") === 3 && col("out_dt") === "99991231").count()
+    assert(df.count() == expected)
+  }
+
+  test("column pruning reaches the reader (ReadSchema narrows)") {
+    val df = read("modon_wk").select("farm_no", "pig_no")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema: struct<farm_no:int,pig_no:string>"), scan.take(800))
+    assert(df.distinct().count() > 0)
+  }
+
+  test("query results agree with the DataFrame fixture rendering") {
+    val viaSource = read("modon_wk").filter(col("wk_gubun") === "G")
+      .groupBy("farm_no").count().orderBy("farm_no")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val viaDf = Fixtures.modonWkDf(spark).filter(col("wk_gubun") === "G")
+      .groupBy("farm_no").count().orderBy("farm_no")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(viaSource == viaDf)
+  }
+}
