@@ -90,12 +90,13 @@ class FixtureTable(tableName: String) extends Table with SupportsRead {
   override def name(): String = s"fixtures.$tableName"
   override def schema(): StructType = FixtureSource.schemaOf(tableName)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new FixtureScanBuilder(tableName)
+    new FixtureScanBuilder(tableName,
+      Option(options.get("rowsPerBatch")).map(_.toInt).getOrElse(50))
 }
 
-class FixtureScanBuilder(tableName: String)
+class FixtureScanBuilder(tableName: String, rowsPerBatch: Int = 50)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -113,11 +114,12 @@ class FixtureScanBuilder(tableName: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new FixtureScan(tableName, full, required, pushed)
+  override def build(): Scan =
+    new FixtureScan(tableName, full, required, pushed, rowsPerBatch)
 }
 
 class FixtureScan(tableName: String, full: StructType, required: StructType,
-                  pushed: Array[Filter]) extends Scan with Batch {
+                  pushed: Array[Filter], rowsPerBatch: Int) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
     s"FixtureScan($tableName) PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
@@ -125,22 +127,81 @@ class FixtureScan(tableName: String, full: StructType, required: StructType,
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] =
-    Array(FixturePartition(tableName))
+    Array(FixturePartition(tableName, 0, FixtureSource.rowsOf(tableName).length))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FixtureReaderFactory(full, required, pushed)
+
+  /** Micro-batch face of the same scan: the fixture rows replayed in
+    * offset-tracked chunks of `rowsPerBatch` — the arrival-simulation
+    * form of the farm ingest (a real source would map offsets to an
+    * API cursor / redo log position). Pushdown applies identically. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new FixtureMicroBatchStream(tableName, full, required, pushed, rowsPerBatch)
+}
+
+/** Row-range partition: [start, end) over the fixture row seq. */
+case class FixturePartition(tableName: String, start: Int, end: Int)
+    extends InputPartition
+
+case class FixtureOffset(pos: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = pos.toString
+}
+
+class FixtureMicroBatchStream(tableName: String, full: StructType,
+                              required: StructType, pushed: Array[Filter],
+                              rowsPerBatch: Int)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  private val total = FixtureSource.rowsOf(tableName).length
+  // Trigger.AvailableNow target: everything present when the query
+  // started; batches drain toward it under the read limit
+  private var target: Int = total
+  override def prepareForTriggerAvailableNow(): Unit = target = total
+
+  override def initialOffset(): Offset = FixtureOffset(0)
+  override def latestOffset(): Offset = FixtureOffset(total)
+  override def deserializeOffset(json: String): Offset = FixtureOffset(json.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  // admission control: cap each micro-batch at rowsPerBatch rows —
+  // the rate-limiting contract a real ingest source needs anyway
+  // (and what makes Trigger.AvailableNow drain in several batches
+  // instead of one giant one)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[FixtureOffset].pos
+    FixtureOffset(math.min(s + rowsPerBatch, target))
+  }
+  override def reportLatestOffset(): Offset = FixtureOffset(total)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FixtureOffset].pos
+    val e = end.asInstanceOf[FixtureOffset].pos
+    // one partition per rowsPerBatch chunk inside the offset range
+    (s until e by rowsPerBatch)
+      .map(lo => FixturePartition(tableName, lo, math.min(lo + rowsPerBatch, e)))
+      .toArray[InputPartition]
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new FixtureReaderFactory(full, required, pushed)
 }
 
-case class FixturePartition(tableName: String) extends InputPartition
-
 class FixtureReaderFactory(full: StructType, required: StructType,
                            pushed: Array[Filter]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val table = partition.asInstanceOf[FixturePartition].tableName
+    val p = partition.asInstanceOf[FixturePartition]
     new PartitionReader[InternalRow] {
       private val idx = required.fields.map(f => full.fieldIndex(f.name))
       private val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
         .createToCatalystConverter(required)
-      private val it = FixtureSource.rowsOf(table).iterator
+      private val it = FixtureSource.rowsOf(p.tableName).iterator
+        .slice(p.start, p.end)
         .filter(r => pushed.forall(FixtureSource.eval(_, full, r)))
         .map { r =>
           val pruned = org.apache.spark.sql.Row.fromSeq(idx.toIndexedSeq.map(r.get))

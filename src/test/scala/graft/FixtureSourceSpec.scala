@@ -34,6 +34,22 @@ class FixtureSourceSpec extends SparkSpec {
     assert(df.distinct().count() > 0)
   }
 
+  test("micro-batch stream replays all rows in offset-tracked chunks") {
+    import java.nio.file.Files
+    val chk = Files.createTempDirectory("graft_src_chk").toString
+    val stream = spark.readStream.format("graft.sources.FixtureSource")
+      .option("table", "modon_wk").option("rowsPerBatch", "37").load()
+    val q = stream.writeStream
+      .option("checkpointLocation", chk)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("fixture_stream").start()
+    q.awaitTermination()
+    val streamed = spark.table("fixture_stream").count()
+    assert(streamed == Fixtures.modonWkDf(spark).count(),
+      "every fixture row must arrive exactly once across micro-batches")
+    assert(q.recentProgress.length > 1, "rowsPerBatch must yield multiple batches")
+  }
+
   test("query results agree with the DataFrame fixture rendering") {
     val viaSource = read("modon_wk").filter(col("wk_gubun") === "G")
       .groupBy("farm_no").count().orderBy("farm_no")
