@@ -64,8 +64,16 @@ object TopKPerKey {
     val heaps = scala.collection.mutable.HashMap
       .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
     iter.foreach { row =>
-      val heap = heaps.getOrElseUpdate(keyGen(row).copy(),
-        scala.collection.mutable.PriorityQueue.empty[InternalRow](ord))
+      // keyGen reuses one UnsafeRow: probe with it, copy only on first
+      // sight of a key (not once per row)
+      val probe = keyGen(row)
+      val heap = heaps.get(probe) match {
+        case Some(h) => h
+        case None =>
+          val h = scala.collection.mutable.PriorityQueue.empty[InternalRow](ord)
+          heaps.put(probe.copy(), h)
+          h
+      }
       if (heap.size < k) heap.enqueue(row.copy())
       else if (ord.compare(row, heap.head) < 0) {
         heap.dequeue(); heap.enqueue(row.copy())
