@@ -98,11 +98,13 @@ class FixtureTable(tableName: String) extends Table with SupportsRead {
 
 class FixtureScanBuilder(tableName: String, rowsPerBatch: Int = 50)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private val full = FixtureSource.schemaOf(tableName)
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = full
+  private var agg: Option[org.apache.spark.sql.connector.expressions.aggregate.Aggregation] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, rest) = filters.partition(FixtureSource.supported)
@@ -114,8 +116,58 @@ class FixtureScanBuilder(tableName: String, rowsPerBatch: Int = 50)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** COUNT(*) pushdown (the third optimizer contract): a source that
+    * can answer counts from its metadata/cursor returns ONE row
+    * instead of streaming the table. Scope kept to the global
+    * ungrouped COUNT(*) — everything else stays in Spark. */
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+    val ok = aggregation.groupByExpressions.isEmpty &&
+      aggregation.aggregateExpressions.length == 1 &&
+      aggregation.aggregateExpressions.head.isInstanceOf[CountStar]
+    if (ok) agg = Some(aggregation)
+    ok
+  }
+
   override def build(): Scan =
-    new FixtureScan(tableName, full, required, pushed, rowsPerBatch)
+    if (agg.isDefined) new FixtureCountScan(tableName, full, pushed)
+    else new FixtureScan(tableName, full, required, pushed, rowsPerBatch)
+}
+
+/** Scan answering a pushed global COUNT(*): one long row, computed
+  * from the (filtered) fixture row count — no row streaming. */
+class FixtureCountScan(tableName: String, full: StructType,
+                       pushed: Array[Filter]) extends Scan with Batch {
+  import org.apache.spark.sql.types.{LongType, StructField}
+  private val aggSchema = StructType(Seq(StructField("count(*)", LongType)))
+  override def readSchema(): StructType = aggSchema
+  override def description(): String =
+    s"FixtureCountScan($tableName) PushedAggregates: [COUNT(*)], " +
+      s"PushedFilters: ${pushed.mkString("[", ", ", "]")}"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(FixturePartition(tableName, 0, 1))
+  override def createReaderFactory(): PartitionReaderFactory =
+    FixtureCountReaderFactory(full, pushed)
+}
+
+/** Top-level (serializable) factory for the pushed-COUNT(*) reader —
+  * an inner anonymous class would drag the Scan into the closure. */
+case class FixtureCountReaderFactory(full: StructType, pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val table = p.asInstanceOf[FixturePartition].tableName
+      private var emitted = false
+      override def next(): Boolean = !emitted && { emitted = true; true }
+      override def get(): InternalRow = {
+        val n = FixtureSource.rowsOf(table)
+          .count(r => pushed.forall(FixtureSource.eval(_, full, r)))
+        InternalRow(n.toLong)
+      }
+      override def close(): Unit = ()
+    }
 }
 
 class FixtureScan(tableName: String, full: StructType, required: StructType,

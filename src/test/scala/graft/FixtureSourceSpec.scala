@@ -50,6 +50,15 @@ class FixtureSourceSpec extends SparkSpec {
     assert(q.recentProgress.length > 1, "rowsPerBatch must yield multiple batches")
   }
 
+  test("global COUNT(*) pushes into the source (answered without row streaming)") {
+    val df = read("modon_wk").filter(col("farm_no") === 1).agg(count(lit(1)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("FixtureCountScan") || plan.contains("PushedAggregates"),
+      plan.take(900))
+    assert(df.head.getLong(0) ==
+      Fixtures.modonWkDf(spark).filter(col("farm_no") === 1).count())
+  }
+
   test("query results agree with the DataFrame fixture rendering") {
     val viaSource = read("modon_wk").filter(col("wk_gubun") === "G")
       .groupBy("farm_no").count().orderBy("farm_no")

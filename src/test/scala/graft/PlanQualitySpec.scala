@@ -80,6 +80,19 @@ class PlanQualitySpec extends SparkSpec {
       s"expected partial agg below the join:\n${p.take(1200)}")
   }
 
+  test("approx_percentile tracks the exact sorted-array quantiles (q87's 100 TB path)") {
+    val exact = QueryCatalogAgg.all("q87_quantiles")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap // p50
+    val approx = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (flag, p50) =>
+      assert(math.abs(approx(flag) - p50) / p50 < 0.05,
+        s"$flag approx=${approx(flag)} exact=$p50")
+    }
+  }
+
   test("custom top-k over parquet orders plans partial/exchange/final with no sort") {
     // the operator itself (q56 adds a presentation ORDER BY on top)
     val orders = graft.core.Tables.orders(spark, "/root/testdata/sf0.001")
