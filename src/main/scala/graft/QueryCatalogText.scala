@@ -256,6 +256,46 @@ object QueryCatalogText {
        |FROM s JOIN x ON x.lang = s.lang ORDER BY s.lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------- cms heavy hitters
+  /** Heavy-hitter estimation via the native Count-Min sketch
+    * (functions.CountMin, 4x256 exact long counters): the corpus
+    * token stream is sketched once, then the top-10 exact tokens are
+    * point-estimated from the sketch next to their true counts — the
+    * CMS overestimate-only contract is visible in the verified
+    * output, and the oracle replays every counter in SQL. */
+  val q90CmsHeavyHitters: Q = (s, d) => {
+    val words = Tables.documents(s, d)
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+    val sketch = words.agg(graft.functions.CountMin.cms(col("w")).as("cms"))
+    val top = words.groupBy("w").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("w")).limit(10)
+    top.crossJoin(broadcast(sketch))
+      .select(col("w").as("token"), col("n_exact"),
+        graft.functions.CountMin.estimate(col("cms"), col("w")).as("n_cms"))
+      .withColumn("overcount", (col("n_cms") - col("n_exact")).cast("long"))
+      .orderBy(col("n_exact").desc, col("token"))
+  }
+
+  private val q90Sql =
+    """WITH w AS (SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents),
+      |h AS (SELECT w, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM w),
+      |c AS (SELECT i.i AS i,
+      |             (h // CAST(pow(256, i.i) AS BIGINT)) % 256 AS b,
+      |             COUNT(*) AS cnt
+      |      FROM h, (SELECT unnest(range(4)) AS i) i GROUP BY 1, 2),
+      |ex AS (SELECT w, COUNT(*) AS n_exact FROM w GROUP BY 1
+      |       ORDER BY n_exact DESC, w LIMIT 10),
+      |p AS (SELECT w, n_exact,
+      |             ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM ex),
+      |est AS (SELECT p.w, p.n_exact, MIN(c.cnt) AS n_cms
+      |        FROM p, (SELECT unnest(range(4)) AS i) i
+      |        JOIN c ON c.i = i.i
+      |              AND c.b = (p.h // CAST(pow(256, i.i) AS BIGINT)) % 256
+      |        GROUP BY 1, 2)
+      |SELECT w AS token, n_exact, CAST(n_cms AS BIGINT) AS n_cms,
+      |       CAST(n_cms - n_exact AS BIGINT) AS overcount
+      |FROM est ORDER BY n_exact DESC, token""".stripMargin
+
   // ---------------------------------------------------------------- text: tokens
   /** Token counting: whitespace tokens, BPE-ish regex tokens,
     * distinct words, mean word length. */
@@ -415,6 +455,7 @@ object QueryCatalogText {
     "q43_simhash" -> q43SimHash,
     "q44_ngram_jaccard" -> q44NgramJaccard,
     "q54_hll_distinct" -> q54Hll,
+    "q90_cms_heavyhitters" -> q90CmsHeavyHitters,
     "q47_text_tokens" -> q47Tokens,
     "q48_text_quality" -> q48Quality,
     "q49_langid" -> q49LangId,
@@ -428,6 +469,7 @@ object QueryCatalogText {
     "q43_simhash" -> q43Sql,
     "q44_ngram_jaccard" -> q44Sql,
     "q54_hll_distinct" -> q54Sql,
+    "q90_cms_heavyhitters" -> q90Sql,
     "q47_text_tokens" -> q47Sql,
     "q48_text_quality" -> q48Sql,
     "q49_langid" -> q49Sql,

@@ -32,6 +32,24 @@ class HyperLogLogSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("CountMin: partition invariant, never underestimates, exact when sparse") {
+    import graft.functions.CountMin
+    val vals = (1 to 300).flatMap(i => Seq.fill(i % 7 + 1)(s"tok$i"))
+    val one = vals.toDF("w").repartition(1)
+      .agg(CountMin.cms(col("w")).as("c")).head.getSeq[Long](0)
+    val many = vals.toDF("w").repartition(13)
+      .agg(CountMin.cms(col("w")).as("c")).head.getSeq[Long](0)
+    assert(one == many, "counter merge must be exactly partition independent")
+    val sketch = vals.toDF("w").agg(CountMin.cms(col("w")).as("c"))
+    val exact = vals.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val est = vals.distinct.toDF("w").crossJoin(sketch)
+      .select(col("w"), CountMin.estimate(col("c"), col("w")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (w, n) =>
+      assert(est(w) >= n, s"CMS must never underestimate: $w est=${est(w)} exact=$n")
+    }
+  }
+
   test("hash60 equals the corpus md5-60bit convention") {
     // replay ('0x' || substr(md5('abc'), 1, 15))::BIGINT
     val hex = java.security.MessageDigest.getInstance("MD5")

@@ -93,6 +93,33 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed join partition (the runtime answer to hot keys)") {
+    import spark.implicits._
+    val prevSkew = spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+    val prevAdv = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // one giant key on the left, uniform right
+      val left = ((1 to 200000).map(_ => 1) ++ (2 to 2000)).toDF("k")
+        .withColumn("pad", lpad(col("k").cast("string"), 32, "x"))
+      val right = (1 to 2000).toDF("k").withColumn("v", col("k") * 2)
+      // no aggregation downstream: a required hash distribution above
+      // the join would veto the skew split (AQE won't add a shuffle)
+      val joined = left.join(right, "k")
+      assert(joined.collect().length == 200000 + 1999)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE skew-join handling in:\n${plan.take(1500)}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", prevSkew)
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", prevAdv)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    }
+  }
+
   test("custom top-k over parquet orders plans partial/exchange/final with no sort") {
     // the operator itself (q56 adds a presentation ORDER BY on top)
     val orders = graft.core.Tables.orders(spark, "/root/testdata/sf0.001")
