@@ -91,6 +91,36 @@ object Sinks {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Z-ordered parquet layout over TWO columns: each column is
+    * min-max quantized to 16 bits, the bits interleaved into a
+    * 32-bit z-value, and files are range-partitioned + sorted on it.
+    * Every output file then covers a small RECTANGLE in (c1, c2)
+    * space, so row-group stats prune selective predicates on EITHER
+    * column — the multi-dimensional generalization of `writeSorted`
+    * (which helps only its leading column). The quantization bounds
+    * come from one aggregate pass; at 100 TB those are table
+    * statistics. */
+  def writeZOrdered(df: DataFrame, path: String, c1: String, c2: String,
+                    nFiles: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val b = df.agg(min(col(c1)).cast("double"), max(col(c1)).cast("double"),
+      min(col(c2)).cast("double"), max(col(c2)).cast("double")).head()
+    val (mn1, mx1, mn2, mx2) = (b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3))
+    def quant(c: String, mn: Double, mx: Double) =
+      if (mx == mn) lit(0L)
+      else ((col(c).cast("double") - mn) / (mx - mn) * 65535.0).cast("long")
+    val (q1, q2) = (quant(c1, mn1, mx1), quant(c2, mn2, mx2))
+    val z = (0 until 16).map { i =>
+      (shiftright(q1, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+        (shiftright(q2, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Compact a parquet table's small files to ~`targetMb` outputs
     * (the operational fix for the small-files problem every
     * long-running ingest — hourly weather, streaming upsert — creates

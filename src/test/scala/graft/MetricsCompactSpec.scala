@@ -43,6 +43,24 @@ class MetricsCompactSpec extends SparkSpec {
       df.filter(col("day") === 17).count())
   }
 
+  test("writeZOrdered bounds per-file ranges in BOTH dimensions") {
+    val path = Files.createTempDirectory("graft_z").toString + "/t"
+    // a 256x256 grid: a 1-D sort on x would leave y spanning the
+    // full range in every file
+    val df = (0 until 65536).map(i => (i % 256, i / 256)).toDF("x", "y")
+    Sinks.writeZOrdered(df, path, "x", "y", nFiles = 16)
+    val perFile = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+      .collect().map(r => (r.getInt(1), r.getInt(2)))
+    assert(perFile.length == 16)
+    val avgSx = perFile.map(_._1).sum.toDouble / perFile.length
+    val avgSy = perFile.map(_._2).sum.toDouble / perFile.length
+    // z-order: both dims bounded well below the global span of 255
+    assert(avgSx < 160 && avgSy < 160, s"avg spans sx=$avgSx sy=$avgSy")
+    assert(spark.read.parquet(path).count() == 65536)
+  }
+
   test("compact rewrites many small files into few, preserving rows") {
     val path = Files.createTempDirectory("graft_compact").toString + "/t"
     (1 to 5000).toDF("x").repartition(64).write.parquet(path)
