@@ -57,6 +57,32 @@ object MultimodalOps {
       .withColumn("frame_len", octet_length(col("frame")))
       .drop("n_frames")
 
+  /** STUB resize: byte-stride downsampling of the payload (every
+    * `factor`-th byte) with the SAME batch-shaped plumbing as decode —
+    * swap the body for a real image scaler and the schema, batching
+    * and partition parallelism stay. Output: id, resized payload,
+    * original/resized lengths. */
+  def fakeResize(df: DataFrame, idCol: String, factor: Int,
+                 batchSize: Int = 32): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("resized", BinaryType),
+      StructField("orig_len", IntegerType),
+      StructField("resized_len", IntegerType)))
+    val input = df.select(col(idCol).cast("long"), col("payload"))
+    input.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // per-batch setup would happen here (scaler/codec init)
+        batch.map { r =>
+          val p = r.getAs[Array[Byte]]("payload")
+          // ??? real resize goes here; byte-stride is the stand-in
+          val out = p.indices.collect { case i if i % factor == 0 => p(i) }.toArray
+          Row(r.getLong(0), out, p.length, out.length)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Batch-shaped feature extraction over (id, payload) rows:
     * mapPartitions, batches of `batchSize` rows — the decoder
     * amortization boundary. Output (id, f0..f3). */
