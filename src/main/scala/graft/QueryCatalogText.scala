@@ -296,6 +296,79 @@ object QueryCatalogText {
       |       CAST(n_cms - n_exact AS BIGINT) AS overcount
       |FROM est ORDER BY n_exact DESC, token""".stripMargin
 
+  // ---------------------------------------------------------------- corpus curation funnel
+  /** The assembled curation pipeline (pipeline.CorpusCurationJob) on
+    * a re-crawl-simulated corpus (first 50 docs duplicated under new
+    * ids): per-language counts after exact dedup, near-dup removal
+    * and the quality gate. Every stage is an already-verified
+    * operator; THIS verifies their composition — the funnel numbers a
+    * corpus owner actually watches. */
+  val q91CurationFunnel: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val recrawl = docs.unionByName(
+      docs.filter(col("doc_id") < 50).withColumn("doc_id", col("doc_id") + 1000000))
+    graft.pipeline.CorpusCurationJob.funnel(recrawl)
+  }
+
+  private val q91Sql =
+    s"""WITH dup AS (
+       |  SELECT * FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+       |  FROM documents WHERE doc_id < 50),
+       |g AS (SELECT md5(text) AS ch, MIN(doc_id) AS keep FROM dup GROUP BY 1),
+       |uniq AS (SELECT d.* FROM dup d JOIN g ON g.keep = d.doc_id),
+       |tok AS (SELECT doc_id,
+       |       unnest(string_split_regex(text, '\\s+')) AS tok,
+       |       generate_subscripts(string_split_regex(text, '\\s+'), 1) AS pos
+       |     FROM uniq),
+       |sh0 AS (SELECT doc_id,
+       |        lag(tok, 2) OVER dw || ' ' || lag(tok, 1) OVER dw || ' ' || tok AS w
+       |        FROM tok WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+       |w AS (SELECT DISTINCT doc_id, w FROM sh0 WHERE w IS NOT NULL),
+       |sig AS (SELECT doc_id, s.seed,
+       |               MIN(${mhSql("s.seed", "w")}) AS mh
+       |        FROM w, (SELECT unnest(range(16)) AS seed) s GROUP BY 1, 2),
+       |b AS (SELECT doc_id, seed // 4 AS band,
+       |             md5(string_agg(CAST(mh AS VARCHAR), ':' ORDER BY seed)) AS band_key
+       |      FROM sig GROUP BY doc_id, seed // 4),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+       |         FROM b a JOIN b b2 USING (band, band_key)
+       |         WHERE a.doc_id < b2.doc_id),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY 1),
+       |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+       |          FROM cand c
+       |          JOIN w wa ON wa.doc_id = c.id_a
+       |          JOIN w wb ON wb.doc_id = c.id_b AND wb.w = wa.w
+       |          GROUP BY 1, 2),
+       |dropped AS (
+       |  SELECT DISTINCT c.id_b AS doc_id
+       |  FROM cand c
+       |  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+       |  JOIN cnt ca ON ca.doc_id = c.id_a
+       |  JOIN cnt cb ON cb.doc_id = c.id_b
+       |  WHERE CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+       |        / (ca.n + cb.n - COALESCE(i.n_inter, 0)) >= 0.7),
+       |ded AS (SELECT * FROM uniq WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+       |cur AS (SELECT * FROM ded
+       |        WHERE least(length(text), 400)::DOUBLE / 400 * 0.5
+       |              + CAST(len(list_filter(string_split_regex(text, '\\s+'),
+       |                                     x -> x = 'the' OR x = 'a')) AS DOUBLE)
+       |                / len(string_split_regex(text, '\\s+')) * 0.5 >= 0.5),
+       |s0 AS (SELECT lang, COUNT(*) AS n_input FROM dup GROUP BY 1),
+       |s1 AS (SELECT lang, COUNT(*) AS n_exact FROM uniq GROUP BY 1),
+       |s2 AS (SELECT lang, COUNT(*) AS n_neardup FROM ded GROUP BY 1),
+       |s3 AS (SELECT lang, COUNT(*) AS n_quality FROM cur GROUP BY 1)
+       |SELECT s0.lang, s0.n_input,
+       |       COALESCE(s1.n_exact, 0) AS n_exact,
+       |       COALESCE(s2.n_neardup, 0) AS n_neardup,
+       |       COALESCE(s3.n_quality, 0) AS n_quality
+       |FROM s0
+       |LEFT JOIN s1 ON s1.lang = s0.lang
+       |LEFT JOIN s2 ON s2.lang = s0.lang
+       |LEFT JOIN s3 ON s3.lang = s0.lang
+       |ORDER BY s0.lang""".stripMargin
+
   // ---------------------------------------------------------------- text: tokens
   /** Token counting: whitespace tokens, BPE-ish regex tokens,
     * distinct words, mean word length. */
@@ -456,6 +529,7 @@ object QueryCatalogText {
     "q44_ngram_jaccard" -> q44NgramJaccard,
     "q54_hll_distinct" -> q54Hll,
     "q90_cms_heavyhitters" -> q90CmsHeavyHitters,
+    "q91_curation_funnel" -> q91CurationFunnel,
     "q47_text_tokens" -> q47Tokens,
     "q48_text_quality" -> q48Quality,
     "q49_langid" -> q49LangId,
@@ -470,6 +544,7 @@ object QueryCatalogText {
     "q44_ngram_jaccard" -> q44Sql,
     "q54_hll_distinct" -> q54Sql,
     "q90_cms_heavyhitters" -> q90Sql,
+    "q91_curation_funnel" -> q91Sql,
     "q47_text_tokens" -> q47Sql,
     "q48_text_quality" -> q48Sql,
     "q49_langid" -> q49Sql,

@@ -6,6 +6,18 @@ import graft.ops.multimodal.MultimodalOps
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("CorpusCurationJob.run writes curated corpus consistent with its funnel") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = java.nio.file.Files.createTempDirectory("graft_corpus").toString
+    graft.pipeline.CorpusCurationJob.run(spark, docs, out)
+    val curated = spark.read.parquet(s"$out/curated")
+    val funnel = spark.read.parquet(s"$out/funnel")
+    val fromFunnel = funnel.agg(org.apache.spark.sql.functions.sum("n_quality"))
+      .head.getLong(0)
+    assert(curated.count() == fromFunnel, "funnel tail must equal curated count")
+    assert(curated.count() > 0 && curated.count() <= docs.count())
+  }
+
   private def payloads(texts: (Long, String)*) =
     MultimodalOps.attachPayload(texts.toSeq.toDF("doc_id", "text"), "text")
 
