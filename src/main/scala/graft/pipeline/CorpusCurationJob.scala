@@ -47,20 +47,25 @@ object CorpusCurationJob {
   }
 
   /** Per-language funnel: input / after-exact / after-neardup /
-    * after-quality counts (the verified composition surface). */
+    * after-quality counts (the verified composition surface). Stage
+    * frames are cached: every stage count re-reads its predecessor,
+    * and the shingle set feeds three consumers — without the caches
+    * each count re-runs the whole upstream dedup (measured ~4x the
+    * wall time). At cluster scale these become checkpoints/tables
+    * between pipeline stages. */
   def funnel(docs: DataFrame, jaccardTau: Double = 0.7,
              minQuality: Double = 0.5): DataFrame = {
     val keep = Dedup.exact(docs, "doc_id", "text")
       .select(col("keep_id").as("doc_id"))
-    val uniq = docs.join(keep, "doc_id")
-    val shingles = Dedup.shingleSet(uniq, "doc_id", "text", k = 3)
+    val uniq = docs.join(keep, "doc_id").cache()
+    val shingles = Dedup.shingleSet(uniq, "doc_id", "text", k = 3).cache()
     val sig = Dedup.minHash(shingles, "doc_id", n = 16)
     val cand = Dedup.candidatePairs(
       Dedup.lshBands(sig, "doc_id", n = 16, rowsPerBand = 4), "doc_id")
     val dupIds = Dedup.jaccard(cand, shingles, "doc_id")
       .filter(col("jaccard") >= jaccardTau)
       .select(col("id_b").as("doc_id")).distinct()
-    val deduped = uniq.join(dupIds, Seq("doc_id"), "left_anti")
+    val deduped = uniq.join(dupIds, Seq("doc_id"), "left_anti").cache()
     val curated = deduped.filter(
       TextOps.qualityScore(col("text"), Stopwords) >= minQuality)
 
