@@ -116,56 +116,89 @@ class FixtureScanBuilder(tableName: String, rowsPerBatch: Int = 50)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** COUNT(*) pushdown (the third optimizer contract): a source that
-    * can answer counts from its metadata/cursor returns ONE row
-    * instead of streaming the table. Scope kept to the global
-    * ungrouped COUNT(*) — everything else stays in Spark. */
+  /** COUNT(*) pushdown (the third optimizer contract), grouped or
+    * global: a source that can answer counts from its metadata/cursor
+    * returns one row per group instead of streaming the table. Scope:
+    * a single COUNT(*) aggregate, group-by columns limited to plain
+    * field references — everything else stays in Spark. */
   override def pushAggregation(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.CountStar
-    val ok = aggregation.groupByExpressions.isEmpty &&
-      aggregation.aggregateExpressions.length == 1 &&
-      aggregation.aggregateExpressions.head.isInstanceOf[CountStar]
+    val ok = aggregation.aggregateExpressions.length == 1 &&
+      aggregation.aggregateExpressions.head.isInstanceOf[CountStar] &&
+      aggregation.groupByExpressions.forall {
+        case f: NamedReference => f.fieldNames().length == 1
+        case _ => false
+      }
     if (ok) agg = Some(aggregation)
     ok
   }
 
+  /** Complete (not partial) pushdown: the returned rows ARE the final
+    * groups — correct here because the scan is a single partition. */
+  override def supportCompletePushDown(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    agg.isDefined
+
   override def build(): Scan =
-    if (agg.isDefined) new FixtureCountScan(tableName, full, pushed)
-    else new FixtureScan(tableName, full, required, pushed, rowsPerBatch)
+    agg match {
+      case Some(a) =>
+        import org.apache.spark.sql.connector.expressions.NamedReference
+        val groupCols = a.groupByExpressions.toSeq
+          .map(_.asInstanceOf[NamedReference].fieldNames().head)
+        new FixtureCountScan(tableName, full, pushed, groupCols)
+      case None => new FixtureScan(tableName, full, required, pushed, rowsPerBatch)
+    }
 }
 
-/** Scan answering a pushed global COUNT(*): one long row, computed
-  * from the (filtered) fixture row count — no row streaming. */
+/** Scan answering a pushed (optionally grouped) COUNT(*): one row per
+  * group, computed from the (filtered) fixture rows — no row
+  * streaming into Spark. */
 class FixtureCountScan(tableName: String, full: StructType,
-                       pushed: Array[Filter]) extends Scan with Batch {
+                       pushed: Array[Filter], groupCols: Seq[String])
+    extends Scan with Batch {
   import org.apache.spark.sql.types.{LongType, StructField}
-  private val aggSchema = StructType(Seq(StructField("count(*)", LongType)))
+  private val aggSchema = StructType(
+    groupCols.map(c => full(full.fieldIndex(c))) :+ StructField("count(*)", LongType))
   override def readSchema(): StructType = aggSchema
   override def description(): String =
     s"FixtureCountScan($tableName) PushedAggregates: [COUNT(*)], " +
+      s"PushedGroupBy: ${groupCols.mkString("[", ", ", "]")}, " +
       s"PushedFilters: ${pushed.mkString("[", ", ", "]")}"
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     Array(FixturePartition(tableName, 0, 1))
   override def createReaderFactory(): PartitionReaderFactory =
-    FixtureCountReaderFactory(full, pushed)
+    FixtureCountReaderFactory(full, pushed, groupCols)
 }
 
 /** Top-level (serializable) factory for the pushed-COUNT(*) reader —
   * an inner anonymous class would drag the Scan into the closure. */
-case class FixtureCountReaderFactory(full: StructType, pushed: Array[Filter])
+case class FixtureCountReaderFactory(full: StructType, pushed: Array[Filter],
+                                     groupCols: Seq[String])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private val table = p.asInstanceOf[FixturePartition].tableName
-      private var emitted = false
-      override def next(): Boolean = !emitted && { emitted = true; true }
-      override def get(): InternalRow = {
-        val n = FixtureSource.rowsOf(table)
-          .count(r => pushed.forall(FixtureSource.eval(_, full, r)))
-        InternalRow(n.toLong)
+      private val groupSchema = StructType(
+        groupCols.map(c => full(full.fieldIndex(c))))
+      private val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToCatalystConverter(groupSchema)
+      private val it: Iterator[InternalRow] = {
+        val rows = FixtureSource.rowsOf(table)
+          .filter(r => pushed.forall(FixtureSource.eval(_, full, r)))
+        val idx = groupCols.map(full.fieldIndex)
+        rows.groupBy(r => idx.map(r.get)).iterator.map { case (key, grp) =>
+          val keyRow = conv(org.apache.spark.sql.Row.fromSeq(key))
+            .asInstanceOf[InternalRow]
+          InternalRow.fromSeq(
+            keyRow.toSeq(groupSchema) :+ grp.length.toLong)
+        }
       }
+      private var cur: InternalRow = _
+      override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+      override def get(): InternalRow = cur
       override def close(): Unit = ()
     }
 }

@@ -59,6 +59,18 @@ class FixtureSourceSpec extends SparkSpec {
       Fixtures.modonWkDf(spark).filter(col("farm_no") === 1).count())
   }
 
+  test("grouped COUNT(*) pushes down completely (one row per group from the source)") {
+    val df = read("modon_wk").groupBy("farm_no").agg(count(lit(1)).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("FixtureCountScan") && plan.contains("PushedGroupBy"),
+      plan.take(900))
+    val got = df.orderBy("farm_no")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val expected = Fixtures.modonWkDf(spark).groupBy("farm_no").count()
+      .orderBy("farm_no").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
   test("query results agree with the DataFrame fixture rendering") {
     val viaSource = read("modon_wk").filter(col("wk_gubun") === "G")
       .groupBy("farm_no").count().orderBy("farm_no")
