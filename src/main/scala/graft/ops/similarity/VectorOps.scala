@@ -73,10 +73,19 @@ object VectorOps {
     * at all (the earlier row-explosion form shuffled N x dims x
     * planes rows through two aggregations); at 100 TB this is the
     * difference between a free projection and the dominant exchange.
-    * Dimensionality is probed from the first row (constant per
-    * dataset; pass-through metadata at scale). */
+    * Dimensionality = max array length across the frame (one small
+    * all-null-safe aggregate — at scale this is pass-through dataset
+    * metadata, not a probe): an empty input yields an empty result
+    * instead of head() throwing, null embeddings yield null buckets
+    * (dropped by the downstream bucket join), and ragged vectors keep
+    * ALL components instead of silently truncating to row 0's length. */
   def lshBucket(df: DataFrame, idCol: String, nPlanes: Int = 8): DataFrame = {
-    val dims = df.select(size(col("embedding"))).head().getInt(0)
+    val dims = df.agg(max(size(col("embedding")))).head().get(0) match {
+      case n: Int => n
+      case _ => 0 // empty frame or all-null embeddings
+    }
+    if (dims <= 0)
+      return df.select(col(idCol), lit(null).cast("long").as("bucket")).limit(0)
     val signs = Array.tabulate(nPlanes, dims)((j, k) => planeSign(j, k).toLong)
     df.select(col(idCol),
       graft.functions.LshBucketExpr.bucket(col("embedding"), signs).as("bucket"))

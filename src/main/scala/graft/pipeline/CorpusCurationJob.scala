@@ -24,57 +24,53 @@ object CorpusCurationJob {
 
   val Stopwords: Seq[String] = Seq("the", "a")
 
-  /** Curated documents after the three gates. */
-  def curate(docs: DataFrame, jaccardTau: Double = 0.7,
-             minQuality: Double = 0.5): DataFrame = {
+  /** The pipeline's intermediate stage frames. When `cache` is set the
+    * multi-consumer frames (uniq, shingles, deduped) are cached —
+    * callers that materialize more than one consumer MUST unpersist
+    * them (see funnel/run) or cached partitions accumulate across
+    * calls. */
+  private case class Stages(uniq: DataFrame, shingles: DataFrame,
+                            deduped: DataFrame, curated: DataFrame) {
+    def unpersist(): Unit = {
+      uniq.unpersist(); shingles.unpersist(); deduped.unpersist()
+    }
+  }
+
+  private def stages(docs: DataFrame, jaccardTau: Double,
+                     minQuality: Double, cache: Boolean): Stages = {
+    def maybeCache(df: DataFrame) = if (cache) df.cache() else df
     // exact dedup: survivors are the keep_id rows
     val keep = Dedup.exact(docs, "doc_id", "text")
       .select(col("keep_id").as("doc_id"))
-    val uniq = docs.join(keep, "doc_id")
-
+    val uniq = maybeCache(docs.join(keep, "doc_id"))
     // near-dup: drop the larger id of every >= tau candidate pair
-    val shingles = Dedup.shingleSet(uniq, "doc_id", "text", k = 3)
+    val shingles = maybeCache(Dedup.shingleSet(uniq, "doc_id", "text", k = 3))
     val sig = Dedup.minHash(shingles, "doc_id", n = 16)
     val cand = Dedup.candidatePairs(
       Dedup.lshBands(sig, "doc_id", n = 16, rowsPerBand = 4), "doc_id")
     val dupIds = Dedup.jaccard(cand, shingles, "doc_id")
       .filter(col("jaccard") >= jaccardTau)
       .select(col("id_b").as("doc_id")).distinct()
-    val deduped = uniq.join(dupIds, Seq("doc_id"), "left_anti")
-
+    val deduped = maybeCache(uniq.join(dupIds, Seq("doc_id"), "left_anti"))
     // quality gate
-    deduped.filter(TextOps.qualityScore(col("text"), Stopwords) >= minQuality)
-  }
-
-  /** Per-language funnel: input / after-exact / after-neardup /
-    * after-quality counts (the verified composition surface). Stage
-    * frames are cached: every stage count re-reads its predecessor,
-    * and the shingle set feeds three consumers — without the caches
-    * each count re-runs the whole upstream dedup (measured ~4x the
-    * wall time). At cluster scale these become checkpoints/tables
-    * between pipeline stages. */
-  def funnel(docs: DataFrame, jaccardTau: Double = 0.7,
-             minQuality: Double = 0.5): DataFrame = {
-    val keep = Dedup.exact(docs, "doc_id", "text")
-      .select(col("keep_id").as("doc_id"))
-    val uniq = docs.join(keep, "doc_id").cache()
-    val shingles = Dedup.shingleSet(uniq, "doc_id", "text", k = 3).cache()
-    val sig = Dedup.minHash(shingles, "doc_id", n = 16)
-    val cand = Dedup.candidatePairs(
-      Dedup.lshBands(sig, "doc_id", n = 16, rowsPerBand = 4), "doc_id")
-    val dupIds = Dedup.jaccard(cand, shingles, "doc_id")
-      .filter(col("jaccard") >= jaccardTau)
-      .select(col("id_b").as("doc_id")).distinct()
-    val deduped = uniq.join(dupIds, Seq("doc_id"), "left_anti").cache()
     val curated = deduped.filter(
       TextOps.qualityScore(col("text"), Stopwords) >= minQuality)
+    Stages(uniq, shingles, deduped, curated)
+  }
 
+  /** Curated documents after the three gates (single-consumer lineage:
+    * no caching needed — one pass end to end). */
+  def curate(docs: DataFrame, jaccardTau: Double = 0.7,
+             minQuality: Double = 0.5): DataFrame =
+    stages(docs, jaccardTau, minQuality, cache = false).curated
+
+  private def funnelFrame(docs: DataFrame, st: Stages): DataFrame = {
     def stage(df: DataFrame, name: String) =
       df.groupBy("lang").agg(count(lit(1)).as(name))
     stage(docs, "n_input")
-      .join(stage(uniq, "n_exact"), Seq("lang"), "left")
-      .join(stage(deduped, "n_neardup"), Seq("lang"), "left")
-      .join(stage(curated, "n_quality"), Seq("lang"), "left")
+      .join(stage(st.uniq, "n_exact"), Seq("lang"), "left")
+      .join(stage(st.deduped, "n_neardup"), Seq("lang"), "left")
+      .join(stage(st.curated, "n_quality"), Seq("lang"), "left")
       .select(col("lang"),
         col("n_input"),
         coalesce(col("n_exact"), lit(0L)).as("n_exact"),
@@ -83,9 +79,34 @@ object CorpusCurationJob {
       .orderBy("lang")
   }
 
-  /** Run end-to-end: write the curated corpus and the funnel stats. */
+  /** Per-language funnel: input / after-exact / after-neardup /
+    * after-quality counts (the verified composition surface). Stage
+    * frames are cached during computation: every stage count re-reads
+    * its predecessor, and the shingle set feeds three consumers —
+    * without the caches each count re-runs the whole upstream dedup
+    * (measured ~4x the wall time). The counts are materialized HERE
+    * (bounded: one row per language) so the caches can be released
+    * before returning — no cached partitions outlive the call. At
+    * cluster scale these become checkpoints/tables between stages. */
+  def funnel(docs: DataFrame, jaccardTau: Double = 0.7,
+             minQuality: Double = 0.5): DataFrame = {
+    val st = stages(docs, jaccardTau, minQuality, cache = true)
+    try {
+      val out = funnelFrame(docs, st)
+      val rows = out.collect() // one row per language — driver-safe
+      docs.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), out.schema)
+    } finally st.unpersist()
+  }
+
+  /** Run end-to-end: write the curated corpus and the funnel stats —
+    * BOTH derived from one cached pipeline (a second stages() pass
+    * would recompute the entire dedup), released on exit. */
   def run(spark: SparkSession, docs: DataFrame, outDir: String): Unit = {
-    curate(docs).write.mode("overwrite").parquet(s"$outDir/curated")
-    funnel(docs).write.mode("overwrite").parquet(s"$outDir/funnel")
+    val st = stages(docs, jaccardTau = 0.7, minQuality = 0.5, cache = true)
+    try {
+      st.curated.write.mode("overwrite").parquet(s"$outDir/curated")
+      funnelFrame(docs, st).write.mode("overwrite").parquet(s"$outDir/funnel")
+    } finally st.unpersist()
   }
 }

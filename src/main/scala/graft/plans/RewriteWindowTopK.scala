@@ -22,9 +22,13 @@ import org.apache.spark.sql.types.IntegerType
   *
   * Guards: single row_number window expression whose spec matches the
   * Window's partition/order; a bare `rn <= lit` / `rn < lit` /
-  * `rn = 1` filter; ORDER BY present. Ties behave like row_number:
-  * arbitrary within equal keys — give a total order for determinism,
-  * exactly as with the window form.
+  * `rn = 1` filter; BOTH partition keys and ORDER BY present — a
+  * global top-k (no PARTITION BY) stays on Spark's native path
+  * (TakeOrderedAndProject / WindowGroupLimit): TopKPerKeyFinalExec
+  * would demand ClusteredDistribution(Nil), which Spark rejects at
+  * planning. Ties behave like row_number: arbitrary within equal
+  * keys — give a total order for determinism, exactly as with the
+  * window form.
   */
 object RewriteWindowTopK extends Rule[LogicalPlan] {
 
@@ -45,7 +49,7 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
         Filter(cond,
           Window(Seq(alias @ Alias(WindowExpression(RowNumber(), spec), _)),
             part, order, child, _)))
-        if order.nonEmpty &&
+        if part.nonEmpty && order.nonEmpty &&
           spec.partitionSpec == part && spec.orderSpec == order &&
           !projectList.exists(_.references.contains(alias.toAttribute)) =>
       kOf(cond, alias.toAttribute) match {

@@ -62,15 +62,19 @@ object FixtureSource {
       case (x: String, y: String) => x.compareTo(y)
       case _ => throw new IllegalArgumentException(s"uncomparable: $a vs $b")
     }
+    // null comparands (e.g. col.isin(1, null)) evaluate to non-match,
+    // mirroring SQL three-valued logic — never a reader crash
+    def ok(a: String, x: Any)(p: Int => Boolean): Boolean =
+      v(a) != null && x != null && p(cmp(v(a), x.asInstanceOf[AnyRef]))
     f match {
-      case EqualTo(a, x) => v(a) != null && cmp(v(a), x.asInstanceOf[AnyRef]) == 0
-      case GreaterThan(a, x) => v(a) != null && cmp(v(a), x.asInstanceOf[AnyRef]) > 0
-      case GreaterThanOrEqual(a, x) => v(a) != null && cmp(v(a), x.asInstanceOf[AnyRef]) >= 0
-      case LessThan(a, x) => v(a) != null && cmp(v(a), x.asInstanceOf[AnyRef]) < 0
-      case LessThanOrEqual(a, x) => v(a) != null && cmp(v(a), x.asInstanceOf[AnyRef]) <= 0
+      case EqualTo(a, x) => ok(a, x)(_ == 0)
+      case GreaterThan(a, x) => ok(a, x)(_ > 0)
+      case GreaterThanOrEqual(a, x) => ok(a, x)(_ >= 0)
+      case LessThan(a, x) => ok(a, x)(_ < 0)
+      case LessThanOrEqual(a, x) => ok(a, x)(_ <= 0)
       case IsNotNull(a) => v(a) != null
       case IsNull(a) => v(a) == null
-      case In(a, xs) => v(a) != null && xs.exists(x => cmp(v(a), x.asInstanceOf[AnyRef]) == 0)
+      case In(a, xs) => xs.exists(x => ok(a, x)(_ == 0))
       case And(l, rr) => eval(l, schema, r) && eval(rr, schema, r)
       case Or(l, rr) => eval(l, schema, r) || eval(rr, schema, r)
       case _ => true // unsupported filters are never accepted as pushed
@@ -121,25 +125,34 @@ class FixtureScanBuilder(tableName: String, rowsPerBatch: Int = 50)
     * returns one row per group instead of streaming the table. Scope:
     * a single COUNT(*) aggregate, group-by columns limited to plain
     * field references — everything else stays in Spark. */
-  override def pushAggregation(
+  private def aggSupported(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.CountStar
-    val ok = aggregation.aggregateExpressions.length == 1 &&
+    aggregation.aggregateExpressions.length == 1 &&
       aggregation.aggregateExpressions.head.isInstanceOf[CountStar] &&
       aggregation.groupByExpressions.forall {
         case f: NamedReference => f.fieldNames().length == 1
         case _ => false
       }
+  }
+
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val ok = aggSupported(aggregation)
     if (ok) agg = Some(aggregation)
     ok
   }
 
   /** Complete (not partial) pushdown: the returned rows ARE the final
-    * groups — correct here because the scan is a single partition. */
+    * groups — correct here because the scan is a single partition.
+    * Spark 4.x asks this BEFORE pushAggregation, so the decision must
+    * evaluate the passed Aggregation itself — checking the `agg` field
+    * would always answer false and silently degrade to partial
+    * pushdown (a redundant final aggregate over one row per group). */
   override def supportCompletePushDown(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    agg.isDefined
+    aggSupported(aggregation)
 
   override def build(): Scan =
     agg match {

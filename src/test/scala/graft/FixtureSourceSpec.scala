@@ -71,6 +71,23 @@ class FixtureSourceSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("grouped COUNT(*) pushdown is COMPLETE: no aggregate exec remains (ADVICE r2)") {
+    // Spark asks supportCompletePushDown BEFORE pushAggregation; the
+    // answer must come from the passed Aggregation, not internal state,
+    // or the plan silently keeps a redundant final HashAggregate
+    val df = read("modon_wk").groupBy("farm_no").agg(count(lit(1)).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("FixtureCountScan"), plan.take(900))
+    assert(!plan.contains("HashAggregate"),
+      s"complete pushdown must remove the final aggregate:\n${plan.take(900)}")
+  }
+
+  test("pushed In filter containing a null comparand matches SQL semantics (ADVICE r2)") {
+    val df = read("modon_wk").filter(col("farm_no").isin(1, null))
+    val expected = Fixtures.modonWkDf(spark).filter(col("farm_no").isin(1, null)).count()
+    assert(df.count() == expected) // reader must not crash on the null literal
+  }
+
   test("query results agree with the DataFrame fixture rendering") {
     val viaSource = read("modon_wk").filter(col("wk_gubun") === "G")
       .groupBy("farm_no").count().orderBy("farm_no")

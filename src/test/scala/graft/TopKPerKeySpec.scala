@@ -92,6 +92,22 @@ class TopKPerKeySpec extends SparkSpec {
     assert(plan.contains("Window"), plan)
   }
 
+  test("global top-k (no PARTITION BY) stays on Spark's native path") {
+    graft.plans.TopKPerKey.install(spark)
+    // row_number() OVER (ORDER BY ...) with empty partition keys: the
+    // rewrite must NOT fire (TopKPerKeyFinal would demand
+    // ClusteredDistribution(Nil) and crash planning) — valid SQL that
+    // works in stock Spark must keep working with extensions on
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v").desc, col("id").asc)
+    val q = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("k", "id")
+    val plan = q.queryExecution.sparkPlan.toString // planning must not throw
+    assert(!plan.contains("TopKPerKeyFinal"), plan)
+    val got = q.orderBy("id").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 2L), ("a", 3L), ("a", 4L))) // v=30,30,20 top-3
+  }
+
   test("extensions class registers the strategy") {
     // the spark.sql.extensions route: constructing and applying must
     // succeed (strategy list itself is private[sql]; the functional

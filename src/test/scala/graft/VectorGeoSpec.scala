@@ -92,6 +92,34 @@ class VectorGeoSpec extends SparkSpec {
     }
   }
 
+  test("lshBucket: empty input, null embeddings, ragged dims (ADVICE r2)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = true)))
+    def mk(rows: Row*) =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    // empty frame: empty result with the (id, bucket) schema, no throw
+    val empty = VectorOps.lshBucket(mk(), "vec_id", 4)
+    assert(empty.columns.toSeq == Seq("vec_id", "bucket") && empty.count() == 0)
+    // all-null embeddings: also empty (no dims to hash against)
+    assert(VectorOps.lshBucket(mk(Row(1L, null)), "vec_id", 4).count() == 0)
+    // null FIRST row must not break dim probing; null rows bucket to null
+    val withNull = VectorOps.lshBucket(
+      mk(Row(1L, null), Row(2L, Seq(1f, 2f, 3f))), "vec_id", 4).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(withNull(1L).isEmpty && withNull(2L).isDefined)
+    // ragged vectors: dims = max length, so the longer vector's tail
+    // components still vote (row-0 length no longer truncates them)
+    val ragged = VectorOps.lshBucket(
+      mk(Row(1L, Seq(1f)), Row(2L, Seq(0f, 5f, -3f, 2f))), "vec_id", 4)
+    val longOnly = VectorOps.lshBucket(
+      mk(Row(2L, Seq(0f, 5f, -3f, 2f))), "vec_id", 4)
+    val rb = ragged.filter(col("vec_id") === 2L).collect()(0).getLong(1)
+    assert(rb == longOnly.collect()(0).getLong(1),
+      "long vector's bucket must not depend on a shorter earlier row")
+  }
+
   test("KMA grid matches published values; haversine sanity") {
     val df = Seq((37.5665, 126.978), (35.1796, 129.0756), (33.4996, 126.5312))
       .toDF("lat", "lon")
