@@ -21,9 +21,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def run(dir: String, name: String): Unit =
+    def run(dir: String, name: String): Unit = {
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
+      // Queries that cache multi-consumer frames (q42/q44/q91) release
+      // them with the query's lifetime, not the session's: accumulated
+      // stale blocks from earlier queries were evicting/GC-thrashing
+      // later ones (q57_rollup measured 10.0s mid-suite vs 1.3s
+      // isolated at sf0.1 — the "unexplained 5x" was cache pollution,
+      // not the plan).
+      spark.catalog.clearCache()
+    }
 
     // optional args: restrict to the named queries (dev iteration)
     val names0 = SparkEntry.queries.keys.toSeq.sorted

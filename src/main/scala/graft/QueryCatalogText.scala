@@ -116,8 +116,11 @@ object QueryCatalogText {
        |b AS (SELECT doc_id, seed // 4 AS band,
        |             md5(string_agg(CAST(mh AS VARCHAR), ':' ORDER BY seed)) AS band_key
        |      FROM sig GROUP BY doc_id, seed // 4),
+       |bsz AS (SELECT band, band_key FROM b
+       |        GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 64),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
        |         FROM b a JOIN b b2 USING (band, band_key)
+       |         JOIN bsz USING (band, band_key)
        |         WHERE a.doc_id < b2.doc_id),
        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY 1),
        |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
@@ -162,13 +165,20 @@ object QueryCatalogText {
       |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- dedup: n-gram jaccard
-  /** Bigram-shingle Jaccard within (lang, source) groups via an
-    * inverted-index join (shingle -> docs), no all-pairs stage.
+  /** Bigram-shingle Jaccard within (lang, source) groups via posting
+    * lists (Dedup.invertedJaccard) with a document-frequency cap:
+    * bigrams shared by more than `NgramMaxDf` docs in a group are
+    * dropped BEFORE pair expansion — the hot-shingle m^2 skew guard
+    * (see q92, which plants a corpus-wide hot token to prove the
+    * bound). At fixture scale no bigram reaches the cap (max df 17 at
+    * sf0.1), so results are unchanged from the uncapped form; the
+    * oracle mirrors the cap so the two stay equal at ANY scale.
     * Bigrams come straight from the per-row token array (map-side,
     * no tokens-wide window sort). */
-  val q44NgramJaccard: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-    val bg = docs
+  val NgramMaxDf = 50
+
+  private def docBigrams(docs: org.apache.spark.sql.DataFrame) =
+    docs
       .select(col("doc_id"), col("lang"), col("source"),
         split(col("text"), "\\s+").as("toks"))
       .filter(size(col("toks")) >= 2)
@@ -177,45 +187,104 @@ object QueryCatalogText {
           "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', slice(toks, i + 1, 2)))"))
           .as("bg"))
       .distinct()
-      // bg feeds three consumers (counts + both join sides): cache the
-      // one distinct-shuffle instead of re-tokenizing the corpus 3x
-      .cache()
-    val cnt = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = bg.select(col("doc_id").as("id_a"), col("lang"), col("source"), col("bg"))
-    val b = bg.select(col("doc_id").as("id_b"), col("lang"), col("source"), col("bg"))
-    val inter = a.join(b, Seq("lang", "source", "bg"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(cnt.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
-      .join(cnt.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
-      .withColumn("jaccard",
-        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+
+  val q44NgramJaccard: Q = (s, d) =>
+    Dedup.invertedJaccard(docBigrams(Tables.documents(s, d)),
+        "doc_id", "bg", Seq("lang", "source"), maxDf = NgramMaxDf)
       .filter(col("jaccard") >= 0.2)
       .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
       .orderBy("id_a", "id_b")
-  }
 
   private val q44Sql =
-    """WITH t AS (SELECT doc_id, lang, source,
-      |                  unnest(string_split_regex(text, '\s+')) AS w,
-      |                  generate_subscripts(string_split_regex(text, '\s+'), 1) AS pos
+    s"""WITH t AS (SELECT doc_id, lang, source,
+       |                  unnest(string_split_regex(text, '\\s+')) AS w,
+       |                  generate_subscripts(string_split_regex(text, '\\s+'), 1) AS pos
+       |           FROM documents),
+       |bg0 AS (SELECT doc_id, lang, source,
+       |               w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+       |        FROM t),
+       |bgall AS (SELECT DISTINCT doc_id, lang, source, bg FROM bg0 WHERE bg IS NOT NULL),
+       |ok AS (SELECT lang, source, bg FROM bgall
+       |       GROUP BY 1, 2, 3 HAVING COUNT(*) <= $NgramMaxDf),
+       |bg AS (SELECT b.* FROM bgall b JOIN ok USING (lang, source, bg)),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM bg GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+       |          FROM bg a JOIN bg b USING (lang, source, bg)
+       |          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT id_a, id_b, n_inter, ca.n AS n_a, cb.n AS n_b,
+       |       CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) AS jaccard
+       |FROM inter
+       |JOIN cnt ca ON ca.doc_id = id_a
+       |JOIN cnt cb ON cb.doc_id = id_b
+       |WHERE CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) >= 0.2
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- df-cap skew guard
+  /** Hot-shingle skew-bomb drill: every document gets a corpus-wide
+    * hot token appended (' zq hotzq'), so the bigram ('zq','hotzq')
+    * has df = group size in EVERY (lang, source) group — the exact
+    * quadratic blow-up a real corpus hits on boilerplate templates.
+    * Run through the SAME capped inverted-index Jaccard as q44 but
+    * with maxDf = 5 so the cap visibly fires at the sf0.01 gate:
+    * per group, the dropped-shingle count and max df prove the hot
+    * shingle was excluded, and n_pairs stays at the benign level
+    * (bounded by maxDf^2/2 per surviving shingle) instead of
+    * group_size^2/2. */
+  val q92HotShingleCap: Q = (s, d) => {
+    val capDf = 5
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        concat(col("text"), lit(" zq hotzq")).as("text"))
+    val bg = docBigrams(docs)
+    val dfStats = bg.groupBy("lang", "source", "bg").agg(count(lit(1)).as("df"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") > capDf, 1L).otherwise(0L)).as("n_hot_dropped"),
+        max(col("df")).as("max_df"))
+    val pairsPerGroup = Dedup.invertedJaccard(bg, "doc_id", "bg",
+        Seq("lang", "source"), maxDf = capDf)
+      .join(docs.select(col("doc_id").as("id_a"), col("lang"), col("source")), "id_a")
+      .groupBy("lang", "source").agg(count(lit(1)).as("n_pairs"))
+    docs.groupBy("lang", "source").agg(count(lit(1)).as("n_docs"))
+      .join(dfStats, Seq("lang", "source"))
+      .join(pairsPerGroup, Seq("lang", "source"), "left")
+      .select(col("lang"), col("source"), col("n_docs"), col("n_shingles"),
+        col("n_hot_dropped"), col("max_df"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+      .orderBy("lang", "source")
+  }
+
+  private val q92Sql =
+    """WITH d AS (SELECT doc_id, lang, source, text || ' zq hotzq' AS text
       |           FROM documents),
+      |t AS (SELECT doc_id, lang, source,
+      |             unnest(string_split_regex(text, '\s+')) AS w,
+      |             generate_subscripts(string_split_regex(text, '\s+'), 1) AS pos
+      |      FROM d),
       |bg0 AS (SELECT doc_id, lang, source,
       |               w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
       |        FROM t),
       |bg AS (SELECT DISTINCT doc_id, lang, source, bg FROM bg0 WHERE bg IS NOT NULL),
-      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM bg GROUP BY 1),
-      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-      |          FROM bg a JOIN bg b USING (lang, source, bg)
-      |          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
-      |SELECT id_a, id_b, n_inter, ca.n AS n_a, cb.n AS n_b,
-      |       CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) AS jaccard
-      |FROM inter
-      |JOIN cnt ca ON ca.doc_id = id_a
-      |JOIN cnt cb ON cb.doc_id = id_b
-      |WHERE CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) >= 0.2
-      |ORDER BY id_a, id_b""".stripMargin
+      |dfs AS (SELECT lang, source, bg, COUNT(*) AS df FROM bg GROUP BY 1, 2, 3),
+      |stats AS (SELECT lang, source, COUNT(*) AS n_shingles,
+      |                 CAST(SUM(CASE WHEN df > 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_dropped,
+      |                 MAX(df) AS max_df
+      |          FROM dfs GROUP BY 1, 2),
+      |bgc AS (SELECT b.* FROM bg b
+      |        JOIN (SELECT lang, source, bg FROM dfs WHERE df <= 5) ok
+      |        USING (lang, source, bg)),
+      |p AS (SELECT a.lang, a.source, a.doc_id AS ia, b.doc_id AS ib
+      |      FROM bgc a JOIN bgc b USING (lang, source, bg)
+      |      WHERE a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4),
+      |pc AS (SELECT lang, source, COUNT(*) AS n_pairs FROM p GROUP BY 1, 2),
+      |nd AS (SELECT lang, source, COUNT(*) AS n_docs FROM d GROUP BY 1, 2)
+      |SELECT nd.lang, nd.source, nd.n_docs, stats.n_shingles,
+      |       stats.n_hot_dropped, stats.max_df,
+      |       COALESCE(pc.n_pairs, 0) AS n_pairs
+      |FROM nd
+      |JOIN stats USING (lang, source)
+      |LEFT JOIN pc USING (lang, source)
+      |ORDER BY lang, source""".stripMargin
 
   // ---------------------------------------------------------------- hll distinct sketch
   /** Distinct-word estimate per language via the native HyperLogLog
@@ -332,8 +401,11 @@ object QueryCatalogText {
        |b AS (SELECT doc_id, seed // 4 AS band,
        |             md5(string_agg(CAST(mh AS VARCHAR), ':' ORDER BY seed)) AS band_key
        |      FROM sig GROUP BY doc_id, seed // 4),
+       |bsz AS (SELECT band, band_key FROM b
+       |        GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 64),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
        |         FROM b a JOIN b b2 USING (band, band_key)
+       |         JOIN bsz USING (band, band_key)
        |         WHERE a.doc_id < b2.doc_id),
        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY 1),
        |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
@@ -527,6 +599,7 @@ object QueryCatalogText {
     "q42_lsh_pairs" -> q42LshPairs,
     "q43_simhash" -> q43SimHash,
     "q44_ngram_jaccard" -> q44NgramJaccard,
+    "q92_hot_shingle_cap" -> q92HotShingleCap,
     "q54_hll_distinct" -> q54Hll,
     "q90_cms_heavyhitters" -> q90CmsHeavyHitters,
     "q91_curation_funnel" -> q91CurationFunnel,
@@ -542,6 +615,7 @@ object QueryCatalogText {
     "q42_lsh_pairs" -> q42Sql,
     "q43_simhash" -> q43Sql,
     "q44_ngram_jaccard" -> q44Sql,
+    "q92_hot_shingle_cap" -> q92Sql,
     "q54_hll_distinct" -> q54Sql,
     "q90_cms_heavyhitters" -> q90Sql,
     "q91_curation_funnel" -> q91Sql,

@@ -106,28 +106,44 @@ object Dedup {
     *
     * Implemented as collect_list-per-bucket + in-row pair expansion,
     * NOT a self-join — a self-join would evaluate the whole upstream
-    * signature pipeline twice (measured 2x wall time at sf0.1), and
-    * bucket sizes are small by construction so the m^2 expansion per
-    * bucket is bounded. */
-  def candidatePairs(bands: DataFrame, idCol: String): DataFrame =
+    * signature pipeline twice (measured 2x wall time at sf0.1).
+    *
+    * Bucket sizes are small by construction ONLY while bands are
+    * selective; a degenerate bucket (empty-text docs, a boilerplate
+    * template shared by millions of pages) makes the m^2 expansion a
+    * quadratic skew bomb at corpus scale. `maxBucket` caps it: buckets
+    * with more than `maxBucket` colliding docs are dropped from pair
+    * generation (standard LSH practice — a bucket that un-selective
+    * carries no pairwise signal; route such clusters through exact
+    * dedup, which the curation funnel runs FIRST). Pair count per
+    * bucket is thus bounded by maxBucket^2/2 regardless of skew. */
+  def candidatePairs(bands: DataFrame, idCol: String,
+                     maxBucket: Int = 64): DataFrame =
     bands.groupBy(col("band"), col("band_key"))
       .agg(collect_list(col(idCol)).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
 
   /** Exact word-set Jaccard for given candidate pairs. The candidate
-    * set is small BY CONSTRUCTION (bucket collisions only), so both
-    * probe sides broadcast: the corpus-sized word/shingle relation is
-    * streamed map-side twice and never shuffled here — the right call
-    * at any scale where LSH has done its job. */
+    * PAIR LIST is small by construction (bucket collisions only,
+    * bucket sizes capped), so it broadcasts explicitly: the
+    * corpus-sized shingle relation streams map-side through the first
+    * join with no shuffle. The pairs×shingles intermediate feeding
+    * the second join is NOT explicitly broadcast — its size is
+    * candidate-pairs × shingles-per-doc, which is driver-safe at
+    * fixture scale but exceeds the broadcast budget for long
+    * documents at corpus scale. AQE decides at runtime from the
+    * measured size: broadcast when small (asserted at fixture scale
+    * in PlanQualitySpec), shuffle-join on (id_b, w) when not — a
+    * graceful degradation instead of a driver OOM. */
   def jaccard(pairs: DataFrame, words: DataFrame, idCol: String): DataFrame = {
     val counts = words.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val wa = words.select(col(idCol).as("id_a"), col("w"))
     val wb = words.select(col(idCol).as("id_b"), col("w"))
-    val inter = broadcast(broadcast(pairs).join(wa, "id_a")).join(wb, Seq("id_b", "w"))
+    val inter = broadcast(pairs).join(wa, "id_a").join(wb, Seq("id_b", "w"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
     pairs
       .join(inter, Seq("id_a", "id_b"), "left")
@@ -136,6 +152,46 @@ object Dedup {
         .withColumnRenamed(idCol, "id_a"), "id_a")
       .join(counts.withColumnRenamed("n", "n_b")
         .withColumnRenamed(idCol, "id_b"), "id_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+  }
+
+  /** Pairwise shingle Jaccard via an inverted index (posting lists)
+    * with a document-frequency cap — the scale-shaped form of n-gram
+    * near-dup detection.
+    *
+    * Input: (groupCols..., id, w) distinct shingle rows. One shuffle
+    * builds the posting list (doc ids per (group, shingle)); shingles
+    * with df > maxDf are dropped BEFORE any pair expansion — a hot
+    * shingle ("of the" inside a big group) otherwise emits m^2 pairs
+    * and is pure skew: it appears in most documents, so it carries no
+    * similarity signal (every df-capped dedup pipeline drops these).
+    * Per-doc sizes and intersections are both computed over the SAME
+    * capped shingle universe, so the Jaccard stays a consistent
+    * measure. Pair expansion is in-row from the posting list (no
+    * self-join: that would re-evaluate the upstream pipeline twice),
+    * bounded by maxDf^2/2 pairs per shingle regardless of skew.
+    *
+    * Output: (id_a, id_b, n_inter, n_a, n_b, jaccard). */
+  def invertedJaccard(sh: DataFrame, idCol: String, wCol: String,
+                      groupCols: Seq[String], maxDf: Int): DataFrame = {
+    // posting feeds two consumers (per-doc counts + pair expansion):
+    // cache the one grouped shuffle (released by the caller's session
+    // lifecycle; at cluster scale this is a checkpoint/table)
+    val posting = sh.groupBy((groupCols.map(col) :+ col(wCol)): _*)
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")) <= maxDf)
+      .cache()
+    val cnt = posting.select(explode(col("ids")).as(idCol))
+      .groupBy(idCol).agg(count(lit(1)).as("n"))
+    val inter = posting.filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(cnt.withColumnRenamed(idCol, "id_a").withColumnRenamed("n", "n_a"), "id_a")
+      .join(cnt.withColumnRenamed(idCol, "id_b").withColumnRenamed("n", "n_b"), "id_b")
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
   }

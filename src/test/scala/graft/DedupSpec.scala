@@ -43,6 +43,51 @@ class DedupSpec extends SparkSpec {
     assert(j.getAs[Double]("jaccard") == 1.0)
   }
 
+  test("candidatePairs: degenerate bucket is dropped by the size cap") {
+    // 5 identical docs + 1 pair: every band bucket of the identical
+    // docs has 5 members; cap 4 drops them, the pair (6,7) survives
+    val many = ((1L to 5L).map(i => (i, "aa bb cc dd ee ff gg hh")) ++
+      Seq((6L, "xx yy zz ww vv uu tt ss"), (7L, "xx yy zz ww vv uu tt ss")))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingleSet(many, "doc_id", "text", 3)
+    val bands = Dedup.lshBands(Dedup.minHash(sh, "doc_id", 16), "doc_id", 16, 4)
+    val uncapped = Dedup.candidatePairs(bands, "doc_id", maxBucket = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == 10 + 1, s"5C2 + 1 pairs expected, got $uncapped")
+    val capped = Dedup.candidatePairs(bands, "doc_id", maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((6L, 7L)),
+      s"cap must drop the degenerate 5-doc bucket's m^2 pairs, got $capped")
+  }
+
+  test("invertedJaccard: df cap drops hot shingles before pair expansion") {
+    // 'hot hot' bigram appears in EVERY doc; the distinctive pair
+    // shares its own bigrams. With the cap at 3, the hot posting list
+    // (df=4) is dropped: the unrelated docs no longer pair at all.
+    val d = Seq(
+      (1L, "g", "aa bb cc hot hot"), (2L, "g", "aa bb cc hot hot"),
+      (3L, "g", "dd ee ff hot hot"), (4L, "g", "gg hh ii hot hot"))
+      .toDF("doc_id", "grp", "text")
+      .select(col("doc_id"), col("grp"),
+        explode(expr(
+          "transform(sequence(0, size(split(text, ' ')) - 2), " +
+            "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 2)))")).as("w"))
+      .distinct()
+    val uncapped = Dedup.invertedJaccard(d, "doc_id", "w", Seq("grp"), maxDf = 99)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == 6, s"hot bigram pairs everything: got $uncapped")
+    val capped = Dedup.invertedJaccard(d, "doc_id", "w", Seq("grp"), maxDf = 3)
+    val pairs = capped.select("id_a", "id_b", "n_inter").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet == Set((1L, 2L)),
+      s"only the genuinely-similar pair must survive, got ${pairs.keySet}")
+    // and the surviving pair's counts are over the CAPPED universe
+    val r12 = capped.collect()(0)
+    assert(r12.getAs[Long]("n_a") == 3 && r12.getAs[Long]("n_inter") == 3,
+      "hot shingle must not count toward sizes or intersections")
+  }
+
   test("simhash: equal for identical docs, close for near-dups") {
     def hamming(a: (Long, Long), b: (Long, Long)): Int =
       java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)

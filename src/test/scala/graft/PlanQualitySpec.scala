@@ -120,6 +120,52 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("jaccard verification: broadcast at fixture scale, shuffle regime beyond the budget") {
+    import graft.ops.dedup.Dedup
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    def build() = {
+      val shingles = Dedup.shingleSet(docs, "doc_id", "text", k = 3)
+      val sig = Dedup.minHash(shingles, "doc_id", n = 16)
+      val cand = Dedup.candidatePairs(
+        Dedup.lshBands(sig, "doc_id", n = 16, rowsPerBand = 4), "doc_id")
+      Dedup.jaccard(cand, shingles, "doc_id")
+        .select("id_a", "id_b", "n_inter", "jaccard").orderBy("id_a", "id_b")
+    }
+    // regime 1 (default): the pairs side is hint-broadcast and AQE
+    // broadcasts the small pairs×shingles intermediate at runtime
+    val smallScale = build()
+    val rowsBroadcast = smallScale.collect().toSeq
+    val pBroadcast = smallScale.queryExecution.executedPlan.toString
+    // the shingle-relation joins (id_a probe, then (id_b, w)) must both
+    // be broadcast — the corpus side never shuffles for verification
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(pBroadcast).length
+    assert(nBroadcast >= 2,
+      s"pairs AND the pairs-x-shingles intermediate must broadcast, got $nBroadcast:\n${pBroadcast.take(1200)}")
+    // regime 2 (simulated 100 TB: intermediate over the broadcast
+    // budget): AQE falls back to a shuffle join on (id_b, w) — the
+    // graceful-degradation path — with IDENTICAL results
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = // unset by default; get("", default) can't express that
+      scala.util.Try(spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold"))
+        .toOption.filter(_ != null)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val shuffled = build()
+      val rowsShuffle = shuffled.collect().toSeq
+      val pShuffle = shuffled.queryExecution.executedPlan.toString
+      assert(pShuffle.contains("SortMergeJoin") || pShuffle.contains("ShuffledHashJoin"),
+        s"over-budget regime must shuffle-join:\n${pShuffle.take(1000)}")
+      assert(rowsShuffle == rowsBroadcast, "both regimes must agree exactly")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      prevAqe match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("custom top-k over parquet orders plans partial/exchange/final with no sort") {
     // the operator itself (q56 adds a presentation ORDER BY on top)
     val orders = graft.core.Tables.orders(spark, "/root/testdata/sf0.001")
