@@ -401,8 +401,131 @@ object QueryCatalogDomain2 {
        |FROM t GROUP BY 1, 2 ORDER BY farm_no, pcode""".stripMargin
   }
 
+  // ---------------------------------------------------------------- ASOS + mid-range merge
+  /** The remaining two weather response shapes end-to-end
+    * (VERDICT r2 missing #1): ASOS daily observations (stnId-keyed
+    * envelope, weather.py:566-632 -> :1064-1151) parsed to
+    * IS_FORECAST='N' rows, and the mid-range region forecasts
+    * (getMidTa/getMidLandFcst single-item envelopes,
+    * weather.py:2026-2162) exploded to +3..+10-day records fanned out
+    * over the region's grids — then merged into the existing
+    * short-term daily rows with the reference's insert-only
+    * precedence (weather.py:2420-2443: short-term wins, mid-range
+    * only fills absent (nx, ny, wk_date) keys). The output makes the
+    * precedence visible: 20251112/20251113 keep their short-term
+    * values, 20251114+ come from mid-range. */
+  val q93MidAsosMerge: Q = (s, d) => {
+    import graft.sources.JsonIngest
+    import graft.ops.UpsertMerge
+    val asos = JsonIngest.parseAsosDaily(Fixtures.asosRawDf(s), "resp", Seq("nx", "ny"))
+      .select(col("nx"), col("ny"), col("wk_date"), col("temp_avg"),
+        col("temp_high"), col("temp_low"),
+        lit(null).cast("int").as("rain_prob"), col("weather_cd"),
+        lit("1").as("sky_cd"), col("is_forecast"))
+    val ta = JsonIngest.parseMidTa(Fixtures.midRawDf(s), "resp_ta",
+      Seq("ta_reg_id", "base_date"))
+    val land = JsonIngest.parseMidLand(Fixtures.midRawDf(s), "resp_land",
+      Seq("ta_reg_id"))
+    val mid = JsonIngest.midDailyRecords(
+      ta.join(land, "ta_reg_id").join(Fixtures.midGridDf(s), "ta_reg_id")
+        .select("nx", "ny", "base_date", "ta", "land"))
+    val existing = Fixtures.weatherShortDf(s).unionByName(asos)
+    UpsertMerge.insertIfAbsent(existing, mid, Seq("nx", "ny", "wk_date"))
+      .select("nx", "ny", "wk_date", "temp_avg", "temp_high", "temp_low",
+        "rain_prob", "weather_cd", "sky_cd", "is_forecast")
+      .orderBy("nx", "ny", "wk_date")
+  }
+
+  private lazy val q93Sql = {
+    val taFields = (3 to 10).flatMap(dd => Seq(
+      s"TRY_CAST(json_extract_string(resp_ta, '$$.response.body.items.item[0].taMin$dd') AS DOUBLE) AS tlo$dd",
+      s"TRY_CAST(json_extract_string(resp_ta, '$$.response.body.items.item[0].taMax$dd') AS DOUBLE) AS thi$dd"))
+      .mkString(",\n ")
+    val landFields = ((3 to 7).flatMap(dd => Seq(
+      s"json_extract_string(resp_land, '$$.response.body.items.item[0].wf${dd}Am') AS wf$dd",
+      s"TRY_CAST(json_extract_string(resp_land, '$$.response.body.items.item[0].rnSt${dd}Am') AS INT) AS rnam$dd",
+      s"TRY_CAST(json_extract_string(resp_land, '$$.response.body.items.item[0].rnSt${dd}Pm') AS INT) AS rnpm$dd")) ++
+      (8 to 10).flatMap(dd => Seq(
+        s"json_extract_string(resp_land, '$$.response.body.items.item[0].wf$dd') AS wf$dd",
+        s"TRY_CAST(json_extract_string(resp_land, '$$.response.body.items.item[0].rnSt$dd') AS INT) AS rn$dd")))
+      .mkString(",\n ")
+    val offSelects = (3 to 10).map { dd =>
+      val rain =
+        if (dd <= 7)
+          s"CASE WHEN rnam$dd IS NOT NULL OR rnpm$dd IS NOT NULL THEN greatest(COALESCE(rnam$dd, 0), COALESCE(rnpm$dd, 0)) END"
+        else s"rn$dd"
+      s"SELECT ta_reg_id, base_date, $dd AS off, tlo$dd AS tlo, thi$dd AS thi, $rain AS rain_prob, wf$dd AS wf FROM mid_one JOIN land_one USING (ta_reg_id)"
+    }.mkString("\n  UNION ALL ")
+    val asosFields = Seq("tm", "avgTa", "maxTa", "minTa", "sumRn").map(fld =>
+      s"json_extract_string(resp, '$$.response.body.items.item[' || CAST(i AS VARCHAR) || '].$fld') AS $fld")
+      .mkString(",\n ")
+    s"""WITH ${Fixtures.withClause("asos_raw", "mid_raw", "mid_grid", "weather_short")},
+       |idx AS (SELECT unnest(range(10)) AS i),
+       |asos_it AS (
+       |  SELECT nx, ny,
+       | $asosFields
+       |  FROM asos_raw CROSS JOIN idx
+       |  WHERE json_extract_string(resp, '$$.response.header.resultCode') = '00'
+       |    AND i < json_array_length(json_extract(resp, '$$.response.body.items.item'))),
+       |asos AS (
+       |  SELECT nx, ny, replace(tm, '-', '') AS wk_date,
+       |    floor(TRY_CAST(avgTa AS DOUBLE) * 10 + 0.5) / 10 AS temp_avg,
+       |    floor(TRY_CAST(maxTa AS DOUBLE) * 10 + 0.5) / 10 AS temp_high,
+       |    floor(TRY_CAST(minTa AS DOUBLE) * 10 + 0.5) / 10 AS temp_low,
+       |    CAST(NULL AS INT) AS rain_prob,
+       |    CASE WHEN TRY_CAST(sumRn AS DOUBLE) > 0 THEN 'rainy' ELSE 'sunny' END AS weather_cd,
+       |    '1' AS sky_cd, 'N' AS is_forecast
+       |  FROM asos_it WHERE tm IS NOT NULL AND tm <> ''),
+       |mid_one AS (
+       |  SELECT ta_reg_id, base_date,
+       | $taFields
+       |  FROM mid_raw
+       |  WHERE json_extract_string(resp_ta, '$$.response.header.resultCode') = '00'),
+       |land_one AS (
+       |  SELECT ta_reg_id,
+       | $landFields
+       |  FROM mid_raw
+       |  WHERE json_extract_string(resp_land, '$$.response.header.resultCode') = '00'),
+       |mid_off AS (
+       |  $offSelects),
+       |mid0 AS (
+       |  SELECT g.nx, g.ny,
+       |    strftime(CAST(strptime(base_date, '%Y%m%d') AS DATE) + CAST(off AS INT), '%Y%m%d') AS wk_date,
+       |    CASE WHEN tlo IS NOT NULL AND thi IS NOT NULL
+       |         THEN floor((tlo + thi) / 2 * 10 + 0.5) / 10 END AS temp_avg,
+       |    thi AS temp_high, tlo AS temp_low, rain_prob,
+       |    CASE WHEN wf IS NULL OR wf = '' THEN 'cloudy'
+       |         WHEN wf LIKE '%비%' AND wf LIKE '%눈%' THEN 'rain_snow'
+       |         WHEN wf LIKE '%눈%' THEN 'snow'
+       |         WHEN wf LIKE '%비%' OR wf LIKE '%소나기%' THEN 'rainy'
+       |         WHEN wf LIKE '%맑음%' THEN 'sunny'
+       |         WHEN wf LIKE '%구름많음%' OR wf LIKE '%구름 많음%' THEN 'cloudy'
+       |         WHEN wf LIKE '%흐림%' OR wf LIKE '%흐리고%' THEN 'overcast'
+       |         ELSE 'cloudy' END AS weather_cd
+       |  FROM mid_off JOIN mid_grid g USING (ta_reg_id)
+       |  WHERE tlo IS NOT NULL OR thi IS NOT NULL),
+       |mid AS (
+       |  SELECT nx, ny, wk_date, temp_avg, temp_high, temp_low, rain_prob, weather_cd,
+       |    CASE weather_cd WHEN 'sunny' THEN '1' WHEN 'cloudy' THEN '3' ELSE '4' END AS sky_cd,
+       |    'Y' AS is_forecast
+       |  FROM mid0),
+       |existing AS (
+       |  SELECT * FROM weather_short
+       |  UNION ALL BY NAME SELECT * FROM asos),
+       |merged AS (
+       |  SELECT * FROM existing
+       |  UNION ALL BY NAME
+       |  SELECT * FROM mid m
+       |  WHERE NOT EXISTS (SELECT 1 FROM existing e
+       |                    WHERE e.nx = m.nx AND e.ny = m.ny AND e.wk_date = m.wk_date))
+       |SELECT nx, ny, wk_date, temp_avg, temp_high, temp_low, rain_prob,
+       |       weather_cd, sky_cd, is_forecast
+       |FROM merged ORDER BY nx, ny, wk_date""".stripMargin
+  }
+
   // ----------------------------------------------------------------
   val all: Map[String, Q] = Map(
+    "q93_weather_mid_merge" -> q93MidAsosMerge,
     "q67_parity_status_crosstab" -> q67ParityStatus,
     "q68_return_buckets" -> q68ReturnBuckets,
     "q69_culling_chunked" -> q69CullingChunked,
@@ -413,6 +536,7 @@ object QueryCatalogDomain2 {
   )
 
   lazy val oracle: Map[String, String] = Map(
+    "q93_weather_mid_merge" -> q93Sql,
     "q67_parity_status_crosstab" -> q67Sql,
     "q68_return_buckets" -> q68Sql,
     "q69_culling_chunked" -> q69Sql,

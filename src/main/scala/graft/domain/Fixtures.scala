@@ -314,6 +314,63 @@ object Fixtures {
     out.toSeq
   }
 
+  /** Raw ASOS daily response envelopes (weather.py:566-632): one
+    * success payload with an empty-string field sprinkled in (the
+    * reference's `if item.get(k):` guard), one quota-rejected
+    * response (resultCode 22) that must parse to zero rows. */
+  lazy val asosRaw: Seq[Row] = Seq(
+    Row(108, 60, 127,
+      """{"response":{"header":{"resultCode":"00","resultMsg":"NORMAL_SERVICE"},""" +
+        """"body":{"items":{"item":[""" +
+        """{"tm":"2025-11-01","avgTa":"12.3","maxTa":"18.1","minTa":"7.4","sumRn":"0.0","avgRhm":"65.2","avgWs":"2.3"},""" +
+        """{"tm":"2025-11-02","avgTa":"11.8","maxTa":"16.9","minTa":"6.2","sumRn":"12.5","avgRhm":"78.9","avgWs":"3.1"},""" +
+        """{"tm":"2025-11-03","avgTa":"","maxTa":"15.0","minTa":"5.1","sumRn":"","avgRhm":"70.4","avgWs":""}""" +
+        """]},"totalCount":3}}}"""),
+    Row(159, 98, 76,
+      """{"response":{"header":{"resultCode":"22","resultMsg":"LIMITED_NUMBER_OF_SERVICE_REQUESTS_EXCEEDS_ERROR"},""" +
+        """"body":{"items":{"item":[]},"totalCount":0}}}"""))
+
+  /** Raw mid-range response pairs (weather.py:2026-2162): region
+    * 11B* succeeds on both endpoints — taMin9 absent (temp_avg must
+    * stay null but the row survives), rnSt6Pm absent (max takes the
+    * AM side), rnSt7 fully absent (null probability), the full
+    * weather-string keyword spread across wf3..wf10; region 11C*'s
+    * ta response is quota-rejected, so it contributes no rows (the
+    * reference skips a region only when BOTH endpoints fail, but a
+    * temperature-less record is dropped by the no-temp rule anyway —
+    * same outcome). */
+  lazy val midRaw: Seq[Row] = Seq(
+    Row("11B10101", "11B00000", "20251109",
+      """{"response":{"header":{"resultCode":"00","resultMsg":"NORMAL_SERVICE"},""" +
+        """"body":{"items":{"item":[{"taMin3":5.0,"taMax3":14.0,"taMin4":6.0,"taMax4":15.0,""" +
+        """"taMin5":4.5,"taMax5":13.5,"taMin6":3.0,"taMax6":12.0,"taMin7":2.5,"taMax7":11.0,""" +
+        """"taMin8":3.0,"taMax8":12.0,"taMax9":11.0,"taMin10":2.0,"taMax10":10.0}]},"totalCount":1}}}""",
+      """{"response":{"header":{"resultCode":"00","resultMsg":"NORMAL_SERVICE"},""" +
+        """"body":{"items":{"item":[{"wf3Am":"맑음","rnSt3Am":10,"rnSt3Pm":20,""" +
+        """"wf4Am":"구름많음","rnSt4Am":30,"rnSt4Pm":20,"wf5Am":"흐리고 비","rnSt5Am":60,"rnSt5Pm":70,""" +
+        """"wf6Am":"비/눈","rnSt6Am":40,"wf7Am":"소나기","wf8":"눈","rnSt8":70,""" +
+        """"wf9":"흐림","rnSt9":30,"wf10":"맑음","rnSt10":10}]},"totalCount":1}}}"""),
+    Row("11C20101", "11C20000", "20251109",
+      """{"response":{"header":{"resultCode":"22","resultMsg":"LIMITED_NUMBER_OF_SERVICE_REQUESTS_EXCEEDS_ERROR"},""" +
+        """"body":{"items":{"item":[]},"totalCount":0}}}""",
+      """{"response":{"header":{"resultCode":"00","resultMsg":"NORMAL_SERVICE"},""" +
+        """"body":{"items":{"item":[{"wf3Am":"맑음","rnSt3Am":10,"rnSt3Pm":0}]},"totalCount":1}}}"""))
+
+  /** Region -> grid fan-out for the mid-range forecast
+    * (weather.py:2164-2238 _get_target_grids_with_sigun). */
+  lazy val midGrid: Seq[Row] = Seq(
+    Row("11B10101", 60, 127), Row("11B10101", 61, 126), Row("11C20101", 98, 76))
+
+  /** Daily rows already present from the short-term collection — the
+    * rows the insert-only mid-range MERGE must NOT overwrite
+    * (weather.py:2420-2443). 20251112/20251113 collide with mid
+    * day-3/day-4 records. */
+  lazy val weatherShort: Seq[Row] = Seq(
+    Row(60, 127, "20251110", 10.5, 15.0, 6.0, 20, "cloudy", "3", "Y"),
+    Row(60, 127, "20251111", 9.8, 14.2, 5.5, 30, "rainy", "4", "Y"),
+    Row(60, 127, "20251112", 11.0, 16.0, 7.0, 10, "sunny", "1", "Y"),
+    Row(61, 126, "20251113", 8.0, 13.0, 4.0, 0, "sunny", "1", "Y"))
+
   // ---- schemas ----
   private def st(fields: (String, DataType)*): StructType =
     StructType(fields.map { case (n, t) => StructField(n, t) })
@@ -376,6 +433,25 @@ object Fixtures {
     "gilt_first_mate_days" -> IntegerType, "alert_days" -> IntegerType,
     "return_check_days" -> IntegerType)
 
+  val asosRawSchema: StructType = st(
+    "stn_id" -> IntegerType, "nx" -> IntegerType, "ny" -> IntegerType,
+    "resp" -> StringType)
+
+  val midRawSchema: StructType = st(
+    "ta_reg_id" -> StringType, "land_reg_id" -> StringType,
+    "base_date" -> StringType, "resp_ta" -> StringType,
+    "resp_land" -> StringType)
+
+  val midGridSchema: StructType = st(
+    "ta_reg_id" -> StringType, "nx" -> IntegerType, "ny" -> IntegerType)
+
+  val weatherShortSchema: StructType = st(
+    "nx" -> IntegerType, "ny" -> IntegerType, "wk_date" -> StringType,
+    "temp_avg" -> DoubleType, "temp_high" -> DoubleType,
+    "temp_low" -> DoubleType, "rain_prob" -> IntegerType,
+    "weather_cd" -> StringType, "sky_cd" -> StringType,
+    "is_forecast" -> StringType)
+
   private def toDf(s: SparkSession, rows: Seq[Row], schema: StructType): DataFrame =
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
 
@@ -390,6 +466,10 @@ object Fixtures {
   def planModonDf(s: SparkSession): DataFrame = toDf(s, planModon, planModonSchema)
   def insConfDf(s: SparkSession): DataFrame = toDf(s, insConf, insConfSchema)
   def farmConfigDf(s: SparkSession): DataFrame = toDf(s, farmConfig, farmConfigSchema)
+  def asosRawDf(s: SparkSession): DataFrame = toDf(s, asosRaw, asosRawSchema)
+  def midRawDf(s: SparkSession): DataFrame = toDf(s, midRaw, midRawSchema)
+  def midGridDf(s: SparkSession): DataFrame = toDf(s, midGrid, midGridSchema)
+  def weatherShortDf(s: SparkSession): DataFrame = toDf(s, weatherShort, weatherShortSchema)
 
   // ---- SQL VALUES rendering (for the DuckDB oracle) ----
   private def litSql(v: Any): String = v match {
@@ -422,6 +502,10 @@ object Fixtures {
       case "plan_modon" => valuesCte("plan_modon", planModonSchema, planModon)
       case "ins_conf" => valuesCte("ins_conf", insConfSchema, insConf)
       case "farm_config" => valuesCte("farm_config", farmConfigSchema, farmConfig)
+      case "asos_raw" => valuesCte("asos_raw", asosRawSchema, asosRaw)
+      case "mid_raw" => valuesCte("mid_raw", midRawSchema, midRaw)
+      case "mid_grid" => valuesCte("mid_grid", midGridSchema, midGrid)
+      case "weather_short" => valuesCte("weather_short", weatherShortSchema, weatherShort)
     }
     parts.mkString(",\n")
   }
