@@ -274,9 +274,12 @@ object QueryCatalogAgg {
   /** Exact discrete quantiles (p25/50/75 of quantity per flag) via
     * the sorted-array formulation — index ceil(q*n), identical in
     * both engines, bit-exact on doubles. The 100 TB path swaps
-    * collect_list for approx_percentile / a KLL sketch; THIS
-    * formulation is the correctness baseline those must approximate
-    * (groups here are bounded: one array per returnflag). */
+    * collect_list for percentile_approx(accuracy=1000) in the SAME
+    * grouped shape: bounded sketch state per group instead of one
+    * in-memory array, with rank error <= n/1000 per group (so the
+    * reported value sits within 0.1% of the true rank — PlanQuality
+    * Spec gates all three quantiles at 5% relative against this exact
+    * baseline). Groups here are bounded: one array per returnflag. */
   val q87Quantiles: Q = (s, d) => {
     val g = Tables.lineitem(s, d).groupBy("l_returnflag")
       .agg(sort_array(collect_list(col("l_quantity"))).as("arr"),

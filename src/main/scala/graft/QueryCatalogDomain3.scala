@@ -558,8 +558,49 @@ object QueryCatalogDomain3 {
        |ORDER BY gubun, sub_gubun, farm_no, sort_no""".stripMargin
   }
 
+  // ---------------------------------------------------------------- finalize / share token
+  /** The report-finalize flow (VERDICT r2 missing #4): per-farm
+    * COMPLETE rows get the sha256 share token (master-farm-stamp-
+    * entropy, async_processor.py:287-295) and the 7-day view expiry
+    * (completion day + 6); the master row is assembled from the same
+    * frame — complete/error counts, ERROR iff any farm failed,
+    * ELAPSED_SEC from the master wall-clock (orchestrator.py:
+    * 1087-1104). Master 100 has an errored farm (3) -> master ERROR
+    * with token-less row; master 101 is clean COMPLETE. */
+  val q95Finalize: Q = (s, d) =>
+    graft.pipeline.WeeklyReportJob.finalize(
+        Fixtures.insWeekRunDf(s), Fixtures.insMasterDf(s))
+      .orderBy("master_seq", "farm_no")
+
+  private lazy val q95Sql =
+    s"""WITH ${Fixtures.withClause("ins_master", "ins_week_run")},
+       |farms AS (
+       |  SELECT master_seq, farm_no, status_cd,
+       |    CASE WHEN status_cd = 'COMPLETE'
+       |         THEN sha256(CAST(master_seq AS VARCHAR) || '-' || CAST(farm_no AS VARCHAR)
+       |                     || '-' || complete_ts || '-' || salt) END AS share_token,
+       |    CASE WHEN status_cd = 'COMPLETE'
+       |         THEN strftime(CAST(strptime(substr(complete_ts, 1, 8), '%Y%m%d') AS DATE) + 6,
+       |                       '%Y%m%d') END AS token_expire_dt
+       |  FROM ins_week_run),
+       |m AS (
+       |  SELECT master_seq, COUNT(*) AS target_cnt,
+       |    CAST(SUM(CASE WHEN status_cd = 'COMPLETE' THEN 1 ELSE 0 END) AS BIGINT) AS complete_cnt,
+       |    CAST(SUM(CASE WHEN status_cd = 'ERROR' THEN 1 ELSE 0 END) AS BIGINT) AS error_cnt
+       |  FROM farms GROUP BY 1),
+       |e AS (
+       |  SELECT master_seq,
+       |    date_diff('second', CAST(start_ts AS TIMESTAMP), CAST(end_ts AS TIMESTAMP)) AS elapsed_sec
+       |  FROM ins_master)
+       |SELECT f.master_seq, f.farm_no, f.status_cd, f.share_token, f.token_expire_dt,
+       |       CASE WHEN m.error_cnt > 0 THEN 'ERROR' ELSE 'COMPLETE' END AS m_status_cd,
+       |       m.target_cnt, m.complete_cnt, m.error_cnt, e.elapsed_sec
+       |FROM farms f JOIN m USING (master_seq) JOIN e USING (master_seq)
+       |ORDER BY master_seq, farm_no""".stripMargin
+
   // ----------------------------------------------------------------
   val all: Map[String, Q] = Map(
+    "q95_finalize_tokens" -> q95Finalize,
     "q74_prevnext_seq_literal" -> q74PrevNextSeq,
     "q75_alert_matrix" -> q75Alerts,
     "q76_rearing_rate" -> q76Rearing,
@@ -572,6 +613,7 @@ object QueryCatalogDomain3 {
   )
 
   lazy val oracle: Map[String, String] = Map(
+    "q95_finalize_tokens" -> q95Sql,
     "q74_prevnext_seq_literal" -> q74Sql,
     "q75_alert_matrix" -> q75Sql,
     "q76_rearing_rate" -> q76Sql,

@@ -195,8 +195,40 @@ object QueryCatalogScalar {
       |WHERE isoyear(d) != year(d) OR week(d) >= 53 OR week(d) = 1
       |ORDER BY d""".stripMargin
 
+  // ---------------------------------------------------------------- locale view date
+  /** SF_GET_LOCALE_VW_DATE_2022 (docs/db/ins/02_TABLE.md:97-100 —
+    * the last SURVEY §2.10 row without a verified query): UTC event
+    * timestamps mapped to per-locale view dates (KOR +9, VNM +7) —
+    * the same instant lands on different calendar days near midnight,
+    * so the per-(locale, view-date) counts differ between locales. */
+  val q94LocaleVwDate: Q = (s, d) => {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val locales = s.createDataFrame(
+      java.util.Arrays.asList(Row("KOR"), Row("VNM")),
+      StructType(Seq(StructField("locale", StringType))))
+    Tables.events(s, d).filter(col("user_id") < 50)
+      .crossJoin(locales)
+      .select(col("locale"),
+        graft.domain.DateOps.localeVwDate(col("ts"), col("locale")).as("vw_dt"))
+      .groupBy("locale", "vw_dt").agg(count(lit(1)).as("n"))
+      .orderBy("locale", "vw_dt")
+  }
+
+  private val q94Sql =
+    """WITH l(locale) AS (VALUES ('KOR'), ('VNM'))
+      |SELECT locale,
+      |  strftime(ts + CASE locale WHEN 'KOR' THEN INTERVAL 9 HOUR
+      |                            WHEN 'VNM' THEN INTERVAL 7 HOUR
+      |                            ELSE INTERVAL 0 HOUR END, '%Y%m%d') AS vw_dt,
+      |  COUNT(*) AS n
+      |FROM events CROSS JOIN l
+      |WHERE user_id < 50
+      |GROUP BY 1, 2 ORDER BY locale, vw_dt""".stripMargin
+
   // ----------------------------------------------------------------
   val all: Map[String, Q] = Map(
+    "q94_locale_vw_date" -> q94LocaleVwDate,
     "q24_date_kit" -> q24Dates,
     "q25_string_kit" -> q25Strings,
     "q26_round_parity" -> q26Round,
@@ -207,6 +239,7 @@ object QueryCatalogScalar {
   )
 
   val oracle: Map[String, String] = Map(
+    "q94_locale_vw_date" -> q94Sql,
     "q24_date_kit" -> q24Sql,
     "q25_string_kit" -> q25Sql,
     "q26_round_parity" -> q26Sql,

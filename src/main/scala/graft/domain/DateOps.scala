@@ -30,6 +30,17 @@ object DateOps {
   def lastWeekWindow(baseDate: String): WeekWindow =
     lastWeekWindow(LocalDate.parse(baseDate, Ymd))
 
+  /** SF_GET_LOCALE_VW_DATE_2022 (docs/db/ins/02_TABLE.md:97-100):
+    * rows are stored in UTC; per-locale "view date" shifts by the
+    * locale's fixed offset — KOR +09:00, VNM +07:00, anything else
+    * stays UTC — and truncates to a yyyyMMdd date string. */
+  def localeVwDate(utcTs: Column, locale: Column): Column = {
+    val tz = when(locale === "KOR", "+09:00")
+      .when(locale === "VNM", "+07:00")
+      .otherwise("UTC")
+    date_format(from_utc_timestamp(utcTs, tz), "yyyyMMdd")
+  }
+
   // ---- column-level variants (same formula over a date column) ----
 
   /** (weekday+1)%7 or 7 — weekday() is Monday=0 in Spark, matching

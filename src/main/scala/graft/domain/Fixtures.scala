@@ -371,6 +371,25 @@ object Fixtures {
     Row(60, 127, "20251112", 11.0, 16.0, 7.0, 10, "sunny", "1", "Y"),
     Row(61, 126, "20251113", 8.0, 13.0, 4.0, 0, "sunny", "1", "Y"))
 
+  /** Weekly-report batch master rows (TS_INS_MASTER shape,
+    * orchestrator.py:1087-1104): wall-clock window of the whole run.
+    * Timestamps are fixture-fixed so ELAPSED_SEC is deterministic. */
+  lazy val insMaster: Seq[Row] = Seq(
+    Row(100, 2025, 45, "2025-11-12 01:00:00", "2025-11-12 01:23:45"),
+    Row(101, 2025, 45, "2025-11-12 02:00:00", "2025-11-12 02:05:10"))
+
+  /** Per-farm weekly-run outcomes (TS_INS_WEEK shape,
+    * async_processor.py:282-307): COMPLETE farms carry the completion
+    * stamp + the entropy the reference draws from secrets.token_hex
+    * (injected by the caller here — fixture-fixed so the sha256 share
+    * token is replayable); ERROR farms get neither token nor expiry. */
+  lazy val insWeekRun: Seq[Row] = Seq(
+    Row(100, 1, "COMPLETE", "20251112012301", "a1b2c3d4e5f60718"),
+    Row(100, 2, "COMPLETE", "20251112012342", "0f1e2d3c4b5a6978"),
+    Row(100, 3, "ERROR", null, null),
+    Row(101, 1, "COMPLETE", "20251112020455", "deadbeefcafef00d"),
+    Row(101, 2, "COMPLETE", "20251112020508", "0123456789abcdef"))
+
   // ---- schemas ----
   private def st(fields: (String, DataType)*): StructType =
     StructType(fields.map { case (n, t) => StructField(n, t) })
@@ -452,6 +471,16 @@ object Fixtures {
     "weather_cd" -> StringType, "sky_cd" -> StringType,
     "is_forecast" -> StringType)
 
+  val insMasterSchema: StructType = st(
+    "master_seq" -> IntegerType, "report_year" -> IntegerType,
+    "report_week_no" -> IntegerType, "start_ts" -> StringType,
+    "end_ts" -> StringType)
+
+  val insWeekRunSchema: StructType = st(
+    "master_seq" -> IntegerType, "farm_no" -> IntegerType,
+    "status_cd" -> StringType, "complete_ts" -> StringType,
+    "salt" -> StringType)
+
   private def toDf(s: SparkSession, rows: Seq[Row], schema: StructType): DataFrame =
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
 
@@ -470,6 +499,8 @@ object Fixtures {
   def midRawDf(s: SparkSession): DataFrame = toDf(s, midRaw, midRawSchema)
   def midGridDf(s: SparkSession): DataFrame = toDf(s, midGrid, midGridSchema)
   def weatherShortDf(s: SparkSession): DataFrame = toDf(s, weatherShort, weatherShortSchema)
+  def insMasterDf(s: SparkSession): DataFrame = toDf(s, insMaster, insMasterSchema)
+  def insWeekRunDf(s: SparkSession): DataFrame = toDf(s, insWeekRun, insWeekRunSchema)
 
   // ---- SQL VALUES rendering (for the DuckDB oracle) ----
   private def litSql(v: Any): String = v match {
@@ -506,6 +537,8 @@ object Fixtures {
       case "mid_raw" => valuesCte("mid_raw", midRawSchema, midRaw)
       case "mid_grid" => valuesCte("mid_grid", midGridSchema, midGrid)
       case "weather_short" => valuesCte("weather_short", weatherShortSchema, weatherShort)
+      case "ins_master" => valuesCte("ins_master", insMasterSchema, insMaster)
+      case "ins_week_run" => valuesCte("ins_week_run", insWeekRunSchema, insWeekRun)
     }
     parts.mkString(",\n")
   }

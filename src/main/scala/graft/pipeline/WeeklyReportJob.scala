@@ -86,6 +86,75 @@ object WeeklyReportJob {
       .orderBy("farm_no")
   }
 
+  /** Run named sections with per-section error isolation
+    * (farm_processor.py:245-344): a failing section logs an ERROR row
+    * carrying its message and the remaining sections still run — one
+    * bad section degrades the report instead of killing the farm's
+    * whole run. Returns (successes, errors) for the master rollup
+    * (orchestrator's complete/error counts). */
+  def runSections(spark: SparkSession, logPath: String, masterSeq: Int,
+                  farmNo: Int, year: Int, weekNo: Int,
+                  sections: Seq[(String, () => Unit)]): (Int, Int) = {
+    var ok = 0
+    var err = 0
+    sections.foreach { case (name, body) =>
+      val t0 = System.nanoTime()
+      try {
+        body()
+        Sinks.appendSectionLog(spark, logPath, masterSeq, farmNo, name,
+          year, weekNo, "SUCCESS", (System.nanoTime() - t0) / 1000000L)
+        ok += 1
+      } catch {
+        case e: Throwable =>
+          Sinks.appendSectionLog(spark, logPath, masterSeq, farmNo, name,
+            year, weekNo, "ERROR", (System.nanoTime() - t0) / 1000000L,
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+          err += 1
+      }
+    }
+    (ok, err)
+  }
+
+  /** Finalize flow (async_processor.py:282-307 + orchestrator.py:
+    * 1087-1104): per-farm COMPLETE rows get a share token —
+    * sha256("{master}-{farm}-{completion stamp}-{entropy}"), lowercase
+    * hex — and a view-expiry date of completion day + 6 (7 days
+    * including the run day); ERROR farms get neither. The master row
+    * is assembled from the same frame: target/complete/error counts,
+    * status ERROR iff any farm errored, ELAPSED_SEC from the master's
+    * wall-clock window. Returned as one joined row per farm (the
+    * TS_INS_WEEK x TS_INS_MASTER read path).
+    *
+    * The entropy (`salt`) is a COLUMN, not a driver-side
+    * secrets.token_hex call: the caller injects it (random in
+    * production, fixed in fixtures) so the token pipeline itself is
+    * deterministic and oracle-replayable. */
+  def finalize(weekRuns: DataFrame, master: DataFrame): DataFrame = {
+    val tokenData = concat_ws("-",
+      col("master_seq"), col("farm_no"), col("complete_ts"), col("salt"))
+    val farms = weekRuns
+      .withColumn("share_token",
+        when(col("status_cd") === "COMPLETE", sha2(tokenData, 256)))
+      .withColumn("token_expire_dt",
+        when(col("status_cd") === "COMPLETE",
+          date_format(
+            date_add(to_date(substring(col("complete_ts"), 1, 8), "yyyyMMdd"), 6),
+            "yyyyMMdd")))
+    val m = farms.groupBy("master_seq").agg(
+        count(lit(1)).as("target_cnt"),
+        sum(when(col("status_cd") === "COMPLETE", 1L).otherwise(0L)).as("complete_cnt"),
+        sum(when(col("status_cd") === "ERROR", 1L).otherwise(0L)).as("error_cnt"))
+      .withColumn("m_status_cd",
+        when(col("error_cnt") > 0, "ERROR").otherwise("COMPLETE"))
+    val elapsed = master.select(col("master_seq"),
+      (unix_timestamp(to_timestamp(col("end_ts"))) -
+        unix_timestamp(to_timestamp(col("start_ts")))).as("elapsed_sec"))
+    farms.join(m, "master_seq").join(elapsed, "master_seq")
+      .select("master_seq", "farm_no", "status_cd", "share_token",
+        "token_expire_dt", "m_status_cd", "target_cnt", "complete_cnt",
+        "error_cnt", "elapsed_sec")
+  }
+
   /** Run the whole report and write both outputs (SUB rows partition-
     * overwritten by gubun — the reference's delete-section-then-insert
     * becomes partition replacement). */

@@ -152,4 +152,23 @@ object Sinks {
       .toDF("job_name", "status", "elapsed_ms", "logged_at")
       .write.mode(SaveMode.Append).parquet(path)
   }
+
+  /** Per-section run-log row in the TS_INS_JOB_LOG shape
+    * (farm_processor.py:245-344): SUCCESS rows carry the elapsed
+    * time, ERROR rows additionally the failing section's message —
+    * truncated to 4000 chars exactly like the reference's
+    * `error_msg[:4000]` bind. */
+  def appendSectionLog(spark: SparkSession, path: String, masterSeq: Int,
+                       farmNo: Int, procName: String, year: Int, weekNo: Int,
+                       status: String, elapsedMs: Long,
+                       errorMsg: Option[String] = None): Unit = {
+    import spark.implicits._
+    Seq((masterSeq, farmNo, "SPARK_ETL", procName, "WEEK", year, weekNo,
+        status, elapsedMs, errorMsg.map(_.take(4000)).orNull,
+        java.time.Instant.now().toString))
+      .toDF("master_seq", "farm_no", "job_nm", "proc_nm", "day_gb",
+        "report_year", "report_week_no", "status_cd", "elapsed_ms",
+        "error_msg", "logged_at")
+      .write.mode(SaveMode.Append).parquet(path)
+  }
 }

@@ -81,15 +81,26 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("approx_percentile tracks the exact sorted-array quantiles (q87's 100 TB path)") {
+    // q87's per-group scale path: the SAME grouped shape with
+    // percentile_approx(accuracy=1000) for every quantile q87 emits.
+    // Tolerance gate 5% relative — with accuracy=1000 the rank error
+    // is <= n/1000 per group (documented next to q87), far inside it.
     val exact = QueryCatalogAgg.all("q87_quantiles")(spark, "/root/testdata/sf0.01")
-      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap // p50
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap // p25/p50/p75
     val approx = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.01")
       .groupBy("l_returnflag")
-      .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("p50"))
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    exact.foreach { case (flag, p50) =>
-      assert(math.abs(approx(flag) - p50) / p50 < 0.05,
-        s"$flag approx=${approx(flag)} exact=$p50")
+      .agg(percentile_approx(col("l_quantity"), lit(0.25), lit(1000)).as("p25"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("p50"),
+        percentile_approx(col("l_quantity"), lit(0.75), lit(1000)).as("p75"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    exact.foreach { case (flag, (e25, e50, e75)) =>
+      val (a25, a50, a75) = approx(flag)
+      Seq(("p25", a25, e25), ("p50", a50, e50), ("p75", a75, e75)).foreach {
+        case (q, a, e) =>
+          assert(math.abs(a - e) / e < 0.05, s"$flag $q approx=$a exact=$e")
+      }
     }
   }
 

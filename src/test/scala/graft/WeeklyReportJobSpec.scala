@@ -30,6 +30,53 @@ class WeeklyReportJobSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/week_sub").count() == before)
   }
 
+  test("finalize: tokens only for COMPLETE farms, master ERROR iff any farm errored") {
+    val out = WeeklyReportJob.finalize(
+        graft.domain.Fixtures.insWeekRunDf(spark),
+        graft.domain.Fixtures.insMasterDf(spark))
+      .orderBy("master_seq", "farm_no").collect()
+    assert(out.length == 5)
+    val f1 = out(0) // master 100, farm 1, COMPLETE
+    // token = sha256("100-1-20251112012301-a1b2c3d4e5f60718"), lowercase hex
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val want = md.digest("100-1-20251112012301-a1b2c3d4e5f60718".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(f1.getAs[String]("share_token") == want)
+    assert(f1.getAs[String]("token_expire_dt") == "20251118") // run day + 6 = 7 days
+    assert(f1.getAs[String]("m_status_cd") == "ERROR") // farm 3 errored
+    assert(f1.getAs[Long]("target_cnt") == 3 && f1.getAs[Long]("complete_cnt") == 2 &&
+      f1.getAs[Long]("error_cnt") == 1)
+    assert(f1.getAs[Long]("elapsed_sec") == 23 * 60 + 45)
+    val f3 = out(2) // the errored farm: no token, no expiry
+    assert(f3.getAs[String]("status_cd") == "ERROR" &&
+      f3.isNullAt(f3.fieldIndex("share_token")) &&
+      f3.isNullAt(f3.fieldIndex("token_expire_dt")))
+    val m101 = out(3) // clean master
+    assert(m101.getAs[String]("m_status_cd") == "COMPLETE" &&
+      m101.getAs[Long]("error_cnt") == 0 && m101.getAs[Long]("elapsed_sec") == 310)
+  }
+
+  test("a failing section logs an ERROR row with its message; later sections still run") {
+    val log = Files.createTempDirectory("graft_joblog").toString
+    val ran = scala.collection.mutable.ArrayBuffer[String]()
+    val (ok, err) = WeeklyReportJob.runSections(spark, log,
+      masterSeq = 100, farmNo = 7, year = 2025, weekNo = 45,
+      sections = Seq(
+        "MODON" -> (() => { ran += "MODON" }),
+        "SHIP" -> (() => { ran += "SHIP"; sys.error("slaughter API returned 0 rows") }),
+        "GB" -> (() => { ran += "GB" })))
+    assert((ok, err) == (2, 1))
+    assert(ran.toSeq == Seq("MODON", "SHIP", "GB"), "sections after the failure must run")
+    val rows = spark.read.parquet(log).orderBy("proc_nm").collect()
+    assert(rows.length == 3)
+    val ship = rows.find(_.getAs[String]("proc_nm") == "SHIP").get
+    assert(ship.getAs[String]("status_cd") == "ERROR")
+    assert(ship.getAs[String]("error_msg").contains("slaughter API returned 0 rows"))
+    assert(ship.getAs[Int]("farm_no") == 7 && ship.getAs[Int]("report_week_no") == 45)
+    assert(rows.filter(_.getAs[String]("status_cd") == "SUCCESS").forall(r =>
+      r.isNullAt(r.fieldIndex("error_msg"))))
+  }
+
   test("summary section values agree with the standalone section queries") {
     val s = WeeklyReportJob.summary(spark).collect()
       .map(r => r.getInt(0) -> r.getAs[Long]("eu_dusu")).toMap
