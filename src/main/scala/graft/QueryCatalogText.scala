@@ -286,6 +286,66 @@ object QueryCatalogText {
       |LEFT JOIN pc USING (lang, source)
       |ORDER BY lang, source""".stripMargin
 
+  // ---------------------------------------------------------------- repetition quality
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1, the
+    * standard corpus-quality gate family alongside the length/
+    * stopword scores in TextOps): per document, the fraction of
+    * tokens covered by the single most frequent bigram (boilerplate
+    * lists repeat one phrase) and the duplicate-trigram fraction
+    * (1 - distinct/total — templated text re-uses whole spans). Both
+    * are exact small-integer ratios, so the doubles hash-match. One
+    * groupBy per signal, partial-aggregated; no per-doc arrays larger
+    * than the doc itself. */
+  val q96Repetition: Q = (s, d) => {
+    val base = Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        expr("transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', slice(toks, i + 1, 2)))").as("bgs"),
+        expr("transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))").as("tgs"))
+    val topBg = base.select(col("doc_id"), col("n_tokens"), explode(col("bgs")).as("bg"))
+      .groupBy("doc_id", "n_tokens", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n_tokens").agg(max(col("c")).as("top_bigram_cnt"))
+    val tri = base.select(col("doc_id"), explode(col("tgs")).as("tg"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tri"),
+        countDistinct(col("tg")).as("n_tri_distinct"))
+    topBg.join(tri, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("top_bigram_cnt"),
+        (col("top_bigram_cnt") * lit(2).cast("double") / col("n_tokens")).as("top_bigram_frac"),
+        ((col("n_tri") - col("n_tri_distinct")).cast("double") / col("n_tri")).as("dup_tri_frac"))
+      .withColumn("flagged",
+        when(col("top_bigram_frac") > 0.18 || col("dup_tri_frac") > 0.30, "Y").otherwise("N"))
+      .orderBy("doc_id")
+  }
+
+  private val q96Sql =
+    """WITH t AS (SELECT doc_id,
+      |                  string_split_regex(text, '\s+') AS toks
+      |           FROM documents WHERE doc_id < 200),
+      |base AS (SELECT doc_id, len(toks) AS n_tokens, toks
+      |         FROM t WHERE len(toks) >= 3),
+      |bg AS (SELECT doc_id, n_tokens,
+      |              toks[i] || ' ' || toks[i + 1] AS bg
+      |       FROM base, LATERAL (SELECT unnest(range(1, len(toks))) AS i)),
+      |topbg AS (SELECT doc_id, n_tokens, MAX(c) AS top_bigram_cnt FROM (
+      |            SELECT doc_id, n_tokens, bg, COUNT(*) AS c
+      |            FROM bg GROUP BY 1, 2, 3)
+      |          GROUP BY 1, 2),
+      |tg AS (SELECT doc_id,
+      |              toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS tg
+      |       FROM base, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i)),
+      |tri AS (SELECT doc_id, COUNT(*) AS n_tri,
+      |               COUNT(DISTINCT tg) AS n_tri_distinct
+      |        FROM tg GROUP BY 1)
+      |SELECT b.doc_id, b.n_tokens, b.top_bigram_cnt,
+      |       CAST(b.top_bigram_cnt * 2 AS DOUBLE) / b.n_tokens AS top_bigram_frac,
+      |       CAST(t2.n_tri - t2.n_tri_distinct AS DOUBLE) / t2.n_tri AS dup_tri_frac,
+      |       CASE WHEN CAST(b.top_bigram_cnt * 2 AS DOUBLE) / b.n_tokens > 0.18
+      |              OR CAST(t2.n_tri - t2.n_tri_distinct AS DOUBLE) / t2.n_tri > 0.30
+      |            THEN 'Y' ELSE 'N' END AS flagged
+      |FROM topbg b JOIN tri t2 USING (doc_id)
+      |ORDER BY b.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- hll distinct sketch
   /** Distinct-word estimate per language via the native HyperLogLog
     * TypedImperativeAggregate (functions.HyperLogLog — 64 exact
@@ -600,6 +660,7 @@ object QueryCatalogText {
     "q43_simhash" -> q43SimHash,
     "q44_ngram_jaccard" -> q44NgramJaccard,
     "q92_hot_shingle_cap" -> q92HotShingleCap,
+    "q96_repetition_quality" -> q96Repetition,
     "q54_hll_distinct" -> q54Hll,
     "q90_cms_heavyhitters" -> q90CmsHeavyHitters,
     "q91_curation_funnel" -> q91CurationFunnel,
@@ -616,6 +677,7 @@ object QueryCatalogText {
     "q43_simhash" -> q43Sql,
     "q44_ngram_jaccard" -> q44Sql,
     "q92_hot_shingle_cap" -> q92Sql,
+    "q96_repetition_quality" -> q96Sql,
     "q54_hll_distinct" -> q54Sql,
     "q90_cms_heavyhitters" -> q90Sql,
     "q91_curation_funnel" -> q91Sql,
