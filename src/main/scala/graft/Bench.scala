@@ -21,17 +21,23 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def run(dir: String, name: String): Unit = {
+    def run(dir: String, name: String): Unit =
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
-      // Queries that cache multi-consumer frames (q42/q44/q91) release
-      // them with the query's lifetime, not the session's: accumulated
-      // stale blocks from earlier queries were evicting/GC-thrashing
-      // later ones (q57_rollup measured 10.0s mid-suite vs 1.3s
-      // isolated at sf0.1 — the "unexplained 5x" was cache pollution,
-      // not the plan).
-      spark.catalog.clearCache()
-    }
+
+    // Between-measurement hygiene, deliberately OUTSIDE the timed
+    // window (it costs ~0.5s/query on a 16g heap):
+    // - clearCache: queries that cache multi-consumer frames
+    //   (q42/q44/q91) release them with the query's lifetime, not the
+    //   session's — accumulated stale blocks were evicting/GC-
+    //   thrashing later queries (q57_rollup: 10.0s polluted vs 1.3s
+    //   isolated — the round-2 "unexplained 5x").
+    // - System.gc: ContextCleaner only releases dead shuffle/broadcast
+    //   registrations after a driver GC, and the default periodicGC
+    //   interval (30 min) never fires inside a bench run — ~2500
+    //   accumulated registrations inflated the LAST queries 4-12x
+    //   (q93: 12.0s in-suite vs 0.97s isolated).
+    def cleanup(): Unit = { spark.catalog.clearCache(); System.gc() }
 
     // optional args: restrict to the named queries (dev iteration)
     val names0 = SparkEntry.queries.keys.toSeq.sorted
@@ -39,13 +45,16 @@ object Bench {
     names.foreach { n =>
       try run(warmDir, n)
       catch { case _: Throwable => () }
+      cleanup()
     }
     // min of two timed runs per query: halves scheduler/GC noise
     val results = names.map { name =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try run(sfDir, name) catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        cleanup()
+        dt
       }
       name -> times.min
     }
