@@ -523,8 +523,70 @@ object QueryCatalogDomain2 {
        |FROM merged ORDER BY nx, ny, wk_date""".stripMargin
   }
 
+  // ---------------------------------------------------------------- snapshot diff
+  /** Post-migration snapshot validation (compare_backup.py:98-170):
+    * current vs backup rows diffed on the natural key — numeric
+    * columns with tolerance 0.01 after null->0 coalescing, strings
+    * exact, per-key verdict + sorted differing-column list. The
+    * "backup" here is derived in-query from the same fixture with one
+    * row dropped (ONLY_LEFT), one added under a new grid
+    * (ONLY_RIGHT), one edited beyond tolerance on two columns (DIFF)
+    * and one perturbed within tolerance (MATCH). */
+  val q97SnapshotDiff: Q = (s, d) => {
+    val cur = Fixtures.weatherShortDf(s)
+    val edit = col("nx") === 60 && col("wk_date") === "20251111"
+    val within = col("nx") === 60 && col("wk_date") === "20251112"
+    val bak = cur
+      .filter(!(col("nx") === 61 && col("wk_date") === "20251113"))
+      .withColumn("temp_high", when(edit, lit(14.5)).otherwise(col("temp_high")))
+      .withColumn("weather_cd", when(edit, lit("cloudy")).otherwise(col("weather_cd")))
+      .withColumn("temp_avg", when(within, col("temp_avg") + 0.005).otherwise(col("temp_avg")))
+      .unionByName(cur.filter(col("nx") === 60 && col("wk_date") === "20251110")
+        .withColumn("nx", lit(98)).withColumn("ny", lit(76)))
+    graft.ops.SnapshotDiff.diff(cur, bak,
+        keys = Seq("nx", "ny", "wk_date"),
+        compareCols = Seq("temp_avg", "temp_high", "temp_low", "rain_prob", "weather_cd"))
+      .orderBy("nx", "ny", "wk_date")
+  }
+
+  private lazy val q97Sql =
+    s"""WITH ${Fixtures.withClause("weather_short")},
+       |cur AS (SELECT * FROM weather_short),
+       |bak AS (
+       |  SELECT nx, ny, wk_date,
+       |    CASE WHEN nx = 60 AND wk_date = '20251112' THEN temp_avg + 0.005 ELSE temp_avg END AS temp_avg,
+       |    CASE WHEN nx = 60 AND wk_date = '20251111' THEN 14.5 ELSE temp_high END AS temp_high,
+       |    temp_low, rain_prob,
+       |    CASE WHEN nx = 60 AND wk_date = '20251111' THEN 'cloudy' ELSE weather_cd END AS weather_cd
+       |  FROM cur WHERE NOT (nx = 61 AND wk_date = '20251113')
+       |  UNION ALL
+       |  SELECT 98, 76, wk_date, temp_avg, temp_high, temp_low, rain_prob, weather_cd
+       |  FROM cur WHERE nx = 60 AND wk_date = '20251110'),
+       |j AS (
+       |  SELECT nx, ny, wk_date,
+       |    l.lp, r.rp,
+       |    list_sort(list_filter([
+       |      CASE WHEN abs(COALESCE(l.temp_avg, 0) - COALESCE(r.temp_avg, 0)) > 0.01 THEN 'temp_avg' END,
+       |      CASE WHEN abs(COALESCE(l.temp_high, 0) - COALESCE(r.temp_high, 0)) > 0.01 THEN 'temp_high' END,
+       |      CASE WHEN abs(COALESCE(l.temp_low, 0) - COALESCE(r.temp_low, 0)) > 0.01 THEN 'temp_low' END,
+       |      CASE WHEN l.rain_prob IS DISTINCT FROM r.rain_prob THEN 'rain_prob' END,
+       |      CASE WHEN l.weather_cd IS DISTINCT FROM r.weather_cd THEN 'weather_cd' END
+       |    ], x -> x IS NOT NULL)) AS dc
+       |  FROM (SELECT *, 1 AS lp FROM cur) l
+       |  FULL JOIN (SELECT *, 1 AS rp FROM bak) r USING (nx, ny, wk_date))
+       |SELECT nx, ny, wk_date,
+       |  CASE WHEN rp IS NULL THEN 'ONLY_LEFT'
+       |       WHEN lp IS NULL THEN 'ONLY_RIGHT'
+       |       WHEN len(dc) > 0 THEN 'DIFF' ELSE 'MATCH' END AS status,
+       |  CASE WHEN rp IS NOT NULL AND lp IS NOT NULL AND len(dc) > 0
+       |       THEN CAST(len(dc) AS BIGINT) ELSE 0 END AS n_diffs,
+       |  CASE WHEN rp IS NOT NULL AND lp IS NOT NULL AND len(dc) > 0
+       |       THEN array_to_string(dc, ',') ELSE '' END AS diff_cols
+       |FROM j ORDER BY nx, ny, wk_date""".stripMargin
+
   // ----------------------------------------------------------------
   val all: Map[String, Q] = Map(
+    "q97_snapshot_diff" -> q97SnapshotDiff,
     "q93_weather_mid_merge" -> q93MidAsosMerge,
     "q67_parity_status_crosstab" -> q67ParityStatus,
     "q68_return_buckets" -> q68ReturnBuckets,
@@ -536,6 +598,7 @@ object QueryCatalogDomain2 {
   )
 
   lazy val oracle: Map[String, String] = Map(
+    "q97_snapshot_diff" -> q97Sql,
     "q93_weather_mid_merge" -> q93Sql,
     "q67_parity_status_crosstab" -> q67Sql,
     "q68_return_buckets" -> q68Sql,
