@@ -269,8 +269,53 @@ object QueryCatalogSim {
       |       md5(frame) AS frame_md5
       |FROM f ORDER BY doc_id, frame_no""".stripMargin
 
+  // ---------------------------------------------------------------- kmeans ivf build
+  /** The IVF index BUILD step (completing the q77 story, which
+    * consumes a given coarse partitioning): one deterministic Lloyd's
+    * round over the embeddings — md5-ranked seeds, cosine assignment
+    * with cell tie-break, integer-quantized centroid means — then the
+    * final cell assignment. Every arithmetic step (fold dot products,
+    * half-up quantization, exact int sums) is the established
+    * cross-engine-deterministic form, so even the ITERATIVE clustering
+    * is hash-verified, not just spot-checked. */
+  val q98KmeansBuild: Q = (s, d) =>
+    VectorOps.kmeansCells(Tables.embeddings(s, d), "vec_id", k = 4, iters = 1)
+      .orderBy("vec_id")
+
+  private val q98Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |h AS (SELECT vec_id, v,
+      |             ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS hh
+      |      FROM e),
+      |seeds AS (SELECT vec_id, v, hh FROM h ORDER BY hh, vec_id LIMIT 4),
+      |c0 AS (SELECT CAST(row_number() OVER (ORDER BY hh, vec_id) - 1 AS INT) AS cell,
+      |              v AS cv
+      |       FROM seeds),
+      |a1 AS (SELECT vec_id, cell FROM (
+      |         SELECT e.vec_id, c.cell,
+      |                row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |                  list_dot_product(e.v, c.cv)
+      |                  / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+      |                  DESC, c.cell) AS rn
+      |         FROM e CROSS JOIN c0 c) WHERE rn = 1),
+      |x AS (SELECT a1.cell, generate_subscripts(e.v, 1) - 1 AS dim,
+      |             CAST(round(unnest(e.v) * 1e6) AS BIGINT) AS xi
+      |      FROM e JOIN a1 USING (vec_id)),
+      |comp AS (SELECT cell, dim, CAST(SUM(xi) AS DOUBLE) / COUNT(*) / 1e6 AS c
+      |         FROM x GROUP BY 1, 2),
+      |c1 AS (SELECT cell, list(c ORDER BY dim) AS cv FROM comp GROUP BY 1),
+      |a2 AS (SELECT vec_id, cell FROM (
+      |         SELECT e.vec_id, c.cell,
+      |                row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |                  list_dot_product(e.v, c.cv)
+      |                  / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+      |                  DESC, c.cell) AS rn
+      |         FROM e CROSS JOIN c1 c) WHERE rn = 1)
+      |SELECT vec_id, cell FROM a2 ORDER BY vec_id""".stripMargin
+
   // ----------------------------------------------------------------
   val all: Map[String, Q] = Map(
+    "q98_kmeans_ivf_build" -> q98KmeansBuild,
     "q45_embed_knn" -> q45Knn,
     "q46_embed_lsh_ann" -> q46LshAnn,
     "q53_embed_neardup" -> q53EmbedNearDup,
@@ -282,6 +327,7 @@ object QueryCatalogSim {
   )
 
   val oracle: Map[String, String] = Map(
+    "q98_kmeans_ivf_build" -> q98Sql,
     "q45_embed_knn" -> q45Sql,
     "q46_embed_lsh_ann" -> q46Sql,
     "q53_embed_neardup" -> q53Sql,

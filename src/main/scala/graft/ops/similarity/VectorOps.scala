@@ -133,6 +133,55 @@ object VectorOps {
       .select("q_id", "c_id", "cell", "rank", "cos")
   }
 
+  /** Deterministic Lloyd's k-means over the embedding column — the
+    * IVF index BUILD step (ivfAnn consumes the produced cell column;
+    * previously the coarse partitioning was assumed given).
+    *
+    * Every step is engine-shaped and replayable:
+    *   - seeds: the k vectors with the smallest md5-derived rank of
+    *     their id (TakeOrderedAndProject — no global sort), cells
+    *     numbered 0..k-1 in that order;
+    *   - assign: nearest centroid by cosine (sequential-fold dot
+    *     products, ties broken by cell id), centroids broadcast —
+    *     a k-way scored projection, never an N^2 join;
+    *   - update: integer-quantized per-dimension means (exact int64
+    *     sums — order-independent under any shuffle).
+    * `iters` Lloyd rounds, then the final assignment. The lazy plan
+    * grows linearly with iters; at cluster scale each round's
+    * centroids (k rows) are checkpointed instead. */
+  def kmeansCells(df: DataFrame, idCol: String, k: Int, iters: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seedRank = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val seeds = df.select(col(idCol), col("embedding"), seedRank.as("__h"))
+      .orderBy(col("__h"), col(idCol)).limit(k)
+    val cents0 = seeds
+      .withColumn("cell", row_number().over(Window.orderBy(col("__h"), col(idCol))) - 1)
+      .select(col("cell"), transform(col("embedding"), _.cast("double")).as("cv"))
+
+    def assign(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("__ccos").desc, col("cell"))
+      df.select(col(idCol), col("embedding"), norm(col("embedding")).as("__nm"))
+        .crossJoin(broadcast(cents))
+        .withColumn("__ccos", dotD(col("embedding"), col("cv")) /
+          (col("__nm") * sqrt(dotD(col("cv"), col("cv")))))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col(idCol), col("cell"))
+    }
+
+    def update(assigned: DataFrame): DataFrame =
+      df.join(assigned, idCol)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .withColumn("xi", round(col("x").cast("double") * 1e6).cast("long"))
+        .groupBy("cell", "dim")
+        .agg((sum(col("xi")).cast("double") / count(lit(1)) / 1e6).as("c"))
+        .groupBy("cell")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").as("cv"))
+
+    val finalCents = (1 to iters).foldLeft(cents0)((c, _) => update(assign(c)))
+    assign(finalCents)
+  }
+
   /** Symmetric int8 quantization of an embedding column: per-vector
     * scale = max|x| / 127, codes = round-half-up(x / scale) in
     * [-127, 127] (the storage/serving compression every corpus-scale
