@@ -87,11 +87,11 @@ object QueryCatalogText {
     * candidate set selective on a small shared vocabulary, and the
     * verification cost is bounded by bucket collisions, never N^2. */
   val q42LshPairs: Q = (s, d) => {
-    // shingles feed three downstream consumers (signatures, jaccard
-    // sides, counts) — cache once instead of recomputing the
-    // tokenize+window pipeline per consumer (the reference's
-    // scan-once-reuse discipline, data_loader.py:93-99).
-    val shingles = Dedup.shingleSet(Tables.documents(s, d), "doc_id", "text", k = 3).cache()
+    // shingleSet is a pure map-side projection (no distinct shuffle:
+    // minHash is duplicate-blind, jaccard dedups inside its
+    // candidate-restricted posting lists) — each consumer re-derives
+    // it inside its own stage; nothing corpus-wide is materialized.
+    val shingles = Dedup.shingleSet(Tables.documents(s, d), "doc_id", "text", k = 3)
     val sig = Dedup.minHash(shingles, "doc_id", n = 16)
     val bands = Dedup.lshBands(sig, "doc_id", n = 16, rowsPerBand = 4)
     val cand = Dedup.candidatePairs(bands, "doc_id")
@@ -177,6 +177,9 @@ object QueryCatalogText {
     * no tokens-wide window sort). */
   val NgramMaxDf = 50
 
+  /** Map-side bigram multiset — no corpus-wide distinct shuffle; the
+    * consumers get set semantics from count_distinct / collect_set
+    * inside their own grouped aggregations. */
   private def docBigrams(docs: org.apache.spark.sql.DataFrame) =
     docs
       .select(col("doc_id"), col("lang"), col("source"),
@@ -186,7 +189,6 @@ object QueryCatalogText {
         explode(expr(
           "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', slice(toks, i + 1, 2)))"))
           .as("bg"))
-      .distinct()
 
   val q44NgramJaccard: Q = (s, d) =>
     Dedup.invertedJaccard(docBigrams(Tables.documents(s, d)),
@@ -236,7 +238,9 @@ object QueryCatalogText {
       .select(col("doc_id"), col("lang"), col("source"),
         concat(col("text"), lit(" zq hotzq")).as("text"))
     val bg = docBigrams(docs)
-    val dfStats = bg.groupBy("lang", "source", "bg").agg(count(lit(1)).as("df"))
+    // df = docs containing the bigram (bg is a multiset now)
+    val dfStats = bg.groupBy("lang", "source", "bg")
+      .agg(count_distinct(col("doc_id")).as("df"))
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("df") > capDf, 1L).otherwise(0L)).as("n_hot_dropped"),

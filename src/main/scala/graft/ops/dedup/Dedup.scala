@@ -34,21 +34,47 @@ object Dedup {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Exact-dedup SURVIVORS: the full row with min(id) per identical
+    * content hash, in ONE shuffle — groupBy(content hash) +
+    * min_by(struct(all columns), id). The agg-then-join-back form
+    * (`exact` + join on keep_id) pays a second corpus-wide shuffle
+    * for the join; at 100 TB the keep-set is corpus-sized, so that
+    * join can never broadcast. Identical result, half the exchanges. */
+  def exactKeep(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val cols = df.columns.toSeq
+    df.groupBy(md5(col(contentCol)).as("content_hash"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("r"))
+      .select(cols.map(c => col(s"r.`$c`").as(c)): _*)
+  }
+
   /** Distinct (id, word) pairs from whitespace-tokenized text. */
   def wordSet(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), explode(split(col(textCol), "\\s+")).as("w")).distinct()
 
-  /** Distinct (id, w) pairs where w is a word k-gram shingle — the
+  /** (id, w) pairs where w is a word k-gram shingle — the
     * order-sensitive unit for near-dup detection (word sets are too
     * coarse on small vocabularies: reordered text still matches).
     * Same output shape as wordSet so minHash/jaccard compose.
     *
     * Shingles are assembled per-row from the token ARRAY (slice +
     * concat_ws over a generated index sequence) — pure map-side
-    * compute. The earlier formulation (posexplode + k-1 window lags
-    * partitioned by doc) paid a full shuffle+sort of every token row
-    * before the first shingle existed; at corpus scale that sort is
-    * the whole job. */
+    * compute, ZERO shuffles. The earlier formulation (posexplode +
+    * k-1 window lags partitioned by doc) paid a full shuffle+sort of
+    * every token row before the first shingle existed; at corpus
+    * scale that sort is the whole job.
+    *
+    * The output is a MULTISET: a shingle repeated inside one document
+    * appears once per occurrence. Deliberate — the one consumer that
+    * needs set semantics gets them where they're cheap:
+    *   - minHash: min-aggregation is duplicate-blind, identical
+    *     signatures either way;
+    *   - jaccard / invertedJaccard: dedup inside their posting-list
+    *     aggregation (collect_set), AFTER LSH has restricted the
+    *     working set to candidate docs.
+    * A corpus-wide `.distinct()` here would shuffle every (doc,
+    * shingle) occurrence — the single largest exchange of the whole
+    * dedup pipeline at 100 TB — to protect aggregations that never
+    * needed it. */
   def shingleSet(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
     df.select(col(idCol), split(col(textCol), "\\s+").as("toks"))
       .filter(size(col("toks")) >= k)
@@ -56,7 +82,6 @@ object Dedup {
         explode(expr(
           s"transform(sequence(0, size(toks) - $k), i -> concat_ws(' ', slice(toks, i + 1, $k)))"))
           .as("w"))
-      .distinct()
 
   /** MinHash signatures, wide form: ALL `n` hash functions as n
     * min-aggregate columns over the shingle rows — no n-times row
@@ -159,8 +184,19 @@ object Dedup {
     val candIds = p
       .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
     val cw = words.join(broadcast(candIds), idCol)
-    val counts = cw.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val inter = cw.groupBy(col("w")).agg(collect_list(col(idCol)).as("ids"))
+    // posting lists over the candidate-restricted shingles.
+    // collect_set supplies the SET semantics Jaccard needs, so the
+    // corpus-wide relation may arrive as a multiset (shingleSet is
+    // map-only — no corpus-wide distinct shuffle anywhere): dedup
+    // happens inside this one grouped aggregation, after the
+    // broadcast semi-join has already cut the input to candidate
+    // docs. Cached: it feeds both per-doc sizes and intersections
+    // (bounded by candidate docs; released with the session).
+    val posting = cw.groupBy(col("w")).agg(collect_set(col(idCol)).as("ids"))
+      .cache()
+    val counts = posting.select(explode(col("ids")).as(idCol))
+      .groupBy(idCol).agg(count(lit(1)).as("n"))
+    val inter = posting
       .filter(size(col("ids")) > 1)
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
@@ -181,7 +217,9 @@ object Dedup {
     * with a document-frequency cap — the scale-shaped form of n-gram
     * near-dup detection.
     *
-    * Input: (groupCols..., id, w) distinct shingle rows. One shuffle
+    * Input: (groupCols..., id, w) shingle rows — a MULTISET is fine
+    * (collect_set dedups inside the grouped aggregation, so callers
+    * never pay a corpus-wide distinct shuffle). One shuffle
     * builds the posting list (doc ids per (group, shingle)); shingles
     * with df > maxDf are dropped BEFORE any pair expansion — a hot
     * shingle ("of the" inside a big group) otherwise emits m^2 pairs
@@ -200,7 +238,7 @@ object Dedup {
     // cache the one grouped shuffle (released by the caller's session
     // lifecycle; at cluster scale this is a checkpoint/table)
     val posting = sh.groupBy((groupCols.map(col) :+ col(wCol)): _*)
-      .agg(collect_list(col(idCol)).as("ids"))
+      .agg(collect_set(col(idCol)).as("ids"))
       .filter(size(col("ids")) <= maxDf)
       .cache()
     val cnt = posting.select(explode(col("ids")).as(idCol))

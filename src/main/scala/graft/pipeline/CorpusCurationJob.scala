@@ -25,26 +25,29 @@ object CorpusCurationJob {
   val Stopwords: Seq[String] = Seq("the", "a")
 
   /** The pipeline's intermediate stage frames. When `cache` is set the
-    * multi-consumer frames (uniq, shingles, deduped) are cached —
-    * callers that materialize more than one consumer MUST unpersist
-    * them (see funnel/run) or cached partitions accumulate across
-    * calls. */
-  private case class Stages(uniq: DataFrame, shingles: DataFrame,
+    * multi-consumer frames (uniq, deduped) are cached — callers that
+    * materialize more than one consumer MUST unpersist them (see
+    * funnel/run) or cached partitions accumulate across calls.
+    * Shingles are NOT cached: shingleSet is a pure map-side
+    * projection off the cached uniq rows, so each consumer re-derives
+    * it for free inside its own stage instead of materializing the
+    * ~50x-exploded shingle rows. */
+  private case class Stages(uniq: DataFrame,
                             deduped: DataFrame, curated: DataFrame) {
     def unpersist(): Unit = {
-      uniq.unpersist(); shingles.unpersist(); deduped.unpersist()
+      uniq.unpersist(); deduped.unpersist()
     }
   }
 
   private def stages(docs: DataFrame, jaccardTau: Double,
                      minQuality: Double, cache: Boolean): Stages = {
     def maybeCache(df: DataFrame) = if (cache) df.cache() else df
-    // exact dedup: survivors are the keep_id rows
-    val keep = Dedup.exact(docs, "doc_id", "text")
-      .select(col("keep_id").as("doc_id"))
-    val uniq = maybeCache(docs.join(keep, "doc_id"))
+    // exact dedup survivors in ONE shuffle (min_by(struct), no
+    // agg+join-back — the keep-set is corpus-sized at scale, that
+    // join could never broadcast)
+    val uniq = maybeCache(Dedup.exactKeep(docs, "doc_id", "text"))
     // near-dup: drop the larger id of every >= tau candidate pair
-    val shingles = maybeCache(Dedup.shingleSet(uniq, "doc_id", "text", k = 3))
+    val shingles = Dedup.shingleSet(uniq, "doc_id", "text", k = 3)
     val sig = Dedup.minHash(shingles, "doc_id", n = 16)
     val cand = Dedup.candidatePairs(
       Dedup.lshBands(sig, "doc_id", n = 16, rowsPerBand = 4), "doc_id")
@@ -55,7 +58,7 @@ object CorpusCurationJob {
     // quality gate
     val curated = deduped.filter(
       TextOps.qualityScore(col("text"), Stopwords) >= minQuality)
-    Stages(uniq, shingles, deduped, curated)
+    Stages(uniq, deduped, curated)
   }
 
   /** Curated documents after the three gates (single-consumer lineage:
@@ -82,9 +85,9 @@ object CorpusCurationJob {
   /** Per-language funnel: input / after-exact / after-neardup /
     * after-quality counts (the verified composition surface). Stage
     * frames are cached during computation: every stage count re-reads
-    * its predecessor, and the shingle set feeds three consumers —
-    * without the caches each count re-runs the whole upstream dedup
-    * (measured ~4x the wall time). The counts are materialized HERE
+    * its predecessor — without the caches each count re-runs the
+    * whole upstream dedup (measured ~4x the wall time). The counts
+    * are materialized HERE
     * (bounded: one row per language) so the caches can be released
     * before returning — no cached partitions outlive the call. At
     * cluster scale these become checkpoints/tables between stages. */
