@@ -1,0 +1,223 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.dedup.{ConnectedComponents, Dedup}
+import graft.ops.text.TextOps
+
+/** Corpus-curation operators beyond the per-document scores: span
+  * (line-level) dedup, per-domain caps, duplicate-cluster components.
+  * These are the standard large-corpus curation stages (C4 §2.2 span
+  * removal, RefinedWeb line dedup, per-host caps, SlimPajama-style
+  * cluster canonicalization) re-expressed as Spark plans. */
+object QueryCatalogCuration {
+  import QueryCatalog.Q
+
+  // ---------------------------------------------------------------- span (line-level) dedup
+  /** C4-style span dedup: the corpus is cut into non-overlapping
+    * 5-token spans; any span occurring in MORE THAN ONE document is
+    * boilerplate and is removed from every document, which is then
+    * reassembled from its surviving spans in order. (C4 does this
+    * with three-sentence spans; the fixture corpus has no sentence
+    * marks, so the span unit is 5 tokens.) A newsletter-style
+    * boilerplate line is planted on every third document to give the
+    * rule something real to remove — the plant shifts that doc's
+    * span grid too, exactly like a real injected header.
+    *
+    * Scale shape: span extraction is a pure map (the q96 lesson:
+    * per-doc arrays, no token-wide explode+window); the df count is
+    * one partial-agg shuffle keyed by span text; removal is a join
+    * back on the span key; reassembly is one groupBy(doc) with an
+    * in-row sort of (idx, span) structs. No window over the corpus,
+    * no driver state — every step is the hash-partitioned pattern
+    * that survives 100 TB. */
+  val q99LineDedup: Q = (s, d) => {
+    val planted = Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("subscribe to our newsletter now "), col("text")))
+          .otherwise(col("text")).as("text"))
+    val base = planted
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 5)
+      .withColumn("n_spans", expr("CAST(size(toks) DIV 5 AS BIGINT)"))
+    val spans = base.select(col("doc_id"),
+      explode(expr(
+        """transform(sequence(0, CAST(n_spans AS INT) - 1),
+          |          i -> struct(CAST(i AS BIGINT) AS idx,
+          |                      concat_ws(' ', slice(toks, i * 5 + 1, 5)) AS span))"""
+          .stripMargin)).as("sp"))
+      .select(col("doc_id"), col("sp.idx").as("idx"), col("sp.span").as("span"))
+    val df = spans.groupBy("span")
+      .agg(count_distinct(col("doc_id")).as("df"))
+    val kept = spans.join(df.filter(col("df") <= 1), "span")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(idx, span))), x -> x.span)"))
+          .as("clean_text"))
+    base.select(col("doc_id"), col("n_spans"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  private val q99Sql =
+    """WITH d AS (SELECT doc_id,
+      |             CASE WHEN doc_id % 3 = 0
+      |                  THEN 'subscribe to our newsletter now ' || text
+      |                  ELSE text END AS text
+      |           FROM documents),
+      |t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM d),
+      |base AS (SELECT doc_id, toks, len(toks) // 5 AS n_spans
+      |         FROM t WHERE len(toks) >= 5),
+      |ch AS (SELECT doc_id, i AS idx,
+      |              array_to_string(toks[(i*5+1):(i*5+5)], ' ') AS span
+      |       FROM base, LATERAL (SELECT unnest(range(n_spans)) AS i)),
+      |df AS (SELECT span, COUNT(DISTINCT doc_id) AS df FROM ch GROUP BY 1),
+      |kept AS (SELECT c.* FROM ch c JOIN df USING (span) WHERE df.df <= 1),
+      |reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+      |               string_agg(span, ' ' ORDER BY idx) AS clean_text
+      |        FROM kept GROUP BY 1)
+      |SELECT b.doc_id, b.n_spans,
+      |       COALESCE(r.n_kept, 0) AS n_kept,
+      |       COALESCE(r.clean_text, '') AS clean_text
+      |FROM base b LEFT JOIN reb r USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- per-domain cap
+  /** Per-source document cap: keep the top 5 docs per source by
+    * quality score (ties broken by doc_id — a total order, so both
+    * engines pick identical rows). The host-cap rule every web-corpus
+    * pipeline applies so one domain can't dominate training data.
+    *
+    * Runs on the custom TopKPerKey Catalyst operator (its second
+    * production use after q56): bounded per-key heaps BEFORE the
+    * exchange, so at most k rows per source per partition cross the
+    * wire and the plan has no sort — the only formulation that holds
+    * when one domain has a billion pages. */
+  val q100DomainCap: Q = (s, d) => {
+    val scored = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        TextOps.qualityScore(col("text"),
+          graft.pipeline.CorpusCurationJob.Stopwords).as("quality"))
+    graft.plans.TopKPerKey.topK(scored, Seq(col("source")),
+        Seq(col("quality").desc, col("doc_id").asc), 5)
+      .orderBy("source", "doc_id")
+  }
+
+  private val q100Sql =
+    """WITH s AS (SELECT source, doc_id,
+      |    least(length(text), 400)::DOUBLE / 400 * 0.5
+      |    + CAST(len(list_filter(string_split_regex(text, '\s+'),
+      |                           x -> x = 'the' OR x = 'a')) AS DOUBLE)
+      |      / len(string_split_regex(text, '\s+')) * 0.5 AS quality
+      |  FROM documents),
+      |r AS (SELECT *, row_number() OVER (
+      |        PARTITION BY source ORDER BY quality DESC, doc_id) AS rn
+      |      FROM s)
+      |SELECT source, doc_id, quality FROM r WHERE rn <= 5
+      |ORDER BY source, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- duplicate clusters
+  /** Duplicate-cluster canonicalization: the verified near-dup pairs
+    * of the re-crawl corpus (q91's scenario) become an undirected
+    * graph; connected components assign every involved doc its
+    * cluster (component = min doc id — the canonical copy to keep).
+    * Chains matter: A~B from the base corpus and B~B' from the
+    * re-crawl must land in ONE cluster even though A~B' was never a
+    * candidate pair — exactly what pairwise drop-the-larger-id logic
+    * (q91) cannot see. Min-label propagation, one shuffle per
+    * superstep (ops.dedup.ConnectedComponents); the oracle replays
+    * it as a recursive CTE. */
+  val q101DupClusters: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val recrawl = docs.unionByName(
+      docs.filter(col("doc_id") < 50).withColumn("doc_id", col("doc_id") + 1000000))
+    val shingles = Dedup.shingleSet(recrawl, "doc_id", "text", k = 3)
+    val sig = Dedup.minHash(shingles, "doc_id", n = 16)
+    val cand = Dedup.candidatePairs(
+      Dedup.lshBands(sig, "doc_id", n = 16, rowsPerBand = 4), "doc_id")
+    val edges = Dedup.jaccard(cand, shingles, "doc_id")
+      .filter(col("jaccard") >= 0.7)
+      .select("id_a", "id_b")
+    val comp = ConnectedComponents.minLabel(edges)
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "component")
+      .select(col("id").as("doc_id"), col("component"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  private def mhSqlLocal(iExpr: String, xExpr: String): String =
+    s"""((('0x' || substr(md5($xExpr), 1, 15))::BIGINT
+       |   + ($iExpr * (('0x' || substr(md5($xExpr), 17, 15))::BIGINT // 1073741824)
+       |      % 1073741824) * 1073741824
+       |   + $iExpr * (('0x' || substr(md5($xExpr), 17, 15))::BIGINT % 1073741824))
+       |  % 1152921504606846976)""".stripMargin
+
+  private val q101Sql =
+    s"""WITH RECURSIVE dup AS (
+       |  SELECT * FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+       |  FROM documents WHERE doc_id < 50),
+       |tok AS (SELECT doc_id,
+       |       unnest(string_split_regex(text, '\\s+')) AS tok,
+       |       generate_subscripts(string_split_regex(text, '\\s+'), 1) AS pos
+       |     FROM dup),
+       |sh0 AS (SELECT doc_id,
+       |        lag(tok, 2) OVER dw || ' ' || lag(tok, 1) OVER dw || ' ' || tok AS w
+       |        FROM tok WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+       |w AS (SELECT DISTINCT doc_id, w FROM sh0 WHERE w IS NOT NULL),
+       |sig AS (SELECT doc_id, s.seed,
+       |               MIN(${mhSqlLocal("s.seed", "w")}) AS mh
+       |        FROM w, (SELECT unnest(range(16)) AS seed) s GROUP BY 1, 2),
+       |b AS (SELECT doc_id, seed // 4 AS band,
+       |             md5(string_agg(CAST(mh AS VARCHAR), ':' ORDER BY seed)) AS band_key
+       |      FROM sig GROUP BY doc_id, seed // 4),
+       |bsz AS (SELECT band, band_key FROM b
+       |        GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 64),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+       |         FROM b a JOIN b b2 USING (band, band_key)
+       |         JOIN bsz USING (band, band_key)
+       |         WHERE a.doc_id < b2.doc_id),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY 1),
+       |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+       |          FROM cand c
+       |          JOIN w wa ON wa.doc_id = c.id_a
+       |          JOIN w wb ON wb.doc_id = c.id_b AND wb.w = wa.w
+       |          GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT c.id_a, c.id_b
+       |  FROM cand c
+       |  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+       |  JOIN cnt ca ON ca.doc_id = c.id_a
+       |  JOIN cnt cb ON cb.doc_id = c.id_b
+       |  WHERE CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+       |        / (ca.n + cb.n - COALESCE(i.n_inter, 0)) >= 0.7),
+       |e AS (SELECT id_a AS u, id_b AS v FROM edges
+       |      UNION SELECT id_b, id_a FROM edges),
+       |reach(id, r) AS (
+       |  SELECT u, u FROM e
+       |  UNION
+       |  SELECT e.u, reach.r FROM e JOIN reach ON reach.id = e.v),
+       |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY 1),
+       |sz AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+       |SELECT comp.id AS doc_id, comp.component, sz.cluster_size
+       |FROM comp JOIN sz USING (component)
+       |ORDER BY doc_id""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q99_line_dedup" -> q99LineDedup,
+    "q100_domain_cap" -> q100DomainCap,
+    "q101_dup_clusters" -> q101DupClusters,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q99_line_dedup" -> q99Sql,
+    "q100_domain_cap" -> q100Sql,
+    "q101_dup_clusters" -> q101Sql,
+  )
+}

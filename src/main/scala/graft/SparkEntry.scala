@@ -11,12 +11,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueryCatalog.all ++ QueryCatalogAgg.all ++ QueryCatalogScalar.all ++
       QueryCatalogText.all ++ QueryCatalogSim.all ++ QueryCatalogDomain.all ++
-      QueryCatalogDomain2.all ++ QueryCatalogDomain3.all
+      QueryCatalogDomain2.all ++ QueryCatalogDomain3.all ++
+      QueryCatalogCuration.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     QueryCatalog.oracle ++ QueryCatalogAgg.oracle ++ QueryCatalogScalar.oracle ++
       QueryCatalogText.oracle ++ QueryCatalogSim.oracle ++ QueryCatalogDomain.oracle ++
-      QueryCatalogDomain2.oracle ++ QueryCatalogDomain3.oracle
+      QueryCatalogDomain2.oracle ++ QueryCatalogDomain3.oracle ++
+      QueryCatalogCuration.oracle
 }
