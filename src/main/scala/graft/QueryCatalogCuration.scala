@@ -209,15 +209,119 @@ object QueryCatalogCuration {
        |FROM comp JOIN sz USING (component)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- token-budget mix
+  /** Data mixing under a token budget: per language, admit documents
+    * in quality order (ties by doc_id — total order) until the
+    * language's token budget (2000) is exhausted; a document is
+    * admitted iff it STARTS inside the budget. This is the standard
+    * mixture-weighting step when assembling a training corpus from
+    * per-language pools.
+    *
+    * Scale shape: one hash exchange on lang + an ordered prefix sum
+    * inside each partition. A per-key ordered prefix sum is
+    * inherently sequential PER KEY, so with few huge keys (languages)
+    * the 100 TB form is two-phase: per-partition local sums, then a
+    * tiny offsets table joined back — same arithmetic, same result.
+    * The verified semantics here are the contract for that variant. */
+  val q103TokenBudgetMix: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 2000L
+    val scored = Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        TextOps.nWsTokens(col("text")).cast("long").as("n_tokens"),
+        TextOps.qualityScore(col("text"),
+          graft.pipeline.CorpusCurationJob.Stopwords).as("quality"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < budget)
+      .select("lang", "doc_id", "n_tokens", "cum_tokens", "quality")
+      .orderBy("lang", "doc_id")
+  }
+
+  private val q103Sql =
+    """WITH s AS (SELECT lang, doc_id,
+      |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+      |    least(length(text), 400)::DOUBLE / 400 * 0.5
+      |    + CAST(len(list_filter(string_split_regex(text, '\s+'),
+      |                           x -> x = 'the' OR x = 'a')) AS DOUBLE)
+      |      / len(string_split_regex(text, '\s+')) * 0.5 AS quality
+      |  FROM documents),
+      |c AS (SELECT *, CAST(SUM(n_tokens) OVER (
+      |        PARTITION BY lang ORDER BY quality DESC, doc_id
+      |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      |      FROM s)
+      |SELECT lang, doc_id, n_tokens, cum_tokens, quality
+      |FROM c WHERE cum_tokens - n_tokens < 2000
+      |ORDER BY lang, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- decontamination
+  /** Eval decontamination: a training document is contaminated if it
+    * shares ANY 5-token span with any benchmark document (the n-gram
+    * overlap rule used to scrub eval sets out of training corpora).
+    * The benchmark set here is every 97th document — planted from the
+    * corpus itself, so hits are guaranteed and transitively include
+    * any doc that shares a phrase with a benchmark doc.
+    *
+    * Scale shape: the benchmark n-gram index is SMALL (eval sets are
+    * thousands of docs, not billions) — it broadcasts, so the corpus
+    * side is scanned once with a map-side LEFT SEMI probe and then
+    * one distinct on contaminated doc ids. The corpus never shuffles
+    * its n-grams. Output: per-language contamination tally. */
+  val q104Decontaminate: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val benchGrams = Dedup.shingleSet(
+        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", k = 5)
+      .select("w").distinct()
+    val contaminated = Dedup.shingleSet(docs, "doc_id", "text", k = 5)
+      .join(broadcast(benchGrams), "w", "left_semi")
+      .select("doc_id").distinct()
+    docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .join(docs.join(contaminated, "doc_id")
+          .groupBy("lang").agg(count(lit(1)).as("n_contaminated")),
+        Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (col("n_docs") - coalesce(col("n_contaminated"), lit(0L))).as("n_clean"))
+      .orderBy("lang")
+  }
+
+  private val q104Sql =
+    """WITH bt AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+      |            FROM documents WHERE doc_id % 97 = 0),
+      |bg AS (SELECT DISTINCT array_to_string(toks[(i+1):(i+5)], ' ') AS w
+      |       FROM bt, LATERAL (SELECT unnest(range(len(toks) - 4)) AS i)
+      |       WHERE len(toks) >= 5),
+      |ct AS (SELECT doc_id, lang, string_split_regex(text, '\s+') AS toks
+      |       FROM documents),
+      |cg AS (SELECT DISTINCT c.doc_id,
+      |              array_to_string(toks[(i+1):(i+5)], ' ') AS w
+      |       FROM ct c, LATERAL (SELECT unnest(range(len(toks) - 4)) AS i)
+      |       WHERE len(toks) >= 5),
+      |contam AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (w)),
+      |tot AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+      |hit AS (SELECT d.lang, COUNT(*) AS n_contaminated
+      |        FROM documents d JOIN contam USING (doc_id) GROUP BY 1)
+      |SELECT tot.lang, tot.n_docs,
+      |       COALESCE(hit.n_contaminated, 0) AS n_contaminated,
+      |       tot.n_docs - COALESCE(hit.n_contaminated, 0) AS n_clean
+      |FROM tot LEFT JOIN hit USING (lang)
+      |ORDER BY tot.lang""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q99_line_dedup" -> q99LineDedup,
     "q100_domain_cap" -> q100DomainCap,
     "q101_dup_clusters" -> q101DupClusters,
+    "q103_token_budget_mix" -> q103TokenBudgetMix,
+    "q104_decontaminate" -> q104Decontaminate,
   )
 
   val oracle: Map[String, String] = Map(
     "q99_line_dedup" -> q99Sql,
     "q100_domain_cap" -> q100Sql,
     "q101_dup_clusters" -> q101Sql,
+    "q103_token_budget_mix" -> q103Sql,
+    "q104_decontaminate" -> q104Sql,
   )
 }
