@@ -28,34 +28,48 @@ object ConnectedComponents {
     * rows. Returns one (id, component) row per vertex that appears in
     * at least one edge, where component = min vertex id reachable.
     *
+    * Superstep economy (each exchange is wall time at any scale):
+    *   - self-loops are unioned into the edge list ONCE, so a
+    *     superstep is exactly join(labels on v) + groupBy(u).min —
+    *     the vertex's own label rides the same aggregation as its
+    *     neighbors' and no second "keep own label" join exists;
+    *   - the first superstep is fused into initialization
+    *     (label0 = min(self, direct neighbors) from one groupBy);
+    *   - convergence is sum(component): labels only ever decrease,
+    *     so the sum strictly decreases iff anything changed — a
+    *     cached-scan aggregate instead of a join-and-count.
     * Intermediate labels are cached per superstep and unpersisted as
-    * soon as the successor is materialized (the convergence count is
+    * soon as the successor is materialized (the convergence sum is
     * the materializing action) — lineage stays one superstep deep, so
     * no stack-overflow plans on long chains. */
   def minLabel(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val und = edges.select(col("id_a").as("u"), col("id_b").as("v"))
+    // both directions + one self-loop per vertex; no distinct — the
+    // min-aggregate is duplicate-blind and a corpus-wide distinct
+    // would be a wasted exchange
+    val dir = edges.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(edges.select(col("id_b").as("u"), col("id_a").as("v")))
-      .distinct().cache()
-    var labels = und.select(col("u").as("id")).distinct()
-      .withColumn("component", col("id")).cache()
-    var changed = 1L
+    val und = dir
+      .union(dir.select(col("u"), col("u").as("v")).distinct())
+      .cache()
+    // numeric vertex ids required (dedup uses longs); empty graph -> 0
+    def sumOf(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("component")), lit(0L))).head().getLong(0)
+    // superstep 0: min over self + direct neighbors
+    var labels = und.groupBy(col("u").as("id"))
+      .agg(min(col("v")).as("component")).cache()
+    var prevSum = sumOf(labels)
     var it = 0
-    while (changed > 0 && it < maxIter) {
-      val viaNbr = und
+    var converged = false
+    while (!converged && it < maxIter) {
+      val next = und
         .join(labels.select(col("id").as("v"), col("component")), "v")
-        .groupBy(col("u").as("id")).agg(min(col("component")).as("nc"))
-      val next = labels.join(viaNbr, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nc"), col("component")))
-            .as("component"))
+        .groupBy(col("u").as("id")).agg(min(col("component")).as("component"))
         .cache()
-      // labels only ever decrease; the count is also what materializes
-      // `next` before its predecessor is released
-      changed = next
-        .join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") < col("old")).count()
+      val s = sumOf(next)
       labels.unpersist()
       labels = next
+      converged = s == prevSum
+      prevSum = s
       it += 1
     }
     und.unpersist()
