@@ -79,6 +79,21 @@ object Profile {
       SparkEntry.queries("q92_hot_shingle_cap")(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
     }
+
+    // q101 split: edge pipeline vs connected components
+    spark.catalog.clearCache(); System.gc()
+    locally {
+      val recrawl = docs.unionByName(
+        docs.filter(col("doc_id") < 50).withColumn("doc_id", col("doc_id") + 1000000))
+      val sh2 = Dedup.shingleSet(recrawl, "doc_id", "text", k = 3)
+      val cand = Dedup.candidatePairs(
+        Dedup.lshBands(Dedup.minHash(sh2, "doc_id", 16), "doc_id", 16, 4), "doc_id")
+      val edges = Dedup.jaccard(cand, sh2, "doc_id")
+        .filter(col("jaccard") >= 0.7).select("id_a", "id_b").cache()
+      time("q101 edges.count")(println("  edges=" + edges.count()))
+      val comp = graft.ops.dedup.ConnectedComponents.minLabel(edges)
+      time("q101 minLabel+count")(println("  verts=" + comp.count()))
+    }
     spark.stop()
   }
 }

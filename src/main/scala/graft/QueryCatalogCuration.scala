@@ -209,6 +209,33 @@ object QueryCatalogCuration {
        |FROM comp JOIN sz USING (component)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- deterministic holdout split
+  /** Deterministic train/eval split: bucket = h60(seed, doc_id) % 10,
+    * eval = bucket 0 (~10%). Hash-based splitting is the reproducible
+    * form of corpus holdout — stable across reruns, machines and
+    * engine versions, unlike rand()-based sampling, and any doc's
+    * split is recomputable from its id alone. Pure projection + one
+    * partial-agg shuffle; nothing else. */
+  val q102HashSample: Q = (s, d) => {
+    val bucket = pmod(Dedup.h60(lit(7), col("doc_id").cast("string")), lit(10))
+    Tables.documents(s, d)
+      .withColumn("bucket", bucket)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("bucket") === 0, 1L).otherwise(0L)).as("n_eval"))
+      .select(col("lang"), col("n_docs"), col("n_eval"),
+        (col("n_docs") - col("n_eval")).as("n_train"))
+      .orderBy("lang")
+  }
+
+  private val q102Sql =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN ('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |                     % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_eval,
+      |  COUNT(*) - CAST(SUM(CASE WHEN ('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |                     % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_train
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---------------------------------------------------------------- token-budget mix
   /** Data mixing under a token budget: per language, admit documents
     * in quality order (ties by doc_id — total order) until the
@@ -313,6 +340,7 @@ object QueryCatalogCuration {
     "q99_line_dedup" -> q99LineDedup,
     "q100_domain_cap" -> q100DomainCap,
     "q101_dup_clusters" -> q101DupClusters,
+    "q102_hash_sample" -> q102HashSample,
     "q103_token_budget_mix" -> q103TokenBudgetMix,
     "q104_decontaminate" -> q104Decontaminate,
   )
@@ -321,6 +349,7 @@ object QueryCatalogCuration {
     "q99_line_dedup" -> q99Sql,
     "q100_domain_cap" -> q100Sql,
     "q101_dup_clusters" -> q101Sql,
+    "q102_hash_sample" -> q102Sql,
     "q103_token_budget_mix" -> q103Sql,
     "q104_decontaminate" -> q104Sql,
   )

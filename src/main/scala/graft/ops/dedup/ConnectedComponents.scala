@@ -43,14 +43,32 @@ object ConnectedComponents {
     * the materializing action) — lineage stays one superstep deep, so
     * no stack-overflow plans on long chains. */
   def minLabel(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // the input edge list is referenced three times below (two union
+    // directions + self-loops): cache it, or the caller's upstream
+    // pipeline (often a whole LSH+verification chain) re-evaluates
+    // per reference
+    val e = edges.select(col("id_a").as("ea"), col("id_b").as("eb")).cache()
     // both directions + one self-loop per vertex; no distinct — the
     // min-aggregate is duplicate-blind and a corpus-wide distinct
     // would be a wasted exchange
-    val dir = edges.select(col("id_a").as("u"), col("id_b").as("v"))
-      .union(edges.select(col("id_b").as("u"), col("id_a").as("v")))
+    val dir = e.select(col("ea").as("u"), col("eb").as("v"))
+      .union(e.select(col("eb").as("u"), col("ea").as("v")))
+    // localCheckpoint, NOT cache: a cached plan short-circuits
+    // execution but the optimizer still walks the FULL upstream tree
+    // (the whole LSH pipeline) on every superstep, and the label
+    // lineage nests one level per iteration — driver planning time
+    // swamps the actual 300-row joins (measured 2-3x the whole query).
+    // The eager checkpoint makes the edge list a leaf. On a cluster,
+    // reliable checkpoint()/a staging table is the durable variant.
+    // Also hash-partition on the probe key ONCE: the checkpointed
+    // partitioning satisfies the per-superstep join's distribution, so
+    // each superstep shuffles only the label frame (|V| rows), never
+    // the edges (|E| rows) — the dominant frame of any real graph.
     val und = dir
       .union(dir.select(col("u"), col("u").as("v")).distinct())
-      .cache()
+      .repartition(col("v"))
+      .localCheckpoint()
+    e.unpersist()
     // numeric vertex ids required (dedup uses longs); empty graph -> 0
     def sumOf(df: DataFrame): Long =
       df.agg(coalesce(sum(col("component")), lit(0L))).head().getLong(0)
@@ -72,7 +90,6 @@ object ConnectedComponents {
       prevSum = s
       it += 1
     }
-    und.unpersist()
     labels
   }
 }

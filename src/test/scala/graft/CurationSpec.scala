@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def lineDedup = QueryCatalogCuration.q99LineDedup
+
+  test("span dedup: unique spans reassemble to the full-span prefix of the doc") {
+    // doc_id 1 and 2 (not % 3 == 0): no boilerplate planted, all spans
+    // unique across this corpus -> clean_text is the original text cut
+    // to whole 5-token spans, in order
+    val out = lineDedup(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id").isin(1, 2)).collect()
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id").isin(1, 2))
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    out.foreach { r =>
+      val toks = docs(r.getAs[Long]("doc_id")).split("\\s+")
+      val whole = toks.take(toks.length / 5 * 5).mkString(" ")
+      assert(r.getAs[Long]("n_kept") == r.getAs[Long]("n_spans"),
+        "uncontaminated docs keep every span")
+      assert(r.getAs[String]("clean_text") == whole,
+        "reassembly must preserve original span order")
+    }
+  }
+
+  test("span dedup: planted boilerplate span is removed from every planted doc") {
+    val out = lineDedup(spark, "/root/testdata/sf0.001")
+    val planted = out.filter(col("doc_id") % 3 === 0)
+    // every planted doc lost at least its boilerplate span
+    assert(planted.filter(col("n_kept") >= col("n_spans")).count() == 0)
+    assert(!planted.collect().exists(
+      _.getAs[String]("clean_text").contains("subscribe to our newsletter now")))
+  }
+
+  test("token budget: every admitted doc starts inside the budget, in quality order") {
+    val rows = QueryCatalogCuration.q103TokenBudgetMix(spark, "/root/testdata/sf0.001")
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cum_tokens") - r.getAs[Long]("n_tokens") < 2000)
+    }
+    // per lang, the admitted set is a prefix: cum_tokens are strictly
+    // increasing and consistent with the doc's own token count
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, rs) =>
+      val byCum = rs.sortBy(_.getAs[Long]("cum_tokens"))
+      byCum.foldLeft(0L) { (prev, r) =>
+        val c = r.getAs[Long]("cum_tokens")
+        assert(c == prev + r.getAs[Long]("n_tokens")); c
+      }
+    }
+  }
+
+  test("decontamination: benchmark docs are contaminated by construction") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val nBench = docs.filter(col("doc_id") % 97 === 0).count()
+    val out = QueryCatalogCuration.q104Decontaminate(spark, "/root/testdata/sf0.001")
+    val hit = out.agg(sum("n_contaminated")).head().getLong(0)
+    assert(hit >= nBench, "every benchmark doc shares its own 5-grams")
+    val total = out.agg(sum("n_docs")).head().getLong(0)
+    assert(total == docs.count())
+  }
+
+  test("hash sample: buckets are stable and ~10% eval") {
+    val out = QueryCatalogCuration.q102HashSample(spark, "/root/testdata/sf0.001")
+      .collect()
+    val (nd, ne) = (out.map(_.getAs[Long]("n_docs")).sum,
+      out.map(_.getAs[Long]("n_eval")).sum)
+    assert(ne > 0 && ne < nd)
+    assert(math.abs(ne.toDouble / nd - 0.1) < 0.06, s"eval frac ${ne.toDouble / nd}")
+    // determinism: a second run produces identical rows
+    val again = QueryCatalogCuration.q102HashSample(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+}
