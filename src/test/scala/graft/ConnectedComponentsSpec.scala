@@ -28,4 +28,39 @@ class ConnectedComponentsSpec extends SparkSpec {
     val edges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(ConnectedComponents.minLabel(edges).count() == 0)
   }
+
+  test("property: matches a local union-find on random graphs") {
+    // deterministic LCG so the test replays; graphs with long chains,
+    // cycles, stars and singleton-free vertex sets
+    var seed = 0x5eedL
+    def next(mod: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % mod + mod) % mod).toInt
+    }
+    for (round <- 1 to 5) {
+      val nV = 20 + next(30)
+      val nE = 10 + next(40)
+      val es = (1 to nE).map(_ => (next(nV).toLong, next(nV).toLong))
+        .filter(e => e._1 != e._2)
+      // local union-find oracle
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val verts = es.flatMap(e => Seq(e._1, e._2)).distinct
+      // union-find roots are not necessarily component minima; reduce
+      val expected = verts.groupBy(find).flatMap { case (_, vs) =>
+        val m = vs.min; vs.map(_ -> m)
+      }.toMap
+      val got = ConnectedComponents
+        .minLabel(es.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"round $round, ${es.length} edges")
+    }
+  }
 }
