@@ -336,6 +336,37 @@ object QueryCatalogCuration {
       |FROM tot LEFT JOIN hit USING (lang)
       |ORDER BY tot.lang""".stripMargin
 
+  // ---------------------------------------------------------------- column profile
+  /** One-pass column profile of lineitem (ops.Profiler): per column
+    * the non-null count, exact distinct count and min/max, plus the
+    * row count — the ANALYZE/data-quality report. One scan, one
+    * Expand+aggregate pass for all distincts. */
+  val q105ColumnProfile: Q = (s, d) =>
+    graft.ops.Profiler.profile(Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"))
+      .orderBy("col_name")
+
+  private val q105Sql =
+    """WITH w AS (SELECT COUNT(*) AS n,
+      |  COUNT(l_orderkey) AS nn1, COUNT(DISTINCT l_orderkey) AS nd1,
+      |  CAST(MIN(l_orderkey) AS VARCHAR) AS mn1, CAST(MAX(l_orderkey) AS VARCHAR) AS mx1,
+      |  COUNT(l_linenumber) AS nn2, COUNT(DISTINCT l_linenumber) AS nd2,
+      |  CAST(MIN(l_linenumber) AS VARCHAR) AS mn2, CAST(MAX(l_linenumber) AS VARCHAR) AS mx2,
+      |  COUNT(l_returnflag) AS nn3, COUNT(DISTINCT l_returnflag) AS nd3,
+      |  CAST(MIN(l_returnflag) AS VARCHAR) AS mn3, CAST(MAX(l_returnflag) AS VARCHAR) AS mx3,
+      |  COUNT(l_quantity) AS nn4, COUNT(DISTINCT l_quantity) AS nd4,
+      |  CAST(MIN(l_quantity) AS VARCHAR) AS mn4, CAST(MAX(l_quantity) AS VARCHAR) AS mx4
+      |  FROM lineitem)
+      |SELECT 'l_orderkey' AS col_name, n AS n_rows, nn1 AS n_nonnull,
+      |       nd1 AS n_distinct, mn1 AS min_value, mx1 AS max_value FROM w
+      |UNION ALL
+      |SELECT 'l_linenumber', n, nn2, nd2, mn2, mx2 FROM w
+      |UNION ALL
+      |SELECT 'l_returnflag', n, nn3, nd3, mn3, mx3 FROM w
+      |UNION ALL
+      |SELECT 'l_quantity', n, nn4, nd4, mn4, mx4 FROM w
+      |ORDER BY col_name""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q99_line_dedup" -> q99LineDedup,
     "q100_domain_cap" -> q100DomainCap,
@@ -343,6 +374,7 @@ object QueryCatalogCuration {
     "q102_hash_sample" -> q102HashSample,
     "q103_token_budget_mix" -> q103TokenBudgetMix,
     "q104_decontaminate" -> q104Decontaminate,
+    "q105_column_profile" -> q105ColumnProfile,
   )
 
   val oracle: Map[String, String] = Map(
@@ -352,5 +384,6 @@ object QueryCatalogCuration {
     "q102_hash_sample" -> q102Sql,
     "q103_token_budget_mix" -> q103Sql,
     "q104_decontaminate" -> q104Sql,
+    "q105_column_profile" -> q105Sql,
   )
 }

@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One-pass column profiler — the ANALYZE TABLE / data-quality-report
+  * operator every ingestion pipeline runs before trusting a feed:
+  * per column, non-null count, exact distinct count, min and max
+  * (rendered as strings for a uniform tall schema), plus the row
+  * count.
+  *
+  * All statistics come from ONE aggregation over ONE scan: the
+  * multiple COUNT(DISTINCT) columns plan as a single Expand +
+  * aggregate pass (Catalyst's standard multi-distinct strategy), so
+  * the scan cost is paid once no matter how many columns are
+  * profiled. The wide one-row result is unpivoted driver-free with
+  * `stack`. At 100 TB: one shuffle of Expand partials, no per-column
+  * jobs, no collect. Exact distincts are the correctness baseline;
+  * swap `count_distinct` for `approx_count_distinct` (HLL) when the
+  * profile itself need not be exact. */
+object Profiler {
+
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"${c}__nn"),
+      count_distinct(col(c)).as(s"${c}__nd"),
+      min(col(c)).cast("string").as(s"${c}__mn"),
+      max(col(c)).cast("string").as(s"${c}__mx"))) :+ count(lit(1)).as("__n")
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', ${c}__nn, ${c}__nd, ${c}__mn, ${c}__mx").mkString(", ")
+    wide.selectExpr("__n AS n_rows",
+        s"stack(${cols.length}, $stackArgs) AS (col_name, n_nonnull, n_distinct, min_value, max_value)")
+      .select("col_name", "n_rows", "n_nonnull", "n_distinct",
+        "min_value", "max_value")
+  }
+}
