@@ -177,6 +177,38 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("decontamination probes a broadcast benchmark index (corpus never shuffles n-grams)") {
+    val p = plan(QueryCatalogCuration.q104Decontaminate(spark, "/root/testdata/sf0.001"))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"benchmark 5-gram index must broadcast into a semi probe:\n${p.take(800)}")
+  }
+
+  // AQE's executedPlan.toString appends an "== Initial Plan ==" section
+  // that repeats every node — count operators in the final plan only
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  test("column profiler computes all distincts in a single Expand pass") {
+    val p = finalPlan(QueryCatalogCuration.q105ColumnProfile(spark, "/root/testdata/sf0.001"))
+    assert("Expand".r.findAllIn(p).length == 1,
+      s"multi-distinct must plan as ONE Expand:\n${p.take(800)}")
+    // one scan only: profiling N columns must not scan per column
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"profile must read the table once:\n${p.take(800)}")
+  }
+
+  test("minhash signature plan has no corpus-wide distinct below the aggregation") {
+    import graft.ops.dedup.Dedup
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val sig = Dedup.minHash(Dedup.shingleSet(docs, "doc_id", "text", 3), "doc_id", 16)
+    // exactly ONE exchange: the signature aggregation itself (shingle
+    // production is map-only since the multiset refactor)
+    val nEx = "Exchange".r.findAllIn(finalPlan(sig)).length
+    assert(nEx == 1, s"expected 1 exchange (the partial-agg shuffle), got $nEx")
+  }
+
   test("custom top-k over parquet orders plans partial/exchange/final with no sort") {
     // the operator itself (q56 adds a presentation ORDER BY on top)
     val orders = graft.core.Tables.orders(spark, "/root/testdata/sf0.001")
