@@ -72,9 +72,13 @@ object ConnectedComponents {
     // numeric vertex ids required (dedup uses longs); empty graph -> 0
     def sumOf(df: DataFrame): Long =
       df.agg(coalesce(sum(col("component")), lit(0L))).head().getLong(0)
-    // superstep 0: min over self + direct neighbors
+    // superstep 0: min over self + direct neighbors. Labels are
+    // localCheckpoint'ed per superstep like the edge list: a cached
+    // frame still nests the previous superstep's plan, and 20+
+    // nested join/agg levels blow up driver planning and memory —
+    // the checkpoint keeps every superstep's plan two nodes deep.
     var labels = und.groupBy(col("u").as("id"))
-      .agg(min(col("v")).as("component")).cache()
+      .agg(min(col("v")).as("component")).localCheckpoint()
     var prevSum = sumOf(labels)
     var it = 0
     var converged = false
@@ -82,14 +86,85 @@ object ConnectedComponents {
       val next = und
         .join(labels.select(col("id").as("v"), col("component")), "v")
         .groupBy(col("u").as("id")).agg(min(col("component")).as("component"))
-        .cache()
+        .localCheckpoint()
       val s = sumOf(next)
-      labels.unpersist()
       labels = next
       converged = s == prevSum
       prevSum = s
       it += 1
     }
+    // fail LOUDLY: stopping at maxIter on a graph whose diameter
+    // exceeds it would silently mislabel components (a 1000-link
+    // chain needs 1000 supersteps here). Use alternatingStar for
+    // unknown-diameter graphs — O(log n) rounds.
+    require(converged,
+      s"minLabel did not converge in $maxIter supersteps — graph diameter " +
+        "exceeds maxIter; use ConnectedComponents.alternatingStar")
     labels
+  }
+
+  /** Components by alternating large-star / small-star (Kiveris et
+    * al., SoCC 2014) — O(log n) rounds regardless of graph DIAMETER,
+    * vs min-label propagation's diameter-many supersteps. The variant
+    * for adversarial topology (long chains: linked boilerplate pages,
+    * citation paths); for typical dedup graphs (near-cliques) prefer
+    * minLabel — fewer, cheaper rounds.
+    *
+    *   large-star: every node connects its LARGER neighbors to its
+    *     minimum neighborhood member — per edge row, a window-min
+    *     over the node's partition (no collect of neighbor lists, so
+    *     a billion-degree hub never materializes in one task);
+    *   small-star: on (lo <= hi)-oriented edges, every node connects
+    *     its smaller neighbors and itself to the minimum.
+    *
+    * Both passes are shuffle-bounded (window over the node key +
+    * distinct), the edge set only ever moves toward stars centered
+    * at component minima, and each round is localCheckpoint'ed so
+    * plan depth stays constant. Convergence is EXACT: same edge
+    * count and empty set-difference vs the previous round.
+    * Returns (id, component) like minLabel. */
+  def alternatingStar(edges: DataFrame, maxIter: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var e = edges
+      .select(least(col("id_a"), col("id_b")).as("lo"),
+        greatest(col("id_a"), col("id_b")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
+      .localCheckpoint()
+    def largeStar(cur: DataFrame): DataFrame = {
+      val both = cur.select(col("lo").as("u"), col("hi").as("v"))
+        .union(cur.select(col("hi").as("u"), col("lo").as("v")))
+      both
+        .withColumn("m",
+          least(min(col("v")).over(Window.partitionBy(col("u"))), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("m").as("lo"), col("v").as("hi"))
+        .distinct()
+    }
+    def smallStar(cur: DataFrame): DataFrame = {
+      val withM = cur.withColumn("m",
+        min(col("lo")).over(Window.partitionBy(col("hi"))))
+      withM.select(col("m").as("lo"), col("hi"))
+        .union(withM.select(col("m").as("lo"), col("lo").as("hi")))
+        .filter(col("lo") =!= col("hi"))
+        .distinct()
+    }
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      converged = next.count() == e.count() &&
+        next.except(e).limit(1).count() == 0
+      e = next
+      it += 1
+    }
+    require(converged, s"alternatingStar did not converge in $maxIter rounds")
+    // converged stars: (center, v) edges; centers appear only on the
+    // lo side
+    val members = e.groupBy(col("hi").as("id"))
+      .agg(min(col("lo")).as("component"))
+    val centers = e.select(col("lo")).distinct()
+      .join(e.select(col("hi").as("lo")).distinct(), Seq("lo"), "left_anti")
+      .select(col("lo").as("id"), col("lo").as("component"))
+    members.unionByName(centers)
   }
 }

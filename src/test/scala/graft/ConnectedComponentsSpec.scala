@@ -61,6 +61,24 @@ class ConnectedComponentsSpec extends SparkSpec {
         .minLabel(es.toDF("id_a", "id_b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == expected, s"round $round, ${es.length} edges")
+      val gotStar = ConnectedComponents
+        .alternatingStar(es.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotStar == expected, s"star: round $round, ${es.length} edges")
     }
+  }
+
+  test("long chain: alternatingStar converges where minLabel's superstep budget fails loudly") {
+    val n = 150L
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // diameter 149 > default 20 supersteps: must THROW, never silently
+    // return partial labels
+    intercept[IllegalArgumentException] {
+      ConnectedComponents.minLabel(chain).collect()
+    }
+    val comp = ConnectedComponents.alternatingStar(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(comp.length == n && comp.forall(_._2 == 0L),
+      "one component labeled by its minimum")
   }
 }
