@@ -69,6 +69,77 @@ object StreamingJobs {
         col("session_window.end").as("sess_end"),
         col("user_id"), col("n"), col("sum_value"))
 
+  /** Streaming NEAR-dup dedup: every micro-batch of documents is
+    * exact-deduped within itself, LSH-banded, probed against the
+    * persistent signature store of everything accepted so far, and
+    * only verified-novel docs are appended to the curated corpus (and
+    * their bands to the store). This is the continuous-ingest face of
+    * the batch MinHash/LSH pipeline — the shape a crawler feed runs.
+    *
+    * Store = (doc_id, band, band_key) parquet: bounded at
+    * bands-per-doc rows per accepted doc, equi-joinable on
+    * (band, band_key) so a batch probes it with one join, never a
+    * scan-all-pairs. Verification reads ONLY the candidate docs'
+    * text back from the curated corpus (semi-join on collided ids) —
+    * the exact-Jaccard gate of the batch path, applied to a bounded
+    * candidate set. At scale the store is a bucketed/Delta table on
+    * band_key and this body is unchanged.
+    *
+    * Growth note: unlike watermarked exact dedup (dedupStream), a
+    * near-dup store cannot evict — "have I seen this before" has no
+    * horizon. That is inherent to corpus dedup, not this operator;
+    * the store grows with the ACCEPTED corpus, not the raw feed. */
+  def nearDupStream(docs: DataFrame, storeDir: String, curatedDir: String,
+                    checkpoint: String, tau: Double = 0.7): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        import graft.ops.dedup.Dedup
+        val spark = batch0.sparkSession
+        // 1. within-batch exact dedup (keep min doc_id per content)
+        val batch = Dedup.exactKeep(batch0, "doc_id", "text").cache()
+        val shingles = Dedup.shingleSet(batch, "doc_id", "text", k = 3)
+        val bands = Dedup.lshBands(
+          Dedup.minHash(shingles, "doc_id", n = 16), "doc_id", 16, 4).cache()
+        // 2. probe the store: batch docs colliding with an ACCEPTED doc
+        val store = scala.util.Try(spark.read.parquet(storeDir)).toOption
+        val dupIds = store match {
+          case None => batch.select("doc_id").limit(0)
+          case Some(st) =>
+            val cand = bands
+              .join(st.withColumnRenamed("doc_id", "id_a"), Seq("band", "band_key"))
+              .select(col("id_a"), col("doc_id").as("id_b")).distinct()
+            // verify candidates with exact shingle Jaccard: batch text
+            // + ONLY the collided store docs' text (semi-join readback)
+            val storeDocs = spark.read.parquet(curatedDir)
+              .join(cand.select(col("id_a").as("doc_id")).distinct(), "doc_id", "left_semi")
+            val corpus = Dedup.shingleSet(
+              storeDocs.select("doc_id", "text")
+                .unionByName(batch.select("doc_id", "text")),
+              "doc_id", "text", k = 3)
+            Dedup.jaccard(cand, corpus, "doc_id")
+              .filter(col("jaccard") >= tau)
+              .select(col("id_b").as("doc_id")).distinct()
+        }
+        // 3. intra-batch near-dups (non-identical): the batch
+        // pipeline's own candidate stage, drop the larger id
+        val intra = Dedup.jaccard(Dedup.candidatePairs(bands, "doc_id"), shingles, "doc_id")
+          .filter(col("jaccard") >= tau)
+          .select(col("id_b").as("doc_id")).distinct()
+        // 4. novel docs -> curated corpus; their bands -> store
+        val novel = batch
+          .join(dupIds.unionByName(intra).distinct(), Seq("doc_id"), "left_anti")
+          .cache()
+        novel.write.mode("append").parquet(curatedDir)
+        bands.join(novel.select("doc_id"), Seq("doc_id"), "left_semi")
+          .write.mode("append").parquet(storeDir)
+        batch.unpersist(); bands.unpersist(); novel.unpersist()
+        ()
+      }
+      .start()
+
   /** Micro-batch keyed upsert: every batch MERGEs into the parquet
     * target on `keys` (the weather MERGE, weather.py:1697-1732, as a
     * stream). foreachBatch is the batch-engine bridge — on Delta this

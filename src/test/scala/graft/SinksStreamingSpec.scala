@@ -128,6 +128,30 @@ class SinksStreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, 2L, 3.0), (1L, 1L, 4.0)))
   }
 
+  test("streaming near-dup dedup: store probe drops cross- and intra-batch near-dups") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = tmp() + "/store"
+    val curated = tmp() + "/curated"
+    val chk = tmp() + "/chk"
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val other = "completely different words about spark query engines and shuffles in production"
+    // batch 1: two distinct docs + an intra-batch near-dup of doc 1
+    mem.addData((1L, base), (2L, other),
+      (3L, base.replace("today", "tonight")))
+    StreamingJobs.nearDupStream(df, store, curated, chk).awaitTermination()
+    // batch 2: a cross-batch near-dup of doc 1, an exact re-ingest of
+    // doc 2, and a genuinely new doc
+    mem.addData((10L, base.replace("today", "this morning")), (11L, other),
+      (12L, "entirely novel content with no overlap at all whatsoever anywhere in sight"))
+    StreamingJobs.nearDupStream(df, store, curated, chk).awaitTermination()
+    val ids = spark.read.parquet(curated)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 12L),
+      s"3 drops in-batch, 10/11 vs store, 12 novel — got ${ids.toSeq}")
+  }
+
   test("streaming keyed upsert via foreachBatch (weather MERGE as a stream)") {
     implicit val sqlCtx = spark.sqlContext
     val path = tmp() + "/t"
