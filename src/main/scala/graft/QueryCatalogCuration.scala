@@ -336,6 +336,52 @@ object QueryCatalogCuration {
       |FROM tot LEFT JOIN hit USING (lang)
       |ORDER BY tot.lang""".stripMargin
 
+  // ---------------------------------------------------------------- sequence packing
+  /** Training-sequence packing: per language, documents are laid out
+    * contiguously in doc_id order and cut into fixed 512-token
+    * training sequences — each doc learns its sequence id and offset
+    * from the running token count alone (seq = tokens-before DIV 512).
+    * This is the concat-and-cut packing every pretraining pipeline
+    * runs between curation and tokenization; computing placement as
+    * arithmetic on an ordered prefix sum (no driver loop, no UDF)
+    * is what makes it a plan, not a job. Output: one row per doc
+    * with (seq_id, seq_offset, spills) — `spills` marks docs that
+    * straddle a sequence boundary (they get split downstream).
+    * Same scale posture as q103: one exchange on lang; the two-phase
+    * offsets form covers few-huge-keys. */
+  val q106SequencePack: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val seqLen = 512L
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        TextOps.nWsTokens(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("lang"), col("doc_id"), col("n_tokens"),
+        ((col("cum") - col("n_tokens")) / seqLen).cast("long").as("seq_id"),
+        ((col("cum") - col("n_tokens")) % seqLen).as("seq_offset"),
+        when(((col("cum") - col("n_tokens")) / seqLen).cast("long")
+          =!= ((col("cum") - 1) / seqLen).cast("long"), "Y").otherwise("N")
+          .as("spills"))
+      .orderBy("lang", "doc_id")
+  }
+
+  private val q106Sql =
+    """WITH s AS (SELECT lang, doc_id,
+      |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (SELECT *, CAST(SUM(n_tokens) OVER (
+      |        PARTITION BY lang ORDER BY doc_id
+      |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |      FROM s)
+      |SELECT lang, doc_id, n_tokens,
+      |       (cum - n_tokens) // 512 AS seq_id,
+      |       (cum - n_tokens) % 512 AS seq_offset,
+      |       CASE WHEN (cum - n_tokens) // 512 <> (cum - 1) // 512
+      |            THEN 'Y' ELSE 'N' END AS spills
+      |FROM c ORDER BY lang, doc_id""".stripMargin
+
   // ---------------------------------------------------------------- column profile
   /** One-pass column profile of lineitem (ops.Profiler): per column
     * the non-null count, exact distinct count and min/max, plus the
@@ -375,6 +421,7 @@ object QueryCatalogCuration {
     "q103_token_budget_mix" -> q103TokenBudgetMix,
     "q104_decontaminate" -> q104Decontaminate,
     "q105_column_profile" -> q105ColumnProfile,
+    "q106_sequence_pack" -> q106SequencePack,
   )
 
   val oracle: Map[String, String] = Map(
@@ -385,5 +432,6 @@ object QueryCatalogCuration {
     "q103_token_budget_mix" -> q103Sql,
     "q104_decontaminate" -> q104Sql,
     "q105_column_profile" -> q105Sql,
+    "q106_sequence_pack" -> q106Sql,
   )
 }

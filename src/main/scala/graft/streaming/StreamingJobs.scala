@@ -88,7 +88,10 @@ object StreamingJobs {
     * Growth note: unlike watermarked exact dedup (dedupStream), a
     * near-dup store cannot evict — "have I seen this before" has no
     * horizon. That is inherent to corpus dedup, not this operator;
-    * the store grows with the ACCEPTED corpus, not the raw feed. */
+    * the store grows with the ACCEPTED corpus, not the raw feed.
+    * Every batch appends small files to both sinks — run
+    * `Sinks.compact` as the periodic maintenance job (S10), exactly
+    * as for any micro-batch append target. */
   def nearDupStream(docs: DataFrame, storeDir: String, curatedDir: String,
                     checkpoint: String, tau: Double = 0.7): StreamingQuery =
     docs.writeStream
