@@ -348,6 +348,28 @@ object QueryCatalogAgg {
       |FROM events
       |GROUP BY 1, 2, 3 ORDER BY win_start, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- salted aggregation
+  /** The skew-safe two-phase salted aggregation (ops.Salting) pushed
+    * through the hash gate: salting is semantics-preserving, so the
+    * oracle is the PLAIN single-phase GROUP BY — the gate proves the
+    * salt splits and re-merges without changing a single bit. Sums
+    * ride decimal partials (core.Num), so the two-phase re-sum is
+    * exact in any order. This is the verified form of the hot-key
+    * fallback every groupBy in SCALE.md points at. */
+  val q107SaltedAgg: Q = (s, d) =>
+    graft.ops.Salting.saltedSumCount(Tables.events(s, d),
+        Seq("event_type"), graft.core.Num.dec2(col("value")),
+        col("user_id"), buckets = 16)
+      .select(col("event_type"),
+        col("sum_value").cast("double").as("sum_value"), col("cnt_value"))
+      .orderBy("event_type")
+
+  private val q107Sql =
+    """SELECT event_type,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |       COUNT(value) AS cnt_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- event-time session windows
   /** Gap-close sessionization as a BATCH query — the `session_window`
     * semantics StreamingJobs.sessionCounts uses, hash-gated against a
@@ -499,6 +521,7 @@ object QueryCatalogAgg {
     "q56_topk_per_key" -> q56TopKPerKey,
     "q57_rollup" -> q57Rollup,
     "q84_tumbling_window" -> q84Tumbling,
+    "q107_salted_agg" -> q107SaltedAgg,
     "q85_topk_rewrite" -> q85TopkRewrite,
     "q86_session_window" -> q86Session,
     "q87_quantiles" -> q87Quantiles,
@@ -521,6 +544,7 @@ object QueryCatalogAgg {
     "q56_topk_per_key" -> q56Sql,
     "q57_rollup" -> q57Sql,
     "q84_tumbling_window" -> q84Sql,
+    "q107_salted_agg" -> q107Sql,
     "q85_topk_rewrite" -> q56Sql,
     "q86_session_window" -> q86Sql,
     "q87_quantiles" -> q87Sql,

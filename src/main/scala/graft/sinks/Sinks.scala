@@ -82,6 +82,19 @@ object Sinks {
     * 100 TB this layout (or its Z-order cousin) is the difference
     * between a selective date/farm query touching one file or all of
     * them — the write-side half of predicate pushdown. */
+  /** Bucketed + sorted managed table: co-locates future joins on
+    * `bucketCols` (no exchange under the SortMergeJoin, bucket-aware
+    * scan pruning — asserted live in PlanQualitySpec). Both sides of
+    * a recurring fact-fact join written with the same bucket spec
+    * join shuffle-free forever after; THE physical-layout lever for a
+    * 100 TB fact table that is joined on the same key every day. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    nBuckets: Int = 8): Unit =
+    df.write.bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .mode("overwrite")
+      .saveAsTable(table)
+
   def writeSorted(df: DataFrame, path: String, sortCols: Seq[String],
                   nFiles: Int): Unit = {
     import org.apache.spark.sql.functions.col

@@ -46,8 +46,8 @@ class PlanQualitySpec extends SparkSpec {
     fs.delete(new Path("/tmp/graft_warehouse/bk_lineitem"), true)
     val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val l = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
-    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("bk_orders")
-    l.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("bk_lineitem")
+    graft.sinks.Sinks.writeBucketed(o, "bk_orders", Seq("o_orderkey"))
+    graft.sinks.Sinks.writeBucketed(l, "bk_lineitem", Seq("l_orderkey"))
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
