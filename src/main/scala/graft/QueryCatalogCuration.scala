@@ -413,6 +413,125 @@ object QueryCatalogCuration {
       |SELECT 'l_quantity', n, nn4, nd4, mn4, mx4 FROM w
       |ORDER BY col_name""".stripMargin
 
+  // ---------------------------------------------------------------- fuzzy entity matching
+  /** Blocked fuzzy matching (entity resolution): re-ingested records
+    * with a one-character typo must link back to their originals.
+    * Candidate pairs are generated ONLY within a blocking key
+    * (p_brand) — the standard ER discipline that keeps the pairwise
+    * edit-distance stage at block_size^2, never corpus^2 — then
+    * scored with exact Levenshtein <= 1. Cross-block typos are
+    * invisible by design; that is the documented blocking tradeoff
+    * (real pipelines union several blocking passes). levenshtein is
+    * a codegen'd built-in in Spark and replays exactly in DuckDB. */
+  val q108FuzzyMatch: Q = (s, d) => {
+    val p = Tables.part(s, d).select(col("p_partkey"), col("p_name"), col("p_brand"))
+    val typo = p.filter(col("p_partkey") < 30)
+      .select((col("p_partkey") + 1000000).as("p_partkey"),
+        concat(substring(col("p_name"), 1, 2), substring(col("p_name"), 4, 10000))
+          .as("p_name"),
+        col("p_brand"))
+    val all = p.unionByName(typo)
+    val a = all.select(col("p_brand"), col("p_partkey").as("id_a"),
+      col("p_name").as("name_a"))
+    val b = all.select(col("p_brand"), col("p_partkey").as("id_b"),
+      col("p_name").as("name_b"))
+    a.join(b, Seq("p_brand")).filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select("p_brand", "id_a", "id_b", "name_a", "name_b", "dist")
+      .orderBy("p_brand", "id_a", "id_b")
+  }
+
+  private val q108Sql =
+    """WITH base AS (SELECT p_partkey, p_name, p_brand FROM part),
+      |typo AS (SELECT p_partkey + 1000000 AS p_partkey,
+      |                substr(p_name, 1, 2) || substr(p_name, 4) AS p_name,
+      |                p_brand
+      |         FROM part WHERE p_partkey < 30),
+      |a AS (SELECT * FROM base UNION ALL SELECT * FROM typo)
+      |SELECT a.p_brand, a.p_partkey AS id_a, b.p_partkey AS id_b,
+      |       a.p_name AS name_a, b.p_name AS name_b,
+      |       levenshtein(a.p_name, b.p_name) AS dist
+      |FROM a JOIN a b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 1
+      |ORDER BY a.p_brand, id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- linear gap interpolation
+  /** Time-series gap fill by LINEAR interpolation: per user, daily
+    * value sums over a complete date spine; interior missing days get
+    * prev + (next - prev) * elapsed/gap, leading/trailing gaps stay
+    * null (no extrapolation). Prev/next observation and their dates
+    * come from ignore-nulls last/first over ordered windows — one
+    * hash exchange on user, no self-join per gap. The arithmetic is
+    * the same expression tree in both engines (exact 2-dec deltas,
+    * one division, one multiply, one add), so the doubles hash-match
+    * bit-for-bit. The resample/interpolate stage of any sensor or
+    * metrics pipeline (the reference's weather gap handling is the
+    * carry-forward special case). */
+  val q109Interpolate: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d).filter(col("user_id") < 5)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(graft.core.Num.dsum2(col("value")).as("v"))
+    val spine = daily.groupBy("user_id")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val wPrev = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("pd",
+        last(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("nd",
+        first(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(wNext))
+      .withColumn("v_interp",
+        when(col("v").isNotNull, col("v"))
+          .otherwise(col("pv") + (col("nv") - col("pv"))
+            * (datediff(col("day"), col("pd")).cast("double")
+              / datediff(col("nd"), col("pd")).cast("double"))))
+      .withColumn("filled",
+        when(col("v").isNull && col("v_interp").isNotNull, "Y").otherwise("N"))
+      .select("user_id", "day", "v", "v_interp", "filled")
+      .orderBy("user_id", "day")
+  }
+
+  private val q109Sql =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      |  FROM events WHERE user_id < 5 GROUP BY 1, 2),
+      |span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+      |         FROM daily GROUP BY 1),
+      |spine AS (SELECT user_id,
+      |                 CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |          FROM span),
+      |j AS (SELECT s.user_id, s.day, d.v
+      |      FROM spine s LEFT JOIN daily d USING (user_id, day)),
+      |w AS (SELECT *,
+      |  last_value(v IGNORE NULLS) OVER pw AS pv,
+      |  last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER pw AS pd,
+      |  first_value(v IGNORE NULLS) OVER nw AS nv,
+      |  first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER nw AS nd
+      |  FROM j
+      |  WINDOW pw AS (PARTITION BY user_id ORDER BY day
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         nw AS (PARTITION BY user_id ORDER BY day
+      |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT user_id, day, v,
+      |       CASE WHEN v IS NOT NULL THEN v
+      |            ELSE pv + (nv - pv)
+      |                 * (CAST(datediff('day', pd, day) AS DOUBLE)
+      |                    / CAST(datediff('day', pd, nd) AS DOUBLE)) END AS v_interp,
+      |       CASE WHEN v IS NULL AND (pv + (nv - pv)
+      |                 * (CAST(datediff('day', pd, day) AS DOUBLE)
+      |                    / CAST(datediff('day', pd, nd) AS DOUBLE))) IS NOT NULL
+      |            THEN 'Y' ELSE 'N' END AS filled
+      |FROM w ORDER BY user_id, day""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q99_line_dedup" -> q99LineDedup,
     "q100_domain_cap" -> q100DomainCap,
@@ -422,6 +541,8 @@ object QueryCatalogCuration {
     "q104_decontaminate" -> q104Decontaminate,
     "q105_column_profile" -> q105ColumnProfile,
     "q106_sequence_pack" -> q106SequencePack,
+    "q108_fuzzy_match" -> q108FuzzyMatch,
+    "q109_interpolate" -> q109Interpolate,
   )
 
   val oracle: Map[String, String] = Map(
@@ -433,5 +554,7 @@ object QueryCatalogCuration {
     "q104_decontaminate" -> q104Sql,
     "q105_column_profile" -> q105Sql,
     "q106_sequence_pack" -> q106Sql,
+    "q108_fuzzy_match" -> q108Sql,
+    "q109_interpolate" -> q109Sql,
   )
 }
