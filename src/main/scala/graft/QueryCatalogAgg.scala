@@ -370,6 +370,81 @@ object QueryCatalogAgg {
       |       COUNT(value) AS cnt_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- statistical aggregates
+  /** Variance / stddev / correlation from EXACT moment sums: the
+    * builtin corr/stddev stream doubles in partition order (different
+    * low-order bits per run), so the moments (n, Σx, Σx², Σy, Σxy)
+    * ride exact decimal partials instead and the closed-form
+    * combines them in ONE deterministic double expression —
+    * order-independent, merge-safe, and the same tree in both
+    * engines. This is also the 100 TB shape: moments are algebraic
+    * (map-side combinable), the final math is per-group scalar. */
+  val q110StatsAgg: Q = (s, d) => {
+    val x = dec2(col("l_quantity"))
+    val y = dec2(col("l_extendedprice"))
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y).cast("double").as("sy"),
+        sum(y * y).cast("double").as("syy"),
+        sum(x * y).cast("double").as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        (col("sx") / col("n")).as("mean_qty"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+          / (col("n") - 1)).as("stddev_qty"),
+        ((col("n") * col("sxy") - col("sx") * col("sy"))
+          / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            * (col("n") * col("syy") - col("sy") * col("sy"))))
+          .as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  private val q110Sql =
+    """WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |       sx / n AS mean_qty,
+      |       sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+      |       (n * sxy - sx * sy)
+      |         / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- distribution windows
+  /** Distribution window kit — ntile / percent_rank / cume_dist over
+    * a TOTAL order (ties broken by key, so peer groups are single
+    * rows and every rank-derived ratio is a deterministic
+    * small-integer fraction). One hash exchange on the partition
+    * key; per-key sort inside the window — the standard
+    * quartile-assignment / percentile-score projection. */
+  val q111RankKit: Q = (s, d) => {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d).filter(col("o_orderkey") < 2000)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        col("o_totalprice"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
+  private val q111Sql =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |       ntile(4) OVER w AS quartile,
+      |       percent_rank() OVER w AS pct_rank,
+      |       cume_dist() OVER w AS cume
+      |FROM orders WHERE o_orderkey < 2000
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- event-time session windows
   /** Gap-close sessionization as a BATCH query — the `session_window`
     * semantics StreamingJobs.sessionCounts uses, hash-gated against a
@@ -522,6 +597,8 @@ object QueryCatalogAgg {
     "q57_rollup" -> q57Rollup,
     "q84_tumbling_window" -> q84Tumbling,
     "q107_salted_agg" -> q107SaltedAgg,
+    "q110_stats_agg" -> q110StatsAgg,
+    "q111_rank_kit" -> q111RankKit,
     "q85_topk_rewrite" -> q85TopkRewrite,
     "q86_session_window" -> q86Session,
     "q87_quantiles" -> q87Quantiles,
@@ -545,6 +622,8 @@ object QueryCatalogAgg {
     "q57_rollup" -> q57Sql,
     "q84_tumbling_window" -> q84Sql,
     "q107_salted_agg" -> q107Sql,
+    "q110_stats_agg" -> q110Sql,
+    "q111_rank_kit" -> q111Sql,
     "q85_topk_rewrite" -> q56Sql,
     "q86_session_window" -> q86Sql,
     "q87_quantiles" -> q87Sql,
