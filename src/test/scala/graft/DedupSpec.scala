@@ -88,6 +88,26 @@ class DedupSpec extends SparkSpec {
       "hot shingle must not count toward sizes or intersections")
   }
 
+  test("degenerate inputs: null/empty/short text flows through without rows or crashes") {
+    val weird = Seq(
+      (1L, null.asInstanceOf[String]),
+      (2L, ""),
+      (3L, "one two"), // shorter than k=3
+      (4L, "aa bb cc dd ee ff gg hh"),
+      (5L, "aa bb cc dd ee ff gg hh"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingleSet(weird, "doc_id", "text", 3)
+    // only docs 4 and 5 shingle; the rest vanish silently (filtered)
+    assert(sh.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      == Set(4L, 5L))
+    val bands = Dedup.lshBands(Dedup.minHash(sh, "doc_id", 16), "doc_id", 16, 4)
+    val pairs = Dedup.candidatePairs(bands, "doc_id")
+    val j = Dedup.jaccard(pairs, sh, "doc_id").collect()
+    assert(j.length == 1 && j(0).getAs[Double]("jaccard") == 1.0)
+    // exactKeep keeps one row per content (nulls are their own group)
+    assert(Dedup.exactKeep(weird, "doc_id", "text").count() == 4)
+  }
+
   test("simhash: equal for identical docs, close for near-dups") {
     def hamming(a: (Long, Long), b: (Long, Long)): Int =
       java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
