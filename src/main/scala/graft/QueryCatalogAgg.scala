@@ -416,6 +416,48 @@ object QueryCatalogAgg {
       |         / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price
       |FROM m ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- snowflake rollup
+  /** Snowflake-dimension rollup (TPC-H Q5 shape): fact revenue
+    * aggregated up a two-level dimension chain. The fact side is
+    * partial-aggregated per supplier BELOW the joins — one pre-reduced
+    * row per suppkey reaches the join instead of every lineitem — and
+    * all three dimensions broadcast (they are catalog-sized at any
+    * scale factor). The textbook star/snowflake plan: no fact-side
+    * shuffle beyond its own aggregation. */
+  val q112SupplierRollup: Q = (s, d) => {
+    val perSupp = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast(Num.D2) - dec2(col("l_discount"))))
+        .as("rev"), count(lit(1)).as("n_items"))
+    perSupp
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(col("rev")).cast("double").as("revenue"),
+        sum(col("n_items")).cast("long").as("n_items"),
+        count_distinct(col("s_suppkey")).as("n_suppliers"))
+      .orderBy("r_name", "n_name")
+  }
+
+  private val q112Sql =
+    """WITH ps AS (
+      |  SELECT l_suppkey,
+      |         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev,
+      |         COUNT(*) AS n_items
+      |  FROM lineitem GROUP BY 1)
+      |SELECT r_name, n_name,
+      |       CAST(SUM(rev) AS DOUBLE) AS revenue,
+      |       CAST(SUM(n_items) AS BIGINT) AS n_items,
+      |       COUNT(DISTINCT s_suppkey) AS n_suppliers
+      |FROM ps
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
   // ---------------------------------------------------------------- distribution windows
   /** Distribution window kit — ntile / percent_rank / cume_dist over
     * a TOTAL order (ties broken by key, so peer groups are single
@@ -598,6 +640,7 @@ object QueryCatalogAgg {
     "q84_tumbling_window" -> q84Tumbling,
     "q107_salted_agg" -> q107SaltedAgg,
     "q110_stats_agg" -> q110StatsAgg,
+    "q112_supplier_rollup" -> q112SupplierRollup,
     "q111_rank_kit" -> q111RankKit,
     "q85_topk_rewrite" -> q85TopkRewrite,
     "q86_session_window" -> q86Session,
@@ -623,6 +666,7 @@ object QueryCatalogAgg {
     "q84_tumbling_window" -> q84Sql,
     "q107_salted_agg" -> q107Sql,
     "q110_stats_agg" -> q110Sql,
+    "q112_supplier_rollup" -> q112Sql,
     "q111_rank_kit" -> q111Sql,
     "q85_topk_rewrite" -> q56Sql,
     "q86_session_window" -> q86Sql,
