@@ -238,15 +238,16 @@ object QueryCatalogText {
       .select(col("doc_id"), col("lang"), col("source"),
         concat(col("text"), lit(" zq hotzq")).as("text"))
     val bg = docBigrams(docs)
-    // df = docs containing the bigram (bg is a multiset now)
-    val dfStats = bg.groupBy("lang", "source", "bg")
-      .agg(count_distinct(col("doc_id")).as("df"))
+    // ONE corpus-wide grouped shuffle: df stats AND pair expansion
+    // both derive from the same cached posting lists (df = set size)
+    val posting = Dedup.postingLists(bg, "doc_id", "bg", Seq("lang", "source"))
+    val dfStats = posting
+      .select(col("lang"), col("source"), size(col("ids")).cast("long").as("df"))
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("df") > capDf, 1L).otherwise(0L)).as("n_hot_dropped"),
         max(col("df")).as("max_df"))
-    val pairsPerGroup = Dedup.invertedJaccard(bg, "doc_id", "bg",
-        Seq("lang", "source"), maxDf = capDf)
+    val pairsPerGroup = Dedup.invertedJaccardFrom(posting, maxDf = capDf)
       .join(docs.select(col("doc_id").as("id_a"), col("lang"), col("source")), "id_a")
       .groupBy("lang", "source").agg(count(lit(1)).as("n_pairs"))
     docs.groupBy("lang", "source").agg(count(lit(1)).as("n_docs"))

@@ -233,24 +233,36 @@ object Dedup {
     *
     * Output: (id_a, id_b, n_inter, n_a, n_b, jaccard). */
   def invertedJaccard(sh: DataFrame, idCol: String, wCol: String,
-                      groupCols: Seq[String], maxDf: Int): DataFrame = {
-    // posting feeds two consumers (per-doc counts + pair expansion):
-    // cache the one grouped shuffle (released by the caller's session
-    // lifecycle; at cluster scale this is a checkpoint/table)
-    val posting = sh.groupBy((groupCols.map(col) :+ col(wCol)): _*)
+                      groupCols: Seq[String], maxDf: Int): DataFrame =
+    invertedJaccardFrom(postingLists(sh, idCol, wCol, groupCols), maxDf)
+
+  /** The ONE grouped shuffle of the inverted-index family: doc-id
+    * SETS per (group, shingle), cached — every downstream consumer
+    * (df statistics, the df cap, pair expansion, per-doc sizes)
+    * derives from this frame instead of re-shuffling the corpus.
+    * Input may be a multiset (collect_set dedups in-agg). Released
+    * by the caller's session lifecycle; at cluster scale this is the
+    * checkpoint/table between extraction and verification. */
+  def postingLists(sh: DataFrame, idCol: String, wCol: String,
+                   groupCols: Seq[String]): DataFrame =
+    sh.groupBy((groupCols.map(col) :+ col(wCol)): _*)
       .agg(collect_set(col(idCol)).as("ids"))
-      .filter(size(col("ids")) <= maxDf)
       .cache()
-    val cnt = posting.select(explode(col("ids")).as(idCol))
-      .groupBy(idCol).agg(count(lit(1)).as("n"))
+
+  /** invertedJaccard over prebuilt (cached) posting lists — see
+    * invertedJaccard for the semantics and the df-cap rationale. */
+  def invertedJaccardFrom(posting0: DataFrame, maxDf: Int): DataFrame = {
+    val posting = posting0.filter(size(col("ids")) <= maxDf)
+    val cnt = posting.select(explode(col("ids")).as("__id"))
+      .groupBy("__id").agg(count(lit(1)).as("n"))
     val inter = posting.filter(size(col("ids")) > 1)
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
     inter
-      .join(cnt.withColumnRenamed(idCol, "id_a").withColumnRenamed("n", "n_a"), "id_a")
-      .join(cnt.withColumnRenamed(idCol, "id_b").withColumnRenamed("n", "n_b"), "id_b")
+      .join(cnt.withColumnRenamed("__id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+      .join(cnt.withColumnRenamed("__id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
   }
