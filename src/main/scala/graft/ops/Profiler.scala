@@ -21,14 +21,19 @@ import org.apache.spark.sql.functions._
 object Profiler {
 
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aggs = cols.flatMap(c => Seq(
-      count(col(c)).as(s"${c}__nn"),
-      count_distinct(col(c)).as(s"${c}__nd"),
-      min(col(c)).cast("string").as(s"${c}__mn"),
-      max(col(c)).cast("string").as(s"${c}__mx"))) :+ count(lit(1)).as("__n")
+    // positional aliases: the unpivot below re-parses names, so the
+    // generated identifiers must be quotable regardless of what the
+    // source columns are called ("order key", "a.b", quotes, ...)
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) => Seq(
+      count(col(c)).as(s"c${i}__nn"),
+      count_distinct(col(c)).as(s"c${i}__nd"),
+      min(col(c)).cast("string").as(s"c${i}__mn"),
+      max(col(c)).cast("string").as(s"c${i}__mx"))
+    } :+ count(lit(1)).as("__n")
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map(c =>
-      s"'$c', ${c}__nn, ${c}__nd, ${c}__mn, ${c}__mx").mkString(", ")
+    def lit_(c: String) = "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    val stackArgs = cols.indices.map(i =>
+      s"${lit_(cols(i))}, c${i}__nn, c${i}__nd, c${i}__mn, c${i}__mx").mkString(", ")
     wide.selectExpr("__n AS n_rows",
         s"stack(${cols.length}, $stackArgs) AS (col_name, n_nonnull, n_distinct, min_value, max_value)")
       .select("col_name", "n_rows", "n_nonnull", "n_distinct",

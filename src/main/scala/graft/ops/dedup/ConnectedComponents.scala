@@ -42,6 +42,17 @@ object ConnectedComponents {
     * soon as the successor is materialized (the convergence sum is
     * the materializing action) — lineage stays one superstep deep, so
     * no stack-overflow plans on long chains. */
+  /** Materialize into a plan LEAF with releasable storage: the frame
+    * is rebuilt as a LogicalRDD over the original's row RDD and
+    * cached. Like localCheckpoint, downstream plans see a leaf (no
+    * re-analysis of the whole upstream tree per superstep); unlike
+    * localCheckpoint, the storage is explicitly releasable
+    * (unpersist) and recomputable from lineage — superseded
+    * supersteps are freed eagerly instead of pinning blocks until
+    * some future driver GC lets ContextCleaner run. */
+  private def leafCache(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema).cache()
+
   def minLabel(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     // the input edge list is referenced three times below (two union
     // directions + self-loops): cache it, or the caller's upstream
@@ -73,21 +84,22 @@ object ConnectedComponents {
     def sumOf(df: DataFrame): Long =
       df.agg(coalesce(sum(col("component")), lit(0L))).head().getLong(0)
     // superstep 0: min over self + direct neighbors. Labels are
-    // localCheckpoint'ed per superstep like the edge list: a cached
-    // frame still nests the previous superstep's plan, and 20+
-    // nested join/agg levels blow up driver planning and memory —
-    // the checkpoint keeps every superstep's plan two nodes deep.
-    var labels = und.groupBy(col("u").as("id"))
-      .agg(min(col("v")).as("component")).localCheckpoint()
+    // leaf-cached per superstep: a plain cached frame still nests the
+    // previous superstep's PLAN, and 20+ nested join/agg levels blow
+    // up driver planning and memory — the leaf keeps every
+    // superstep's plan two nodes deep, and the superseded superstep
+    // is released as soon as its successor is materialized.
+    var labels = leafCache(und.groupBy(col("u").as("id"))
+      .agg(min(col("v")).as("component")))
     var prevSum = sumOf(labels)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
-      val next = und
+      val next = leafCache(und
         .join(labels.select(col("id").as("v"), col("component")), "v")
-        .groupBy(col("u").as("id")).agg(min(col("component")).as("component"))
-        .localCheckpoint()
-      val s = sumOf(next)
+        .groupBy(col("u").as("id")).agg(min(col("component")).as("component")))
+      val s = sumOf(next) // materializes next before its parent is freed
+      labels.unpersist()
       labels = next
       converged = s == prevSum
       prevSum = s
@@ -119,17 +131,27 @@ object ConnectedComponents {
     *
     * Both passes are shuffle-bounded (window over the node key +
     * distinct), the edge set only ever moves toward stars centered
-    * at component minima, and each round is localCheckpoint'ed so
-    * plan depth stays constant. Convergence is EXACT: same edge
-    * count and empty set-difference vs the previous round.
-    * Returns (id, component) like minLabel. */
+    * at component minima, and each round is leaf-cached (constant
+    * plan depth) with the superseded round released eagerly.
+    * Convergence is EXACT: same edge count and empty set-difference
+    * vs the previous round. Returns (id, component) like minLabel,
+    * including vertices whose only edges are self-loops. */
   def alternatingStar(edges: DataFrame, maxIter: Int = 40): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    var e = edges
+    val canon = edges
       .select(least(col("id_a"), col("id_b")).as("lo"),
         greatest(col("id_a"), col("id_b")).as("hi"))
-      .filter(col("lo") =!= col("hi")).distinct()
-      .localCheckpoint()
+      .cache()
+    // vertices whose only edges are self-loops must still be labeled
+    // (minLabel emits them; parity matters for callers switching
+    // between the two) — captured BEFORE the self-loop filter
+    var e = leafCache(canon.filter(col("lo") =!= col("hi")).distinct())
+    val selfOnly = leafCache(canon.select(col("lo").as("id")).distinct()
+      .join(e.select(explode(array(col("lo"), col("hi"))).as("id")).distinct(),
+        Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component")))
+    selfOnly.count() // materialize before canon is released
+    canon.unpersist()
     def largeStar(cur: DataFrame): DataFrame = {
       val both = cur.select(col("lo").as("u"), col("hi").as("v"))
         .union(cur.select(col("hi").as("u"), col("lo").as("v")))
@@ -151,9 +173,10 @@ object ConnectedComponents {
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = leafCache(smallStar(largeStar(e)))
       converged = next.count() == e.count() &&
         next.except(e).limit(1).count() == 0
+      e.unpersist()
       e = next
       it += 1
     }
@@ -165,6 +188,6 @@ object ConnectedComponents {
     val centers = e.select(col("lo")).distinct()
       .join(e.select(col("hi").as("lo")).distinct(), Seq("lo"), "left_anti")
       .select(col("lo").as("id"), col("lo").as("component"))
-    members.unionByName(centers)
+    members.unionByName(centers).unionByName(selfOnly)
   }
 }

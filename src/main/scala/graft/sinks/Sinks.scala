@@ -75,13 +75,6 @@ object Sinks {
     if (!fs.exists(target) && fs.exists(backup)) fs.rename(backup, target)
   }
 
-  /** Range-partitioned, within-file-sorted parquet layout: rows are
-    * range-partitioned then sorted on `sortCols` before write, so
-    * every output file covers a narrow key range and parquet's
-    * row-group min/max stats actually PRUNE on those columns. At
-    * 100 TB this layout (or its Z-order cousin) is the difference
-    * between a selective date/farm query touching one file or all of
-    * them — the write-side half of predicate pushdown. */
   /** Bucketed + sorted managed table: co-locates future joins on
     * `bucketCols` (no exchange under the SortMergeJoin, bucket-aware
     * scan pruning — asserted live in PlanQualitySpec). Both sides of
@@ -95,6 +88,13 @@ object Sinks {
       .mode("overwrite")
       .saveAsTable(table)
 
+  /** Range-partitioned, within-file-sorted parquet layout: rows are
+    * range-partitioned then sorted on `sortCols` before write, so
+    * every output file covers a narrow key range and parquet's
+    * row-group min/max stats actually PRUNE on those columns. At
+    * 100 TB this layout (or its Z-order cousin) is the difference
+    * between a selective date/farm query touching one file or all of
+    * them — the write-side half of predicate pushdown. */
   def writeSorted(df: DataFrame, path: String, sortCols: Seq[String],
                   nFiles: Int): Unit = {
     import org.apache.spark.sql.functions.col

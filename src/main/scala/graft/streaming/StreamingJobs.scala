@@ -91,7 +91,14 @@ object StreamingJobs {
     * the store grows with the ACCEPTED corpus, not the raw feed.
     * Every batch appends small files to both sinks — run
     * `Sinks.compact` as the periodic maintenance job (S10), exactly
-    * as for any micro-batch append target. */
+    * as for any micro-batch append target.
+    *
+    * Retry behavior: the dual append (curated + store) is not
+    * transactional, but a replayed batch is self-healing — the store
+    * already holds the batch's bands, every doc collides with its own
+    * accepted copy (equal ids count as duplicates by definition), and
+    * nothing is re-appended. On Delta both appends become one
+    * transactional commit. */
   def nearDupStream(docs: DataFrame, storeDir: String, curatedDir: String,
                     checkpoint: String, tau: Double = 0.7): StreamingQuery =
     docs.writeStream
@@ -106,25 +113,46 @@ object StreamingJobs {
         val shingles = Dedup.shingleSet(batch, "doc_id", "text", k = 3)
         val bands = Dedup.lshBands(
           Dedup.minHash(shingles, "doc_id", n = 16), "doc_id", 16, 4).cache()
-        // 2. probe the store: batch docs colliding with an ACCEPTED doc
-        val store = scala.util.Try(spark.read.parquet(storeDir)).toOption
+        // 2. probe the store: batch docs colliding with an ACCEPTED
+        // doc. Existence-checked, not Try-swallowed: a FAILING store
+        // read must abort the batch (treating it as empty would
+        // silently disable cross-batch dedup and pollute the corpus).
+        val storePath = new org.apache.hadoop.fs.Path(storeDir)
+        val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val store =
+          if (fs.exists(storePath)) Some(spark.read.parquet(storeDir)) else None
         val dupIds = store match {
           case None => batch.select("doc_id").limit(0)
           case Some(st) =>
-            val cand = bands
-              .join(st.withColumnRenamed("doc_id", "id_a"), Seq("band", "band_key"))
-              .select(col("id_a"), col("doc_id").as("id_b")).distinct()
+            // (store id, batch id) collisions; a batch doc re-using an
+            // ACCEPTED doc_id is a duplicate by definition (this is
+            // also what makes a replayed batch idempotent)
+            val coll = bands
+              .join(st.withColumnRenamed("doc_id", "sid"), Seq("band", "band_key"))
+              .select(col("sid"), col("doc_id").as("bid")).distinct().cache()
+            val sameId = coll.filter(col("sid") === col("bid"))
+              .select(col("bid").as("doc_id"))
+            // Dedup.jaccard's posting expansion emits pairs ordered
+            // id_a < id_b — the candidate frame must use the same
+            // canonical order or store ids >= batch ids never match;
+            // carry the batch id alongside for the verdict
+            val cand = coll.filter(col("sid") =!= col("bid"))
+              .select(least(col("sid"), col("bid")).as("id_a"),
+                greatest(col("sid"), col("bid")).as("id_b"),
+                col("bid"))
+              .distinct()
             // verify candidates with exact shingle Jaccard: batch text
             // + ONLY the collided store docs' text (semi-join readback)
             val storeDocs = spark.read.parquet(curatedDir)
-              .join(cand.select(col("id_a").as("doc_id")).distinct(), "doc_id", "left_semi")
+              .join(coll.select(col("sid").as("doc_id")).distinct(), "doc_id", "left_semi")
             val corpus = Dedup.shingleSet(
               storeDocs.select("doc_id", "text")
                 .unionByName(batch.select("doc_id", "text")),
               "doc_id", "text", k = 3)
             Dedup.jaccard(cand, corpus, "doc_id")
               .filter(col("jaccard") >= tau)
-              .select(col("id_b").as("doc_id")).distinct()
+              .select(col("bid").as("doc_id"))
+              .unionByName(sameId).distinct()
         }
         // 3. intra-batch near-dups (non-identical): the batch
         // pipeline's own candidate stage, drop the larger id

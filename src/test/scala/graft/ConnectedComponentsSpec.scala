@@ -68,6 +68,17 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("self-loop-only vertices are labeled by both algorithms") {
+    val edges = Seq((7L, 7L), (1L, 2L)).toDF("id_a", "id_b")
+    val viaMin = ConnectedComponents.minLabel(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStar = ConnectedComponents.alternatingStar(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(7L -> 7L, 1L -> 1L, 2L -> 1L)
+    assert(viaMin == expected)
+    assert(viaStar == expected, "alternatingStar must keep self-loop-only vertices")
+  }
+
   test("long chain: alternatingStar converges where minLabel's superstep budget fails loudly") {
     val n = 150L
     val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")

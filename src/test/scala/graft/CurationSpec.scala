@@ -62,6 +62,16 @@ class CurationSpec extends SparkSpec {
     assert(total == docs.count())
   }
 
+  test("profiler handles non-identifier column names") {
+    val df = Seq((1, "a"), (2, "b"), (2, null.asInstanceOf[String]))
+      .toDF("order key", "flag's")
+    val out = graft.ops.Profiler.profile(df, Seq("order key", "flag's"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("order key") == ((3L, 3L, 2L)))
+    assert(out("flag's") == ((3L, 2L, 2L)))
+  }
+
   test("hash sample: buckets are stable and ~10% eval") {
     val out = QueryCatalogCuration.q102HashSample(spark, "/root/testdata/sf0.001")
       .collect()

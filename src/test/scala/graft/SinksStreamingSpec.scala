@@ -141,15 +141,16 @@ class SinksStreamingSpec extends SparkSpec {
     mem.addData((1L, base), (2L, other),
       (3L, base.replace("today", "tonight")))
     StreamingJobs.nearDupStream(df, store, curated, chk).awaitTermination()
-    // batch 2: a cross-batch near-dup of doc 1, an exact re-ingest of
-    // doc 2, and a genuinely new doc
-    mem.addData((10L, base.replace("today", "this morning")), (11L, other),
+    // batch 2: a cross-batch near-dup of doc 1 with a SMALLER id than
+    // the stored doc (the pair-order regression: store id >= batch id
+    // must still match), an exact re-ingest of doc 2, and a new doc
+    mem.addData((0L, base.replace("today", "this morning")), (11L, other),
       (12L, "entirely novel content with no overlap at all whatsoever anywhere in sight"))
     StreamingJobs.nearDupStream(df, store, curated, chk).awaitTermination()
     val ids = spark.read.parquet(curated)
       .select("doc_id").collect().map(_.getLong(0)).sorted
     assert(ids.toSeq == Seq(1L, 2L, 12L),
-      s"3 drops in-batch, 10/11 vs store, 12 novel — got ${ids.toSeq}")
+      s"3 drops in-batch, 0/11 vs store, 12 novel — got ${ids.toSeq}")
   }
 
   test("streaming keyed upsert via foreachBatch (weather MERGE as a stream)") {
