@@ -382,14 +382,18 @@ object QueryCatalogAgg {
   val q110StatsAgg: Q = (s, d) => {
     val x = dec2(col("l_quantity"))
     val y = dec2(col("l_extendedprice"))
+    // decToDouble, not .cast("double"): the wide moment sums exceed
+    // 2^53 in unscaled value, where the direct cast's double rounding
+    // is engine-dependent (measured 1-ulp syy disagreement at
+    // sf0.001 that flipped corr's last bit)
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
-        sum(x).cast("double").as("sx"),
-        sum(x * x).cast("double").as("sxx"),
-        sum(y).cast("double").as("sy"),
-        sum(y * y).cast("double").as("syy"),
-        sum(x * y).cast("double").as("sxy"))
+        Num.decToDouble(sum(x)).as("sx"),
+        Num.decToDouble(sum(x * x)).as("sxx"),
+        Num.decToDouble(sum(y)).as("sy"),
+        Num.decToDouble(sum(y * y)).as("syy"),
+        Num.decToDouble(sum(x * y)).as("sxy"))
       .select(col("l_returnflag"), col("n"),
         (col("sx") / col("n")).as("mean_qty"),
         sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
@@ -402,13 +406,20 @@ object QueryCatalogAgg {
   }
 
   private val q110Sql =
-    """WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
-      |  FROM lineitem GROUP BY l_returnflag)
+    """WITH s0 AS (SELECT l_returnflag, COUNT(*) AS n,
+      |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS dsx,
+      |  SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS dsxx,
+      |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS dsy,
+      |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS dsyy,
+      |  SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS dsxy
+      |  FROM lineitem GROUP BY l_returnflag),
+      |m AS (SELECT l_returnflag, n,
+      |  CAST(FLOOR(dsx) AS DOUBLE) + CAST(dsx - FLOOR(dsx) AS DOUBLE) AS sx,
+      |  CAST(FLOOR(dsxx) AS DOUBLE) + CAST(dsxx - FLOOR(dsxx) AS DOUBLE) AS sxx,
+      |  CAST(FLOOR(dsy) AS DOUBLE) + CAST(dsy - FLOOR(dsy) AS DOUBLE) AS sy,
+      |  CAST(FLOOR(dsyy) AS DOUBLE) + CAST(dsyy - FLOOR(dsyy) AS DOUBLE) AS syy,
+      |  CAST(FLOOR(dsxy) AS DOUBLE) + CAST(dsxy - FLOOR(dsxy) AS DOUBLE) AS sxy
+      |  FROM s0)
       |SELECT l_returnflag, n,
       |       sx / n AS mean_qty,
       |       sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,

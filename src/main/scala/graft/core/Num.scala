@@ -41,4 +41,21 @@ object Num {
     * orchestrator.py:678-692: SUM(cnt*amt)/NULLIF(SUM(cnt),0). */
   def weightedAvg2(value: Column, weight: Column): Column =
     dsumProd2(value, weight) / nullif(dsum2(weight), lit(0.0))
+
+  /** Split-exact decimal→double: floor + fraction converted
+    * separately, then added.
+    *
+    * A direct CAST(decimal AS DOUBLE) is TWO roundings when the
+    * unscaled value exceeds 2^53 (int→double, then /10^scale), and
+    * engines disagree on the second one — measured: a DECIMAL(38,4)
+    * sum of 7096786968835.8685 converts to adjacent doubles in Spark
+    * vs DuckDB (the q110 syy moment at sf0.001). The split makes
+    * every step a SINGLE correctly-rounded IEEE operation on
+    * identical operands (floor is exact in decimal; the fraction's
+    * unscaled value is < 10^scale, so its conversion is one
+    * rounding; the final add is one rounding) — bit-identical in
+    * both engines at ANY magnitude.
+    * DuckDB replay: CAST(FLOOR(s) AS DOUBLE) + CAST(s - FLOOR(s) AS DOUBLE). */
+  def decToDouble(d: Column): Column =
+    floor(d).cast("double") + (d - floor(d)).cast("double")
 }
