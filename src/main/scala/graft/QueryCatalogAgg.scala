@@ -445,7 +445,10 @@ object QueryCatalogAgg {
       .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(sum(col("rev")).cast("double").as("revenue"),
+      // decToDouble: the revenue sum is a scale-4 product aggregate
+      // whose unscaled value approaches 2^53 with scale factor — the
+      // regime where a direct cast double-rounds engine-dependently
+      .agg(Num.decToDouble(sum(col("rev"))).as("revenue"),
         sum(col("n_items")).cast("long").as("n_items"),
         count_distinct(col("s_suppkey")).as("n_suppliers"))
       .orderBy("r_name", "n_name")
@@ -459,7 +462,8 @@ object QueryCatalogAgg {
       |         COUNT(*) AS n_items
       |  FROM lineitem GROUP BY 1)
       |SELECT r_name, n_name,
-      |       CAST(SUM(rev) AS DOUBLE) AS revenue,
+      |       CAST(FLOOR(SUM(rev)) AS DOUBLE)
+      |         + CAST(SUM(rev) - FLOOR(SUM(rev)) AS DOUBLE) AS revenue,
       |       CAST(SUM(n_items) AS BIGINT) AS n_items,
       |       COUNT(DISTINCT s_suppkey) AS n_suppliers
       |FROM ps
