@@ -1,6 +1,7 @@
 package graft.ops.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication suite for corpus-scale pipelines: exact, MinHash+LSH,
@@ -141,24 +142,40 @@ object Dedup {
     * generation (standard LSH practice — a bucket that un-selective
     * carries no pairwise signal; route such clusters through exact
     * dedup, which the curation funnel runs FIRST). Pair count per
-    * bucket is thus bounded by maxBucket^2/2 regardless of skew. */
+    * bucket is thus bounded by maxBucket^2/2 regardless of skew.
+    *
+    * The cap is applied BEFORE any id list exists: a window count
+    * over (band, band_key) — same hash distribution as the final
+    * aggregation, so Catalyst plans ONE exchange — filters oversized
+    * buckets while the rows stream through the (disk-spillable)
+    * window sorter. The earlier collect_list-then-filter form built
+    * a pathological bucket's entire id array inside one in-memory
+    * aggregation buffer before dropping it: a million-doc boilerplate
+    * bucket at corpus scale is an executor OOM, not a filter. */
   def candidatePairs(bands: DataFrame, idCol: String,
-                     maxBucket: Int = 64): DataFrame =
-    bands.groupBy(col("band"), col("band_key"))
+                     maxBucket: Int = 64): DataFrame = {
+    val bucket = Window.partitionBy(col("band"), col("band_key"))
+    bands
+      .withColumn("__bn", count(lit(1)).over(bucket))
+      .filter(col("__bn").between(2, maxBucket))
+      .groupBy(col("band"), col("band_key"))
       .agg(collect_list(col(idCol)).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
 
   /** Exact shingle-set Jaccard for given candidate pairs, with NO
     * corpus-wide join anywhere:
     *
-    *   1. The distinct candidate ids (<= 2 per pair — fixed-width
-    *      longs, bounded by the LSH bucket caps) broadcast into ONE
-    *      map-side semi-join that reduces the corpus-sized shingle
-    *      relation to candidate docs only.
+    *   1. The distinct candidate ids reduce the corpus-sized shingle
+    *      relation to candidate docs only. The join broadcasts when a
+    *      count proves the id set is under `broadcastCandMax` (one
+    *      map-side semi-join, zero corpus shuffle); beyond that —
+    *      heavily duplicated corpora make candidates corpus-order —
+    *      the hint is dropped and the planner shuffles, which is the
+    *      only safe regime there.
     *   2. Intersections come from posting lists over that reduced
     *      set (collect_list per shingle + in-row pair expansion —
     *      the invertedJaccard shape): m^2 per shingle is bounded by
@@ -173,7 +190,8 @@ object Dedup {
     * measured +40% on q42/q91 at sf0.1. This shape is safe AND
     * shuffle-minimal: the only exchange is over candidate-doc
     * shingles. */
-  def jaccard(pairs: DataFrame, words: DataFrame, idCol: String): DataFrame = {
+  def jaccard(pairs: DataFrame, words: DataFrame, idCol: String,
+              broadcastCandMax: Long = 4000000L): DataFrame = {
     // the pair list feeds THREE consumers (candidate ids, the n_inter
     // restriction, the final anchor) and is itself the output of the
     // whole signature pipeline — cache it (bounded small by the LSH
@@ -183,7 +201,16 @@ object Dedup {
     val p = pairs.cache()
     val candIds = p
       .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
-    val cw = words.join(broadcast(candIds), idCol)
+    // The candidate semi-join is broadcast ONLY while the id set is
+    // provably small. Per-bucket caps bound pairs per bucket, not the
+    // global candidate count: a heavily duplicated corpus makes the
+    // distinct candidate ids corpus-order, and a forced broadcast of a
+    // corpus-order set is a driver OOM. The count is one cheap job over
+    // the already-cached pair frame; over the budget, the hint is
+    // dropped and the planner/AQE picks the join (shuffle at scale).
+    val nCand = candIds.count()
+    val candSide = if (nCand <= broadcastCandMax) broadcast(candIds) else candIds
+    val cw = words.join(candSide, idCol)
     // posting lists over the candidate-restricted shingles.
     // collect_set supplies the SET semantics Jaccard needs, so the
     // corpus-wide relation may arrive as a multiset (shingleSet is

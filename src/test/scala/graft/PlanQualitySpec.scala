@@ -134,12 +134,12 @@ class PlanQualitySpec extends SparkSpec {
   test("jaccard verification: broadcast at fixture scale, shuffle regime beyond the budget") {
     import graft.ops.dedup.Dedup
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
-    def build() = {
+    def build(broadcastCandMax: Long = 4000000L) = {
       val shingles = Dedup.shingleSet(docs, "doc_id", "text", k = 3)
       val sig = Dedup.minHash(shingles, "doc_id", n = 16)
       val cand = Dedup.candidatePairs(
         Dedup.lshBands(sig, "doc_id", n = 16, rowsPerBand = 4), "doc_id")
-      Dedup.jaccard(cand, shingles, "doc_id")
+      Dedup.jaccard(cand, shingles, "doc_id", broadcastCandMax)
         .select("id_a", "id_b", "n_inter", "jaccard").orderBy("id_a", "id_b")
     }
     // regime 1 (default): the pairs side is hint-broadcast and AQE
@@ -152,21 +152,29 @@ class PlanQualitySpec extends SparkSpec {
     val nBroadcast = "BroadcastHashJoin".r.findAllIn(pBroadcast).length
     assert(nBroadcast >= 2,
       s"pairs AND the pairs-x-shingles intermediate must broadcast, got $nBroadcast:\n${pBroadcast.take(1200)}")
-    // regime 2 (simulated 100 TB: intermediate over the broadcast
-    // budget): AQE falls back to a shuffle join on (id_b, w) — the
-    // graceful-degradation path — with IDENTICAL results
+    // regime 2 (simulated 100 TB: candidate ids + intermediates over
+    // the broadcast budget): broadcastCandMax=0 makes jaccard's count
+    // gate drop the candIds hint, and the -1 thresholds keep the
+    // planner/AQE from re-broadcasting anything — every join falls
+    // back to the shuffle path, with IDENTICAL results
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val prevAqe = // unset by default; get("", default) can't express that
       scala.util.Try(spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold"))
         .toOption.filter(_ != null)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    // drop regime-1's cached pair frame: its stored physical plan
+    // (with regime-1 broadcasts) would otherwise be reused verbatim
+    // and show up inside the regime-2 plan string
+    spark.catalog.clearCache()
     try {
-      val shuffled = build()
+      val shuffled = build(broadcastCandMax = 0L)
       val rowsShuffle = shuffled.collect().toSeq
       val pShuffle = shuffled.queryExecution.executedPlan.toString
       assert(pShuffle.contains("SortMergeJoin") || pShuffle.contains("ShuffledHashJoin"),
         s"over-budget regime must shuffle-join:\n${pShuffle.take(1000)}")
+      assert(!pShuffle.contains("BroadcastHashJoin"),
+        s"candIds gate must drop the broadcast hint over budget:\n${pShuffle.take(1000)}")
       assert(rowsShuffle == rowsBroadcast, "both regimes must agree exactly")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
