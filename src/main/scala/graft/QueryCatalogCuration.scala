@@ -426,16 +426,19 @@ object QueryCatalogCuration {
     * prefix block cuts it ~20x. Typos in the first two chars are
     * invisible by design; that is the documented blocking tradeoff
     * (real pipelines union several blocking passes). levenshtein is
-    * a codegen'd built-in in Spark and replays exactly in DuckDB. */
-  val q108FuzzyMatch: Q = (s, d) => {
-    val p = Tables.part(s, d).select(col("p_partkey"), col("p_name"), col("p_brand"))
-    val typo = p.filter(col("p_partkey") < 30)
-      .select((col("p_partkey") + 1000000).as("p_partkey"),
-        concat(substring(col("p_name"), 1, 2), substring(col("p_name"), 4, 10000))
-          .as("p_name"),
-        col("p_brand"))
-    val all = p.unionByName(typo)
-      .withColumn("blk", substring(col("p_name"), 1, 2))
+    * a codegen'd built-in in Spark and replays exactly in DuckDB.
+    *
+    * Block sizes are CAPPED (`Blocking.capBlocks`) before the
+    * self-join: a hot (brand, prefix) block is m^2 pairs with no
+    * matching signal — the same skew bomb the dedup family guards
+    * with maxBucket/maxDf. The cap rides the window count on the
+    * join's own hash distribution (no extra shuffle); q113 plants a
+    * hot block to prove the bound. */
+  private def fuzzyPairs(all0: org.apache.spark.sql.DataFrame,
+                         maxBlock: Int): org.apache.spark.sql.DataFrame = {
+    val all = graft.ops.Blocking.capBlocks(
+      all0.withColumn("blk", substring(col("p_name"), 1, 2)),
+      Seq("p_brand", "blk"), maxBlock)
     val a = all.select(col("p_brand"), col("blk"), col("p_partkey").as("id_a"),
       col("p_name").as("name_a"))
     val b = all.select(col("p_brand"), col("blk"), col("p_partkey").as("id_b"),
@@ -448,14 +451,77 @@ object QueryCatalogCuration {
       .orderBy("p_brand", "id_a", "id_b")
   }
 
+  val q108FuzzyMatch: Q = (s, d) => {
+    val p = Tables.part(s, d).select(col("p_partkey"), col("p_name"), col("p_brand"))
+    val typo = p.filter(col("p_partkey") < 30)
+      .select((col("p_partkey") + 1000000).as("p_partkey"),
+        concat(substring(col("p_name"), 1, 2), substring(col("p_name"), 4, 10000))
+          .as("p_name"),
+        col("p_brand"))
+    fuzzyPairs(p.unionByName(typo), maxBlock = 500)
+  }
+
   private val q108Sql =
     """WITH base AS (SELECT p_partkey, p_name, p_brand FROM part),
       |typo AS (SELECT p_partkey + 1000000 AS p_partkey,
       |                substr(p_name, 1, 2) || substr(p_name, 4) AS p_name,
       |                p_brand
       |         FROM part WHERE p_partkey < 30),
-      |a AS (SELECT *, substr(p_name, 1, 2) AS blk
-      |      FROM (SELECT * FROM base UNION ALL SELECT * FROM typo))
+      |raw AS (SELECT *, substr(p_name, 1, 2) AS blk
+      |        FROM (SELECT * FROM base UNION ALL SELECT * FROM typo)),
+      |a AS (SELECT * FROM (
+      |        SELECT *, COUNT(*) OVER (PARTITION BY p_brand, blk) AS bn FROM raw)
+      |      WHERE bn <= 500)
+      |SELECT a.p_brand, a.p_partkey AS id_a, b.p_partkey AS id_b,
+      |       a.p_name AS name_a, b.p_name AS name_b,
+      |       levenshtein(a.p_name, b.p_name) AS dist
+      |FROM a JOIN a b ON a.p_brand = b.p_brand AND a.blk = b.blk
+      |               AND a.p_partkey < b.p_partkey
+      |WHERE abs(length(a.p_name) - length(b.p_name)) <= 1
+      |  AND levenshtein(a.p_name, b.p_name) <= 1
+      |ORDER BY a.p_brand, id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- planted hot block
+  /** q108's skew guard, exercised: 200 synthetic records sharing ONE
+    * (brand, prefix) block — names differing only in a one-char
+    * suffix, so WITHOUT the cap the block alone emits every one of
+    * C(200,2) = 19,900 pairs past the dist<=1 filter (m^2-shaped,
+    * pure boilerplate, zero entity-resolution signal). With the cap the
+    * hot block is dropped before any pair exists and the output is
+    * exactly q108's benign matches — proving the pair count is
+    * bounded by maxBlock^2/2 per block regardless of skew, and that
+    * capping leaves a benign corpus untouched. */
+  val q113HotBlockCap: Q = (s, d) => {
+    val p = Tables.part(s, d).select(col("p_partkey"), col("p_name"), col("p_brand"))
+    val typo = p.filter(col("p_partkey") < 30)
+      .select((col("p_partkey") + 1000000).as("p_partkey"),
+        concat(substring(col("p_name"), 1, 2), substring(col("p_name"), 4, 10000))
+          .as("p_name"),
+        col("p_brand"))
+    val hot = p.filter(col("p_partkey") <= 200)
+      .select((col("p_partkey") + 2000000).as("p_partkey"),
+        concat(lit("zz boilerplate item "), (col("p_partkey") % 4).cast("string"))
+          .as("p_name"),
+        lit("HOT#00").as("p_brand"))
+    fuzzyPairs(p.unionByName(typo).unionByName(hot), maxBlock = 64)
+  }
+
+  private val q113Sql =
+    """WITH base AS (SELECT p_partkey, p_name, p_brand FROM part),
+      |typo AS (SELECT p_partkey + 1000000 AS p_partkey,
+      |                substr(p_name, 1, 2) || substr(p_name, 4) AS p_name,
+      |                p_brand
+      |         FROM part WHERE p_partkey < 30),
+      |hot AS (SELECT p_partkey + 2000000 AS p_partkey,
+      |               'zz boilerplate item ' || CAST(p_partkey % 4 AS VARCHAR) AS p_name,
+      |               'HOT#00' AS p_brand
+      |        FROM part WHERE p_partkey <= 200),
+      |raw AS (SELECT *, substr(p_name, 1, 2) AS blk
+      |        FROM (SELECT * FROM base UNION ALL SELECT * FROM typo
+      |              UNION ALL SELECT * FROM hot)),
+      |a AS (SELECT * FROM (
+      |        SELECT *, COUNT(*) OVER (PARTITION BY p_brand, blk) AS bn FROM raw)
+      |      WHERE bn <= 64)
       |SELECT a.p_brand, a.p_partkey AS id_a, b.p_partkey AS id_b,
       |       a.p_name AS name_a, b.p_name AS name_b,
       |       levenshtein(a.p_name, b.p_name) AS dist
@@ -552,6 +618,7 @@ object QueryCatalogCuration {
     "q106_sequence_pack" -> q106SequencePack,
     "q108_fuzzy_match" -> q108FuzzyMatch,
     "q109_interpolate" -> q109Interpolate,
+    "q113_hot_block_cap" -> q113HotBlockCap,
   )
 
   val oracle: Map[String, String] = Map(
@@ -565,5 +632,6 @@ object QueryCatalogCuration {
     "q106_sequence_pack" -> q106Sql,
     "q108_fuzzy_match" -> q108Sql,
     "q109_interpolate" -> q109Sql,
+    "q113_hot_block_cap" -> q113Sql,
   )
 }

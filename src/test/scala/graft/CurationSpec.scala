@@ -84,4 +84,33 @@ class CurationSpec extends SparkSpec {
       .collect()
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("fuzzy match: planted hot block is dropped by the cap, benign matches untouched") {
+    val d = "/root/testdata/sf0.001"
+    val benign = QueryCatalogCuration.q108FuzzyMatch(spark, d).collect()
+    val capped = QueryCatalogCuration.q113HotBlockCap(spark, d).collect()
+    // the 200-row boilerplate block never reaches pair expansion:
+    // zero HOT pairs (uncapped it alone emits C(200,2) = 19,900 —
+    // the names differ only in the one-char %4 suffix, so every
+    // pair survives the dist<=1 filter)
+    assert(!capped.exists(_.getAs[String]("p_brand") == "HOT#00"),
+      "hot block must be dropped before pair expansion")
+    // and capping changes nothing for the benign corpus
+    assert(capped.map(_.toString).toSeq == benign.map(_.toString).toSeq,
+      "benign matches must be identical with the hot block planted+capped")
+    // the uncapped bound really is quadratic: same input through the
+    // raw self-join (no cap) floods with dist-0 boilerplate pairs
+    import org.apache.spark.sql.functions._
+    val p = graft.core.Tables.part(spark, d)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+    val hot = p.filter(col("p_partkey") <= 200)
+      .select((col("p_partkey") + 2000000).as("id"),
+        concat(lit("zz boilerplate item "), (col("p_partkey") % 4).cast("string"))
+          .as("p_name"))
+    val a = hot.select(col("id").as("id_a"), col("p_name").as("name_a"))
+    val b = hot.select(col("id").as("id_b"), col("p_name").as("name_b"))
+    val uncappedHot = a.join(b, col("id_a") < col("id_b"))
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 1).count()
+    assert(uncappedHot == 19900L, s"expected C(200,2) = 19900, got $uncappedHot")
+  }
 }
