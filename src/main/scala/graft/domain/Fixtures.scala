@@ -390,6 +390,38 @@ object Fixtures {
     Row(101, 1, "COMPLETE", "20251112020455", "deadbeefcafef00d"),
     Row(101, 2, "COMPLETE", "20251112020508", "0123456789abcdef"))
 
+  /** Farm master rows (TA_FARM shape, farm_service.py:22-31): farm 2
+    * has no country code (locale must default KOR), farm 4 is
+    * USE_YN='N' (excluded), farm 5 has no active-service row (inner
+    * join drops it). */
+  lazy val farm: Seq[Row] = Seq(
+    Row(1, "Farm A", "11000", "KOR", "Y"),
+    Row(2, "Farm B", "26000", null, "Y"),
+    Row(3, "Farm C", "11000", "VNM", "Y"),
+    Row(4, "Farm D", "48000", "KOR", "N"),
+    Row(5, "Farm E", "28000", "KOR", "Y"),
+    Row(6, "Farm F", "11000", "KOR", "Y"))
+
+  /** Active-service rows (VW_INS_SERVICE_ACTIVE shape): farm 1 twice
+    * (the view can emit duplicates — SERVICE_FARM_SQL is DISTINCT),
+    * farm 2 with NULL reg_type (defaults AUTO), farm 3 with NULL
+    * schedule group (defaults AM7), farm 6 MANUAL (excluded), farm 7
+    * without a TA_FARM row (inner join drops it). */
+  lazy val svcActive: Seq[Row] = Seq(
+    Row(1, "AUTO", "AM7"),
+    Row(1, "AUTO", "AM7"),
+    Row(2, null, "PM2"),
+    Row(3, "AUTO", null),
+    Row(4, "AUTO", "AM7"),
+    Row(6, "MANUAL", "AM7"),
+    Row(7, "AUTO", "AM7"))
+
+  /** System-config rows (TA_SYS_CONFIG shape, orchestrator.py:58-94):
+    * one INS_SCHEDULE_YN value per seq — 'Y' production, 'T' test
+    * (runs), 'N' disabled (skips). */
+  lazy val sysConfig: Seq[Row] = Seq(
+    Row(1, "Y"), Row(2, "T"), Row(3, "N"))
+
   // ---- schemas ----
   private def st(fields: (String, DataType)*): StructType =
     StructType(fields.map { case (n, t) => StructField(n, t) })
@@ -481,6 +513,18 @@ object Fixtures {
     "status_cd" -> StringType, "complete_ts" -> StringType,
     "salt" -> StringType)
 
+  val farmSchema: StructType = st(
+    "farm_no" -> IntegerType, "farm_nm" -> StringType,
+    "sigun_cd" -> StringType, "country_code" -> StringType,
+    "use_yn" -> StringType)
+
+  val svcActiveSchema: StructType = st(
+    "farm_no" -> IntegerType, "reg_type" -> StringType,
+    "schedule_group_week" -> StringType)
+
+  val sysConfigSchema: StructType = st(
+    "seq" -> IntegerType, "ins_schedule_yn" -> StringType)
+
   private def toDf(s: SparkSession, rows: Seq[Row], schema: StructType): DataFrame =
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
 
@@ -501,6 +545,9 @@ object Fixtures {
   def weatherShortDf(s: SparkSession): DataFrame = toDf(s, weatherShort, weatherShortSchema)
   def insMasterDf(s: SparkSession): DataFrame = toDf(s, insMaster, insMasterSchema)
   def insWeekRunDf(s: SparkSession): DataFrame = toDf(s, insWeekRun, insWeekRunSchema)
+  def farmDf(s: SparkSession): DataFrame = toDf(s, farm, farmSchema)
+  def svcActiveDf(s: SparkSession): DataFrame = toDf(s, svcActive, svcActiveSchema)
+  def sysConfigDf(s: SparkSession): DataFrame = toDf(s, sysConfig, sysConfigSchema)
 
   // ---- SQL VALUES rendering (for the DuckDB oracle) ----
   private def litSql(v: Any): String = v match {
@@ -539,6 +586,9 @@ object Fixtures {
       case "weather_short" => valuesCte("weather_short", weatherShortSchema, weatherShort)
       case "ins_master" => valuesCte("ins_master", insMasterSchema, insMaster)
       case "ins_week_run" => valuesCte("ins_week_run", insWeekRunSchema, insWeekRun)
+      case "farm" => valuesCte("farm", farmSchema, farm)
+      case "svc_active" => valuesCte("svc_active", svcActiveSchema, svcActive)
+      case "sys_config" => valuesCte("sys_config", sysConfigSchema, sysConfig)
     }
     parts.mkString(",\n")
   }

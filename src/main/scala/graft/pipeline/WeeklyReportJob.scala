@@ -162,4 +162,16 @@ object WeeklyReportJob {
     Sinks.overwritePartitions(subRows(spark), s"$outDir/week_sub", Seq("gubun"))
     summary(spark).write.mode("overwrite").parquet(s"$outDir/week_summary")
   }
+
+  /** Scheduler entry: the whole batch is gated on the INS_SCHEDULE_YN
+    * config scalar (orchestrator.py:58-94) BEFORE any Spark job is
+    * submitted — 'Y'/'T' runs, anything else (including a missing or
+    * unreadable config, the reference's fail-safe) returns false and
+    * writes nothing. */
+  def runIfEnabled(spark: SparkSession, outDir: String,
+                   insScheduleYn: Option[String]): Boolean = {
+    val enabled = graft.domain.BatchGate.scheduleEnabled(insScheduleYn)
+    if (enabled) run(spark, outDir)
+    enabled
+  }
 }

@@ -19,6 +19,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
   }
 
+  test("single-farm weekly summary pushes the farm predicate into every parquet scan") {
+    import graft.domain.Fixtures
+    val dir = java.nio.file.Files.createTempDirectory("farm_scan").toString
+    Fixtures.modonDf(spark).write.mode("overwrite").parquet(s"$dir/modon")
+    Fixtures.modonWkDf(spark).write.mode("overwrite").parquet(s"$dir/modon_wk")
+    Fixtures.bunmanDf(spark).write.mode("overwrite").parquet(s"$dir/bunman")
+    val one = QueryCatalogDomain3.weeklySummary(Some(1),
+      spark.read.parquet(s"$dir/modon"),
+      spark.read.parquet(s"$dir/modon_wk"),
+      spark.read.parquet(s"$dir/bunman"))
+    val p = one.queryExecution.executedPlan.toString
+    val pushed = "PushedFilters: \\[[^\\]]*EqualTo\\(farm_no,1\\)".r
+      .findAllIn(p).length
+    // modon is scanned twice (farms + cull), modon_wk and bunman once
+    assert(pushed >= 4, s"farm_no=1 must reach all scans, got $pushed:\n${p.take(1500)}")
+    assert(one.collect().map(_.getInt(0)).toSet == Set(1), "only farm 1 survives")
+  }
+
   test("scan queries push filters into the parquet scan") {
     val p = QueryCatalog.q02Scan(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString

@@ -87,4 +87,19 @@ class WeeklyReportJobSpec extends SparkSpec {
     q63.foreach { case (farm, v) => assert(s(farm) == v) }
     assert(s.get(3).forall(_ == 0L), "farm 3's NULL unboxes to 0")
   }
+
+  test("batch gate: disabled INS_SCHEDULE_YN skips the run before any job is submitted") {
+    import graft.domain.BatchGate
+    assert(BatchGate.scheduleEnabled(Some("Y")), "'Y' is production mode")
+    assert(BatchGate.scheduleEnabled(Some("T")), "'T' is test mode (runs)")
+    assert(!BatchGate.scheduleEnabled(Some("N")))
+    assert(!BatchGate.scheduleEnabled(Some("X")))
+    assert(!BatchGate.scheduleEnabled(None), "missing config fails safe")
+    val out = java.nio.file.Files.createTempDirectory("gate_skip").toString
+    assert(!WeeklyReportJob.runIfEnabled(spark, out, Some("N")), "gate must report the skip")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/week_summary")),
+      "a skipped run must write nothing")
+    assert(WeeklyReportJob.runIfEnabled(spark, out, Some("T")), "'T' runs the batch")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/week_summary")))
+  }
 }
