@@ -38,20 +38,33 @@ object ConnectedComponents {
     *   - convergence is sum(component): labels only ever decrease,
     *     so the sum strictly decreases iff anything changed — a
     *     cached-scan aggregate instead of a join-and-count.
-    * Intermediate labels are cached per superstep and unpersisted as
-    * soon as the successor is materialized (the convergence sum is
-    * the materializing action) — lineage stays one superstep deep, so
-    * no stack-overflow plans on long chains. */
-  /** Materialize into a plan LEAF with releasable storage: the frame
-    * is rebuilt as a LogicalRDD over the original's row RDD and
-    * cached. Like localCheckpoint, downstream plans see a leaf (no
-    * re-analysis of the whole upstream tree per superstep); unlike
-    * localCheckpoint, the storage is explicitly releasable
-    * (unpersist) and recomputable from lineage — superseded
-    * supersteps are freed eagerly instead of pinning blocks until
-    * some future driver GC lets ContextCleaner run. */
+    * Intermediate labels are eagerly leaf-checkpointed per superstep
+    * and their storage released as soon as the successor exists —
+    * lineage stays one superstep deep, so no stack-overflow plans on
+    * long chains. */
+  /** Materialize into a plan LEAF with releasable storage: an EAGER
+    * localCheckpoint — downstream plans see a leaf (no re-analysis of
+    * the whole upstream tree per superstep) backed by stored
+    * InternalRow copies. The earlier form rebuilt the frame from
+    * `df.rdd` + createDataFrame, which pays the external-Row codec
+    * BOTH ways (deserialize every row to Row, re-encode to unsafe)
+    * on every superstep; the checkpoint stores the unsafe rows as
+    * they are. Superseded supersteps are freed eagerly via
+    * `release` instead of pinning blocks until some future driver GC
+    * lets ContextCleaner run. */
   private def leafCache(df: DataFrame): DataFrame =
-    df.sparkSession.createDataFrame(df.rdd, df.schema).cache()
+    df.localCheckpoint(true)
+
+  /** Free a leafCache'd frame's stored blocks NOW. The checkpointed
+    * RDD sits behind the plan's LogicalRDD leaf; its lineage is
+    * truncated, so this is only safe once the frame is superseded —
+    * which is exactly when the superstep loops call it. */
+  private def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+      case _ => ()
+    }
 
   def minLabel(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     // the input edge list is referenced three times below (two union
@@ -98,8 +111,8 @@ object ConnectedComponents {
       val next = leafCache(und
         .join(labels.select(col("id").as("v"), col("component")), "v")
         .groupBy(col("u").as("id")).agg(min(col("component")).as("component")))
-      val s = sumOf(next) // materializes next before its parent is freed
-      labels.unpersist()
+      val s = sumOf(next) // next is already materialized (eager checkpoint)
+      release(labels)
       labels = next
       converged = s == prevSum
       prevSum = s
@@ -150,7 +163,8 @@ object ConnectedComponents {
       .join(e.select(explode(array(col("lo"), col("hi"))).as("id")).distinct(),
         Seq("id"), "left_anti")
       .select(col("id"), col("id").as("component")))
-    selfOnly.count() // materialize before canon is released
+    // selfOnly is already materialized (eager checkpoint), so canon
+    // can be released immediately
     canon.unpersist()
     def largeStar(cur: DataFrame): DataFrame = {
       val both = cur.select(col("lo").as("u"), col("hi").as("v"))
@@ -176,7 +190,7 @@ object ConnectedComponents {
       val next = leafCache(smallStar(largeStar(e)))
       converged = next.count() == e.count() &&
         next.except(e).limit(1).count() == 0
-      e.unpersist()
+      release(e)
       e = next
       it += 1
     }
