@@ -106,6 +106,49 @@ object QueryCatalogSim {
       |SELECT q_id, c_id, cell, rank, cos FROM r WHERE rank <= 3
       |ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- multi-table lsh ann
+  /** Multi-table LSH ANN (4 tables x 8 planes): candidates union
+    * across independent hyperplane sets, deduped before scoring —
+    * the recall repair over q46's single table ((1-p)^L miss
+    * probability; VectorGeoSpec measures 0.31 -> >=0.75 recall@10 on
+    * planted clusters). Table t uses plane indices [8t, 8t+8), so
+    * table 0 reproduces q46's buckets bit-for-bit. */
+  val q116LshMultiAnn: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    VectorOps.lshAnnMulti(emb.filter(col("vec_id") < 20), emb, k = 3,
+        nPlanes = 8, nTables = 4)
+      .withColumn("rank", col("rank").cast("int"))
+      .orderBy("q_id", "rank")
+  }
+
+  private val q116Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |x AS (SELECT vec_id,
+      |             generate_subscripts(v, 1) - 1 AS k,
+      |             CAST(round(unnest(v) * 1e6) AS BIGINT) AS xi
+      |      FROM e),
+      |pl AS (SELECT vec_id, k, xi, j.j AS j,
+      |              ((('0x' || substr(md5(CAST(j.j AS VARCHAR) || '_' || CAST(k AS VARCHAR)), 1, 1))::INT % 2) * 2 - 1) AS sgn
+      |       FROM x, (SELECT unnest(range(32)) AS j) j),
+      |votes AS (SELECT vec_id, j // 8 AS t, j, SUM(sgn * xi) AS vsum
+      |          FROM pl GROUP BY 1, 2, 3),
+      |bk AS (SELECT vec_id, t,
+      |              CAST(SUM(CASE WHEN vsum > 0 THEN CAST(pow(2, j % 8) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      |       FROM votes GROUP BY 1, 2),
+      |cand AS (SELECT DISTINCT p.vec_id AS q_id, c.vec_id AS c_id
+      |         FROM bk p JOIN bk c ON c.t = p.t AND c.bucket = p.bucket
+      |         WHERE p.vec_id < 20 AND c.vec_id != p.vec_id),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM e),
+      |pr AS (SELECT cand.q_id, cand.c_id,
+      |              list_dot_product(p.v, c.v) / (p.nm * c.nm) AS cos
+      |       FROM cand
+      |       JOIN n p ON p.vec_id = cand.q_id
+      |       JOIN n c ON c.vec_id = cand.c_id),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS INT) AS rank
+      |      FROM pr)
+      |SELECT q_id, c_id, rank, cos FROM r WHERE rank <= 3
+      |ORDER BY q_id, rank""".stripMargin
+
   // ---------------------------------------------------------------- embedding near-dup
   /** Embedding-cosine near-dup (the dedup-family member over vectors,
     * completing exact/minhash/simhash/jaccard): re-ingest simulation
@@ -318,6 +361,7 @@ object QueryCatalogSim {
     "q98_kmeans_ivf_build" -> q98KmeansBuild,
     "q45_embed_knn" -> q45Knn,
     "q46_embed_lsh_ann" -> q46LshAnn,
+    "q116_lsh_multi_ann" -> q116LshMultiAnn,
     "q53_embed_neardup" -> q53EmbedNearDup,
     "q77_embed_ivf_ann" -> q77IvfAnn,
     "q51_multimodal_meta" -> q51MultimodalMeta,
@@ -330,6 +374,7 @@ object QueryCatalogSim {
     "q98_kmeans_ivf_build" -> q98Sql,
     "q45_embed_knn" -> q45Sql,
     "q46_embed_lsh_ann" -> q46Sql,
+    "q116_lsh_multi_ann" -> q116Sql,
     "q53_embed_neardup" -> q53Sql,
     "q77_embed_ivf_ann" -> q77Sql,
     "q51_multimodal_meta" -> q51Sql,

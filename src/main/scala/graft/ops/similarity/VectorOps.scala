@@ -53,7 +53,9 @@ object VectorOps {
 
   /** Sign of hyperplane j for dimension k, computed driver-side:
     * parity of the first hex digit of md5("<j>_<k>") — the exact
-    * formula the oracle SQL replays per element. +1 / -1. */
+    * formula the oracle SQL replays per element. +1 / -1. Table t of
+    * a multi-table index uses plane indices [t*nPlanes, (t+1)*nPlanes),
+    * so table 0 is bit-identical to the single-table form. */
   private def planeSign(j: Int, k: Int): Int = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val digest = md.digest(s"${j}_$k".getBytes("UTF-8"))
@@ -79,14 +81,16 @@ object VectorOps {
     * instead of head() throwing, null embeddings yield null buckets
     * (dropped by the downstream bucket join), and ragged vectors keep
     * ALL components instead of silently truncating to row 0's length. */
-  def lshBucket(df: DataFrame, idCol: String, nPlanes: Int = 8): DataFrame = {
+  def lshBucket(df: DataFrame, idCol: String, nPlanes: Int = 8,
+                table: Int = 0): DataFrame = {
     val dims = df.agg(max(size(col("embedding")))).head().get(0) match {
       case n: Int => n
       case _ => 0 // empty frame or all-null embeddings
     }
     if (dims <= 0)
       return df.select(col(idCol), lit(null).cast("long").as("bucket")).limit(0)
-    val signs = Array.tabulate(nPlanes, dims)((j, k) => planeSign(j, k).toLong)
+    val signs = Array.tabulate(nPlanes, dims)(
+      (j, k) => planeSign(table * nPlanes + j, k).toLong)
     df.select(col(idCol),
       graft.functions.LshBucketExpr.bucket(col("embedding"), signs).as("bucket"))
   }
@@ -220,5 +224,43 @@ object VectorOps {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
     pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("q_id", "c_id", "bucket", "rank", "cos")
+  }
+
+  /** Multi-table LSH ANN: `nTables` independent hyperplane sets, a
+    * candidate is anyone sharing a bucket with the probe in ANY
+    * table. The standard recall repair for random-hyperplane LSH — a
+    * true neighbor with per-table collision probability p is missed
+    * by all L tables with probability (1-p)^L, so recall rises
+    * geometrically with L while the candidate set (the cost) only
+    * grows linearly. Single-table recall on the planted-cluster spec
+    * fixture is 0.31@10; four tables lift it past 0.85 at ~4x the
+    * scored pairs (VectorGeoSpec asserts both).
+    *
+    * Scale shape: bucketing stays a pure per-row map (one literal
+    * sign matrix per table); each table contributes one bucket
+    * equi-join; the union dedups (q_id, c_id) BEFORE any cosine is
+    * computed, so a pair colliding in several tables is scored once.
+    * Every join key is (table, bucket) — hashed, never skewed beyond
+    * the single-table bucket-size story. */
+  def lshAnnMulti(probes: DataFrame, candidates: DataFrame, k: Int,
+                  nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
+    val candPairs = (0 until nTables).map { t =>
+      val pb = lshBucket(probes, "vec_id", nPlanes, t)
+        .withColumnRenamed("vec_id", "q_id")
+      val cb = lshBucket(candidates, "vec_id", nPlanes, t)
+        .withColumnRenamed("vec_id", "c_id")
+      pb.join(cb, "bucket").select("q_id", "c_id")
+    }.reduce(_ unionByName _)
+      .filter(col("q_id") =!= col("c_id"))
+      .distinct()
+    val p = probes.select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+      norm(col("embedding")).as("qn"))
+    val c = candidates.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+      norm(col("embedding")).as("cn"))
+    val pairs = candPairs.join(p, "q_id").join(c, "c_id")
+      .withColumn("cos", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("q_id", "c_id", "rank", "cos")
   }
 }
