@@ -20,13 +20,33 @@ import org.apache.spark.sql.functions._
   * profile itself need not be exact. */
 object Profiler {
 
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileWith(df, cols, count_distinct(_))
+
+  /** The 100 TB default the exact profile's docstring names, now a
+    * first-class variant: `approx_count_distinct` (HLL++, relative
+    * standard deviation `rsd`, default 5%) replaces the exact
+    * distincts. Beyond trading exactness for memory, this DELETES the
+    * Expand: multi-column exact distincts plan as one Expand that
+    * multiplies the scan's rows by 4x|cols| before aggregating, while
+    * the HLL sketch is a plain aggregate — the wide row aggregates in
+    * a single pass with NO row multiplication at all. Every other
+    * statistic (row/non-null counts, min/max) stays exact.
+    * CurationSpec gates the sketch against the exact profile at 3x
+    * rsd, mirroring the q87 approx-percentile twin. */
+  def profileApprox(df: DataFrame, cols: Seq[String],
+                    rsd: Double = 0.05): DataFrame =
+    profileWith(df, cols, c => approx_count_distinct(c, rsd))
+
+  private def profileWith(df: DataFrame, cols: Seq[String],
+                          distinctOf: org.apache.spark.sql.Column =>
+                            org.apache.spark.sql.Column): DataFrame = {
     // positional aliases: the unpivot below re-parses names, so the
     // generated identifiers must be quotable regardless of what the
     // source columns are called ("order key", "a.b", quotes, ...)
     val aggs = cols.zipWithIndex.flatMap { case (c, i) => Seq(
       count(col(c)).as(s"c${i}__nn"),
-      count_distinct(col(c)).as(s"c${i}__nd"),
+      distinctOf(col(c)).as(s"c${i}__nd"),
       min(col(c)).cast("string").as(s"c${i}__mn"),
       max(col(c)).cast("string").as(s"c${i}__mx"))
     } :+ count(lit(1)).as("__n")

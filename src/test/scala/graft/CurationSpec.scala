@@ -85,6 +85,36 @@ class CurationSpec extends SparkSpec {
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("approx profile tracks the exact profile within 3x rsd, with no Expand (q105's 100 TB path)") {
+    val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.01")
+    val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+    val rsd = 0.05
+    val exact = graft.ops.Profiler.profile(li, cols).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approxDf = graft.ops.Profiler.profileApprox(li, cols, rsd)
+    val approx = approxDf.collect().map(r => r.getString(0) -> r).toMap
+    cols.foreach { c =>
+      val (e, a) = (exact(c), approx(c))
+      // everything but the sketch stays exact
+      assert(a.getAs[Long]("n_rows") == e.getAs[Long]("n_rows"))
+      assert(a.getAs[Long]("n_nonnull") == e.getAs[Long]("n_nonnull"))
+      assert(a.getAs[String]("min_value") == e.getAs[String]("min_value"))
+      assert(a.getAs[String]("max_value") == e.getAs[String]("max_value"))
+      // HLL++ error bound: 3 standard deviations of the stated rsd
+      val (en, an) = (e.getAs[Long]("n_distinct"), a.getAs[Long]("n_distinct"))
+      assert(math.abs(an - en).toDouble / en <= 3 * rsd,
+        s"$c approx n_distinct=$an exact=$en outside 3*rsd")
+    }
+    // the structural win the scale story claims: exact multi-distinct
+    // plans an Expand (4x|cols| row multiplication before the agg);
+    // the sketch variant must plan NONE
+    val exactPlan = graft.ops.Profiler.profile(li, cols)
+      .queryExecution.executedPlan.toString
+    val approxPlan = approxDf.queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"), "exact profile is the Expand baseline")
+    assert(!approxPlan.contains("Expand"), s"approx profile must not Expand:\n${approxPlan.take(800)}")
+  }
+
   test("fuzzy match: planted hot block is dropped by the cap, benign matches untouched") {
     val d = "/root/testdata/sf0.001"
     val benign = QueryCatalogCuration.q108FuzzyMatch(spark, d).collect()
