@@ -252,6 +252,31 @@ object QueryCatalogDomain3 {
        |LEFT JOIN cull ON cull.farm_no = f.farm_no
        |ORDER BY f.farm_no""".stripMargin
 
+  // ---------------------------------------------------------------- week-record creation
+  /** The batch's per-farm READY rows with the ETL-time schedule-group
+    * snapshot (orchestrator.py:1043-1085) over the verified target
+    * list — the last piece of the scheduler surface. */
+  val q117WeekRecords: Q = (s, _) =>
+    graft.pipeline.WeeklyReportJob.createWeekRecords(
+        BatchGate.targetFarms(Fixtures.farmDf(s), Fixtures.svcActiveDf(s)),
+        masterSeq = 100, year = 2025, weekNo = 45,
+        dtFrom = "20251103", dtTo = "20251109")
+      .orderBy("farm_no")
+
+  private lazy val q117Sql =
+    s"""WITH ${Fixtures.withClause("farm", "svc_active")},
+       |targets AS (
+       |  SELECT DISTINCT f.farm_no, f.farm_nm, f.sigun_cd,
+       |         COALESCE(f.country_code, 'KOR') AS locale,
+       |         COALESCE(s.schedule_group_week, 'AM7') AS schedule_group
+       |  FROM farm f JOIN svc_active s ON f.farm_no = s.farm_no
+       |  WHERE f.use_yn = 'Y' AND COALESCE(s.reg_type, 'AUTO') = 'AUTO')
+       |SELECT 100 AS master_seq, farm_no, 2025 AS report_year,
+       |       45 AS report_week_no, '20251103' AS dt_from,
+       |       '20251109' AS dt_to, farm_nm, sigun_cd,
+       |       'READY' AS status_cd, schedule_group
+       |FROM targets ORDER BY farm_no""".stripMargin
+
   // ---------------------------------------------------------------- single-farm run
   /** q78's summary parameterized to farm 1 — the on-demand
     * single-farm report (VERDICT r4/r5 missing #5). Identical
@@ -691,6 +716,7 @@ object QueryCatalogDomain3 {
   val all: Map[String, Q] = Map(
     "q114_batch_targets" -> q114BatchTargets,
     "q115_farm_summary" -> q115FarmSummary,
+    "q117_week_records" -> q117WeekRecords,
     "q95_finalize_tokens" -> q95Finalize,
     "q74_prevnext_seq_literal" -> q74PrevNextSeq,
     "q75_alert_matrix" -> q75Alerts,
@@ -706,6 +732,7 @@ object QueryCatalogDomain3 {
   lazy val oracle: Map[String, String] = Map(
     "q114_batch_targets" -> q114Sql,
     "q115_farm_summary" -> q115Sql,
+    "q117_week_records" -> q117Sql,
     "q95_finalize_tokens" -> q95Sql,
     "q74_prevnext_seq_literal" -> q74Sql,
     "q75_alert_matrix" -> q75Sql,

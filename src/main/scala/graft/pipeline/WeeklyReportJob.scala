@@ -163,6 +163,20 @@ object WeeklyReportJob {
     summary(spark).write.mode("overwrite").parquet(s"$outDir/week_summary")
   }
 
+  /** TS_INS_WEEK initial records (orchestrator.py:1043-1085): one
+    * READY row per target farm carrying the ETL-time SCHEDULE_GROUP
+    * SNAPSHOT — downstream sends filter on the snapshot, so a config
+    * change between ETL and send cannot retarget the batch. The
+    * reference's per-farm INSERT loop is one select; the master's
+    * TARGET_CNT update is `targets.count()` on the same frame. */
+  def createWeekRecords(targets: DataFrame, masterSeq: Int, year: Int,
+                        weekNo: Int, dtFrom: String, dtTo: String): DataFrame =
+    targets.select(lit(masterSeq).as("master_seq"), col("farm_no"),
+      lit(year).as("report_year"), lit(weekNo).as("report_week_no"),
+      lit(dtFrom).as("dt_from"), lit(dtTo).as("dt_to"),
+      col("farm_nm"), col("sigun_cd"), lit("READY").as("status_cd"),
+      col("schedule_group"))
+
   /** Scheduler entry: the whole batch is gated on the INS_SCHEDULE_YN
     * config scalar (orchestrator.py:58-94) BEFORE any Spark job is
     * submitted — 'Y'/'T' runs, anything else (including a missing or
