@@ -434,11 +434,11 @@ object QueryCatalogCuration {
     * with maxBucket/maxDf. The cap rides the window count on the
     * join's own hash distribution (no extra shuffle); q113 plants a
     * hot block to prove the bound. */
-  private def fuzzyPairs(all0: org.apache.spark.sql.DataFrame,
-                         maxBlock: Int): org.apache.spark.sql.DataFrame = {
+  private def fuzzyPairsBy(all0: org.apache.spark.sql.DataFrame, maxBlock: Int,
+                           blk: org.apache.spark.sql.Column
+                          ): org.apache.spark.sql.DataFrame = {
     val all = graft.ops.Blocking.capBlocks(
-      all0.withColumn("blk", substring(col("p_name"), 1, 2)),
-      Seq("p_brand", "blk"), maxBlock)
+      all0.withColumn("blk", blk), Seq("p_brand", "blk"), maxBlock)
     val a = all.select(col("p_brand"), col("blk"), col("p_partkey").as("id_a"),
       col("p_name").as("name_a"))
     val b = all.select(col("p_brand"), col("blk"), col("p_partkey").as("id_b"),
@@ -448,8 +448,11 @@ object QueryCatalogCuration {
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
       .filter(col("dist") <= 1)
       .select("p_brand", "id_a", "id_b", "name_a", "name_b", "dist")
-      .orderBy("p_brand", "id_a", "id_b")
   }
+
+  private def fuzzyPairs(all0: org.apache.spark.sql.DataFrame,
+                         maxBlock: Int): org.apache.spark.sql.DataFrame =
+    fuzzyPairsBy(all0, maxBlock, substring(col("p_name"), 1, 2))
 
   val q108FuzzyMatch: Q = (s, d) => {
     val p = Tables.part(s, d).select(col("p_partkey"), col("p_name"), col("p_brand"))
@@ -459,6 +462,7 @@ object QueryCatalogCuration {
           .as("p_name"),
         col("p_brand"))
     fuzzyPairs(p.unionByName(typo), maxBlock = 500)
+      .orderBy("p_brand", "id_a", "id_b")
   }
 
   private val q108Sql =
@@ -504,6 +508,7 @@ object QueryCatalogCuration {
           .as("p_name"),
         lit("HOT#00").as("p_brand"))
     fuzzyPairs(p.unionByName(typo).unionByName(hot), maxBlock = 64)
+      .orderBy("p_brand", "id_a", "id_b")
   }
 
   private val q113Sql =
@@ -530,6 +535,71 @@ object QueryCatalogCuration {
       |WHERE abs(length(a.p_name) - length(b.p_name)) <= 1
       |  AND levenshtein(a.p_name, b.p_name) <= 1
       |ORDER BY a.p_brand, id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- multi-pass blocking
+  /** The documented blind spot of q108 closed the way real ER
+    * pipelines close it: a SECOND blocking pass on a different key,
+    * unioned. The prefix block cannot see a typo in the first two
+    * characters; the suffix block (last two characters) can — a
+    * first-char deletion keeps the suffix intact. Both passes share
+    * the capped-pair machinery; pair rows are deduped across passes
+    * (a pair matched by both blocks is one match). Planted evidence:
+    * the q108-style position-3 deletions (found by prefix, missed by
+    * suffix only when the tail shifts) plus first-char deletions for
+    * partkey 30-59 (invisible to prefix by construction). */
+  val q118MultiBlockMatch: Q = (s, d) => {
+    val p = Tables.part(s, d).select(col("p_partkey"), col("p_name"), col("p_brand"))
+    val typoMid = p.filter(col("p_partkey") < 30)
+      .select((col("p_partkey") + 1000000).as("p_partkey"),
+        concat(substring(col("p_name"), 1, 2), substring(col("p_name"), 4, 10000))
+          .as("p_name"),
+        col("p_brand"))
+    val typoFront = p.filter(col("p_partkey") >= 30 && col("p_partkey") < 60)
+      .select((col("p_partkey") + 3000000).as("p_partkey"),
+        substring(col("p_name"), 2, 10000).as("p_name"),
+        col("p_brand"))
+    val all = p.unionByName(typoMid).unionByName(typoFront)
+    fuzzyPairsBy(all, 500, substring(col("p_name"), 1, 2))
+      .unionByName(fuzzyPairsBy(all, 500, expr("right(p_name, 2)")))
+      .distinct()
+      .orderBy("p_brand", "id_a", "id_b")
+  }
+
+  private val q118Sql =
+    """WITH base AS (SELECT p_partkey, p_name, p_brand FROM part),
+      |typo_mid AS (SELECT p_partkey + 1000000 AS p_partkey,
+      |                    substr(p_name, 1, 2) || substr(p_name, 4) AS p_name,
+      |                    p_brand
+      |             FROM part WHERE p_partkey < 30),
+      |typo_front AS (SELECT p_partkey + 3000000 AS p_partkey,
+      |                      substr(p_name, 2) AS p_name, p_brand
+      |               FROM part WHERE p_partkey >= 30 AND p_partkey < 60),
+      |u AS (SELECT * FROM base UNION ALL SELECT * FROM typo_mid
+      |      UNION ALL SELECT * FROM typo_front),
+      |rawp AS (SELECT *, substr(p_name, 1, 2) AS blk FROM u),
+      |ap AS (SELECT * FROM (
+      |         SELECT *, COUNT(*) OVER (PARTITION BY p_brand, blk) AS bn FROM rawp)
+      |       WHERE bn <= 500),
+      |raws AS (SELECT *, right(p_name, 2) AS blk FROM u),
+      |asx AS (SELECT * FROM (
+      |         SELECT *, COUNT(*) OVER (PARTITION BY p_brand, blk) AS bn FROM raws)
+      |       WHERE bn <= 500),
+      |pp AS (SELECT a.p_brand, a.p_partkey AS id_a, b.p_partkey AS id_b,
+      |              a.p_name AS name_a, b.p_name AS name_b,
+      |              levenshtein(a.p_name, b.p_name) AS dist
+      |       FROM ap a JOIN ap b ON a.p_brand = b.p_brand AND a.blk = b.blk
+      |                          AND a.p_partkey < b.p_partkey
+      |       WHERE abs(length(a.p_name) - length(b.p_name)) <= 1
+      |         AND levenshtein(a.p_name, b.p_name) <= 1),
+      |ps AS (SELECT a.p_brand, a.p_partkey AS id_a, b.p_partkey AS id_b,
+      |              a.p_name AS name_a, b.p_name AS name_b,
+      |              levenshtein(a.p_name, b.p_name) AS dist
+      |       FROM asx a JOIN asx b ON a.p_brand = b.p_brand AND a.blk = b.blk
+      |                           AND a.p_partkey < b.p_partkey
+      |       WHERE abs(length(a.p_name) - length(b.p_name)) <= 1
+      |         AND levenshtein(a.p_name, b.p_name) <= 1)
+      |SELECT * FROM (SELECT * FROM pp UNION SELECT * FROM ps)
+      |ORDER BY p_brand, id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------------- linear gap interpolation
   /** Time-series gap fill by LINEAR interpolation: per user, daily
@@ -619,6 +689,7 @@ object QueryCatalogCuration {
     "q108_fuzzy_match" -> q108FuzzyMatch,
     "q109_interpolate" -> q109Interpolate,
     "q113_hot_block_cap" -> q113HotBlockCap,
+    "q118_multi_block_match" -> q118MultiBlockMatch,
   )
 
   val oracle: Map[String, String] = Map(
@@ -633,5 +704,6 @@ object QueryCatalogCuration {
     "q108_fuzzy_match" -> q108Sql,
     "q109_interpolate" -> q109Sql,
     "q113_hot_block_cap" -> q113Sql,
+    "q118_multi_block_match" -> q118Sql,
   )
 }

@@ -115,6 +115,23 @@ class CurationSpec extends SparkSpec {
     assert(!approxPlan.contains("Expand"), s"approx profile must not Expand:\n${approxPlan.take(800)}")
   }
 
+  test("multi-pass blocking finds first-char typos the prefix block is blind to") {
+    val out = QueryCatalogCuration.q118MultiBlockMatch(spark, "/root/testdata/sf0.001")
+      .collect()
+    // position-3 typos (id + 1,000,000): found by the prefix pass
+    val mid = out.filter(r => (1000000L to 1999999L).contains(r.getAs[Long]("id_b")))
+    // first-char deletions (id + 3,000,000): invisible to the prefix
+    // block by construction, recovered by the suffix pass
+    val front = out.filter(r => r.getAs[Long]("id_b") >= 3000000L)
+    assert(mid.nonEmpty && front.nonEmpty,
+      s"both typo families must match: mid=${mid.length} front=${front.length}")
+    assert(front.forall(_.getAs[Long]("dist") == 1L))
+    // no duplicate pair rows despite two passes
+    val keys = out.map(r => (r.getAs[String]("p_brand"),
+      r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(keys.distinct.length == keys.length, "cross-pass dedup must hold")
+  }
+
   test("fuzzy match: planted hot block is dropped by the cap, benign matches untouched") {
     val d = "/root/testdata/sf0.001"
     val benign = QueryCatalogCuration.q108FuzzyMatch(spark, d).collect()
