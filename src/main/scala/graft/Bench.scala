@@ -53,7 +53,14 @@ object Bench {
     // regression read from a min-of-2 was unadjudicable. The MIN is the
     // right estimator here — the plan's cost is a lower bound and every
     // noise source (GC, scheduler, page cache misses) is additive.
-    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
+    // Parse defensively: a 0/negative/garbage value must degrade to the
+    // default, not crash the whole bench (times.min on an empty range /
+    // NumberFormatException — the round-6 advice).
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+      .map(math.max(1, _)).getOrElse(3)
+    def f2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val results = names.map { name =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -62,6 +69,13 @@ object Bench {
         cleanup()
         dt
       }
+      // Per-rep spread to STDERR (the JSON keeps only the min): a
+      // loaded box shows up as max >> min, making an environmentally
+      // polluted run self-diagnosing — round 6's driver bench recorded
+      // 2-4x phantom regressions that needed a manual re-run to refute.
+      System.err.println(
+        s"[bench] $name reps=${times.map(f2).mkString(",")} " +
+          s"min=${f2(times.min)} max=${f2(times.max)}")
       name -> times.min
     }
     // Keep the JSON line SHORT (2-decimal times, basename sf) and print
@@ -71,8 +85,6 @@ object Bench {
     // overflowed it and the bench went unparsed ("parsed": null).
     // 72 queries x ~24 chars + the trailing sbt success line must stay
     // under 2000.
-    def f2(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val total = results.map(_._2).sum
     val sfName = sfDir.split('/').last
     // adaptive fit: if the full per-query dict would overflow the

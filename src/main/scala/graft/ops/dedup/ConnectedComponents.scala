@@ -28,6 +28,13 @@ object ConnectedComponents {
     * rows. Returns one (id, component) row per vertex that appears in
     * at least one edge, where component = min vertex id reachable.
     *
+    * Storage contract: the returned frame is leaf-cached (an eager
+    * localCheckpoint — materialized, lineage-free); every internal
+    * intermediate (edge checkpoint, superseded supersteps) is freed
+    * before returning, so exactly ONE persisted RDD remains. The
+    * caller must free it with `ConnectedComponents.release(result)`
+    * once done — see release() for the durability caveat.
+    *
     * Superstep economy (each exchange is wall time at any scale):
     *   - self-loops are unioned into the edge list ONCE, so a
     *     superstep is exactly join(labels on v) + groupBy(u).min —
@@ -57,13 +64,36 @@ object ConnectedComponents {
 
   /** Free a leafCache'd frame's stored blocks NOW. The checkpointed
     * RDD sits behind the plan's LogicalRDD leaf; its lineage is
-    * truncated, so this is only safe once the frame is superseded —
-    * which is exactly when the superstep loops call it. */
-  private def release(df: DataFrame): Unit =
+    * truncated, so this is only safe once the frame's DATA is no
+    * longer needed — internally when a superstep is superseded, and
+    * for the RETURNED labels frame when the CALLER is done with it
+    * (write/collect finished): both minLabel and alternatingStar
+    * return a leaf-cached frame whose storage is freed only by this
+    * call (or, eventually, by driver GC + ContextCleaner — a slow
+    * leak in a long-lived session that loops over CC jobs).
+    *
+    * Durability caveat (shared with leafCache): localCheckpoint
+    * trades lineage recoverability away — an executor loss during the
+    * loop fails the job instead of recomputing. On a cluster, a
+    * reliable checkpoint()/staging table is the durable variant.
+    *
+    * Fails LOUDLY (stderr + IllegalStateException is avoided — a
+    * release is cleanup, not a correctness step) if the plan shape is
+    * not the LogicalRDD leaf localCheckpoint(true) produces: a Spark
+    * upgrade that changes the shape would otherwise turn every
+    * superstep into a silent storage leak — the exact pinning problem
+    * this method exists to prevent. */
+  def release(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(false)
-      case _ => ()
+      case other =>
+        System.err.println(
+          "[graft.ConnectedComponents] release() expected a LogicalRDD " +
+            s"leaf but saw ${other.getClass.getSimpleName}: the " +
+            "localCheckpoint plan shape changed and checkpoint storage " +
+            "is now being LEAKED until driver GC. Fix release() for " +
+            "this Spark version.")
     }
 
   def minLabel(edges: DataFrame, maxIter: Int = 20): DataFrame = {
@@ -125,6 +155,9 @@ object ConnectedComponents {
     require(converged,
       s"minLabel did not converge in $maxIter supersteps — graph diameter " +
         "exceeds maxIter; use ConnectedComponents.alternatingStar")
+    // the edge checkpoint outlived its last superstep — free it NOW
+    // instead of waiting for driver GC (the round-6 advisory leak)
+    release(und)
     labels
   }
 
@@ -148,7 +181,9 @@ object ConnectedComponents {
     * plan depth) with the superseded round released eagerly.
     * Convergence is EXACT: same edge count and empty set-difference
     * vs the previous round. Returns (id, component) like minLabel,
-    * including vertices whose only edges are self-loops. */
+    * including vertices whose only edges are self-loops. Same storage
+    * contract as minLabel: ONE leaf-cached result, all intermediates
+    * freed; the caller releases the result via `release`. */
   def alternatingStar(edges: DataFrame, maxIter: Int = 40): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val canon = edges
@@ -202,6 +237,12 @@ object ConnectedComponents {
     val centers = e.select(col("lo")).distinct()
       .join(e.select(col("hi").as("lo")).distinct(), Seq("lo"), "left_anti")
       .select(col("lo").as("id"), col("lo").as("component"))
-    members.unionByName(centers).unionByName(selfOnly)
+    // materialize the result as its own leaf so the final round's
+    // star edges and the selfOnly side frame can be freed NOW — the
+    // caller holds exactly one persisted RDD (released via release())
+    val result = leafCache(members.unionByName(centers).unionByName(selfOnly))
+    release(e)
+    release(selfOnly)
+    result
   }
 }

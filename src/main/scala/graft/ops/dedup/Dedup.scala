@@ -189,9 +189,22 @@ object Dedup {
     * shuffle-join instead paid a full corpus shuffle on (id, w) —
     * measured +40% on q42/q91 at sf0.1. This shape is safe AND
     * shuffle-minimal: the only exchange is over candidate-doc
-    * shingles. */
+    * shingles.
+    *
+    * EAGER by construction: unless `candCount` is supplied, this
+    * method runs a Spark job AT CALL TIME (a count over the cached
+    * pair frame — which materializes the whole upstream LSH pipeline)
+    * to decide the broadcast-vs-shuffle regime; it is not a pure
+    * plan-builder. Callers that already know the candidate
+    * cardinality (e.g. from a prior stage's metrics) pass it via
+    * `candCount` to defer all execution to the first action. The two
+    * internal caches (pairs, posting lists) live until the session
+    * clears its cache — per-job use is bounded by the LSH bucket
+    * caps; a long-lived session should spark.catalog.clearCache()
+    * between corpus passes. */
   def jaccard(pairs: DataFrame, words: DataFrame, idCol: String,
-              broadcastCandMax: Long = 4000000L): DataFrame = {
+              broadcastCandMax: Long = 4000000L,
+              candCount: Option[Long] = None): DataFrame = {
     // the pair list feeds THREE consumers (candidate ids, the n_inter
     // restriction, the final anchor) and is itself the output of the
     // whole signature pipeline — cache it (bounded small by the LSH
@@ -208,7 +221,7 @@ object Dedup {
     // corpus-order set is a driver OOM. The count is one cheap job over
     // the already-cached pair frame; over the budget, the hint is
     // dropped and the planner/AQE picks the join (shuffle at scale).
-    val nCand = candIds.count()
+    val nCand = candCount.getOrElse(candIds.count())
     val candSide = if (nCand <= broadcastCandMax) broadcast(candIds) else candIds
     val cw = words.join(candSide, idCol)
     // posting lists over the candidate-restricted shingles.

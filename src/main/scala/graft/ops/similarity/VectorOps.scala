@@ -80,13 +80,13 @@ object VectorOps {
     * metadata, not a probe): an empty input yields an empty result
     * instead of head() throwing, null embeddings yield null buckets
     * (dropped by the downstream bucket join), and ragged vectors keep
-    * ALL components instead of silently truncating to row 0's length. */
+    * ALL components instead of silently truncating to row 0's length.
+    * Callers composing many tables over the same frame pass the
+    * dimensionality via `knownDims` (see embeddingDims) to skip the
+    * per-call probe job; -1 (default) probes. */
   def lshBucket(df: DataFrame, idCol: String, nPlanes: Int = 8,
-                table: Int = 0): DataFrame = {
-    val dims = df.agg(max(size(col("embedding")))).head().get(0) match {
-      case n: Int => n
-      case _ => 0 // empty frame or all-null embeddings
-    }
+                table: Int = 0, knownDims: Int = -1): DataFrame = {
+    val dims = if (knownDims >= 0) knownDims else embeddingDims(df)
     if (dims <= 0)
       return df.select(col(idCol), lit(null).cast("long").as("bucket")).limit(0)
     val signs = Array.tabulate(nPlanes, dims)(
@@ -94,6 +94,16 @@ object VectorOps {
     df.select(col(idCol),
       graft.functions.LshBucketExpr.bucket(col("embedding"), signs).as("bucket"))
   }
+
+  /** Max embedding length across the frame — the dims probe lshBucket
+    * runs when the caller passes no `knownDims`. One driver-blocking
+    * aggregate job; exposed so multi-table compositions (lshAnnMulti)
+    * probe each input frame ONCE instead of once per table per frame. */
+  def embeddingDims(df: DataFrame): Int =
+    df.agg(max(size(col("embedding")))).head().get(0) match {
+      case n: Int => n
+      case _ => 0 // empty frame or all-null embeddings
+    }
 
   /** Fold dot product for double arrays (centroids — cold path). */
   def dotD(a: Column, b: Column): Column =
@@ -244,10 +254,15 @@ object VectorOps {
     * the single-table bucket-size story. */
   def lshAnnMulti(probes: DataFrame, candidates: DataFrame, k: Int,
                   nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
+    // the dims probe is a driver-blocking job over each frame — run it
+    // ONCE per frame here, not 2*nTables times inside lshBucket
+    // (the round-6 advice: a 4-table index fired 8 redundant jobs)
+    val pDims = embeddingDims(probes)
+    val cDims = embeddingDims(candidates)
     val candPairs = (0 until nTables).map { t =>
-      val pb = lshBucket(probes, "vec_id", nPlanes, t)
+      val pb = lshBucket(probes, "vec_id", nPlanes, t, pDims)
         .withColumnRenamed("vec_id", "q_id")
-      val cb = lshBucket(candidates, "vec_id", nPlanes, t)
+      val cb = lshBucket(candidates, "vec_id", nPlanes, t, cDims)
         .withColumnRenamed("vec_id", "c_id")
       pb.join(cb, "bucket").select("q_id", "c_id")
     }.reduce(_ unionByName _)

@@ -79,6 +79,29 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(viaStar == expected, "alternatingStar must keep self-loop-only vertices")
   }
 
+  test("storage contract: one persisted RDD per completed run, zero after release") {
+    // the round-6 advisory: the edge checkpoint and superseded
+    // supersteps must be freed DETERMINISTICALLY (not via driver GC +
+    // ContextCleaner), leaving exactly the returned leaf — which the
+    // caller frees with release()
+    def persisted(): Int = spark.sparkContext.getPersistentRDDs.size
+    def check(run: => org.apache.spark.sql.DataFrame): Unit = {
+      // start from a clean slate: earlier tests' un-released results
+      // are otherwise freed ASYNCHRONOUSLY by ContextCleaner mid-test
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      assert(persisted() == 0)
+      val result = run
+      result.collect() // caller consumes the labels
+      assert(persisted() == 1,
+        s"a completed run must hold ONLY its result leaf, got ${persisted()}")
+      ConnectedComponents.release(result)
+      assert(persisted() == 0, "release() must free the result leaf")
+    }
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L))
+    check(ConnectedComponents.minLabel(edges.toDF("id_a", "id_b")))
+    check(ConnectedComponents.alternatingStar(edges.toDF("id_a", "id_b")))
+  }
+
   test("long chain: alternatingStar converges where minLabel's superstep budget fails loudly") {
     val n = 150L
     val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")

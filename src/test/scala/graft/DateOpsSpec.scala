@@ -29,6 +29,56 @@ class DateOpsSpec extends AnyFunSuite {
     assert(w3.dtFrom == "20201228" && w3.isoYear == 2020 && w3.isoWeek == 53)
   }
 
+  test("periodInfo replays _calculate_period_info exactly (W/M/Q + else)") {
+    // productivity.py:148-178: W -> isocalendar week, M -> month,
+    // Q -> (month-1)//3+1, anything else -> 1; stat_year = dt.year
+    assert(DateOps.periodInfo(LocalDate.of(2024, 12, 28), "W") == ((2024, 52)))
+    assert(DateOps.periodInfo(LocalDate.of(2025, 6, 15), "M") == ((2025, 6)))
+    assert(DateOps.periodInfo(LocalDate.of(2025, 12, 31), "Q") == ((2025, 4)))
+    assert(DateOps.periodInfo(LocalDate.of(2025, 1, 1), "Q") == ((2025, 1)))
+    assert(DateOps.periodInfo(LocalDate.of(2025, 3, 31), "Q") == ((2025, 1)))
+    assert(DateOps.periodInfo(LocalDate.of(2025, 4, 1), "Q") == ((2025, 2)))
+    assert(DateOps.periodInfo(LocalDate.of(2025, 7, 7), "X") == ((2025, 1)))
+    // the reference's calendar-year/ISO-week MIX at the boundary:
+    // 2027-01-01 is ISO week 53 of 2026, but stat_year stays 2027
+    assert(DateOps.periodInfo(LocalDate.of(2027, 1, 1), "W") == ((2027, 53)))
+    assert(DateOps.periodInfo(LocalDate.of(2026, 1, 1), "W") == ((2026, 1)))
+  }
+
+  test("dayGb maps periods to storage codes (productivity.py:466-468)") {
+    assert(DateOps.dayGb("W") == "WEEK" && DateOps.dayGb("M") == "MON" &&
+      DateOps.dayGb("Q") == "QT" && DateOps.dayGb("?") == "WEEK")
+  }
+
+  test("monthWindow: last full month, including the January -> December year step") {
+    val w = DateOps.monthWindow("20251112")
+    assert(w.dtFrom == "20251001" && w.dtTo == "20251031")
+    assert(w.statYear == 2025 && w.periodNo == 10)
+    // run on the 1st (the run_monthly.sh schedule): window = month just closed
+    val w1 = DateOps.monthWindow("20251101")
+    assert(w1.dtFrom == "20251001" && w1.dtTo == "20251031")
+    // January: previous month is December of the PREVIOUS year
+    val wj = DateOps.monthWindow("20260115")
+    assert(wj.dtFrom == "20251201" && wj.dtTo == "20251231")
+    assert(wj.statYear == 2025 && wj.periodNo == 12)
+    // leap February as the closed month
+    val wf = DateOps.monthWindow("20240315")
+    assert(wf.dtFrom == "20240201" && wf.dtTo == "20240229")
+  }
+
+  test("quarterWindow: last full quarter, including the Q1 -> Q4 year step") {
+    val w = DateOps.quarterWindow("20251112") // in Q4 -> last full = Q3
+    assert(w.dtFrom == "20250701" && w.dtTo == "20250930")
+    assert(w.statYear == 2025 && w.periodNo == 3)
+    // base in Q1: previous quarter is Q4 of the PREVIOUS year
+    val wq = DateOps.quarterWindow("20260215")
+    assert(wq.dtFrom == "20251001" && wq.dtTo == "20251231")
+    assert(wq.statYear == 2025 && wq.periodNo == 4)
+    // first day of a quarter: the quarter just closed
+    val wb = DateOps.quarterWindow("20250401")
+    assert(wb.dtFrom == "20250101" && wb.dtTo == "20250331" && wb.periodNo == 1)
+  }
+
   test("window is always Monday..Sunday, 7 days, strictly before base") {
     var d = LocalDate.of(2025, 1, 1)
     while (d.isBefore(LocalDate.of(2025, 3, 1))) {
