@@ -176,13 +176,14 @@ object QueryCatalogDomain3 {
   }
 
   // ---------------------------------------------------------------- weekly summary join
-  /** The S6 assembly: independent per-farm section aggregates joined
-    * into ONE summary row per farm (replacing the reference's ten
-    * UPDATE statements, base.py:148-178); farms with no section data
-    * get explicit zeros. */
-  val q78WeeklySummary: Q = (s, d) =>
-    weeklySummary(None, Fixtures.modonDf(s), Fixtures.modonWkDf(s),
-      Fixtures.bunmanDf(s))
+  /** The S6 assembly at full width: ALL TEN processor sections
+    * (async_processor.py:170-192) aggregated per farm and joined into
+    * ONE summary row (WeeklyReportJob.summary). The oracle re-derives
+    * every column from that section's own verified SQL — the join
+    * composition, zero-coalescing and NULL-average rules are what
+    * this query hash-gates on top of the per-section checks. */
+  val q78WeeklySummary: Q = (s, _) =>
+    graft.pipeline.WeeklyReportJob.summary(s)
 
   /** The S6 summary over caller-supplied section sources, optionally
     * parameterized to ONE farm (the reference's on-demand single-farm
@@ -224,7 +225,10 @@ object QueryCatalogDomain3 {
       .orderBy("farm_no")
   }
 
-  private lazy val q78Sql =
+  /** Oracle of the stand-alone three-source summary (weeklySummary) —
+    * retained as q115's base now that q78 verifies the full
+    * ten-section assembly. */
+  private lazy val farmSummarySql =
     s"""WITH ${Fixtures.withClause("modon", "modon_wk", "bunman")},
        |farms AS (SELECT DISTINCT farm_no FROM modon),
        |ev AS (
@@ -287,7 +291,70 @@ object QueryCatalogDomain3 {
       Fixtures.bunmanDf(s))
 
   private lazy val q115Sql =
-    s"""SELECT * FROM ($q78Sql) WHERE farm_no = 1 ORDER BY farm_no""".stripMargin
+    s"""SELECT * FROM ($farmSummarySql) WHERE farm_no = 1 ORDER BY farm_no""".stripMargin
+
+  /** q78's oracle: each CTE replays one section's already-verified SQL
+    * and reduces it to the summary's per-farm aggregate. */
+  private lazy val q78Sql = {
+    val d = QueryCatalogDomain.oracle
+    val d2 = QueryCatalogDomain2.oracle
+    val cullWeek = (1 to 15).map(i => s"cnt_$i").mkString(" + ")
+    val cullMonth = (1 to 15).map(i => s"val_$i").mkString(" + ")
+    s"""WITH
+       |sow AS (SELECT farm_no,
+       |               CAST(SUM(hubo + imsin + poyu + eumo + sago) AS BIGINT) AS sow_total
+       |        FROM (${d2("q67_parity_status_crosstab")}) GROUP BY 1),
+       |bm AS (SELECT farm_no, total_cnt AS bm_cnt, sum_live AS bm_live,
+       |              avg_live AS bm_avg_live, sum_pogae AS bm_pogae
+       |       FROM (${d("q62_farrowing_section")})),
+       |eu AS (SELECT farm_no, total_cnt AS eu_cnt, sum_eudusu AS eu_dusu,
+       |              avg_pougigan AS eu_avg_days
+       |       FROM (${d("q63_weaning_section")})),
+       |gbret AS (SELECT farm_no, CAST(SUM(cnt) AS BIGINT) AS gb_return_cnt
+       |          FROM (${d2("q68_return_buckets")}) GROUP BY 1),
+       |sched AS (SELECT farm_no, CAST(SUM(n) AS BIGINT) AS gb_plan
+       |          FROM (${d("q64_schedule_mating")}) GROUP BY 1),
+       |alrt AS (SELECT farm_no, CAST(SUM(d3 + d7 + d14 + d15up) AS BIGINT) AS alert_cnt
+       |         FROM ($q75Sql) GROUP BY 1),
+       |cull AS (SELECT farm_no,
+       |                CAST(SUM($cullWeek) AS BIGINT) AS cull_week,
+       |                CAST(SUM($cullMonth) AS BIGINT) AS cull_month
+       |         FROM (${d2("q69_culling_chunked")}) GROUP BY 1),
+       |acc AS (SELECT farm_no, CAST(SUM(cnt) AS BIGINT) AS acc_cnt,
+       |               CAST(SUM(sum_days) AS BIGINT) AS acc_days
+       |        FROM ($q81Sql) GROUP BY 1),
+       |ship AS (SELECT farm_no, CAST(SUM(cnt) AS BIGINT) AS ship_cnt
+       |         FROM (${d2("q70_shipment_daily")}) GROUP BY 1),
+       |cfg AS (SELECT farm_no, COUNT(*) AS cfg_sched_cnt FROM ($q83Sql) GROUP BY 1),
+       |pln AS (SELECT farm_no, CAST(SUM(n) AS BIGINT) AS plan_cnt
+       |        FROM (${d("q65_schedule_bm_eu")}) GROUP BY 1)
+       |SELECT s.farm_no, s.sow_total,
+       |  COALESCE(bm.bm_cnt, 0) AS bm_cnt, COALESCE(bm.bm_live, 0) AS bm_live,
+       |  bm.bm_avg_live, COALESCE(bm.bm_pogae, 0) AS bm_pogae,
+       |  COALESCE(eu.eu_cnt, 0) AS eu_cnt, COALESCE(eu.eu_dusu, 0) AS eu_dusu,
+       |  eu.eu_avg_days,
+       |  COALESCE(gbret.gb_return_cnt, 0) AS gb_return_cnt,
+       |  COALESCE(sched.gb_plan, 0) AS gb_plan,
+       |  COALESCE(alrt.alert_cnt, 0) AS alert_cnt,
+       |  COALESCE(cull.cull_week, 0) AS cull_week,
+       |  COALESCE(cull.cull_month, 0) AS cull_month,
+       |  COALESCE(acc.acc_cnt, 0) AS acc_cnt, COALESCE(acc.acc_days, 0) AS acc_days,
+       |  COALESCE(ship.ship_cnt, 0) AS ship_cnt,
+       |  COALESCE(cfg.cfg_sched_cnt, 0) AS cfg_sched_cnt,
+       |  COALESCE(pln.plan_cnt, 0) AS plan_cnt
+       |FROM sow s
+       |LEFT JOIN bm ON bm.farm_no = s.farm_no
+       |LEFT JOIN eu ON eu.farm_no = s.farm_no
+       |LEFT JOIN gbret ON gbret.farm_no = s.farm_no
+       |LEFT JOIN sched ON sched.farm_no = s.farm_no
+       |LEFT JOIN alrt ON alrt.farm_no = s.farm_no
+       |LEFT JOIN cull ON cull.farm_no = s.farm_no
+       |LEFT JOIN acc ON acc.farm_no = s.farm_no
+       |LEFT JOIN ship ON ship.farm_no = s.farm_no
+       |LEFT JOIN cfg ON cfg.farm_no = s.farm_no
+       |LEFT JOIN pln ON pln.farm_no = s.farm_no
+       |ORDER BY s.farm_no""".stripMargin
+  }
 
   // ---------------------------------------------------------------- prior-week deltas
   /** Cross-week Δ columns (modon.py:267-371, SURVEY risk 5): weekly
@@ -584,6 +651,13 @@ object QueryCatalogDomain3 {
   }
 
   private lazy val q82Sql = {
+    val cfg = subSectionSql(q83Sql, "CONFIG", "SCHED",
+      "row_number() OVER (PARTITION BY farm_no ORDER BY pig_no)", "pig_no",
+      cnt = Map(1 -> "preg_used"),
+      strm = Map(1 -> "mate_dt", 2 -> "pass_dt"))
+    val alert = subSectionSql(q75Sql, "ALERT", "MATRIX",
+      "row_number() OVER (PARTITION BY farm_no ORDER BY alert_type)", "alert_type",
+      cnt = Map(1 -> "d3", 2 -> "d7", 3 -> "d14", 4 -> "d15up"))
     val modon = subSectionSql(
       QueryCatalogDomain2.oracle("q67_parity_status_crosstab"),
       "MODON", "-", "sort_no", "parity_label",
@@ -591,6 +665,26 @@ object QueryCatalogDomain3 {
     val gb = subSectionSql(
       QueryCatalogDomain2.oracle("q68_return_buckets"),
       "GB", "CHART", "sort_no", "bucket", cnt = Map(1 -> "cnt"))
+    val bm = subSectionSql(
+      QueryCatalogDomain.oracle("q62_farrowing_section"),
+      "BM", "SUMMARY", "0", "'-'",
+      cnt = Map(1 -> "total_cnt", 2 -> "sum_total", 3 -> "sum_live",
+        4 -> "sum_dead", 5 -> "sum_mummy", 6 -> "sum_sdotae",
+        7 -> "sum_yangja", 8 -> "sum_pogae", 9 -> "acc_bm_cnt",
+        10 -> "acc_total"),
+      valm = Map(1 -> "sum_kg", 2 -> "avg_live", 3 -> "acc_avg_total"))
+    val eu = subSectionSql(
+      QueryCatalogDomain.oracle("q63_weaning_section"),
+      "EU", "SUMMARY", "0", "'-'",
+      cnt = Map(1 -> "total_cnt", 2 -> "sum_eudusu", 3 -> "sum_chongsan",
+        4 -> "sum_silsan", 5 -> "sum_pougigan", 6 -> "sum_ps_ds",
+        7 -> "sum_bb_ds", 8 -> "sum_ji_ds", 9 -> "sum_jc_ds",
+        10 -> "sum_pogae"),
+      valm = Map(1 -> "sum_kg", 2 -> "avg_eudusu", 3 -> "avg_pougigan"))
+    val sago = subSectionSql(q81Sql, "SAGO", "BUCKET",
+      "row_number() OVER (PARTITION BY farm_no ORDER BY sago_gubun_cd, bucket)",
+      "bucket", cnt = Map(1 -> "cnt", 2 -> "sum_days"),
+      strm = Map(1 -> "sago_gubun_cd"))
     val dope = subSectionSql(
       QueryCatalogDomain2.oracle("q69_culling_chunked"),
       "DOPE", "LIST", "sort_no", "NULL",
@@ -604,11 +698,15 @@ object QueryCatalogDomain3 {
       cnt = Map(1 -> "cnt", 2 -> "q11", 3 -> "q1", 4 -> "q2",
         5 -> "f_cnt", 6 -> "m_cnt"),
       valm = Map(1 -> "avg_net"))
-    s"""$modon
-       |UNION ALL BY NAME $gb
-       |UNION ALL BY NAME $dope
-       |UNION ALL BY NAME $ship
-       |ORDER BY gubun, sub_gubun, farm_no, sort_no""".stripMargin
+    val sched = subSectionSql(
+      QueryCatalogDomain.oracle("q64_schedule_mating"),
+      "SCHED", "GB",
+      "row_number() OVER (PARTITION BY farm_no ORDER BY pass_dt)",
+      "strftime(pass_dt, '%Y%m%d')", cnt = Map(1 -> "n"))
+    // async_processor.py:170-192 processor order
+    Seq(cfg, alert, modon, gb, bm, eu, sago, dope, ship, sched)
+      .mkString("", "\nUNION ALL BY NAME ",
+        "\nORDER BY gubun, sub_gubun, farm_no, sort_no")
   }
 
   // ---------------------------------------------------------------- finalize / share token

@@ -1,8 +1,10 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.{QueryCatalogDomain, QueryCatalogDomain2}
+import graft.{QueryCatalogDomain, QueryCatalogDomain2, QueryCatalogDomain3}
+import graft.domain.DateOps
 import graft.sinks.Sinks
 
 /** The weekly report as ONE Spark job over all farms (SURVEY §3.1
@@ -33,8 +35,55 @@ object WeeklyReportJob {
     df.select(cols: _*)
   }
 
-  /** All SUB rows for the fixture week, every farm at once. */
+  /** All SUB rows for the fixture week, every farm at once — every
+    * processor of the reference's per-farm run
+    * (async_processor.py:170-192: CONFIG, ALERT, MODON, MATING,
+    * FARROWING, WEANING, ACCIDENT, CULLING, SHIPMENT, SCHEDULE)
+    * conformed into the TS_INS_WEEK_SUB wide schema and unioned. Each
+    * section is its own hash-verified query; the union re-verifies
+    * the CONFORMANCE (padding, types, sort_no rules) via q82. */
   def subRows(spark: SparkSession): DataFrame = {
+    def rnBy(ord: Column*): Column =
+      row_number().over(Window.partitionBy(col("farm_no")).orderBy(ord: _*))
+    val cfg = conform(QueryCatalogDomain3.q83ConfigSchedule(spark, ""), Map(
+      "farm_no" -> col("farm_no"), "gubun" -> lit("CONFIG"), "sub_gubun" -> lit("SCHED"),
+      "sort_no" -> rnBy(col("pig_no")), "code_1" -> col("pig_no"),
+      "cnt_1" -> col("preg_used").cast("double"),
+      "str_1" -> col("mate_dt"), "str_2" -> col("pass_dt")))
+    val alert = conform(QueryCatalogDomain3.q75Alerts(spark, ""), Map(
+      "farm_no" -> col("farm_no"), "gubun" -> lit("ALERT"), "sub_gubun" -> lit("MATRIX"),
+      "sort_no" -> rnBy(col("alert_type")), "code_1" -> col("alert_type"),
+      "cnt_1" -> col("d3").cast("double"), "cnt_2" -> col("d7").cast("double"),
+      "cnt_3" -> col("d14").cast("double"), "cnt_4" -> col("d15up").cast("double")))
+    val bm = conform(QueryCatalogDomain.q62Farrowing(spark, ""), Map(
+      "farm_no" -> col("farm_no"), "gubun" -> lit("BM"), "sub_gubun" -> lit("SUMMARY"),
+      "code_1" -> lit("-"),
+      "cnt_1" -> col("total_cnt").cast("double"), "cnt_2" -> col("sum_total").cast("double"),
+      "cnt_3" -> col("sum_live").cast("double"), "cnt_4" -> col("sum_dead").cast("double"),
+      "cnt_5" -> col("sum_mummy").cast("double"), "cnt_6" -> col("sum_sdotae").cast("double"),
+      "cnt_7" -> col("sum_yangja").cast("double"), "cnt_8" -> col("sum_pogae").cast("double"),
+      "cnt_9" -> col("acc_bm_cnt").cast("double"), "cnt_10" -> col("acc_total").cast("double"),
+      "val_1" -> col("sum_kg"), "val_2" -> col("avg_live"),
+      "val_3" -> col("acc_avg_total")))
+    val eu = conform(QueryCatalogDomain.q63Weaning(spark, ""), Map(
+      "farm_no" -> col("farm_no"), "gubun" -> lit("EU"), "sub_gubun" -> lit("SUMMARY"),
+      "code_1" -> lit("-"),
+      "cnt_1" -> col("total_cnt").cast("double"), "cnt_2" -> col("sum_eudusu").cast("double"),
+      "cnt_3" -> col("sum_chongsan").cast("double"), "cnt_4" -> col("sum_silsan").cast("double"),
+      "cnt_5" -> col("sum_pougigan").cast("double"), "cnt_6" -> col("sum_ps_ds").cast("double"),
+      "cnt_7" -> col("sum_bb_ds").cast("double"), "cnt_8" -> col("sum_ji_ds").cast("double"),
+      "cnt_9" -> col("sum_jc_ds").cast("double"), "cnt_10" -> col("sum_pogae").cast("double"),
+      "val_1" -> col("sum_kg"), "val_2" -> col("avg_eudusu"),
+      "val_3" -> col("avg_pougigan")))
+    val sago = conform(QueryCatalogDomain3.q81AccidentAsOf(spark, ""), Map(
+      "farm_no" -> col("farm_no"), "gubun" -> lit("SAGO"), "sub_gubun" -> lit("BUCKET"),
+      "sort_no" -> rnBy(col("sago_gubun_cd"), col("bucket")), "code_1" -> col("bucket"),
+      "str_1" -> col("sago_gubun_cd"),
+      "cnt_1" -> col("cnt").cast("double"), "cnt_2" -> col("sum_days").cast("double")))
+    val sched = conform(QueryCatalogDomain.q64ScheduleMating(spark, ""), Map(
+      "farm_no" -> col("farm_no"), "gubun" -> lit("SCHED"), "sub_gubun" -> lit("GB"),
+      "sort_no" -> rnBy(col("pass_dt")), "code_1" -> DateOps.dateToYmd(col("pass_dt")),
+      "cnt_1" -> col("n").cast("double")))
     val modon = conform(QueryCatalogDomain2.q67ParityStatus(spark, ""), Map(
       "farm_no" -> col("farm_no"), "gubun" -> lit("MODON"), "sub_gubun" -> lit("-"),
       "sort_no" -> col("sort_no"), "code_1" -> col("parity_label"),
@@ -61,11 +110,16 @@ object WeeklyReportJob {
       "cnt_2" -> col("q11").cast("double"), "cnt_3" -> col("q1").cast("double"),
       "cnt_4" -> col("q2").cast("double"),
       "cnt_5" -> col("f_cnt").cast("double"), "cnt_6" -> col("m_cnt").cast("double")))
-    modon.unionByName(gbChart).unionByName(dopeList).unionByName(shipRows)
+    // union in the reference's processor order (async_processor.py:170-192)
+    Seq(cfg, alert, modon, gbChart, bm, eu, sago, dopeList, shipRows, sched)
+      .reduce(_ unionByName _)
   }
 
-  /** One summary row per farm: section aggregates joined, replacing
-    * the reference's ten UPDATE statements (S6). */
+  /** One summary row per farm: ALL TEN section aggregates joined,
+    * replacing the reference's ten UPDATE statements (S6,
+    * base.py:148-178; processor set async_processor.py:170-192).
+    * Count columns coalesce to 0 for farms a section never saw;
+    * averages stay NULL (the reference's NULL-vs-0 distinction). */
   def summary(spark: SparkSession): DataFrame = {
     val bm = QueryCatalogDomain.q62Farrowing(spark, "")
       .select(col("farm_no"), col("total_cnt").as("bm_cnt"),
@@ -78,11 +132,39 @@ object WeeklyReportJob {
       .groupBy("farm_no")
       .agg(sum(col("hubo") + col("imsin") + col("poyu") + col("eumo") + col("sago"))
         .cast("long").as("sow_total"))
+    val gbRet = QueryCatalogDomain2.q68ReturnBuckets(spark, "")
+      .groupBy("farm_no").agg(sum(col("cnt")).cast("long").as("gb_return_cnt"))
     val sched = QueryCatalogDomain.q64ScheduleMating(spark, "")
       .groupBy("farm_no").agg(sum(col("n")).cast("long").as("gb_plan"))
-    sow.join(bm, Seq("farm_no"), "left")
-      .join(eu, Seq("farm_no"), "left")
-      .join(sched, Seq("farm_no"), "left")
+    val alert = QueryCatalogDomain3.q75Alerts(spark, "")
+      .groupBy("farm_no")
+      .agg(sum(col("d3") + col("d7") + col("d14") + col("d15up"))
+        .cast("long").as("alert_cnt"))
+    val cullCells = (1 to 15).map(i => col(s"cnt_$i")).reduce(_ + _)
+    val cullMonthCells = (1 to 15).map(i => col(s"val_$i")).reduce(_ + _)
+    val cull = QueryCatalogDomain2.q69CullingChunked(spark, "")
+      .groupBy("farm_no")
+      .agg(sum(cullCells).cast("long").as("cull_week"),
+        sum(cullMonthCells).cast("long").as("cull_month"))
+    val acc = QueryCatalogDomain3.q81AccidentAsOf(spark, "")
+      .groupBy("farm_no")
+      .agg(sum(col("cnt")).cast("long").as("acc_cnt"),
+        sum(col("sum_days")).cast("long").as("acc_days"))
+    val ship = QueryCatalogDomain2.q70ShipmentDaily(spark, "")
+      .groupBy("farm_no").agg(sum(col("cnt")).cast("long").as("ship_cnt"))
+    val cfg = QueryCatalogDomain3.q83ConfigSchedule(spark, "")
+      .groupBy("farm_no").agg(count(lit(1)).as("cfg_sched_cnt"))
+    val plan = QueryCatalogDomain.q65ScheduleBmEu(spark, "")
+      .groupBy("farm_no").agg(sum(col("n")).cast("long").as("plan_cnt"))
+    def z(c: String): Column = coalesce(col(c), lit(0L)).as(c)
+    Seq(bm, eu, gbRet, sched, alert, cull, acc, ship, cfg, plan)
+      .foldLeft(sow)((acc0, df) => acc0.join(df, Seq("farm_no"), "left"))
+      .select(col("farm_no"), col("sow_total"),
+        z("bm_cnt"), z("bm_live"), col("bm_avg_live"), z("bm_pogae"),
+        z("eu_cnt"), z("eu_dusu"), col("eu_avg_days"),
+        z("gb_return_cnt"), z("gb_plan"), z("alert_cnt"),
+        z("cull_week"), z("cull_month"), z("acc_cnt"), z("acc_days"),
+        z("ship_cnt"), z("cfg_sched_cnt"), z("plan_cnt"))
       .orderBy("farm_no")
   }
 
