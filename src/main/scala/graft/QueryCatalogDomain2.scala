@@ -188,9 +188,14 @@ object QueryCatalogDomain2 {
   /** Culling-reason list: week/month counts per reason (null reason ->
     * '031001' other), custom sort (other last, month desc, week desc,
     * code), packed 15-wide per output row (culling.py:240-310). */
-  val q69CullingChunked: Q = (s, d) => {
+  val q69CullingChunked: Q = (s, d) => cullingChunkedFrom(Fixtures.modonDf(s))
+
+  /** q69's body over a caller-supplied sow master — the single-farm
+    * on-demand leg scopes the source BEFORE this logic so a parquet
+    * store prunes at the scan (WeeklyReportJob.subRowsFarm). */
+  private[graft] def cullingChunkedFrom(modonSrc: DataFrame): DataFrame = {
     val monthFrom = ymdD(DtFrom, 30)
-    val culled = Fixtures.modonDf(s)
+    val culled = modonSrc
       .filter(col("use_yn") === "Y" && col("out_dt") =!= Codes.AliveOutDt)
       .withColumn("reason", coalesce(col("out_reason_cd"), lit("031001")))
     val stats = culled.filter(col("out_dt").between(monthFrom, DtTo))
@@ -242,10 +247,14 @@ object QueryCatalogDomain2 {
   /** 7-day slaughter grid with the NULL-day contract: zero-head days
     * keep cnt 0 but NULL averages (shipment.py:266-289,413-431;
     * quality/sex conditional counts data_loader.py:521-531). */
-  val q70ShipmentDaily: Q = (s, d) => {
+  val q70ShipmentDaily: Q = (s, d) => shipmentDailyFrom(s, Fixtures.lpdDf(s))
+
+  /** q70's body over a caller-supplied slaughter table (see
+    * cullingChunkedFrom — the same single-farm scoping contract). */
+  private[graft] def shipmentDailyFrom(s: SparkSession, lpdSrc: DataFrame): DataFrame = {
     val days = graft.ops.DateSpine.daily(s, "2025-11-03", "2025-11-09")
       .select(DateOps.dateToYmd(col("day")).as("day"))
-    val daily = Fixtures.lpdDf(s).filter(col("use_yn") === "Y")
+    val daily = lpdSrc.filter(col("use_yn") === "Y")
       .withColumn("day", regexp_replace(col("dochuk_dt"), "-", ""))
       .filter(col("day").between(DtFrom, DtTo))
       .groupBy("farm_no", "day")
@@ -257,7 +266,7 @@ object QueryCatalogDomain2 {
         count(when(col("meat_quality") === "2", 1)).as("q2"),
         count(when(col("sex_gubun") === "암", 1)).as("f_cnt"),
         count(when(col("sex_gubun") === "수", 1)).as("m_cnt"))
-    val spine = Fixtures.lpdDf(s).select("farm_no").distinct().crossJoin(days)
+    val spine = lpdSrc.select("farm_no").distinct().crossJoin(days)
     spine.join(daily, Seq("farm_no", "day"), "left")
       .select(col("farm_no"), col("day"),
         coalesce(col("cnt"), lit(0L)).as("cnt"),

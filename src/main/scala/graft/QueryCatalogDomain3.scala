@@ -709,6 +709,23 @@ object QueryCatalogDomain3 {
         "\nORDER BY gubun, sub_gubun, farm_no, sort_no")
   }
 
+  // ---------------------------------------------------------------- single-farm SUB rows
+  /** The assembled ten-section SUB frame scoped to ONE farm by a
+    * top-level predicate — the declarative single-farm run: farm_no
+    * keys every window/aggregate/join in the composition, so Catalyst
+    * pushes the filter through the whole union to the leaves (no
+    * per-section parameter threading). The parquet-backed scan-prune
+    * proof for the imperative source-scoped leg (subRowsFarm) lives
+    * in PlanQualitySpec. */
+  val q120FarmSub: Q = (s, _) =>
+    graft.pipeline.WeeklyReportJob.subRows(s)
+      .filter(col("farm_no") === 1)
+      .orderBy("gubun", "sub_gubun", "sort_no")
+
+  private lazy val q120Sql =
+    s"""SELECT * FROM ($q82Sql) WHERE farm_no = 1
+       |ORDER BY gubun, sub_gubun, sort_no""".stripMargin
+
   // ---------------------------------------------------------------- finalize / share token
   /** The report-finalize flow (VERDICT r2 missing #4): per-farm
     * COMPLETE rows get the sha256 share token (master-farm-stamp-
@@ -860,6 +877,7 @@ object QueryCatalogDomain3 {
     "q115_farm_summary" -> q115FarmSummary,
     "q117_week_records" -> q117WeekRecords,
     "q119_period_window" -> q119PeriodWindow,
+    "q120_farm_sub" -> q120FarmSub,
     "q95_finalize_tokens" -> q95Finalize,
     "q74_prevnext_seq_literal" -> q74PrevNextSeq,
     "q75_alert_matrix" -> q75Alerts,
@@ -877,6 +895,7 @@ object QueryCatalogDomain3 {
     "q115_farm_summary" -> q115Sql,
     "q117_week_records" -> q117Sql,
     "q119_period_window" -> q119Sql,
+    "q120_farm_sub" -> q120Sql,
     "q95_finalize_tokens" -> q95Sql,
     "q74_prevnext_seq_literal" -> q74Sql,
     "q75_alert_matrix" -> q75Sql,

@@ -94,25 +94,46 @@ object WeeklyReportJob {
       "farm_no" -> col("farm_no"), "gubun" -> lit("GB"), "sub_gubun" -> lit("CHART"),
       "sort_no" -> col("sort_no"), "code_1" -> col("bucket"),
       "cnt_1" -> col("cnt").cast("double")))
-    val dopeList = conform(QueryCatalogDomain2.q69CullingChunked(spark, ""),
-      Map("farm_no" -> col("farm_no"), "gubun" -> lit("DOPE"), "sub_gubun" -> lit("LIST"),
-        "sort_no" -> col("sort_no")) ++
-        (1 to 15).flatMap(i => Seq(
-          s"cnt_$i" -> col(s"cnt_$i").cast("double"),
-          s"val_$i" -> col(s"val_$i").cast("double"),
-          s"str_$i" -> col(s"str_$i"))).toMap)
-    val shipRows = conform(QueryCatalogDomain2.q70ShipmentDaily(spark, ""), Map(
-      "farm_no" -> col("farm_no"), "gubun" -> lit("SHIP"), "sub_gubun" -> lit("ROW"),
-      "sort_no" -> dense_rank().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("farm_no")).orderBy(col("day"))),
-      "code_1" -> col("day"),
-      "cnt_1" -> col("cnt").cast("double"), "val_1" -> col("avg_net"),
-      "cnt_2" -> col("q11").cast("double"), "cnt_3" -> col("q1").cast("double"),
-      "cnt_4" -> col("q2").cast("double"),
-      "cnt_5" -> col("f_cnt").cast("double"), "cnt_6" -> col("m_cnt").cast("double")))
+    val dopeList = dopeConform(QueryCatalogDomain2.q69CullingChunked(spark, ""))
+    val shipRows = shipConform(QueryCatalogDomain2.q70ShipmentDaily(spark, ""))
     // union in the reference's processor order (async_processor.py:170-192)
     Seq(cfg, alert, modon, gbChart, bm, eu, sago, dopeList, shipRows, sched)
       .reduce(_ unionByName _)
+  }
+
+  private def dopeConform(df: DataFrame): DataFrame = conform(df,
+    Map("farm_no" -> col("farm_no"), "gubun" -> lit("DOPE"), "sub_gubun" -> lit("LIST"),
+      "sort_no" -> col("sort_no")) ++
+      (1 to 15).flatMap(i => Seq(
+        s"cnt_$i" -> col(s"cnt_$i").cast("double"),
+        s"val_$i" -> col(s"val_$i").cast("double"),
+        s"str_$i" -> col(s"str_$i"))).toMap)
+
+  private def shipConform(df: DataFrame): DataFrame = conform(df, Map(
+    "farm_no" -> col("farm_no"), "gubun" -> lit("SHIP"), "sub_gubun" -> lit("ROW"),
+    "sort_no" -> dense_rank().over(Window.partitionBy(col("farm_no")).orderBy(col("day"))),
+    "code_1" -> col("day"),
+    "cnt_1" -> col("cnt").cast("double"), "val_1" -> col("avg_net"),
+    "cnt_2" -> col("q11").cast("double"), "cnt_3" -> col("q1").cast("double"),
+    "cnt_4" -> col("q2").cast("double"),
+    "cnt_5" -> col("f_cnt").cast("double"), "cnt_6" -> col("m_cnt").cast("double")))
+
+  /** The SUB path parameterized to ONE farm over caller-supplied
+    * source frames — the on-demand single-farm run's section leg
+    * (orchestrator.py:1244-1418). The farm predicate is applied to
+    * each source BEFORE the section logic, so against a parquet-backed
+    * store it reaches every scan as a pushed filter (PlanQualitySpec
+    * asserts it): a single-farm rerun reads one farm's bytes, not the
+    * fleet's. Covers the single-source sections (culling list,
+    * shipment grid); the full-width fleet assembly is subRows, whose
+    * single-farm SEMANTICS are hash-gated by q120 (the top-level farm
+    * filter Catalyst pushes through the whole union). */
+  def subRowsFarm(spark: SparkSession, farmNo: Int,
+                  modon: DataFrame, lpd: DataFrame): DataFrame = {
+    def scoped(df: DataFrame): DataFrame = df.filter(col("farm_no") === farmNo)
+    dopeConform(QueryCatalogDomain2.cullingChunkedFrom(scoped(modon)))
+      .unionByName(
+        shipConform(QueryCatalogDomain2.shipmentDailyFrom(spark, scoped(lpd))))
   }
 
   /** One summary row per farm: ALL TEN section aggregates joined,

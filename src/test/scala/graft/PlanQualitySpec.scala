@@ -37,6 +37,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(one.collect().map(_.getInt(0)).toSet == Set(1), "only farm 1 survives")
   }
 
+  test("single-farm SUB sections push the farm predicate into the parquet scans") {
+    import graft.domain.Fixtures
+    val dir = java.nio.file.Files.createTempDirectory("farm_sub").toString
+    Fixtures.modonDf(spark).write.mode("overwrite").parquet(s"$dir/modon")
+    Fixtures.lpdDf(spark).write.mode("overwrite").parquet(s"$dir/lpd")
+    val one = graft.pipeline.WeeklyReportJob.subRowsFarm(spark, 1,
+      spark.read.parquet(s"$dir/modon"), spark.read.parquet(s"$dir/lpd"))
+    val p = one.queryExecution.executedPlan.toString
+    val pushed = "PushedFilters: \\[[^\\]]*EqualTo\\(farm_no,1\\)".r
+      .findAllIn(p).length
+    // modon feeds the culling list; lpd feeds the daily agg + the farm
+    // spine — every scan must carry the farm predicate
+    assert(pushed >= 2, s"farm_no=1 must reach all scans, got $pushed:\n${p.take(1500)}")
+    val farms = one.select("farm_no").distinct().collect().map(_.getInt(0)).toSet
+    assert(farms == Set(1), s"only farm 1 survives, got $farms")
+  }
+
   test("scan queries push filters into the parquet scan") {
     val p = QueryCatalog.q02Scan(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
