@@ -522,6 +522,120 @@ object QueryCatalogDomain {
        |FROM r WHERE rn = 1 ORDER BY farm_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- weather mapping refresh
+  /** The TA_FARM weather-mapping refresh jobs as ONE keyed update
+    * (update_farm_asos_mapping, weather.py:213-276; and
+    * update_farm_weather_grid, weather.py:2446-2495): farms with
+    * USE_YN='Y' and coordinates get (a) the nearest ASOS station —
+    * id, name, round(dist, 2) — ONLY where ASOS_STN_ID is NULL
+    * (existing mappings are a cache, never recomputed), and (b) the
+    * KMA Lambert grid cell ONLY where NX/NY is missing. The
+    * reference's per-row UPDATE loop becomes a left join + COALESCE
+    * over the dimension (the write-back is S7's keyed upsert,
+    * Sinks.upsertParquet); the station list broadcasts. Fixture
+    * covers every branch: fresh mapping, cached station, cached grid,
+    * missing coordinates, USE_YN='N'. */
+  private val farmGeoRows: Seq[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.Row
+    Seq(
+      Row(1, 37.5665, 126.978, "Y", null, null, null, null, null),
+      Row(2, 35.1796, 129.0756, "Y", 159, "BUSAN", 8.61, null, null),
+      Row(3, 33.4996, 126.5312, "Y", null, null, null, 53, 38),
+      Row(4, null, null, "Y", null, null, null, null, null),
+      Row(5, 37.4563, 126.7052, "N", null, null, null, null, null),
+      Row(6, 35.8714, 128.6014, "Y", null, null, null, null, null))
+  }
+  private val stationNames =
+    Map(108 -> "SEOUL", 159 -> "BUSAN", 184 -> "JEJU", 133 -> "DAEJEON",
+      143 -> "DAEGU")
+  private def round2(c: Column): Column = floor(c * 100 + 0.5) / 100
+
+  val q121WeatherRefresh: Q = (s, _) => {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("farm_id", IntegerType), StructField("lat", DoubleType),
+      StructField("lon", DoubleType), StructField("use_yn", StringType),
+      StructField("asos_stn_id", IntegerType),
+      StructField("asos_stn_nm", StringType),
+      StructField("asos_dist_km", DoubleType),
+      StructField("nx", IntegerType), StructField("ny", IntegerType)))
+    val farm = s.createDataFrame(
+      java.util.Arrays.asList(farmGeoRows: _*), schema)
+    import s.implicits._
+    val st = stations.map { case (id, la, lo) => (id, stationNames(id), la, lo) }
+      .toDF("stn_id", "stn_nm", "s_lat", "s_lon")
+    val eligible = farm.filter(col("use_yn") === "Y" &&
+        col("lat").isNotNull && col("lon").isNotNull && col("asos_stn_id").isNull)
+      .select("farm_id", "lat", "lon")
+    val w = Window.partitionBy(col("farm_id")).orderBy(col("dist_km"), col("stn_id"))
+    val mapped = eligible.crossJoin(broadcast(st))
+      .withColumn("dist_km", GeoOps.haversineKm(col("lat"), col("lon"),
+        col("s_lat"), col("s_lon")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("farm_id"), col("stn_id").as("new_stn_id"),
+        col("stn_nm").as("new_stn_nm"), round2(col("dist_km")).as("new_dist_km"))
+    val grid = farm.filter(col("use_yn") === "Y" &&
+        col("lat").isNotNull && col("lon").isNotNull &&
+        (col("nx").isNull || col("ny").isNull))
+      .select(col("farm_id"), GeoOps.gridNx(col("lat"), col("lon")).as("new_nx"),
+        GeoOps.gridNy(col("lat"), col("lon")).as("new_ny"))
+    farm.join(broadcast(mapped), Seq("farm_id"), "left")
+      .join(broadcast(grid.withColumnRenamed("farm_id", "g_farm")),
+        col("farm_id") === col("g_farm"), "left")
+      .select(col("farm_id"), col("use_yn"),
+        coalesce(col("nx"), col("new_nx")).as("nx"),
+        coalesce(col("ny"), col("new_ny")).as("ny"),
+        coalesce(col("asos_stn_id"), col("new_stn_id")).as("asos_stn_id"),
+        coalesce(col("asos_stn_nm"), col("new_stn_nm")).as("asos_stn_nm"),
+        coalesce(col("asos_dist_km"), col("new_dist_km")).as("asos_dist_km"),
+        when(col("new_stn_id").isNotNull, "Y").otherwise("N").as("stn_refreshed"),
+        when(col("g_farm").isNotNull, "Y").otherwise("N").as("grid_refreshed"))
+      .orderBy("farm_id")
+  }
+
+  private lazy val q121Sql = {
+    val fvals = farmGeoRows.map(r =>
+      "(" + (0 until r.length).map(i => Option(r.get(i)) match {
+        case None => "NULL"
+        case Some(v: String) => s"'$v'"
+        case Some(v) => v.toString
+      }).mkString(",") + ")").mkString(",")
+    val svals = stations.map { case (id, la, lo) =>
+      s"($id, '${stationNames(id)}', $la, $lo)" }.mkString(",")
+    val (nxSql, nySql) = GeoOps.gridSql
+    val hav = GeoOps.haversineSql("lat", "lon", "s_lat", "s_lon")
+    s"""WITH f(farm_id, lat, lon, use_yn, asos_stn_id, asos_stn_nm, asos_dist_km, nx, ny)
+       |  AS (VALUES $fvals),
+       |st(stn_id, stn_nm, s_lat, s_lon) AS (VALUES $svals),
+       |eligible AS (
+       |  SELECT farm_id, lat, lon FROM f
+       |  WHERE use_yn = 'Y' AND lat IS NOT NULL AND lon IS NOT NULL
+       |    AND asos_stn_id IS NULL),
+       |j AS (SELECT e.farm_id, st.stn_id, st.stn_nm, $hav AS dist_km
+       |      FROM eligible e CROSS JOIN st),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY farm_id
+       |                                   ORDER BY dist_km, stn_id) AS rn FROM j),
+       |mapped AS (
+       |  SELECT farm_id, stn_id AS new_stn_id, stn_nm AS new_stn_nm,
+       |         floor(dist_km * 100 + 0.5) / 100 AS new_dist_km
+       |  FROM r WHERE rn = 1),
+       |grid AS (
+       |  SELECT farm_id, $nxSql AS new_nx, $nySql AS new_ny FROM f
+       |  WHERE use_yn = 'Y' AND lat IS NOT NULL AND lon IS NOT NULL
+       |    AND (nx IS NULL OR ny IS NULL))
+       |SELECT f.farm_id, f.use_yn,
+       |  COALESCE(f.nx, g.new_nx) AS nx, COALESCE(f.ny, g.new_ny) AS ny,
+       |  COALESCE(f.asos_stn_id, m.new_stn_id) AS asos_stn_id,
+       |  COALESCE(f.asos_stn_nm, m.new_stn_nm) AS asos_stn_nm,
+       |  COALESCE(f.asos_dist_km, m.new_dist_km) AS asos_dist_km,
+       |  CASE WHEN m.farm_id IS NOT NULL THEN 'Y' ELSE 'N' END AS stn_refreshed,
+       |  CASE WHEN g.farm_id IS NOT NULL THEN 'Y' ELSE 'N' END AS grid_refreshed
+       |FROM f
+       |LEFT JOIN mapped m ON m.farm_id = f.farm_id
+       |LEFT JOIN grid g ON g.farm_id = f.farm_id
+       |ORDER BY f.farm_id""".stripMargin
+  }
+
   // ----------------------------------------------------------------
   val all: Map[String, Q] = Map(
     "q60_week_window" -> q60WeekWindow,
@@ -531,6 +645,7 @@ object QueryCatalogDomain {
     "q64_schedule_mating" -> q64ScheduleMating,
     "q65_schedule_bm_eu" -> q65ScheduleBmEu,
     "q66_geo_grid" -> q66Geo,
+    "q121_weather_refresh" -> q121WeatherRefresh,
   )
 
   lazy val oracle: Map[String, String] = Map(
@@ -541,5 +656,6 @@ object QueryCatalogDomain {
     "q64_schedule_mating" -> q64Sql,
     "q65_schedule_bm_eu" -> q65Sql,
     "q66_geo_grid" -> q66Sql,
+    "q121_weather_refresh" -> q121Sql,
   )
 }

@@ -270,14 +270,15 @@ object QueryCatalogDomain3 {
   private lazy val q117Sql =
     s"""WITH ${Fixtures.withClause("farm", "svc_active")},
        |targets AS (
-       |  SELECT DISTINCT f.farm_no, f.farm_nm, f.sigun_cd,
+       |  SELECT DISTINCT f.farm_no, f.farm_nm, f.principal_nm, f.sigun_cd,
        |         COALESCE(f.country_code, 'KOR') AS locale,
        |         COALESCE(s.schedule_group_week, 'AM7') AS schedule_group
        |  FROM farm f JOIN svc_active s ON f.farm_no = s.farm_no
        |  WHERE f.use_yn = 'Y' AND COALESCE(s.reg_type, 'AUTO') = 'AUTO')
        |SELECT 100 AS master_seq, farm_no, 2025 AS report_year,
        |       45 AS report_week_no, '20251103' AS dt_from,
-       |       '20251109' AS dt_to, farm_nm, sigun_cd,
+       |       '20251109' AS dt_to, farm_nm,
+       |       COALESCE(principal_nm, '') AS owner_nm, sigun_cd,
        |       'READY' AS status_cd, schedule_group
        |FROM targets ORDER BY farm_no""".stripMargin
 
@@ -845,28 +846,28 @@ object QueryCatalogDomain3 {
   private lazy val q114Sql =
     s"""WITH ${Fixtures.withClause("farm", "svc_active", "sys_config")},
        |targets AS (
-       |  SELECT DISTINCT f.farm_no, f.farm_nm, f.sigun_cd,
+       |  SELECT DISTINCT f.farm_no, f.farm_nm, f.principal_nm, f.sigun_cd,
        |         COALESCE(f.country_code, 'KOR') AS locale,
        |         COALESCE(s.schedule_group_week, 'AM7') AS schedule_group
        |  FROM farm f JOIN svc_active s ON f.farm_no = s.farm_no
        |  WHERE f.use_yn = 'Y' AND COALESCE(s.reg_type, 'AUTO') = 'AUTO')
-       |SELECT farm_no, farm_nm, sigun_cd, locale, schedule_group,
+       |SELECT farm_no, farm_nm, principal_nm, sigun_cd, locale, schedule_group,
        |       'full' AS scenario FROM targets
        |UNION ALL
-       |SELECT farm_no, farm_nm, sigun_cd, locale, schedule_group, 'am7'
+       |SELECT farm_no, farm_nm, principal_nm, sigun_cd, locale, schedule_group, 'am7'
        |FROM targets WHERE schedule_group = 'AM7'
        |UNION ALL
-       |SELECT farm_no, farm_nm, sigun_cd, locale, schedule_group, 'pm2'
+       |SELECT farm_no, farm_nm, principal_nm, sigun_cd, locale, schedule_group, 'pm2'
        |FROM targets WHERE schedule_group = 'PM2'
        |UNION ALL
-       |SELECT farm_no, farm_nm, sigun_cd, locale, schedule_group, 'include'
+       |SELECT farm_no, farm_nm, principal_nm, sigun_cd, locale, schedule_group, 'include'
        |FROM targets WHERE farm_no IN (2, 3)
        |UNION ALL
-       |SELECT farm_no, farm_nm, sigun_cd, locale, schedule_group, 'exclude'
+       |SELECT farm_no, farm_nm, principal_nm, sigun_cd, locale, schedule_group, 'exclude'
        |FROM targets WHERE farm_no NOT IN (2)
        |UNION ALL
-       |SELECT t.farm_no, t.farm_nm, t.sigun_cd, t.locale, t.schedule_group,
-       |       'gate:' || CAST(c.seq AS VARCHAR)
+       |SELECT t.farm_no, t.farm_nm, t.principal_nm, t.sigun_cd, t.locale,
+       |       t.schedule_group, 'gate:' || CAST(c.seq AS VARCHAR)
        |FROM sys_config c CROSS JOIN targets t
        |WHERE c.ins_schedule_yn IN ('Y', 'T')
        |ORDER BY scenario, farm_no""".stripMargin

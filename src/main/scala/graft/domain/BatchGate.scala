@@ -41,7 +41,11 @@ object BatchGate {
         coalesce(col("schedule_group_week"), lit("AM7")).as("schedule_group"))
     val base = farm.filter(col("use_yn") === "Y")
       .join(svc, "farm_no")
-      .select(col("farm_no"), col("farm_nm"), col("sigun_cd"),
+      // principal_nm rides along RAW (SERVICE_FARM_SQL selects it
+      // unmodified); the ''-default is applied at TS_INS_WEEK insert
+      // time (WeeklyReportJob.createWeekRecords), like the reference
+      .select(col("farm_no"), col("farm_nm"), col("principal_nm"),
+        col("sigun_cd"),
         coalesce(col("country_code"), lit("KOR")).as("locale"),
         col("schedule_group"))
       .distinct()

@@ -391,16 +391,18 @@ object Fixtures {
     Row(101, 2, "COMPLETE", "20251112020508", "0123456789abcdef"))
 
   /** Farm master rows (TA_FARM shape, farm_service.py:22-31): farm 2
-    * has no country code (locale must default KOR), farm 4 is
+    * has no country code (locale must default KOR) AND no principal
+    * name (owner_nm must default '' — orchestrator.py
+    * _create_week_records' farm.get('PRINCIPAL_NM', '')), farm 4 is
     * USE_YN='N' (excluded), farm 5 has no active-service row (inner
     * join drops it). */
   lazy val farm: Seq[Row] = Seq(
-    Row(1, "Farm A", "11000", "KOR", "Y"),
-    Row(2, "Farm B", "26000", null, "Y"),
-    Row(3, "Farm C", "11000", "VNM", "Y"),
-    Row(4, "Farm D", "48000", "KOR", "N"),
-    Row(5, "Farm E", "28000", "KOR", "Y"),
-    Row(6, "Farm F", "11000", "KOR", "Y"))
+    Row(1, "Farm A", "Kim Minsu", "11000", "KOR", "Y"),
+    Row(2, "Farm B", null, "26000", null, "Y"),
+    Row(3, "Farm C", "Le Van An", "11000", "VNM", "Y"),
+    Row(4, "Farm D", "Park Jiho", "48000", "KOR", "N"),
+    Row(5, "Farm E", "Choi Eun", "28000", "KOR", "Y"),
+    Row(6, "Farm F", "Jung Ho", "11000", "KOR", "Y"))
 
   /** Active-service rows (VW_INS_SERVICE_ACTIVE shape): farm 1 twice
     * (the view can emit duplicates — SERVICE_FARM_SQL is DISTINCT),
@@ -515,8 +517,8 @@ object Fixtures {
 
   val farmSchema: StructType = st(
     "farm_no" -> IntegerType, "farm_nm" -> StringType,
-    "sigun_cd" -> StringType, "country_code" -> StringType,
-    "use_yn" -> StringType)
+    "principal_nm" -> StringType, "sigun_cd" -> StringType,
+    "country_code" -> StringType, "use_yn" -> StringType)
 
   val svcActiveSchema: StructType = st(
     "farm_no" -> IntegerType, "reg_type" -> StringType,

@@ -277,7 +277,11 @@ object WeeklyReportJob {
     targets.select(lit(masterSeq).as("master_seq"), col("farm_no"),
       lit(year).as("report_year"), lit(weekNo).as("report_week_no"),
       lit(dtFrom).as("dt_from"), lit(dtTo).as("dt_to"),
-      col("farm_nm"), col("sigun_cd"), lit("READY").as("status_cd"),
+      col("farm_nm"),
+      // OWNER_NM = farm.get('PRINCIPAL_NM', '') — the reference
+      // defaults a missing principal to empty string at insert time
+      coalesce(col("principal_nm"), lit("")).as("owner_nm"),
+      col("sigun_cd"), lit("READY").as("status_cd"),
       col("schedule_group"))
 
   /** Scheduler entry: the whole batch is gated on the INS_SCHEDULE_YN

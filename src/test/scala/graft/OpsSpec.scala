@@ -67,6 +67,35 @@ class OpsSpec extends SparkSpec {
     assert(di.toSeq == Seq((1, 99), (2, 20), (3, 30)))
   }
 
+  test("UpsertMerge property: re-applying the same batch is a no-op (idempotence)") {
+    // the sink-family hardening: a retried/duplicated batch must not
+    // change the target — MERGE and delete+insert are both idempotent
+    // on (target ∘ batch), and insert-if-absent trivially so. Random
+    // keyed batches over a deterministic LCG, overlapping + disjoint.
+    var seed = 0xcafeL
+    def next(mod: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % mod + mod) % mod).toInt
+    }
+    for (round <- 1 to 3) {
+      val old = (1 to 20).map(k => (k, s"o$k", next(100))).toDF("k", "n", "v")
+      val inc = (1 to 10).map(_ => next(30)).distinct
+        .map(k => (k, s"i$k", next(100))).toDF("k", "n", "v")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("k").collect().map(r =>
+          (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+      for (op <- Seq[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =>
+                     org.apache.spark.sql.DataFrame](
+          UpsertMerge.upsert(_, _, Seq("k")),
+          UpsertMerge.insertIfAbsent(_, _, Seq("k")),
+          UpsertMerge.deleteInsert(_, _, Seq("k")))) {
+        val once = op(old, inc)
+        val twice = op(once, inc)
+        assert(canon(twice) == canon(once), s"round $round must be idempotent")
+      }
+    }
+  }
+
   test("Buckets: upper-inclusive edges") {
     val df = Seq(3.0, 10.0, 10.5, 40.0, 41.0).toDF("x")
       .select(Buckets.byUpperEdges(col("x"), Seq(10, 40), Seq("lo", "mid", "hi")).as("b"))
