@@ -18,15 +18,18 @@ object QueryCatalogDomain2 {
     java.time.LocalDate.parse(base, DateOps.Ymd).minusDays(minus).format(DateOps.Ymd)
 
   /** q61's cohort + calc status, reused by q67. */
-  private def statusCohort(s: SparkSession): DataFrame = {
+  private def statusCohort(s: SparkSession): DataFrame =
+    statusCohortFrom(Fixtures.modonDf(s), Fixtures.modonWkDf(s))
+
+  private def statusCohortFrom(modonSrc: DataFrame, modonWkSrc: DataFrame): DataFrame = {
     val twoYearsAgo = ymdD(BaseDate, 730)
-    val wkf = Fixtures.modonWkDf(s)
+    val wkf = modonWkSrc
       .filter(col("use_yn") === "Y" && col("wk_dt") <= BaseDate && col("wk_gubun") =!= "Z")
     val last = LatestRecord.viaAgg(wkf, keys = Seq("farm_no", "pig_no"),
         ord = Seq("wk_dt", "seq"))
       .select(col("farm_no"), col("pig_no"), col("wk_gubun"), col("sago_gubun_cd"),
         col("daeri_yn"), col("sancha").as("wk_sancha"))
-    Fixtures.modonDf(s)
+    modonSrc
       .filter(col("use_yn") === "Y" && col("in_dt") <= BaseDate &&
         col("out_dt") > twoYearsAgo)
       .join(last, Seq("farm_no", "pig_no"), "left")
@@ -57,9 +60,15 @@ object QueryCatalogDomain2 {
   /** Sow inventory crosstab: parity label x status group, ALL parities
     * emitted 0-filled (modon.py:32-43 PARITY_CONFIG, :107-136 label
     * rule incl. SANCHA-or-IN_SANCHA fallback, :150-195 status groups). */
-  val q67ParityStatus: Q = (s, d) => {
+  val q67ParityStatus: Q = (s, d) =>
+    parityStatusFrom(s, Fixtures.modonDf(s), Fixtures.modonWkDf(s))
+
+  /** q67's body over caller-supplied core tables (single-farm scoping
+    * contract — see cullingChunkedFrom). */
+  private[graft] def parityStatusFrom(s: SparkSession, modonSrc: DataFrame,
+                                      modonWkSrc: DataFrame): DataFrame = {
     val parities = (1, "HUBO") +: (2 to 10).map(n => (n, if (n == 10) "P8UP" else s"P${n - 2}"))
-    val cohort = statusCohort(s)
+    val cohort = statusCohortFrom(modonSrc, modonWkSrc)
       .withColumn("sancha_eff",
         when(col("wk_gubun").isNotNull,
           when(col("wk_sancha").isNotNull && col("wk_sancha") =!= 0, col("wk_sancha"))
@@ -77,7 +86,7 @@ object QueryCatalogDomain2 {
       count(when(col("calc_status") === "010005", 1)).as("eumo"),
       count(when(col("calc_status").isin("010006", "010007"), 1)).as("sago"))
     import s.implicits._
-    val spine = Fixtures.modonDf(s).select("farm_no").distinct()
+    val spine = modonSrc.select("farm_no").distinct()
       .crossJoin(parities.toDF("sort_no", "parity_label"))
     spine.join(counts, Seq("farm_no", "parity_label"), "left")
       .select(col("farm_no"), col("sort_no"), col("parity_label"),
@@ -132,12 +141,18 @@ object QueryCatalogDomain2 {
     * to each re-mating G, bucketed ~3,4..9,10up (mating.py:258-267
     * chart periods; interval via PrevNext lag). Fixed bucket spine,
     * zero-filled. */
-  val q68ReturnBuckets: Q = (s, d) => {
+  val q68ReturnBuckets: Q = (s, d) =>
+    returnBucketsFrom(s, Fixtures.modonDf(s), Fixtures.modonWkDf(s))
+
+  /** q68's body over caller-supplied core tables (single-farm scoping
+    * contract — see cullingChunkedFrom). */
+  private[graft] def returnBucketsFrom(s: SparkSession, modonSrc: DataFrame,
+                                       modonWkSrc: DataFrame): DataFrame = {
     val buckets = Seq((1, "B03"), (2, "B04"), (3, "B05"), (4, "B06"),
       (5, "B07"), (6, "B08"), (7, "B09"), (8, "B10UP"))
     val w = Window.partitionBy(col("farm_no"), col("pig_no"))
       .orderBy(col("wk_dt"), col("seq"))
-    val ev = Fixtures.modonWkDf(s).filter(col("use_yn") === "Y")
+    val ev = modonWkSrc.filter(col("use_yn") === "Y")
       .withColumn("prev_gubun", lag(col("wk_gubun"), 1).over(w))
       .withColumn("prev_dt", lag(col("wk_dt"), 1).over(w))
     val ret = ev.filter(col("wk_gubun") === "G" && col("prev_gubun").isin("E", "F"))
@@ -148,7 +163,7 @@ object QueryCatalogDomain2 {
           .otherwise(concat(lit("B0"), col("interval"))))
     val counts = ret.groupBy("farm_no", "bucket").agg(count(lit(1)).as("cnt"))
     import s.implicits._
-    val spine = Fixtures.modonDf(s).select("farm_no").distinct()
+    val spine = modonSrc.select("farm_no").distinct()
       .crossJoin(buckets.toDF("sort_no", "bucket"))
     spine.join(counts, Seq("farm_no", "bucket"), "left")
       .select(col("farm_no"), col("sort_no"), col("bucket"),

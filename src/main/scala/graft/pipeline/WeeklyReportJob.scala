@@ -84,22 +84,26 @@ object WeeklyReportJob {
       "farm_no" -> col("farm_no"), "gubun" -> lit("SCHED"), "sub_gubun" -> lit("GB"),
       "sort_no" -> rnBy(col("pass_dt")), "code_1" -> DateOps.dateToYmd(col("pass_dt")),
       "cnt_1" -> col("n").cast("double")))
-    val modon = conform(QueryCatalogDomain2.q67ParityStatus(spark, ""), Map(
-      "farm_no" -> col("farm_no"), "gubun" -> lit("MODON"), "sub_gubun" -> lit("-"),
-      "sort_no" -> col("sort_no"), "code_1" -> col("parity_label"),
-      "cnt_1" -> col("hubo").cast("double"), "cnt_2" -> col("imsin").cast("double"),
-      "cnt_3" -> col("poyu").cast("double"), "cnt_4" -> col("eumo").cast("double"),
-      "cnt_5" -> col("sago").cast("double")))
-    val gbChart = conform(QueryCatalogDomain2.q68ReturnBuckets(spark, ""), Map(
-      "farm_no" -> col("farm_no"), "gubun" -> lit("GB"), "sub_gubun" -> lit("CHART"),
-      "sort_no" -> col("sort_no"), "code_1" -> col("bucket"),
-      "cnt_1" -> col("cnt").cast("double")))
+    val modon = modonConform(QueryCatalogDomain2.q67ParityStatus(spark, ""))
+    val gbChart = gbConform(QueryCatalogDomain2.q68ReturnBuckets(spark, ""))
     val dopeList = dopeConform(QueryCatalogDomain2.q69CullingChunked(spark, ""))
     val shipRows = shipConform(QueryCatalogDomain2.q70ShipmentDaily(spark, ""))
     // union in the reference's processor order (async_processor.py:170-192)
     Seq(cfg, alert, modon, gbChart, bm, eu, sago, dopeList, shipRows, sched)
       .reduce(_ unionByName _)
   }
+
+  private def modonConform(df: DataFrame): DataFrame = conform(df, Map(
+    "farm_no" -> col("farm_no"), "gubun" -> lit("MODON"), "sub_gubun" -> lit("-"),
+    "sort_no" -> col("sort_no"), "code_1" -> col("parity_label"),
+    "cnt_1" -> col("hubo").cast("double"), "cnt_2" -> col("imsin").cast("double"),
+    "cnt_3" -> col("poyu").cast("double"), "cnt_4" -> col("eumo").cast("double"),
+    "cnt_5" -> col("sago").cast("double")))
+
+  private def gbConform(df: DataFrame): DataFrame = conform(df, Map(
+    "farm_no" -> col("farm_no"), "gubun" -> lit("GB"), "sub_gubun" -> lit("CHART"),
+    "sort_no" -> col("sort_no"), "code_1" -> col("bucket"),
+    "cnt_1" -> col("cnt").cast("double")))
 
   private def dopeConform(df: DataFrame): DataFrame = conform(df,
     Map("farm_no" -> col("farm_no"), "gubun" -> lit("DOPE"), "sub_gubun" -> lit("LIST"),
@@ -124,16 +128,21 @@ object WeeklyReportJob {
     * each source BEFORE the section logic, so against a parquet-backed
     * store it reaches every scan as a pushed filter (PlanQualitySpec
     * asserts it): a single-farm rerun reads one farm's bytes, not the
-    * fleet's. Covers the single-source sections (culling list,
-    * shipment grid); the full-width fleet assembly is subRows, whose
-    * single-farm SEMANTICS are hash-gated by q120 (the top-level farm
-    * filter Catalyst pushes through the whole union). */
-  def subRowsFarm(spark: SparkSession, farmNo: Int,
-                  modon: DataFrame, lpd: DataFrame): DataFrame = {
+    * fleet's. Covers the four core-table sections (sow inventory,
+    * return chart, culling list, shipment grid); the full-width fleet
+    * assembly is subRows, whose single-farm SEMANTICS are hash-gated
+    * by q120 (the top-level farm filter Catalyst pushes through the
+    * whole union). */
+  def subRowsFarm(spark: SparkSession, farmNo: Int, modon: DataFrame,
+                  modonWk: DataFrame, lpd: DataFrame): DataFrame = {
     def scoped(df: DataFrame): DataFrame = df.filter(col("farm_no") === farmNo)
-    dopeConform(QueryCatalogDomain2.cullingChunkedFrom(scoped(modon)))
-      .unionByName(
-        shipConform(QueryCatalogDomain2.shipmentDailyFrom(spark, scoped(lpd))))
+    val (m, w) = (scoped(modon), scoped(modonWk))
+    Seq(
+      modonConform(QueryCatalogDomain2.parityStatusFrom(spark, m, w)),
+      gbConform(QueryCatalogDomain2.returnBucketsFrom(spark, m, w)),
+      dopeConform(QueryCatalogDomain2.cullingChunkedFrom(m)),
+      shipConform(QueryCatalogDomain2.shipmentDailyFrom(spark, scoped(lpd))))
+      .reduce(_ unionByName _)
   }
 
   /** One summary row per farm: ALL TEN section aggregates joined,

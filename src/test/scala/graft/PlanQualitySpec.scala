@@ -41,15 +41,18 @@ class PlanQualitySpec extends SparkSpec {
     import graft.domain.Fixtures
     val dir = java.nio.file.Files.createTempDirectory("farm_sub").toString
     Fixtures.modonDf(spark).write.mode("overwrite").parquet(s"$dir/modon")
+    Fixtures.modonWkDf(spark).write.mode("overwrite").parquet(s"$dir/modon_wk")
     Fixtures.lpdDf(spark).write.mode("overwrite").parquet(s"$dir/lpd")
     val one = graft.pipeline.WeeklyReportJob.subRowsFarm(spark, 1,
-      spark.read.parquet(s"$dir/modon"), spark.read.parquet(s"$dir/lpd"))
+      spark.read.parquet(s"$dir/modon"), spark.read.parquet(s"$dir/modon_wk"),
+      spark.read.parquet(s"$dir/lpd"))
     val p = one.queryExecution.executedPlan.toString
     val pushed = "PushedFilters: \\[[^\\]]*EqualTo\\(farm_no,1\\)".r
       .findAllIn(p).length
-    // modon feeds the culling list; lpd feeds the daily agg + the farm
-    // spine — every scan must carry the farm predicate
-    assert(pushed >= 2, s"farm_no=1 must reach all scans, got $pushed:\n${p.take(1500)}")
+    // modon feeds the sow cohort + two spines + the culling list,
+    // modon_wk the latest-record cohort + the return chart, lpd the
+    // daily agg + the farm spine — every scan must carry the predicate
+    assert(pushed >= 5, s"farm_no=1 must reach all scans, got $pushed:\n${p.take(1500)}")
     val farms = one.select("farm_no").distinct().collect().map(_.getInt(0)).toSet
     assert(farms == Set(1), s"only farm 1 survives, got $farms")
   }
