@@ -293,6 +293,38 @@ object WeeklyReportJob {
       col("sigun_cd"), lit("READY").as("status_cd"),
       col("schedule_group"))
 
+  /** The TS_INS_MASTER identity row for ANY report mode — the batch
+    * header the orchestrator inserts before per-farm work, generalized
+    * to run_etl.py:68-77's DAY_GB choices. WEEK keeps the
+    * orchestrator's convention (window + ISO year/week from the last
+    * full Monday..Sunday, orchestrator.py:148-164); MON/QT use the
+    * closed calendar month/quarter with `_calculate_period_info`
+    * numbering (productivity.py:148-178) — note the reference itself
+    * holds BOTH conventions (ISO pair for weekly masters, calendar
+    * year for productivity periods); each is replayed where it
+    * applies. */
+  def periodMaster(spark: SparkSession, masterSeq: Int, dayGb: String,
+                   baseDate: String): DataFrame = {
+    val (dtFrom, dtTo, year, no) = dayGb match {
+      case "WEEK" =>
+        val w = DateOps.lastWeekWindow(baseDate)
+        (w.dtFrom, w.dtTo, w.isoYear, w.isoWeek)
+      case "MON" =>
+        val w = DateOps.monthWindow(baseDate)
+        (w.dtFrom, w.dtTo, w.statYear, w.periodNo)
+      case "QT" =>
+        val w = DateOps.quarterWindow(baseDate)
+        (w.dtFrom, w.dtTo, w.statYear, w.periodNo)
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown DAY_GB '$other' (expected WEEK/MON/QT)")
+    }
+    import spark.implicits._
+    Seq((masterSeq, dayGb, year, no, dtFrom, dtTo))
+      .toDF("master_seq", "day_gb", "report_year", "report_week_no",
+        "dt_from", "dt_to")
+  }
+
   /** Scheduler entry: the whole batch is gated on the INS_SCHEDULE_YN
     * config scalar (orchestrator.py:58-94) BEFORE any Spark job is
     * submitted — 'Y'/'T' runs, anything else (including a missing or

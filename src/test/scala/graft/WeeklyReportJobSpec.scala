@@ -88,6 +88,23 @@ class WeeklyReportJobSpec extends SparkSpec {
     assert(s.get(3).forall(_ == 0L), "farm 3's NULL unboxes to 0")
   }
 
+  test("periodMaster: one identity row per DAY_GB mode, window conventions per mode") {
+    def row(dayGb: String, base: String) =
+      WeeklyReportJob.periodMaster(spark, 7, dayGb, base).collect()(0)
+    val wk = row("WEEK", "20251112")
+    assert(wk.getString(1) == "WEEK" && wk.getInt(2) == 2025 && wk.getInt(3) == 45)
+    assert(wk.getString(4) == "20251103" && wk.getString(5) == "20251109")
+    val mo = row("MON", "20251112")
+    assert(mo.getInt(2) == 2025 && mo.getInt(3) == 10 &&
+      mo.getString(4) == "20251001" && mo.getString(5) == "20251031")
+    val qt = row("QT", "20260215") // Q1 base -> Q4 of the previous year
+    assert(qt.getInt(2) == 2025 && qt.getInt(3) == 4 &&
+      qt.getString(4) == "20251001" && qt.getString(5) == "20251231")
+    intercept[IllegalArgumentException] {
+      WeeklyReportJob.periodMaster(spark, 7, "DAY", "20251112")
+    }
+  }
+
   test("batch gate: disabled INS_SCHEDULE_YN skips the run before any job is submitted") {
     import graft.domain.BatchGate
     assert(BatchGate.scheduleEnabled(Some("Y")), "'Y' is production mode")
