@@ -669,8 +669,67 @@ object QueryCatalogText {
       |       MIN(fp) AS min_fp, COUNT(*) AS n_windows
       |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- PII scrub
+  /** PII detection + redaction (the release gate every public corpus
+    * runs — C4/Dolma-style regex scrub, not NER): deterministic
+    * emails/phones/IPs are PLANTED into the synthetic text keyed by
+    * doc_id — identically in both engines — then counted and masked
+    * with typed placeholders. The whole operator is codegen'd
+    * regexp_count/regexp_replace: a pure map over the scan, zero
+    * shuffles, and the full redacted text is hash-compared so the
+    * replacement order contract is verified byte-for-byte. */
+  val q122PiiRedact: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val sid = col("doc_id").cast("string")
+    val planted = docs.withColumn("text2", concat(col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" contact admin"), sid, lit("@example.com now")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit(" call 010-1234-5678"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" from 192.168."), (col("doc_id") % 256).cast("string"),
+          lit(".17")))
+        .otherwise(lit(""))))
+    planted.select(col("doc_id"),
+        TextOps.nEmails(col("text2")).as("n_email"),
+        TextOps.nPhones(col("text2")).as("n_phone"),
+        TextOps.nIpv4s(col("text2")).as("n_ip"),
+        TextOps.redactPii(col("text2")).as("redacted"))
+      .filter(col("n_email") + col("n_phone") + col("n_ip") > 0)
+      .orderBy("doc_id")
+  }
+
+  private lazy val q122Sql = {
+    val (em, ph, ip) = (TextOps.emailRe, TextOps.phoneRe, TextOps.ipv4Re)
+    s"""WITH planted AS (
+       |  SELECT doc_id,
+       |    text ||
+       |    CASE WHEN doc_id % 7 = 0
+       |         THEN ' contact admin' || CAST(doc_id AS VARCHAR) || '@example.com now'
+       |         ELSE '' END ||
+       |    CASE WHEN doc_id % 5 = 0 THEN ' call 010-1234-5678' ELSE '' END ||
+       |    CASE WHEN doc_id % 11 = 0
+       |         THEN ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.17'
+       |         ELSE '' END AS text2
+       |  FROM documents),
+       |scored AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text2, '$em')) AS INT) AS n_email,
+       |    CAST(len(regexp_extract_all(text2, '$ph')) AS INT) AS n_phone,
+       |    CAST(len(regexp_extract_all(text2, '$ip')) AS INT) AS n_ip,
+       |    regexp_replace(regexp_replace(regexp_replace(text2,
+       |      '$em', '<EMAIL>', 'g'), '$ph', '<PHONE>', 'g'), '$ip', '<IP>', 'g')
+       |      AS redacted
+       |  FROM planted)
+       |SELECT * FROM scored
+       |WHERE n_email + n_phone + n_ip > 0
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ----------------------------------------------------------------
   val all: Map[String, Q] = Map(
+    "q122_pii_redact" -> q122PiiRedact,
     "q40_dedup_exact" -> q40DedupExact,
     "q41_minhash_sig" -> q41MinHashSig,
     "q42_lsh_pairs" -> q42LshPairs,
@@ -688,6 +747,7 @@ object QueryCatalogText {
   )
 
   val oracle: Map[String, String] = Map(
+    "q122_pii_redact" -> q122Sql,
     "q40_dedup_exact" -> q40Sql,
     "q41_minhash_sig" -> q41Sql,
     "q42_lsh_pairs" -> q42Sql,

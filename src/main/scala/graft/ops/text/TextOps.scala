@@ -52,4 +52,31 @@ object TextOps {
     * deterministic, no model). */
   def langScore(text: Column, markers: Seq[String]): Column =
     markerCount(text, markers).cast("double") / nWsTokens(text)
+
+  // ---- PII scrub (the release-gate every public corpus runs) ----
+
+  /** PII patterns shared verbatim by the Spark and DuckDB legs:
+    * RE2-safe (no backreferences, no lookaround), identical semantics
+    * in Java regex. Deliberately high-precision shapes — an email,
+    * a dashed KR-style phone number, a dotted IPv4 — the industry
+    * scrub pattern family (C4/Dolma-style), not an NER model. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\b0\\d{1,2}-\\d{3,4}-\\d{4}\\b"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def nEmails(text: Column): Column = regexp_count(text, lit(emailRe))
+  def nPhones(text: Column): Column = regexp_count(text, lit(phoneRe))
+  def nIpv4s(text: Column): Column = regexp_count(text, lit(ipv4Re))
+
+  /** Mask all three PII classes with typed placeholders. Replacement
+    * ORDER is part of the contract (email first — its local part may
+    * contain digit runs; then phone, then IP) and is replayed
+    * identically by the oracle. Pure codegen'd map — no shuffle, no
+    * UDF; at 100 TB this rides the same scan as the quality scores. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>"),
+      ipv4Re, "<IP>")
 }

@@ -96,6 +96,24 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("TextOps PII scrub: counts and typed placeholders, non-PII text untouched") {
+    import graft.ops.text.TextOps
+    val df = Seq(
+      ("mail a.b+c@ex-ample.co.kr or x@y.io, call 010-123-4567, host 10.0.255.3", 2, 1, 1,
+        "mail <EMAIL> or <EMAIL>, call <PHONE>, host <IP>"),
+      // version strings / bare digits / undashed numbers must survive
+      ("v1.2 beta, build 20251112, at 3.14 degrees", 0, 0, 0,
+        "v1.2 beta, build 20251112, at 3.14 degrees"))
+      .toDF("text", "e", "p", "i", "want")
+    val got = df.select(TextOps.nEmails(col("text")), TextOps.nPhones(col("text")),
+        TextOps.nIpv4s(col("text")), TextOps.redactPii(col("text")),
+        col("e"), col("p"), col("i"), col("want")).collect()
+    got.foreach { r =>
+      assert((r.getInt(0), r.getInt(1), r.getInt(2)) == (r.getInt(4), r.getInt(5), r.getInt(6)))
+      assert(r.getString(3) == r.getString(7))
+    }
+  }
+
   test("Buckets: upper-inclusive edges") {
     val df = Seq(3.0, 10.0, 10.5, 40.0, 41.0).toDF("x")
       .select(Buckets.byUpperEdges(col("x"), Seq(10, 40), Seq("lo", "mid", "hi")).as("b"))
