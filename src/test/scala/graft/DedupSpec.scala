@@ -104,6 +104,14 @@ class DedupSpec extends SparkSpec {
     val pairs = Dedup.candidatePairs(bands, "doc_id")
     val j = Dedup.jaccard(pairs, sh, "doc_id").collect()
     assert(j.length == 1 && j(0).getAs[Double]("jaccard") == 1.0)
+    // caller-supplied cardinality (the lazy path) must not change the
+    // result — both broadcast-regime (big hint budget) and shuffle-
+    // regime (0 forces the hint off) values
+    for (cc <- Seq(1L, 5000000L)) {
+      val jc = Dedup.jaccard(pairs, sh, "doc_id", candCount = Some(cc)).collect()
+      assert(jc.length == 1 && jc(0).getAs[Double]("jaccard") == 1.0,
+        s"candCount=$cc must be result-invariant")
+    }
     // exactKeep keeps one row per content (nulls are their own group)
     assert(Dedup.exactKeep(weird, "doc_id", "text").count() == 4)
   }

@@ -118,6 +118,14 @@ class VectorGeoSpec extends SparkSpec {
     val rb = ragged.filter(col("vec_id") === 2L).collect()(0).getLong(1)
     assert(rb == longOnly.collect()(0).getLong(1),
       "long vector's bucket must not depend on a shorter earlier row")
+    // knownDims (the hoisted probe lshAnnMulti passes) must be
+    // bucket-identical to the self-probed path
+    val probed = VectorOps.lshBucket(
+      mk(Row(2L, Seq(0f, 5f, -3f, 2f))), "vec_id", 4).collect()(0).getLong(1)
+    val supplied = VectorOps.lshBucket(
+      mk(Row(2L, Seq(0f, 5f, -3f, 2f))), "vec_id", 4, table = 0, knownDims = 4)
+      .collect()(0).getLong(1)
+    assert(probed == supplied, "knownDims path must match the probe path")
   }
 
   test("KMA grid matches published values; haversine sanity") {
