@@ -87,6 +87,77 @@ object QueryCatalogCuration {
       |FROM base b LEFT JOIN reb r USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- line-level quality filter
+  /** C4-style LINE-level quality rules (the stage BEFORE doc-level
+    * scoring: drop boilerplate lines, keep the document): a line
+    * survives iff it ends with terminal punctuation, has >= 5 words,
+    * and carries no boilerplate marker ("javascript"/"cookie"/
+    * "subscribe"). Lines are planted per doc (the synthetic corpus is
+    * single-line): one good sentence, one JS/cookie wall, one
+    * too-short line — the original text is line 0 and lives or dies
+    * by the same rules. Explode -> filter -> order-preserving
+    * reassembly; every rule is a codegen'd column predicate and the
+    * only exchange is the per-doc regroup. */
+  val q123LineQuality: Q = (s, d) => {
+    val sid = col("doc_id").cast("string")
+    val planted = Tables.documents(s, d).select(col("doc_id"), concat(
+      col("text"), lit("\n"),
+      lit("the farm report for pen "), sid, lit(" was filed on time.\n"),
+      lit("please enable javascript and accept cookie "), sid, lit("\n"),
+      lit("ok no. "), sid).as("text2"))
+    val lines = planted
+      .select(col("doc_id"), posexplode(split(col("text2"), "\n")).as(Seq("idx", "line")))
+    val keep = substring(col("line"), -1, 1).isin(".", "!", "?") &&
+      size(split(col("line"), "\\s+")) >= 5 &&
+      !col("line").contains("javascript") && !col("line").contains("cookie") &&
+      !col("line").contains("subscribe")
+    val kept = lines.withColumn("keep", keep)
+    val reb = kept.filter(col("keep"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws("\n", expr(
+          "transform(array_sort(collect_list(struct(idx, line))), x -> x.line)"))
+          .as("clean_text"))
+    kept.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
+      .join(reb, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  private val q123Sql =
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |    text || chr(10) ||
+      |    'the farm report for pen ' || CAST(doc_id AS VARCHAR) || ' was filed on time.' || chr(10) ||
+      |    'please enable javascript and accept cookie ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+      |    'ok no. ' || CAST(doc_id AS VARCHAR) AS text2
+      |  FROM documents),
+      |lines AS (
+      |  SELECT doc_id, u.idx - 1 AS idx, u.line
+      |  FROM planted,
+      |       LATERAL (SELECT unnest(string_split(text2, chr(10))) AS line,
+      |                       generate_subscripts(string_split(text2, chr(10)), 1) AS idx)
+      |       AS u),
+      |flagged AS (
+      |  SELECT doc_id, idx, line,
+      |    (right(line, 1) IN ('.', '!', '?')
+      |     AND len(string_split_regex(line, '\s+')) >= 5
+      |     AND line NOT LIKE '%javascript%' AND line NOT LIKE '%cookie%'
+      |     AND line NOT LIKE '%subscribe%') AS keep
+      |  FROM lines),
+      |reb AS (
+      |  SELECT doc_id, COUNT(*) AS n_kept,
+      |         string_agg(line, chr(10) ORDER BY idx) AS clean_text
+      |  FROM flagged WHERE keep GROUP BY 1)
+      |SELECT f.doc_id, COUNT(*) AS n_lines,
+      |       COALESCE(ANY_VALUE(r.n_kept), 0) AS n_kept,
+      |       COALESCE(ANY_VALUE(r.clean_text), '') AS clean_text
+      |FROM flagged f LEFT JOIN reb r USING (doc_id)
+      |GROUP BY f.doc_id
+      |ORDER BY f.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- per-domain cap
   /** Per-source document cap: keep the top 5 docs per source by
     * quality score (ties broken by doc_id — a total order, so both
@@ -679,6 +750,7 @@ object QueryCatalogCuration {
 
   val all: Map[String, Q] = Map(
     "q99_line_dedup" -> q99LineDedup,
+    "q123_line_quality" -> q123LineQuality,
     "q100_domain_cap" -> q100DomainCap,
     "q101_dup_clusters" -> q101DupClusters,
     "q102_hash_sample" -> q102HashSample,
@@ -694,6 +766,7 @@ object QueryCatalogCuration {
 
   val oracle: Map[String, String] = Map(
     "q99_line_dedup" -> q99Sql,
+    "q123_line_quality" -> q123Sql,
     "q100_domain_cap" -> q100Sql,
     "q101_dup_clusters" -> q101Sql,
     "q102_hash_sample" -> q102Sql,
