@@ -79,6 +79,27 @@ class DateOpsSpec extends AnyFunSuite {
     assert(wb.dtFrom == "20250101" && wb.dtTo == "20250331" && wb.periodNo == 1)
   }
 
+  test("month/quarter windows: full closed periods, adjacent to the base period (sweep)") {
+    var d = LocalDate.of(2024, 11, 15)
+    while (d.isBefore(LocalDate.of(2026, 3, 1))) {
+      val m = DateOps.monthWindow(d.format(DateOps.Ymd))
+      val mFrom = LocalDate.parse(m.dtFrom, DateOps.Ymd)
+      val mTo = LocalDate.parse(m.dtTo, DateOps.Ymd)
+      assert(mFrom.getDayOfMonth == 1)
+      assert(mTo == mFrom.plusMonths(1).minusDays(1), "a full calendar month")
+      assert(mFrom.plusMonths(1) == d.withDayOfMonth(1), "the month just closed")
+      assert(m.statYear == mFrom.getYear && m.periodNo == mFrom.getMonthValue)
+      val q = DateOps.quarterWindow(d.format(DateOps.Ymd))
+      val qFrom = LocalDate.parse(q.dtFrom, DateOps.Ymd)
+      val qTo = LocalDate.parse(q.dtTo, DateOps.Ymd)
+      assert(qFrom.getDayOfMonth == 1 && (qFrom.getMonthValue - 1) % 3 == 0)
+      assert(qTo == qFrom.plusMonths(3).minusDays(1), "a full calendar quarter")
+      assert(!qTo.isAfter(d) && qTo.isAfter(d.minusMonths(4)), "the quarter just closed")
+      assert(q.periodNo == (qFrom.getMonthValue - 1) / 3 + 1 && q.statYear == qFrom.getYear)
+      d = d.plusDays(7)
+    }
+  }
+
   test("window is always Monday..Sunday, 7 days, strictly before base") {
     var d = LocalDate.of(2025, 1, 1)
     while (d.isBefore(LocalDate.of(2025, 3, 1))) {

@@ -245,6 +245,13 @@ class PlanQualitySpec extends SparkSpec {
       s"profile must read the table once:\n${p.take(800)}")
   }
 
+  test("PII scrub never hash-shuffles — only the presentation sort exchanges") {
+    val p = finalPlan(
+      QueryCatalogText.all("q122_pii_redact")(spark, "/root/testdata/sf0.001"))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"count+redact must stay a pure map over the scan:\n${p.take(800)}")
+  }
+
   test("minhash signature plan has no corpus-wide distinct below the aggregation") {
     import graft.ops.dedup.Dedup
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
