@@ -354,6 +354,54 @@ object QueryCatalogCuration {
       |FROM c WHERE cum_tokens - n_tokens < 2000
       |ORDER BY lang, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- temperature sampling mix
+  /** Temperature-weighted language mixing (the multilingual-corpus
+    * sampling rule: p_l ∝ share_l^α with α < 1 flattens the head, so
+    * low-resource languages are upsampled relative to raw token
+    * share). α = 0.5 on purpose: share^0.5 = sqrt(share), and IEEE
+    * 754 REQUIRES sqrt to be correctly rounded in both engines —
+    * pow() is only near-correctly-rounded and may differ in the last
+    * ulp, which a hash compare would catch. Weights are quantized to
+    * integers (floor(sqrt*1e12+0.5), exactly representable) so both
+    * the weight sum and every downstream ratio are order-independent
+    * exact arithmetic. Aggregate sizes are language-count rows —
+    * broadcast scalars, no data-sized shuffle beyond the per-lang
+    * token count. */
+  val q124TemperatureMix: Q = (s, d) => {
+    val budget = 100000.0
+    val counts = Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(sum(TextOps.nWsTokens(col("text")).cast("long")).cast("long").as("n_tokens"))
+    val tot = counts.agg(sum(col("n_tokens")).cast("long").as("n_total"))
+    val w = counts.crossJoin(broadcast(tot))
+      .withColumn("raw_share", col("n_tokens").cast("double") / col("n_total"))
+      .withColumn("wq",
+        floor(sqrt(col("raw_share")) * 1e12 + 0.5).cast("long"))
+    val denom = w.agg(sum(col("wq")).cast("long").as("wq_sum"))
+    w.crossJoin(broadcast(denom))
+      .withColumn("p", col("wq").cast("double") / col("wq_sum"))
+      .withColumn("alloc_tokens", floor(col("p") * budget + 0.5).cast("long"))
+      .select("lang", "n_tokens", "raw_share", "p", "alloc_tokens")
+      .orderBy("lang")
+  }
+
+  private val q124Sql =
+    """WITH c AS (SELECT lang,
+      |    CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS n_total FROM c),
+      |w AS (SELECT lang, n_tokens,
+      |             CAST(n_tokens AS DOUBLE) / n_total AS raw_share,
+      |             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) / n_total) * 1e12 + 0.5)
+      |                  AS BIGINT) AS wq
+      |      FROM c, t),
+      |dn AS (SELECT CAST(SUM(wq) AS BIGINT) AS wq_sum FROM w)
+      |SELECT lang, n_tokens, raw_share,
+      |       CAST(wq AS DOUBLE) / wq_sum AS p,
+      |       CAST(floor(CAST(wq AS DOUBLE) / wq_sum * 100000.0 + 0.5) AS BIGINT)
+      |         AS alloc_tokens
+      |FROM w, dn ORDER BY lang""".stripMargin
+
   // ---------------------------------------------------------------- decontamination
   /** Eval decontamination: a training document is contaminated if it
     * shares ANY 5-token span with any benchmark document (the n-gram
@@ -751,6 +799,7 @@ object QueryCatalogCuration {
   val all: Map[String, Q] = Map(
     "q99_line_dedup" -> q99LineDedup,
     "q123_line_quality" -> q123LineQuality,
+    "q124_temperature_mix" -> q124TemperatureMix,
     "q100_domain_cap" -> q100DomainCap,
     "q101_dup_clusters" -> q101DupClusters,
     "q102_hash_sample" -> q102HashSample,
@@ -767,6 +816,7 @@ object QueryCatalogCuration {
   val oracle: Map[String, String] = Map(
     "q99_line_dedup" -> q99Sql,
     "q123_line_quality" -> q123Sql,
+    "q124_temperature_mix" -> q124Sql,
     "q100_domain_cap" -> q100Sql,
     "q101_dup_clusters" -> q101Sql,
     "q102_hash_sample" -> q102Sql,
