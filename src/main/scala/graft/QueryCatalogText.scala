@@ -727,8 +727,87 @@ object QueryCatalogText {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- doc-level quality gate
+  /** Gopher-style DOCUMENT-level quality rules (Rae et al. 2021 §A1.1
+    * adapted to the corpus): the doc-level stage that follows q123's
+    * line-level scrub. A document passes iff ALL of: word count in
+    * [20, 1000]; mean word length in [3, 6]; symbol-to-word ratio
+    * ('#' / "...") < 0.1; >= 80% of words contain a letter; both
+    * high-frequency stopwords present. Violations are planted by
+    * doc_id class (symbol wall, digit-token run, agglutinative-token
+    * run) so every rule fires on a known subset; word-count and
+    * stopword failures occur naturally. Every metric is an exact
+    * int/int division, so the doubles hash-match bit-for-bit. Pure
+    * map-only scan — no exchange; at 100 TB this is one pass that
+    * rides the same scan as tokenization. */
+  val q125GopherRules: Q = (s, d) => {
+    val planted = Tables.documents(s, d).select(col("doc_id"),
+      when(col("doc_id") % 7 === 0, concat(col("text"), lit(GopherSymTail)))
+        .when(col("doc_id") % 7 === 1, concat(col("text"), lit(GopherNumTail)))
+        .when(col("doc_id") % 7 === 2, concat(col("text"), lit(GopherLongTail)))
+        .otherwise(col("text")).as("text2"))
+    val t = col("text2")
+    planted.select(col("doc_id"),
+        TextOps.nWsTokens(t).as("n_words"),
+        TextOps.meanWordLen(t).as("mean_wlen"),
+        TextOps.symbolWordRatio(t).as("sym_ratio"),
+        TextOps.alphaWordRatio(t).as("alpha_ratio"),
+        (array_contains(TextOps.wsTokens(t), "the").cast("int") +
+          array_contains(TextOps.wsTokens(t), "a").cast("int"))
+          .as("stop_distinct"))
+      .withColumn("n_fail",
+        (col("n_words") < 20 || col("n_words") > 1000).cast("int") +
+          (col("mean_wlen") < 3.0 || col("mean_wlen") > 6.0).cast("int") +
+          (col("sym_ratio") >= 0.1).cast("int") +
+          (col("alpha_ratio") <= 0.8).cast("int") +
+          (col("stop_distinct") < 2).cast("int"))
+      .withColumn("pass", when(col("n_fail") === 0, "Y").otherwise("N"))
+      .orderBy("doc_id")
+  }
+
+  private val GopherSymTail = " ## ## ## ## ## ## ## ##"
+  private val GopherNumTail =
+    " " + Seq.fill(3)((0 to 9).map(i => s"$i$i").mkString(" ")).mkString(" ")
+  private val GopherLongTail =
+    " pneumonoultramicroscopicsilicovolcanoconiosis" * 8
+
+  private lazy val q125Sql =
+    s"""WITH planted AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN text || '$GopherSymTail'
+       |         WHEN doc_id % 7 = 1 THEN text || '$GopherNumTail'
+       |         WHEN doc_id % 7 = 2 THEN text || '$GopherLongTail'
+       |         ELSE text END AS text2
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(text2, '\\s+')) AS INT) AS n_words,
+       |    CAST(length(regexp_replace(text2, '\\s', '', 'g')) AS DOUBLE)
+       |      / len(string_split_regex(text2, '\\s+')) AS mean_wlen,
+       |    CAST(len(regexp_extract_all(text2, '#'))
+       |         + len(regexp_extract_all(text2, '\\.\\.\\.')) AS DOUBLE)
+       |      / len(string_split_regex(text2, '\\s+')) AS sym_ratio,
+       |    CAST(len(list_filter(string_split_regex(text2, '\\s+'),
+       |                         x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+       |      / len(string_split_regex(text2, '\\s+')) AS alpha_ratio,
+       |    CAST(list_contains(string_split_regex(text2, '\\s+'), 'the') AS INT)
+       |      + CAST(list_contains(string_split_regex(text2, '\\s+'), 'a') AS INT)
+       |      AS stop_distinct
+       |  FROM planted),
+       |f AS (
+       |  SELECT *,
+       |    CAST(n_words < 20 OR n_words > 1000 AS INT)
+       |      + CAST(mean_wlen < 3.0 OR mean_wlen > 6.0 AS INT)
+       |      + CAST(sym_ratio >= 0.1 AS INT)
+       |      + CAST(alpha_ratio <= 0.8 AS INT)
+       |      + CAST(stop_distinct < 2 AS INT) AS n_fail
+       |  FROM m)
+       |SELECT *, CASE WHEN n_fail = 0 THEN 'Y' ELSE 'N' END AS pass
+       |FROM f ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------
   val all: Map[String, Q] = Map(
+    "q125_gopher_rules" -> q125GopherRules,
     "q122_pii_redact" -> q122PiiRedact,
     "q40_dedup_exact" -> q40DedupExact,
     "q41_minhash_sig" -> q41MinHashSig,
@@ -747,6 +826,7 @@ object QueryCatalogText {
   )
 
   val oracle: Map[String, String] = Map(
+    "q125_gopher_rules" -> q125Sql,
     "q122_pii_redact" -> q122Sql,
     "q40_dedup_exact" -> q40Sql,
     "q41_minhash_sig" -> q41Sql,

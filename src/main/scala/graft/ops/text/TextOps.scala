@@ -53,6 +53,20 @@ object TextOps {
   def langScore(text: Column, markers: Seq[String]): Column =
     markerCount(text, markers).cast("double") / nWsTokens(text)
 
+  /** Fraction of tokens containing at least one letter (the Gopher
+    * "80% of words must have an alphabetic character" rule). Exact
+    * int/int division — cross-engine deterministic. */
+  def alphaWordRatio(text: Column): Column =
+    size(filter(wsTokens(text), w => w.rlike("[a-zA-Z]"))).cast("double") /
+      nWsTokens(text)
+
+  /** Symbol-to-word ratio over the Gopher symbol set ('#' and
+    * ellipsis "..."): symbol occurrences / tokens. Both engines count
+    * non-overlapping left-to-right matches, so the ints agree. */
+  def symbolWordRatio(text: Column): Column =
+    (regexp_count(text, lit("#")) + regexp_count(text, lit("\\.\\.\\.")))
+      .cast("double") / nWsTokens(text)
+
   // ---- PII scrub (the release-gate every public corpus runs) ----
 
   /** PII patterns shared verbatim by the Spark and DuckDB legs:

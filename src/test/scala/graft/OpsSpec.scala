@@ -114,6 +114,21 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("TextOps Gopher ratios: alpha-word and symbol-word rules fire on planted walls") {
+    import graft.ops.text.TextOps
+    val df = Seq(
+      // 4 of 5 words alphabetic -> 0.8; one '#' + one '...' over 5 words -> 0.4
+      ("the quick brown fox 99", 0.8, 0.0),
+      ("see # this ... now", 0.6, 0.4),
+      ("all words are letters", 1.0, 0.0))
+      .toDF("text", "wantAlpha", "wantSym")
+    df.select(TextOps.alphaWordRatio(col("text")), TextOps.symbolWordRatio(col("text")),
+        col("wantAlpha"), col("wantSym")).collect().foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(2), s"alpha: $r")
+      assert(r.getDouble(1) == r.getDouble(3), s"sym: $r")
+    }
+  }
+
   test("Buckets: upper-inclusive edges") {
     val df = Seq(3.0, 10.0, 10.5, 40.0, 41.0).toDF("x")
       .select(Buckets.byUpperEdges(col("x"), Seq(10, 40), Seq("lo", "mid", "hi")).as("b"))
