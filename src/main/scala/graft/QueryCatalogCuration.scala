@@ -455,6 +455,95 @@ object QueryCatalogCuration {
       |FROM tot LEFT JOIN hit USING (lang)
       |ORDER BY tot.lang""".stripMargin
 
+  // ---------------------------------------------------------------- bloom-prefiltered decontamination
+  /** q104's decontamination run the way it runs at 100 TB: the eval
+    * n-gram set is summarized into ONE [[graft.functions.BloomFilter]]
+    * sketch row (2^17 bits = 16 KB buffer, bitwise-OR merge),
+    * broadcast, and the corpus n-gram stream is probed MAP-SIDE by
+    * `mightContain` — the exact verification join then only matters
+    * for bloom hits. No false negatives by construction (same
+    * md5-60bit hash on both sides), and the false-positive trickle is
+    * not hidden: the output carries per-language GRAM-level bloom-hit
+    * vs exact-confirmed counts (the prefilter's real selectivity
+    * metric) plus the doc-level contamination tally, and the DuckDB
+    * oracle REPLAYS the filter bit-for-bit — double-hashed probes,
+    * false positives included. At sf0.01 the 2^17 filter is clean
+    * (fp ~ 1e-5/gram, usually 0 hits); at sf0.1 the fp column goes
+    * visibly nonzero — the size-∝-reference-set trade the docstring
+    * of [[graft.functions.BloomFilter.DefaultBits]] describes. */
+  val q126BloomDecontaminate: Q = (s, d) => {
+    import graft.functions.BloomFilter
+    val m = BloomFilter.DefaultBits
+    val docs = Tables.documents(s, d)
+    val evalGrams = Dedup.shingleSet(
+        docs.filter(col("doc_id") % 89 === 0), "doc_id", "text", k = 5)
+      .select("w").distinct()
+    val sketch = evalGrams.agg(BloomFilter.bloom(col("w"), m).as("bf"))
+    val grams = Dedup.shingleSet(docs, "doc_id", "text", k = 5).distinct()
+    val flagged = grams.crossJoin(broadcast(sketch))
+      .withColumn("bloom_hit", BloomFilter.mightContain(col("bf"), col("w"), m))
+      .drop("bf")
+      .join(broadcast(evalGrams.withColumn("conf", lit(true))), Seq("w"), "left")
+      .withColumn("conf", coalesce(col("conf"), lit(false)))
+    val perDoc = flagged.groupBy("doc_id").agg(
+      count(lit(1)).as("g"),
+      sum(col("bloom_hit").cast("long")).as("h"),
+      sum(col("conf").cast("long")).as("c"))
+    docs.join(perDoc, Seq("doc_id"), "left")
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(col("g"), lit(0L))).as("n_grams"),
+        sum(coalesce(col("h"), lit(0L))).as("n_bloom_hits"),
+        sum(coalesce(col("c"), lit(0L))).as("n_confirmed"),
+        sum((coalesce(col("c"), lit(0L)) > 0).cast("long"))
+          .as("n_contaminated_docs"))
+      .withColumn("n_fp_grams", col("n_bloom_hits") - col("n_confirmed"))
+      .orderBy("lang")
+  }
+
+  /** Double-hash replay: h1 = h % 2^30, h2 = (h // 2^30) forced odd,
+    * probe_i = (h1 + i*h2) % 2^17 for i = 0, 1, 2. */
+  private val q126Sql =
+    """WITH bt AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+      |            FROM documents WHERE doc_id % 89 = 0),
+      |bg AS (SELECT DISTINCT array_to_string(toks[(i+1):(i+5)], ' ') AS w
+      |       FROM bt, LATERAL (SELECT unnest(range(len(toks) - 4)) AS i)
+      |       WHERE len(toks) >= 5),
+      |bh AS (SELECT h % 1073741824 AS h1,
+      |              (h // 1073741824) - ((h // 1073741824) % 2) + 1 AS h2
+      |       FROM (SELECT ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM bg)),
+      |bits AS (SELECT DISTINCT h1 % 131072 AS b FROM bh
+      |         UNION SELECT DISTINCT (h1 + h2) % 131072 FROM bh
+      |         UNION SELECT DISTINCT (h1 + 2 * h2) % 131072 FROM bh),
+      |ct AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+      |cg AS (SELECT DISTINCT c.doc_id,
+      |              array_to_string(toks[(i+1):(i+5)], ' ') AS w
+      |       FROM ct c, LATERAL (SELECT unnest(range(len(toks) - 4)) AS i)
+      |       WHERE len(toks) >= 5),
+      |ch AS (SELECT doc_id, w, h % 1073741824 AS h1,
+      |              (h // 1073741824) - ((h // 1073741824) % 2) + 1 AS h2
+      |       FROM (SELECT doc_id, w,
+      |               ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM cg)),
+      |fl AS (SELECT doc_id,
+      |         (h1 % 131072 IN (SELECT b FROM bits)
+      |          AND (h1 + h2) % 131072 IN (SELECT b FROM bits)
+      |          AND (h1 + 2 * h2) % 131072 IN (SELECT b FROM bits)) AS bloom_hit,
+      |         w IN (SELECT w FROM bg) AS conf
+      |       FROM ch),
+      |pd AS (SELECT doc_id, COUNT(*) AS g,
+      |              SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS h,
+      |              SUM(CASE WHEN conf THEN 1 ELSE 0 END) AS c
+      |       FROM fl GROUP BY 1)
+      |SELECT d.lang, COUNT(*) AS n_docs,
+      |       CAST(SUM(COALESCE(g, 0)) AS BIGINT) AS n_grams,
+      |       CAST(SUM(COALESCE(h, 0)) AS BIGINT) AS n_bloom_hits,
+      |       CAST(SUM(COALESCE(c, 0)) AS BIGINT) AS n_confirmed,
+      |       CAST(SUM(CASE WHEN COALESCE(c, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_contaminated_docs,
+      |       CAST(SUM(COALESCE(h, 0)) - SUM(COALESCE(c, 0)) AS BIGINT) AS n_fp_grams
+      |FROM documents d LEFT JOIN pd USING (doc_id)
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   // ---------------------------------------------------------------- sequence packing
   /** Training-sequence packing: per language, documents are laid out
     * contiguously in doc_id order and cut into fixed 512-token
@@ -805,6 +894,7 @@ object QueryCatalogCuration {
     "q102_hash_sample" -> q102HashSample,
     "q103_token_budget_mix" -> q103TokenBudgetMix,
     "q104_decontaminate" -> q104Decontaminate,
+    "q126_bloom_decontaminate" -> q126BloomDecontaminate,
     "q105_column_profile" -> q105ColumnProfile,
     "q106_sequence_pack" -> q106SequencePack,
     "q108_fuzzy_match" -> q108FuzzyMatch,
@@ -822,6 +912,7 @@ object QueryCatalogCuration {
     "q102_hash_sample" -> q102Sql,
     "q103_token_budget_mix" -> q103Sql,
     "q104_decontaminate" -> q104Sql,
+    "q126_bloom_decontaminate" -> q126Sql,
     "q105_column_profile" -> q105Sql,
     "q106_sequence_pack" -> q106Sql,
     "q108_fuzzy_match" -> q108Sql,
