@@ -805,8 +805,79 @@ object QueryCatalogText {
        |SELECT *, CASE WHEN n_fail = 0 THEN 'Y' ELSE 'N' END AS pass
        |FROM f ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- unigram LM scoring
+  /** CCNet-style LM quality partition (Wenzek et al. 2020): CCNet
+    * scores each document with a language model trained on a clean
+    * reference corpus and cuts the crawl into head/middle/tail by
+    * score. The LM here is a unigram frequency model over the
+    * corpus's own `en` slice (the clean-reference stand-in), and the
+    * perplexity surrogate is the MEAN REFERENCE FREQUENCY of the
+    * doc's tokens: sum(cnt(tok)) / (n_tokens * total) — every term an
+    * exact int64 until ONE final double division, so the score
+    * hash-matches bit-for-bit cross-engine (a log-space perplexity
+    * would die in libm's last ulp). OOV tokens score 0 and are
+    * tallied; a planted nonsense tail on every 13th doc proves the
+    * OOV path and drags those docs into `tail` like real boilerplate.
+    * Scale shape: vocab is a broadcast (vocabularies are small),
+    * token explode feeds ONE map-side-combined agg back to one row
+    * per doc — the same partial-agg discipline as the minhash
+    * pipeline; no token-level shuffle. */
+  val q127UnigramLm: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val planted = docs.select(col("doc_id"), col("lang"),
+      when(col("doc_id") % 13 === 0, concat(col("text"), lit(LmOovTail)))
+        .otherwise(col("text")).as("text2"))
+    val vocab = docs.filter(col("lang") === "en")
+      .select(explode(TextOps.wsTokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    val per = planted
+      .select(col("doc_id"), explode(TextOps.wsTokens(col("text2"))).as("tok"))
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("cnt"), lit(0L))).as("s"),
+        sum(col("cnt").isNull.cast("long")).as("n_oov"))
+    planted.select("doc_id", "lang").join(per, "doc_id")
+      .crossJoin(broadcast(total))
+      .withColumn("score", col("s").cast("double") / (col("n_tokens") * col("total")))
+      .withColumn("bucket",
+        when(col("score") >= 0.0334, "head")
+          .when(col("score") >= 0.0332, "middle")
+          .otherwise("tail"))
+      .select("doc_id", "lang", "n_tokens", "n_oov", "score", "bucket")
+      .orderBy("doc_id")
+  }
+
+  private val LmOovTail = " zzq1 zzq2 zzq3 zzq4 zzq5"
+
+  private lazy val q127Sql =
+    s"""WITH planted AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN doc_id % 13 = 0 THEN text || '$LmOovTail' ELSE text END AS text2
+       |  FROM documents),
+       |ref AS (SELECT unnest(string_split_regex(text, '\\s+')) AS tok
+       |        FROM documents WHERE lang = 'en'),
+       |vocab AS (SELECT tok, COUNT(*) AS cnt FROM ref GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+       |dt AS (SELECT doc_id, unnest(string_split_regex(text2, '\\s+')) AS tok
+       |       FROM planted),
+       |per AS (SELECT doc_id, COUNT(*) AS n_tokens,
+       |               CAST(SUM(COALESCE(cnt, 0)) AS BIGINT) AS s,
+       |               CAST(SUM(CASE WHEN cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |                 AS n_oov
+       |        FROM dt LEFT JOIN vocab USING (tok) GROUP BY 1)
+       |SELECT p.doc_id, p.lang, per.n_tokens, per.n_oov,
+       |       CAST(s AS DOUBLE) / (n_tokens * total) AS score,
+       |       CASE WHEN CAST(s AS DOUBLE) / (n_tokens * total) >= 0.0334 THEN 'head'
+       |            WHEN CAST(s AS DOUBLE) / (n_tokens * total) >= 0.0332 THEN 'middle'
+       |            ELSE 'tail' END AS bucket
+       |FROM planted p JOIN per USING (doc_id) CROSS JOIN tot
+       |ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------
   val all: Map[String, Q] = Map(
+    "q127_unigram_lm" -> q127UnigramLm,
     "q125_gopher_rules" -> q125GopherRules,
     "q122_pii_redact" -> q122PiiRedact,
     "q40_dedup_exact" -> q40DedupExact,
@@ -826,6 +897,7 @@ object QueryCatalogText {
   )
 
   val oracle: Map[String, String] = Map(
+    "q127_unigram_lm" -> q127Sql,
     "q125_gopher_rules" -> q125Sql,
     "q122_pii_redact" -> q122Sql,
     "q40_dedup_exact" -> q40Sql,
