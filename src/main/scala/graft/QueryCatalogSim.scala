@@ -356,8 +356,70 @@ object QueryCatalogSim {
       |         FROM e CROSS JOIN c1 c) WHERE rn = 1)
       |SELECT vec_id, cell FROM a2 ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- product quantization + ADC
+  /** IVF-PQ's compression half (Jégou et al. 2011): 4 subspace
+    * codebooks (ksub=4, one Lloyd round — the q98 machinery carried
+    * per-subspace) encode every 64-dim vector as 4 small ints, and
+    * probes rank candidates by ASYMMETRIC DISTANCE — the sum of 4
+    * lookup-table inner products joined on (subspace, code), never
+    * touching the original vectors. Table entries are int64-quantized
+    * so the sum is exact; the oracle replays seeds, both assignment
+    * rounds, the centroid means, the lookup tables, and the final
+    * ranking bit-for-bit. This is the storage/scoring layout that
+    * makes billion-vector ANN affordable: 16x code compression and
+    * code-only scoring. */
+  val q128PqAdc: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val (codes, books) = VectorOps.pqCodes(e, "vec_id", m = 4, ksub = 4, iters = 1)
+    VectorOps.pqAdcTopK(e.filter(col("vec_id") % 97 === 0), codes, books,
+        "vec_id", m = 4, k = 5)
+      .orderBy("q_id", "rank")
+  }
+
+  private val q128Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |sub AS (SELECT vec_id, CAST(g.mi AS INT) AS mi,
+      |               v[(g.mi*16+1):((g.mi+1)*16)] AS sv
+      |        FROM e, LATERAL (SELECT unnest(range(4)) AS mi) g),
+      |h AS (SELECT vec_id,
+      |             ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS hh
+      |      FROM e),
+      |sr AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY hh, vec_id) - 1 AS INT) AS cell
+      |       FROM (SELECT * FROM h ORDER BY hh, vec_id LIMIT 4)),
+      |c0 AS (SELECT s.mi, sr.cell, s.sv AS cv FROM sub s JOIN sr USING (vec_id)),
+      |a1 AS (SELECT vec_id, mi, cell FROM (
+      |         SELECT s.vec_id, s.mi, c.cell,
+      |                row_number() OVER (PARTITION BY s.vec_id, s.mi ORDER BY
+      |                  list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cv)
+      |                  + list_dot_product(c.cv, c.cv) ASC, c.cell) AS rn
+      |         FROM sub s JOIN c0 c ON s.mi = c.mi) WHERE rn = 1),
+      |x AS (SELECT a1.mi, a1.cell, generate_subscripts(s.sv, 1) - 1 AS dim,
+      |             CAST(round(unnest(s.sv) * 1e6) AS BIGINT) AS xi
+      |      FROM sub s JOIN a1 ON s.vec_id = a1.vec_id AND s.mi = a1.mi),
+      |comp AS (SELECT mi, cell, dim, CAST(SUM(xi) AS DOUBLE) / COUNT(*) / 1e6 AS c
+      |         FROM x GROUP BY 1, 2, 3),
+      |c1 AS (SELECT mi, cell, list(c ORDER BY dim) AS cv FROM comp GROUP BY 1, 2),
+      |codes AS (SELECT vec_id, mi, cell AS code FROM (
+      |         SELECT s.vec_id, s.mi, c.cell,
+      |                row_number() OVER (PARTITION BY s.vec_id, s.mi ORDER BY
+      |                  list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cv)
+      |                  + list_dot_product(c.cv, c.cv) ASC, c.cell) AS rn
+      |         FROM sub s JOIN c1 c ON s.mi = c.mi) WHERE rn = 1),
+      |qs AS (SELECT vec_id AS q_id, mi, sv FROM sub WHERE vec_id % 97 = 0),
+      |dtab AS (SELECT q.q_id, c.mi, c.cell AS code,
+      |                CAST(round(list_dot_product(q.sv, c.cv) * 1e6) AS BIGINT) AS si
+      |         FROM qs q JOIN c1 c ON q.mi = c.mi),
+      |adc AS (SELECT d.q_id, k.vec_id AS c_id, CAST(SUM(d.si) AS DOUBLE) / 1e6 AS adc
+      |        FROM codes k JOIN dtab d ON k.mi = d.mi AND k.code = d.code
+      |        WHERE d.q_id <> k.vec_id GROUP BY 1, 2)
+      |SELECT q_id, c_id, CAST(rn AS INT) AS rank, adc FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, c_id) AS rn
+      |  FROM adc)
+      |WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin
+
   // ----------------------------------------------------------------
   val all: Map[String, Q] = Map(
+    "q128_pq_adc" -> q128PqAdc,
     "q98_kmeans_ivf_build" -> q98KmeansBuild,
     "q45_embed_knn" -> q45Knn,
     "q46_embed_lsh_ann" -> q46LshAnn,
@@ -371,6 +433,7 @@ object QueryCatalogSim {
   )
 
   val oracle: Map[String, String] = Map(
+    "q128_pq_adc" -> q128Sql,
     "q98_kmeans_ivf_build" -> q98Sql,
     "q45_embed_knn" -> q45Sql,
     "q46_embed_lsh_ann" -> q46Sql,

@@ -196,6 +196,114 @@ object VectorOps {
     assign(finalCents)
   }
 
+  /** Product-quantization codebook build + encode (Jégou et al. 2011,
+    * the compression behind IVF-PQ — the index structure corpus-scale
+    * ANN actually ships): the embedding is cut into `m` contiguous
+    * subvectors and each subspace gets its own tiny k-means codebook
+    * (`ksub` centroids, `iters` Lloyd rounds); a vector's code is its
+    * nearest centroid PER SUBSPACE — m small ints instead of `dims`
+    * floats (64 dims -> 4 bytes at m=4/ksub<=256).
+    *
+    * All m subspace k-means run in ONE plan: subspaces are exploded
+    * as (id, mi, sv) rows and every k-means step carries `mi` in its
+    * keys — same deterministic machinery as [[kmeansCells]] (shared
+    * md5-ranked seed ids, squared-L2 assignment d2 = s.s - 2 s.c + c.c
+    * with cell tie-break, integer-quantized centroid means).
+    * Returns (codes (id, mi, code), codebooks (mi, cell, cv)). */
+  def pqCodes(df: DataFrame, idCol: String, m: Int, ksub: Int,
+              iters: Int = 1): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val dims = embeddingDims(df)
+    require(dims % m == 0, s"dims $dims not divisible by m=$m")
+    val dsub = dims / m
+    val sub = df.select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), mi -> transform(" +
+          s"slice(embedding, mi * $dsub + 1, $dsub), x -> cast(x as double)))"))
+        .as(Seq("mi", "sv")))
+    val seedRank = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val seeds = df.select(col(idCol), seedRank.as("__h"))
+      .orderBy(col("__h"), col(idCol)).limit(ksub)
+      .withColumn("cell", row_number().over(Window.orderBy(col("__h"), col(idCol))) - 1)
+      .select(col(idCol), col("cell"))
+    val cents0 = sub.join(seeds, idCol).select(col("mi"), col("cell"), col("sv").as("cv"))
+
+    def assign(cents: DataFrame): DataFrame = {
+      val d2 = dotD(col("sv"), col("sv")) - lit(2.0) * dotD(col("sv"), col("cv")) +
+        dotD(col("cv"), col("cv"))
+      val w = Window.partitionBy(col(idCol), col("mi")).orderBy(col("__d2"), col("cell"))
+      sub.join(broadcast(cents), Seq("mi"))
+        .withColumn("__d2", d2)
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col(idCol), col("mi"), col("cell"))
+    }
+
+    def update(assigned: DataFrame): DataFrame =
+      sub.join(assigned, Seq(idCol, "mi"))
+        .select(col("mi"), col("cell"), posexplode(col("sv")).as(Seq("dim", "x")))
+        .withColumn("xi", round(col("x") * 1e6).cast("long"))
+        .groupBy("mi", "cell", "dim")
+        .agg((sum(col("xi")).cast("double") / count(lit(1)) / 1e6).as("c"))
+        .groupBy("mi", "cell")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").as("cv"))
+
+    val cents = (1 to iters).foldLeft(cents0)((c, _) => update(assign(c)))
+    (assign(cents).withColumnRenamed("cell", "code"), cents)
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each probe
+    * precomputes one inner-product LOOKUP TABLE per subspace (qsub .
+    * centroid for every (mi, cell) — nq x m x ksub tiny rows,
+    * broadcast), and a candidate's approximate inner product is the
+    * sum of m table lookups joined on (mi, code) — the PQ promise:
+    * scoring touches only the codes, never the original vectors.
+    * Table entries are quantized to int64 (round(ip * 1e6)) so the
+    * m-way sum is exact integer arithmetic — order-independent under
+    * any shuffle, bit-replayable by the oracle. Rank by (adc desc,
+    * candidate id). */
+  def pqAdcTopK(probes: DataFrame, codes: DataFrame, codebooks: DataFrame,
+                idCol: String, m: Int, k: Int): DataFrame = {
+    val dims = embeddingDims(probes)
+    val dsub = dims / m
+    val qsub = probes.select(col(idCol).as("q_id"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), mi -> transform(" +
+          s"slice(embedding, mi * $dsub + 1, $dsub), x -> cast(x as double)))"))
+        .as(Seq("mi", "qv")))
+    val dtab = qsub.join(broadcast(codebooks), Seq("mi"))
+      .select(col("q_id"), col("mi"), col("cell").as("code"),
+        round(dotD(col("qv"), col("cv")) * 1e6).cast("long").as("si"))
+    val adc = codes.select(col(idCol).as("c_id"), col("mi"), col("code"))
+      .join(broadcast(dtab), Seq("mi", "code"))
+      .filter(col("q_id") =!= col("c_id"))
+      .groupBy("q_id", "c_id")
+      .agg((sum(col("si")).cast("double") / 1e6).as("adc"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("c_id"))
+    adc.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("q_id", "c_id", "rank", "adc")
+  }
+
+  /** The full PQ serving pattern: a cheap code-only ADC SHORTLIST
+    * (`shortlist` candidates per probe — never touches vectors), then
+    * an exact cosine re-rank of just the shortlist (the IVF-PQ
+    * "refine" step every production ANN service runs). ADC alone is
+    * deliberately lossy — the refine join touches `shortlist` vectors
+    * per probe instead of N, which is the entire economy at
+    * billion-vector scale. */
+  def pqRefinedTopK(probes: DataFrame, candidates: DataFrame, codes: DataFrame,
+                    codebooks: DataFrame, idCol: String, m: Int, k: Int,
+                    shortlist: Int = 50): DataFrame = {
+    val short = pqAdcTopK(probes, codes, codebooks, idCol, m, shortlist)
+    val p = probes.select(col(idCol).as("q_id"), col("embedding").as("qv"),
+      norm(col("embedding")).as("qn"))
+    val c = candidates.select(col(idCol).as("c_id"), col("embedding").as("cv"),
+      norm(col("embedding")).as("cn"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    short.select("q_id", "c_id").join(p, "q_id").join(c, "c_id")
+      .withColumn("cos", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("q_id", "c_id", "rank", "cos")
+  }
+
   /** Symmetric int8 quantization of an embedding column: per-vector
     * scale = max|x| / 127, codes = round-half-up(x / scale) in
     * [-127, 127] (the storage/serving compression every corpus-scale

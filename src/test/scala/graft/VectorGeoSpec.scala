@@ -198,5 +198,27 @@ class VectorGeoSpec extends SparkSpec {
     assert(lsh4Recall >= 0.75, s"4-table LSH recall@$k = $lsh4Recall")
     assert(lsh4Recall > lsh1Recall + 0.2,
       s"multi-table must materially beat single-table: $lsh4Recall vs $lsh1Recall")
+
+    // PQ on the same planted clusters: 4 subspaces x 8 centroids
+    // compress 16 dims to 4 codes. ADC-alone ranking is lossy by
+    // design (the floor documents the compression trade); the refine
+    // step — exact re-rank of the 40-candidate ADC shortlist, the
+    // production IVF-PQ serving path — must recover the neighbors
+    // while touching 40 vectors per probe instead of 320.
+    val (codes, books) = VectorOps.pqCodes(vecs, "vec_id", m = 4, ksub = 8, iters = 1)
+    val pqRecall = recallOf(
+      VectorOps.pqAdcTopK(probes, codes, books, "vec_id", m = 4, k = k))
+    assert(pqRecall >= 0.25, s"PQ-ADC recall@$k = $pqRecall")
+    val refinedRecall = recallOf(VectorOps.pqRefinedTopK(
+      probes, vecs, codes, books, "vec_id", m = 4, k = k, shortlist = 40))
+    assert(refinedRecall >= 0.8, s"PQ refined recall@$k = $refinedRecall")
+    assert(refinedRecall > pqRecall + 0.2,
+      s"refine must materially beat code-only ADC: $refinedRecall vs $pqRecall")
+
+    // codes are a valid compression: one code per (vector, subspace),
+    // every code inside [0, ksub)
+    val cs = codes.collect()
+    assert(cs.length == 320 * 4)
+    assert(cs.forall(r => r.getInt(2) >= 0 && r.getInt(2) < 8))
   }
 }
