@@ -56,6 +56,13 @@ object Explain {
     "q82_week_sub" -> ("Ten report sections as ONE union relation: each branch is its " +
       "own conform-projected section plan (windows/aggregates keyed by farm_no); " +
       "no cross-section shuffle — the union is append-only."),
+    "q126_bloom_decontaminate" -> ("Bloom-prefiltered decontamination: ONE 16 KB sketch " +
+      "row broadcasts (BroadcastNestedLoopJoin); corpus n-grams are generated and " +
+      "probed map-side — the first exchange above the corpus scan is the per-doc " +
+      "aggregation, never a gram shuffle."),
+    "q128_pq_adc" -> ("Product quantization: all m subspace k-means in one plan " +
+      "(mi in every key); ADC = codes joined to a BROADCAST lookup table, int64 " +
+      "sums — original vectors never touched in scoring."),
     "q120_farm_sub" -> ("The same ten-section union under a top-level farm filter: " +
       "Catalyst pushes the predicate through union/window/aggregate/join into " +
       "every leaf — the single-farm run, declared, not hand-threaded."),

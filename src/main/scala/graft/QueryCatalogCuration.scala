@@ -479,7 +479,11 @@ object QueryCatalogCuration {
         docs.filter(col("doc_id") % 89 === 0), "doc_id", "text", k = 5)
       .select("w").distinct()
     val sketch = evalGrams.agg(BloomFilter.bloom(col("w"), m).as("bf"))
-    val grams = Dedup.shingleSet(docs, "doc_id", "text", k = 5).distinct()
+    // per-doc distinct done IN-ROW (array_distinct pre-explode): the
+    // corpus gram stream never shuffles — a `.distinct()` here would
+    // be a corpus-wide (doc, gram) exchange, the exact cost the bloom
+    // prefilter exists to avoid (PlanQualitySpec pins this)
+    val grams = Dedup.shingleSetDistinct(docs, "doc_id", "text", k = 5)
     val flagged = grams.crossJoin(broadcast(sketch))
       .withColumn("bloom_hit", BloomFilter.mightContain(col("bf"), col("w"), m))
       .drop("bf")

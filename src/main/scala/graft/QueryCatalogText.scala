@@ -138,6 +138,85 @@ object QueryCatalogText {
        |WHERE CAST(COALESCE(i.n_inter, 0) AS DOUBLE) / (ca.n + cb.n - COALESCE(i.n_inter, 0)) >= 0.7
        |ORDER BY c.id_a, c.id_b""".stripMargin
 
+  // ---------------------------------------------------------------- incremental dedup
+  /** Incremental near-dup: the daily-crawl shape — dedup a NEW batch
+    * against the standing REFERENCE corpus without ever re-pairing
+    * the corpus against itself ([[Dedup.dedupAgainst]]: the corpus
+    * tag rides the id's low bit through one shared banding pass, and
+    * same-corpus pairs are parity-filtered out BEFORE verification).
+    * Reference = the even half; batch = the odd half plus planted
+    * re-crawls of long reference docs (4th token dropped — the
+    * one-word edit of a re-fetched page). Long docs keep jaccard
+    * ~0.9+ so LSH banding catches the planted pairs; the odd half is
+    * honestly disjoint and must produce no flags. Output maps uids
+    * back to (new_id, ref_id). */
+  val q129IncrementalDedup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val ref = docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("text"))
+    val fresh = docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("text"))
+    val recrawl = docs.filter(col("doc_id") % 2 === 0 && col("n_chars") >= 300)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat_ws(" ",
+          expr("slice(split(text, '\\\\s+'), 1, 3)"),
+          expr("slice(split(text, '\\\\s+'), 5, 1000000)")).as("text"))
+    Dedup.dedupAgainst(ref, fresh.unionByName(recrawl), "doc_id", "text")
+      .filter(col("jaccard") >= 0.5)
+      .select(
+        shiftright(when(col("id_a") % 2 === 1, col("id_a"))
+          .otherwise(col("id_b")), 1).as("new_id"),
+        shiftright(when(col("id_a") % 2 === 1, col("id_b"))
+          .otherwise(col("id_a")), 1).as("ref_id"),
+        col("n_inter"), col("jaccard"))
+      .orderBy("new_id", "ref_id")
+  }
+
+  private lazy val q129Sql =
+    s"""WITH base AS (SELECT doc_id, text, n_chars FROM documents),
+       |toks0 AS (SELECT doc_id, string_split_regex(text, '\\s+') AS tk
+       |          FROM base WHERE doc_id % 2 = 0 AND n_chars >= 300),
+       |d0 AS (
+       |  SELECT doc_id * 2 AS uid, text FROM base WHERE doc_id % 2 = 0
+       |  UNION ALL SELECT doc_id * 2 + 1, text FROM base WHERE doc_id % 2 = 1
+       |  UNION ALL SELECT (doc_id + 1000000) * 2 + 1,
+       |         array_to_string(tk[1:3], ' ') || ' ' || array_to_string(tk[5:], ' ')
+       |         FROM toks0),
+       |tok AS (SELECT uid, unnest(string_split_regex(text, '\\s+')) AS tok,
+       |               generate_subscripts(string_split_regex(text, '\\s+'), 1) AS pos
+       |        FROM d0),
+       |sh0 AS (SELECT uid,
+       |        lag(tok, 2) OVER dw || ' ' || lag(tok, 1) OVER dw || ' ' || tok AS w
+       |        FROM tok WINDOW dw AS (PARTITION BY uid ORDER BY pos)),
+       |w AS (SELECT DISTINCT uid, w FROM sh0 WHERE w IS NOT NULL),
+       |sig AS (SELECT uid, s.seed,
+       |               MIN(${mhSql("s.seed", "w")}) AS mh
+       |        FROM w, (SELECT unnest(range(16)) AS seed) s GROUP BY 1, 2),
+       |b AS (SELECT uid, seed // 4 AS band,
+       |             md5(string_agg(CAST(mh AS VARCHAR), ':' ORDER BY seed)) AS band_key
+       |      FROM sig GROUP BY uid, seed // 4),
+       |bsz AS (SELECT band, band_key FROM b
+       |        GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 64),
+       |cand AS (SELECT DISTINCT a.uid AS id_a, b2.uid AS id_b
+       |         FROM b a JOIN b b2 USING (band, band_key)
+       |         JOIN bsz USING (band, band_key)
+       |         WHERE a.uid < b2.uid AND a.uid % 2 <> b2.uid % 2),
+       |cnt AS (SELECT uid, COUNT(*) AS n FROM w GROUP BY 1),
+       |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+       |          FROM cand c
+       |          JOIN w wa ON wa.uid = c.id_a
+       |          JOIN w wb ON wb.uid = c.id_b AND wb.w = wa.w
+       |          GROUP BY 1, 2),
+       |j AS (SELECT c.id_a, c.id_b, COALESCE(i.n_inter, 0) AS n_inter,
+       |             CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+       |               / (ca.n + cb.n - COALESCE(i.n_inter, 0)) AS jaccard
+       |      FROM cand c
+       |      LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+       |      JOIN cnt ca ON ca.uid = c.id_a
+       |      JOIN cnt cb ON cb.uid = c.id_b)
+       |SELECT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END // 2 AS new_id,
+       |       CASE WHEN id_a % 2 = 1 THEN id_b ELSE id_a END // 2 AS ref_id,
+       |       n_inter, jaccard
+       |FROM j WHERE jaccard >= 0.5 ORDER BY new_id, ref_id""".stripMargin
+
   // ---------------------------------------------------------------- dedup: simhash
   /** 64-bit SimHash per doc (as two 32-bit halves), md5 bit votes
     * over the word set. */
@@ -883,6 +962,7 @@ object QueryCatalogText {
     "q40_dedup_exact" -> q40DedupExact,
     "q41_minhash_sig" -> q41MinHashSig,
     "q42_lsh_pairs" -> q42LshPairs,
+    "q129_incremental_dedup" -> q129IncrementalDedup,
     "q43_simhash" -> q43SimHash,
     "q44_ngram_jaccard" -> q44NgramJaccard,
     "q92_hot_shingle_cap" -> q92HotShingleCap,
@@ -903,6 +983,7 @@ object QueryCatalogText {
     "q40_dedup_exact" -> q40Sql,
     "q41_minhash_sig" -> q41Sql,
     "q42_lsh_pairs" -> q42Sql,
+    "q129_incremental_dedup" -> q129Sql,
     "q43_simhash" -> q43Sql,
     "q44_ngram_jaccard" -> q44Sql,
     "q92_hot_shingle_cap" -> q92Sql,

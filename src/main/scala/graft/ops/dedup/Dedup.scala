@@ -84,6 +84,21 @@ object Dedup {
           s"transform(sequence(0, size(toks) - $k), i -> concat_ws(' ', slice(toks, i + 1, $k)))"))
           .as("w"))
 
+  /** Per-document DISTINCT shingles with the dedup done IN-ROW
+    * (array_distinct on the per-doc shingle array, before the
+    * explode) — zero exchanges, unlike `.distinct()` on the exploded
+    * stream, which shuffles the whole corpus's n-grams on (id, w).
+    * The form consumers that need per-doc gram sets (decontamination
+    * accounting) must use at 100 TB. */
+  def shingleSetDistinct(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3): DataFrame =
+    df.select(col(idCol), split(col(textCol), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col(idCol),
+        explode(array_distinct(expr(
+          s"transform(sequence(0, size(toks) - $k), i -> concat_ws(' ', slice(toks, i + 1, $k)))")))
+          .as("w"))
+
   /** MinHash signatures, wide form: ALL `n` hash functions as n
     * min-aggregate columns over the shingle rows — no n-times row
     * explosion, one partial-agg (map-side combined) shuffle. Output
@@ -164,6 +179,31 @@ object Dedup {
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
+
+  /** Incremental near-dup: flag NEW-batch documents that near-
+    * duplicate any REFERENCE-corpus document — the daily-crawl shape
+    * (dedup the increment against the standing corpus, never re-pair
+    * the corpus against itself). The tag survives the whole pair
+    * pipeline as the id's low bit (uid = id*2 + {0 ref, 1 batch}), so
+    * banding/bucketing run ONCE over the union and same-corpus pairs
+    * are dropped by a parity filter BEFORE verification — reference×
+    * reference pairs (the quadratic bulk of a standing corpus) never
+    * reach jaccard. Returns jaccard()'s columns over uids; callers
+    * recover (new_id, ref_id) as uid >> 1 by parity. Same eager-count
+    * caveat as [[jaccard]]. */
+  def dedupAgainst(reference: DataFrame, batch: DataFrame, idCol: String,
+                   textCol: String, k: Int = 3, n: Int = 16,
+                   rowsPerBand: Int = 4, maxBucket: Int = 64): DataFrame = {
+    val u = reference
+      .select((col(idCol) * 2).as("uid"), col(textCol).as("__t"))
+      .unionByName(batch
+        .select((col(idCol) * 2 + 1).as("uid"), col(textCol).as("__t")))
+    val sh = shingleSet(u, "uid", "__t", k)
+    val cand = candidatePairs(
+        lshBands(minHash(sh, "uid", n), "uid", n, rowsPerBand), "uid", maxBucket)
+      .filter(col("id_a") % 2 =!= col("id_b") % 2)
+    jaccard(cand, sh, "uid")
   }
 
   /** Exact shingle-set Jaccard for given candidate pairs, with NO

@@ -116,6 +116,22 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.exactKeep(weird, "doc_id", "text").count() == 4)
   }
 
+  test("dedupAgainst: only cross-corpus pairs survive, same-corpus twins never pair") {
+    // reference contains an EXACT internal duplicate (1,2) — the
+    // standing-corpus quadratic bulk dedupAgainst must never touch
+    val ref = docs.filter(col("doc_id") <= 2)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"), // dup of ref 1,2
+      (11L, "completely different words about spark query engines and shuffles here"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupAgainst(ref, batch, "doc_id", "text")
+      .filter(col("jaccard") >= 0.9).collect()
+    // batch 10 pairs with BOTH ref twins (uids 20/21 x 2/4 -> cross only)
+    val pairs = out.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((2L, 21L), (4L, 21L)),
+      s"expected batch uid 21 x ref uids {2,4}, got $pairs")
+  }
+
   test("simhash: equal for identical docs, close for near-dups") {
     def hamming(a: (Long, Long), b: (Long, Long)): Int =
       java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)

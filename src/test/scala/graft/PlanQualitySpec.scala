@@ -252,6 +252,40 @@ class PlanQualitySpec extends SparkSpec {
       s"count+redact must stay a pure map over the scan:\n${p.take(800)}")
   }
 
+  test("Gopher doc gate is a pure map — only the presentation sort exchanges") {
+    val p = finalPlan(
+      QueryCatalogText.all("q125_gopher_rules")(spark, "/root/testdata/sf0.001"))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"five-rule gate must ride the scan, no hash exchange:\n${p.take(800)}")
+  }
+
+  test("bloom decontamination probes ONE broadcast sketch row, corpus grams never shuffle pre-probe") {
+    val p = finalPlan(QueryCatalogCuration
+      .q126BloomDecontaminate(spark, "/root/testdata/sf0.001"))
+    // the sketch row reaches the corpus side as a broadcast nested loop
+    // (single-row cross join), never a shuffled join
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"sketch must broadcast:\n${p.take(800)}")
+    // corpus n-grams are generated (per-doc distinct IN-ROW) and
+    // probed map-side — the gram stream itself never hash-shuffles;
+    // the only gram exchange allowed is the SMALL eval side's distinct
+    assert("Exchange hashpartitioning\\(doc_id#\\d+L?, w#".r.findAllIn(p).isEmpty,
+      s"corpus (doc, gram) stream must never shuffle:\n${p.take(800)}")
+    // the SMALL eval side's distinct exchanges once per consumer (the
+    // bloom build and the conf join) — bounded by the eval set, never
+    // the corpus
+    assert("Exchange hashpartitioning\\(w#".r.findAllIn(p).length <= 2,
+      s"only the eval-side distinct may exchange on the gram column:\n${p.take(800)}")
+  }
+
+  test("unigram LM vocab joins broadcast — token stream never sort-merge joins") {
+    val p = finalPlan(
+      QueryCatalogText.all("q127_unigram_lm")(spark, "/root/testdata/sf0.001"))
+    assert(p.contains("BroadcastHashJoin"), s"vocab must broadcast:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"no token-level sort-merge join allowed:\n${p.take(800)}")
+  }
+
   test("minhash signature plan has no corpus-wide distinct below the aggregation") {
     import graft.ops.dedup.Dedup
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
