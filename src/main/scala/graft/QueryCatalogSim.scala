@@ -417,8 +417,74 @@ object QueryCatalogSim {
       |  FROM adc)
       |WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- cluster-balanced sample
+  /** Cluster-balanced subsampling (the diversity-preserving data
+    * selection step: embed -> cluster -> sample per cluster, so the
+    * subsample keeps every mode of the distribution instead of
+    * over-drawing the dense head): q98's deterministic k-means
+    * assigns cells, then each cell keeps its top ceil(20%) vectors
+    * by seeded md5 rank — a deterministic "random" draw whose rate
+    * is per-cell, not global. The keep count is exact integer math
+    * ((n+4) div 5), never n*0.2 in floating point. One exchange for
+    * the per-cell window; the same shape at any corpus size. */
+  val q130ClusterSample: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val cells = VectorOps.kmeansCells(Tables.embeddings(s, d), "vec_id", k = 4, iters = 1)
+    val hrk = conv(substring(md5(concat(lit("cs|"), col("vec_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy("cell").orderBy("__rk", "vec_id")
+    cells.withColumn("__rk", hrk)
+      .withColumn("n_cell", count(lit(1)).over(Window.partitionBy("cell")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= expr("(n_cell + 4) div 5"))
+      .select("vec_id", "cell", "n_cell", "rk")
+      .orderBy("cell", "rk")
+  }
+
+  private val q130Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |h AS (SELECT vec_id, v,
+      |             ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS hh
+      |      FROM e),
+      |seeds AS (SELECT vec_id, v, hh FROM h ORDER BY hh, vec_id LIMIT 4),
+      |c0 AS (SELECT CAST(row_number() OVER (ORDER BY hh, vec_id) - 1 AS INT) AS cell,
+      |              v AS cv
+      |       FROM seeds),
+      |a1 AS (SELECT vec_id, cell FROM (
+      |         SELECT e.vec_id, c.cell,
+      |                row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |                  list_dot_product(e.v, c.cv)
+      |                  / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+      |                  DESC, c.cell) AS rn
+      |         FROM e CROSS JOIN c0 c) WHERE rn = 1),
+      |x AS (SELECT a1.cell, generate_subscripts(e.v, 1) - 1 AS dim,
+      |             CAST(round(unnest(e.v) * 1e6) AS BIGINT) AS xi
+      |      FROM e JOIN a1 USING (vec_id)),
+      |comp AS (SELECT cell, dim, CAST(SUM(xi) AS DOUBLE) / COUNT(*) / 1e6 AS c
+      |         FROM x GROUP BY 1, 2),
+      |c1 AS (SELECT cell, list(c ORDER BY dim) AS cv FROM comp GROUP BY 1),
+      |a2 AS (SELECT vec_id, cell FROM (
+      |         SELECT e.vec_id, c.cell,
+      |                row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |                  list_dot_product(e.v, c.cv)
+      |                  / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+      |                  DESC, c.cell) AS rn
+      |         FROM e CROSS JOIN c1 c) WHERE rn = 1),
+      |per AS (SELECT vec_id, cell,
+      |               ('0x' || substr(md5('cs|' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+      |                 AS hrk
+      |        FROM a2),
+      |n AS (SELECT cell, COUNT(*) AS n_cell FROM per GROUP BY 1),
+      |r AS (SELECT p.vec_id, p.cell, n.n_cell,
+      |             CAST(row_number() OVER (PARTITION BY p.cell ORDER BY p.hrk, p.vec_id)
+      |               AS INT) AS rk
+      |      FROM per p JOIN n USING (cell))
+      |SELECT vec_id, cell, n_cell, rk FROM r
+      |WHERE rk <= (n_cell + 4) // 5 ORDER BY cell, rk""".stripMargin
+
   // ----------------------------------------------------------------
   val all: Map[String, Q] = Map(
+    "q130_cluster_sample" -> q130ClusterSample,
     "q128_pq_adc" -> q128PqAdc,
     "q98_kmeans_ivf_build" -> q98KmeansBuild,
     "q45_embed_knn" -> q45Knn,
@@ -433,6 +499,7 @@ object QueryCatalogSim {
   )
 
   val oracle: Map[String, String] = Map(
+    "q130_cluster_sample" -> q130Sql,
     "q128_pq_adc" -> q128Sql,
     "q98_kmeans_ivf_build" -> q98Sql,
     "q45_embed_knn" -> q45Sql,
