@@ -884,6 +884,62 @@ object QueryCatalogText {
        |SELECT *, CASE WHEN n_fail = 0 THEN 'Y' ELSE 'N' END AS pass
        |FROM f ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- URL canonicalization
+  /** URL canonicalization + per-URL dedup — the crawl-pipeline front
+    * door: a page fetched as `https://www.h:443/p/?utm_...`,
+    * `HTTPS://H/p` and `https://h/p/#frag` is ONE document. Three
+    * planted variant shapes per doc (default port + www + utm
+    * tracking; uppercase scheme/host; trailing slash + fragment) all
+    * collapse to one canonical identity ([[TextOps.urlCanon]]: pure
+    * regexp/lower column ops, shared verbatim with the oracle), then
+    * one exact groupBy — the dedup key every web corpus groups on
+    * before any content hashing. Map + one agg exchange. */
+  val q131UrlCanon: Q = (s, d) => {
+    val h = (col("doc_id") % 7).cast("string")
+    val k = (col("doc_id") % 50).cast("string")
+    val url = when(col("doc_id") % 3 === 0,
+        concat(lit("https://www.srv"), h, lit(".example.com:443/page/"), k,
+          lit("/?utm_source=feed")))
+      .when(col("doc_id") % 3 === 1,
+        concat(lit("HTTPS://SRV"), h, lit(".EXAMPLE.COM/page/"), k))
+      .otherwise(concat(lit("https://srv"), h, lit(".example.com/page/"), k,
+        lit("/#sec2")))
+    Tables.documents(s, d).select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"), col("url"),
+        TextOps.urlHost(col("url")).as("host"),
+        TextOps.urlCanon(col("url")).as("canon_url"))
+      .groupBy("host", "canon_url")
+      .agg(count(lit(1)).as("n_raw"),
+        countDistinct(col("url")).as("n_variants"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy("host", "canon_url")
+  }
+
+  private val q131Sql = {
+    val ex = "regexp_extract(url, '^([a-zA-Z]+)://([^/]+)(/.*)?$'"
+    val host = s"regexp_replace(regexp_replace(lower($ex, 2)), ':(443|80)$$', ''), '^www\\.', '')"
+    s"""WITH u AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 3 = 0
+       |       THEN 'https://www.srv' || CAST(doc_id % 7 AS VARCHAR)
+       |            || '.example.com:443/page/' || CAST(doc_id % 50 AS VARCHAR)
+       |            || '/?utm_source=feed'
+       |       WHEN doc_id % 3 = 1
+       |       THEN 'HTTPS://SRV' || CAST(doc_id % 7 AS VARCHAR)
+       |            || '.EXAMPLE.COM/page/' || CAST(doc_id % 50 AS VARCHAR)
+       |       ELSE 'https://srv' || CAST(doc_id % 7 AS VARCHAR)
+       |            || '.example.com/page/' || CAST(doc_id % 50 AS VARCHAR)
+       |            || '/#sec2' END AS url
+       |  FROM documents),
+       |c AS (SELECT doc_id, url, $host AS host,
+       |  lower($ex, 1)) || '://' || $host ||
+       |  regexp_replace(regexp_replace(regexp_replace($ex, 3),
+       |    '#.*$$', ''), '\\?utm_[^#]*$$', ''), '/$$', '') AS canon_url
+       |  FROM u)
+       |SELECT host, canon_url, COUNT(*) AS n_raw,
+       |       COUNT(DISTINCT url) AS n_variants, MIN(doc_id) AS min_doc
+       |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   // ---------------------------------------------------------------- unigram LM scoring
   /** CCNet-style LM quality partition (Wenzek et al. 2020): CCNet
     * scores each document with a language model trained on a clean
@@ -956,6 +1012,7 @@ object QueryCatalogText {
 
   // ----------------------------------------------------------------
   val all: Map[String, Q] = Map(
+    "q131_url_canon" -> q131UrlCanon,
     "q127_unigram_lm" -> q127UnigramLm,
     "q125_gopher_rules" -> q125GopherRules,
     "q122_pii_redact" -> q122PiiRedact,
@@ -977,6 +1034,7 @@ object QueryCatalogText {
   )
 
   val oracle: Map[String, String] = Map(
+    "q131_url_canon" -> q131Sql,
     "q127_unigram_lm" -> q127Sql,
     "q125_gopher_rules" -> q125Sql,
     "q122_pii_redact" -> q122Sql,

@@ -67,6 +67,32 @@ object TextOps {
     (regexp_count(text, lit("#")) + regexp_count(text, lit("\\.\\.\\.")))
       .cast("double") / nWsTokens(text)
 
+  // ---- URL canonicalization (the crawl-dedup front door) ----
+
+  /** Split pattern: scheme://host[/path]. RE2-safe, shared verbatim
+    * with the oracle. */
+  val urlRe = "^([a-zA-Z]+)://([^/]+)(/.*)?$"
+
+  /** Canonical host: lowercased, default ports (:80/:443) stripped,
+    * leading www. stripped. */
+  def urlHost(url: Column): Column =
+    regexp_replace(
+      regexp_replace(lower(regexp_extract(url, urlRe, 2)), ":(443|80)$", ""),
+      "^www\\.", "")
+
+  /** Canonical URL: lowercased scheme+host (ports/www stripped),
+    * fragment dropped, utm_* tracking query dropped, trailing slash
+    * stripped — the rule set under which a re-crawled page aliases to
+    * one identity. Replacement order is part of the contract
+    * (fragment first — a utm query may precede it). */
+  def urlCanon(url: Column): Column = {
+    val path0 = regexp_extract(url, urlRe, 3)
+    val path = regexp_replace(
+      regexp_replace(regexp_replace(path0, "#.*$", ""), "\\?utm_[^#]*$", ""),
+      "/$", "")
+    concat(lower(regexp_extract(url, urlRe, 1)), lit("://"), urlHost(url), path)
+  }
+
   // ---- PII scrub (the release-gate every public corpus runs) ----
 
   /** PII patterns shared verbatim by the Spark and DuckDB legs:

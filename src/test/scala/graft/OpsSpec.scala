@@ -129,6 +129,21 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("TextOps urlCanon: port/www/utm/fragment/case variants alias to one identity") {
+    import graft.ops.text.TextOps
+    val df = Seq(
+      "https://www.Site.COM:443/a/b/?utm_source=x&utm_c=y",
+      "HTTPS://site.com/a/b",
+      "https://site.com:80/a/b/#frag",
+      "https://site.com/a/b").toDF("url")
+    val canon = df.select(TextOps.urlCanon(col("url"))).collect().map(_.getString(0))
+    assert(canon.toSet == Set("https://site.com/a/b"), canon.mkString(", "))
+    // a non-default port and a real (non-utm) query are PRESERVED
+    val kept = Seq("https://site.com:8080/a?id=3").toDF("url")
+      .select(TextOps.urlCanon(col("url"))).head.getString(0)
+    assert(kept == "https://site.com:8080/a?id=3", kept)
+  }
+
   test("Buckets: upper-inclusive edges") {
     val df = Seq(3.0, 10.0, 10.5, 40.0, 41.0).toDF("x")
       .select(Buckets.byUpperEdges(col("x"), Seq(10, 40), Seq("lo", "mid", "hi")).as("b"))
