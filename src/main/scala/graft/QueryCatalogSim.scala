@@ -482,8 +482,101 @@ object QueryCatalogSim {
       |SELECT vec_id, cell, n_cell, rk FROM r
       |WHERE rk <= (n_cell + 4) // 5 ORDER BY cell, rk""".stripMargin
 
+  // ---------------------------------------------------------------- semantic dedup
+  /** SemDeDup (Abbas et al. 2023): duplicate MEANING, not duplicate
+    * bytes — embed, cluster coarsely, compare cosine ONLY within a
+    * cluster, and canonicalize each near-dup component to its min id.
+    * The cell equi-join is the entire scale story: candidate pairs
+    * are Σ|cell|² instead of N², and the cells come from q98's
+    * deterministic k-means. Planted re-ingests (two copies of the
+    * first 15 vectors, one of the next 15) form size-3 and size-2
+    * components; the natural corpus is near-orthogonal and must
+    * produce none. Components via [[ConnectedComponents.minLabel]]
+    * (transitive closure — A~B~C dedups as one group even when A~C
+    * misses the threshold); keep = the component's min id. */
+  val q132SemDedup: Q = (s, d) => {
+    import graft.ops.dedup.ConnectedComponents
+    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val e = base
+      .unionByName(base.filter(col("vec_id") < 30)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      .unionByName(base.filter(col("vec_id") < 15)
+        .select((col("vec_id") + 200000).as("vec_id"), col("embedding")))
+    val cells = VectorOps.kmeansCells(e, "vec_id", k = 4, iters = 1)
+    val v = e.join(cells, "vec_id")
+      .select(col("vec_id"), col("cell"), col("embedding"),
+        VectorOps.norm(col("embedding")).as("nm"))
+    val edges = v.select(col("vec_id").as("id_a"), col("cell"),
+        col("embedding").as("va"), col("nm").as("na"))
+      .join(v.select(col("vec_id").as("id_b"), col("cell"),
+        col("embedding").as("vb"), col("nm").as("nb")), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(VectorOps.cosine(col("va"), col("vb"), col("na"), col("nb")) >= 0.99)
+      .select("id_a", "id_b")
+    val comp = ConnectedComponents.minLabel(edges)
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "component")
+      .select(col("id").as("vec_id"), col("component"), col("cluster_size"),
+        when(col("id") === col("component"), "Y").otherwise("N").as("keep"))
+      .orderBy("vec_id")
+  }
+
+  private val q132Sql =
+    """WITH RECURSIVE e0 AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |  UNION ALL SELECT vec_id + 100000, embedding::DOUBLE[]
+      |            FROM embeddings WHERE vec_id < 30
+      |  UNION ALL SELECT vec_id + 200000, embedding::DOUBLE[]
+      |            FROM embeddings WHERE vec_id < 15),
+      |h AS (SELECT vec_id, v,
+      |             ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS hh
+      |      FROM e0),
+      |seeds AS (SELECT vec_id, v, hh FROM h ORDER BY hh, vec_id LIMIT 4),
+      |c0 AS (SELECT CAST(row_number() OVER (ORDER BY hh, vec_id) - 1 AS INT) AS cell,
+      |              v AS cv
+      |       FROM seeds),
+      |a1 AS (SELECT vec_id, cell FROM (
+      |         SELECT e.vec_id, c.cell,
+      |                row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |                  list_dot_product(e.v, c.cv)
+      |                  / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+      |                  DESC, c.cell) AS rn
+      |         FROM e0 e CROSS JOIN c0 c) WHERE rn = 1),
+      |x AS (SELECT a1.cell, generate_subscripts(e.v, 1) - 1 AS dim,
+      |             CAST(round(unnest(e.v) * 1e6) AS BIGINT) AS xi
+      |      FROM e0 e JOIN a1 USING (vec_id)),
+      |cm AS (SELECT cell, dim, CAST(SUM(xi) AS DOUBLE) / COUNT(*) / 1e6 AS c
+      |       FROM x GROUP BY 1, 2),
+      |c1 AS (SELECT cell, list(c ORDER BY dim) AS cv FROM cm GROUP BY 1),
+      |a2 AS (SELECT vec_id, cell FROM (
+      |         SELECT e.vec_id, c.cell,
+      |                row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |                  list_dot_product(e.v, c.cv)
+      |                  / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+      |                  DESC, c.cell) AS rn
+      |         FROM e0 e CROSS JOIN c1 c) WHERE rn = 1),
+      |vv AS (SELECT a2.vec_id, a2.cell, e.v,
+      |              sqrt(list_dot_product(e.v, e.v)) AS nm
+      |       FROM a2 JOIN e0 e USING (vec_id)),
+      |edges AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |          FROM vv a JOIN vv b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |          WHERE list_dot_product(a.v, b.v) / (a.nm * b.nm) >= 0.99),
+      |eu AS (SELECT id_a AS u, id_b AS w FROM edges
+      |       UNION SELECT id_b, id_a FROM edges),
+      |reach(id, r) AS (
+      |  SELECT u, u FROM eu
+      |  UNION
+      |  SELECT eu.u, reach.r FROM eu JOIN reach ON reach.id = eu.w),
+      |cmp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY 1),
+      |sz AS (SELECT component, COUNT(*) AS cluster_size FROM cmp GROUP BY 1)
+      |SELECT cmp.id AS vec_id, cmp.component, sz.cluster_size,
+      |       CASE WHEN cmp.id = cmp.component THEN 'Y' ELSE 'N' END AS keep
+      |FROM cmp JOIN sz USING (component)
+      |ORDER BY vec_id""".stripMargin
+
   // ----------------------------------------------------------------
   val all: Map[String, Q] = Map(
+    "q132_semdedup" -> q132SemDedup,
     "q130_cluster_sample" -> q130ClusterSample,
     "q128_pq_adc" -> q128PqAdc,
     "q98_kmeans_ivf_build" -> q98KmeansBuild,
@@ -499,6 +592,7 @@ object QueryCatalogSim {
   )
 
   val oracle: Map[String, String] = Map(
+    "q132_semdedup" -> q132Sql,
     "q130_cluster_sample" -> q130Sql,
     "q128_pq_adc" -> q128Sql,
     "q98_kmeans_ivf_build" -> q98Sql,
