@@ -63,6 +63,12 @@ object Explain {
     "q128_pq_adc" -> ("Product quantization: all m subspace k-means in one plan " +
       "(mi in every key); ADC = codes joined to a BROADCAST lookup table, int64 " +
       "sums — original vectors never touched in scoring."),
+    "q129_incremental_dedup" -> ("Incremental dedup: ONE shared banding pass over " +
+      "reference+batch (tag = id low bit); same-corpus pairs parity-filtered " +
+      "before verification — the standing corpus never self-pairs."),
+    "q132_semdedup" -> ("SemDeDup: cosine edges only within k-means cells " +
+      "(cell equi-join bounds pairs at sum(cell^2)); ConnectedComponents " +
+      "canonicalizes components to min id."),
     "q120_farm_sub" -> ("The same ten-section union under a top-level farm filter: " +
       "Catalyst pushes the predicate through union/window/aggregate/join into " +
       "every leaf — the single-farm run, declared, not hand-threaded."),

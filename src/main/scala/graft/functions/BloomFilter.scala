@@ -46,7 +46,12 @@ case class BloomFilter(
 
   import BloomFilter._
 
-  require(mBits > 0 && mBits <= (1 << 30), s"mBits must be in (0, 2^30], got $mBits")
+  // 2^24 ceiling: eval expands the packed buffer to mBits 0/1 ints so
+  // the probe stays a built-in element_at (codegen'd, oracle-
+  // replayable) — 64 MB of broadcast row at the ceiling. Beyond that
+  // a filter should keep the packed longs and probe via a native
+  // expression; the double-hash probe math itself is good to 2^30.
+  require(mBits > 0 && mBits <= (1 << 24), s"mBits must be in (0, 2^24], got $mBits")
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = false
@@ -114,8 +119,9 @@ object BloomFilter {
   val K = 3
 
   /** Default width: 2^17 bits = 16 KB buffer — <0.1% fp up to ~10k
-    * reference values. Size mBits ∝ the reference set (up to 2^30)
-    * for production decontamination at millions of eval n-grams. */
+    * reference values. Size mBits ∝ the reference set (up to the
+    * 2^24 expanded-eval ceiling; see the require note) for
+    * production decontamination at millions of eval n-grams. */
   val DefaultBits = 131072
 
   def bloom(c: Column, mBits: Int = DefaultBits): Column =
