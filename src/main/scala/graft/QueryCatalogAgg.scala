@@ -638,7 +638,118 @@ object QueryCatalogAgg {
       |FROM u GROUP BY tag ORDER BY tag""".stripMargin
 
   // ----------------------------------------------------------------
+  // ---------------------------------------------------------------- event funnel
+  /** Step-ordered conversion funnel over the event stream: first
+    * view -> first click within 1h OF THAT VIEW -> first purchase
+    * within 24h of that click. Each stage is one keyed aggregate
+    * joined forward (the strictly-sequential semantics window
+    * functions can't express without per-user sorts); timestamps
+    * compare as exact epoch-MICROS integers on both engines (Spark
+    * reads the nanos parquet floored to micros; the oracle floors
+    * the same way — a raw nanos compare could order two events a
+    * sub-microsecond apart differently). Mean stage lag is an exact
+    * int64 sum with one final double division. */
+  val q133Funnel: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("tu"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("tu")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("tu") > col("t_view") &&
+        col("tu") <= col("t_view") + lit(3600000000L))
+      .groupBy("user_id").agg(min(col("tu")).as("t_click"))
+    val cLag = c.join(v, "user_id")
+      .select(col("user_id"), col("t_click"), (col("t_click") - col("t_view")).as("lag_us"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("tu") > col("t_click") &&
+        col("tu") <= col("t_click") + lit(86400000000L))
+      .groupBy("user_id").agg(min(col("tu")).as("t_purchase"))
+    val pLag = p.join(c, "user_id")
+      .select(col("user_id"), (col("t_purchase") - col("t_click")).as("lag_us"))
+    def stage(nm: String, df: DataFrame, lag: Option[DataFrame]): DataFrame = {
+      val n = df.agg(count(lit(1)).as("n_users"))
+      lag match {
+        case None => n.select(lit(nm).as("stage"), col("n_users"),
+          lit(null).cast("double").as("mean_lag_us"))
+        case Some(l) => n.crossJoin(
+            l.agg(sum(col("lag_us")).as("s"), count(lit(1)).as("k")))
+          .select(lit(nm).as("stage"), col("n_users"),
+            (col("s").cast("double") / col("k")).as("mean_lag_us"))
+      }
+    }
+    stage("1_view", v, None)
+      .unionByName(stage("2_click", c, Some(cLag)))
+      .unionByName(stage("3_purchase", p, Some(pLag)))
+      .orderBy("stage")
+  }
+
+  private val q133Sql =
+    """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tu FROM events),
+      |v AS (SELECT user_id, MIN(tu) AS t_view FROM ev
+      |      WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, MIN(e.tu) AS t_click
+      |      FROM ev e JOIN v USING (user_id)
+      |      WHERE e.event_type = 'click' AND e.tu > v.t_view
+      |        AND e.tu <= v.t_view + 3600000000 GROUP BY 1),
+      |p AS (SELECT e.user_id, MIN(e.tu) AS t_purchase
+      |      FROM ev e JOIN c USING (user_id)
+      |      WHERE e.event_type = 'purchase' AND e.tu > c.t_click
+      |        AND e.tu <= c.t_click + 86400000000 GROUP BY 1),
+      |cl AS (SELECT c.user_id, c.t_click - v.t_view AS lag_us
+      |       FROM c JOIN v USING (user_id)),
+      |pl AS (SELECT p.user_id, p.t_purchase - c.t_click AS lag_us
+      |       FROM p JOIN c USING (user_id))
+      |SELECT '1_view' AS stage, COUNT(*) AS n_users,
+      |       CAST(NULL AS DOUBLE) AS mean_lag_us FROM v
+      |UNION ALL
+      |SELECT '2_click', COUNT(*),
+      |       (SELECT CAST(SUM(lag_us) AS DOUBLE) / COUNT(*) FROM cl) FROM c
+      |UNION ALL
+      |SELECT '3_purchase', COUNT(*),
+      |       (SELECT CAST(SUM(lag_us) AS DOUBLE) / COUNT(*) FROM pl) FROM p
+      |ORDER BY stage""".stripMargin
+
+  // ---------------------------------------------------------------- cohort retention
+  /** Weekly cohort retention matrix: users cohorted by the ISO week
+    * of their FIRST event; a cohort-week cell counts distinct users
+    * active in cohort-week + offset. Two keyed aggregates and a
+    * distinct — the standard retention triangle; every derived value
+    * (week starts, offsets, rates) is exact date/int arithmetic with
+    * one final double division per cell. */
+  val q134CohortRetention: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("aw"))
+    val coh = ev.groupBy("user_id").agg(min(col("aw")).as("cw"))
+    val act = ev.distinct()
+    val cohSize = coh.groupBy("cw").agg(count(lit(1)).as("n_cohort"))
+    act.join(coh, "user_id")
+      .groupBy(col("cw"), (datediff(col("aw"), col("cw")) / 7).cast("int").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(cohSize, "cw")
+      .select(col("cw").as("cohort_week"), col("week_offset"),
+        col("n_active"), col("n_cohort"),
+        (col("n_active").cast("double") / col("n_cohort")).as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  private val q134Sql =
+    """WITH ev AS (SELECT user_id,
+      |                   CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS aw
+      |            FROM events),
+      |coh AS (SELECT user_id, MIN(aw) AS cw FROM ev GROUP BY 1),
+      |act AS (SELECT DISTINCT user_id, aw FROM ev),
+      |cs AS (SELECT cw, COUNT(*) AS n_cohort FROM coh GROUP BY 1),
+      |cell AS (SELECT coh.cw, CAST((act.aw - coh.cw) // 7 AS INT) AS week_offset,
+      |                COUNT(DISTINCT act.user_id) AS n_active
+      |         FROM act JOIN coh USING (user_id) GROUP BY 1, 2)
+      |SELECT cell.cw AS cohort_week, cell.week_offset, cell.n_active, cs.n_cohort,
+      |       CAST(cell.n_active AS DOUBLE) / cs.n_cohort AS retention
+      |FROM cell JOIN cs USING (cw)
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q133_funnel" -> q133Funnel,
+    "q134_cohort_retention" -> q134CohortRetention,
     "q13_pivot_years" -> q13Pivot,
     "q14_histogram_share" -> q14Hist,
     "q15_weighted_avg" -> q15WeightedAvg,
@@ -665,6 +776,8 @@ object QueryCatalogAgg {
   )
 
   val oracle: Map[String, String] = Map(
+    "q133_funnel" -> q133Sql,
+    "q134_cohort_retention" -> q134Sql,
     "q13_pivot_years" -> q13Sql,
     "q14_histogram_share" -> q14Sql,
     "q15_weighted_avg" -> q15Sql,
