@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.ops.dedup.{ConnectedComponents, Dedup}
@@ -889,7 +890,79 @@ object QueryCatalogCuration {
       |            THEN 'Y' ELSE 'N' END AS filled
       |FROM w ORDER BY user_id, day""".stripMargin
 
+  // ---------------------------------------------------------------- domain authority (PageRank)
+  /** Domain-authority ranking — the quality prior web-corpus
+    * pipelines compute over the host link graph (CommonCrawl ranks
+    * hosts by centrality; curation weights documents by it). Two
+    * Jacobi iterations of PageRank over a deterministic synthetic
+    * host graph (source -> 'src'||(doc_id^2 mod 16) — the quadratic
+    * map concentrates in-links on the 4 residue hubs, a real
+    * authority hierarchy; self-loops dropped, distinct): every update is EXACT int64 arithmetic — rank mass
+    * scaled to 1e12, damping 0.85 as (*17 div 20), teleport 0.15 as
+    * (3e12 div (20n)) — so both engines agree bit-for-bit after any
+    * number of iterations (float PageRank diverges in the last ulp
+    * by iteration two). Dangling-node mass leaks (simplified PR) —
+    * identically in both engines. Each iteration is one join +
+    * partial-agg shuffle on dst; at web scale the edge list is
+    * hash-partitioned once and rank vectors alone move per round —
+    * the ConnectedComponents superstep discipline. */
+  val q135PageRank: Q = (s, d) => {
+    val SCALE = 1000000000000L
+    val docs = Tables.documents(s, d)
+    val dst = concat(lit("src"),
+      ((col("doc_id") * col("doc_id")) % 16).cast("string"))
+    val edges = docs.select(col("source").as("src"), dst.as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct()
+    val nDf = nodes.agg(count(lit(1)).as("n"))
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val r0 = nodes.crossJoin(broadcast(nDf))
+      .select(col("node"), expr(s"$SCALE div n").as("r"))
+    def step(r: DataFrame): DataFrame = {
+      val inflow = edges.join(r, edges("src") === r("node"))
+        .join(outdeg, "src")
+        .select(col("dst"), expr("(r * 17) div (20 * deg)").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("inflow"))
+      nodes.crossJoin(broadcast(nDf))
+        .join(inflow, nodes("node") === inflow("dst"), "left")
+        .select(col("node"),
+          (expr(s"(3 * $SCALE) div (20 * n)") +
+            coalesce(col("inflow"), lit(0L))).as("r"))
+    }
+    val r2 = step(step(r0))
+    import org.apache.spark.sql.expressions.Window
+    r2.withColumn("rank",
+        row_number().over(Window.orderBy(col("r").desc, col("node"))))
+      .select(col("node"), col("r").as("pr_scaled"), col("rank"))
+      .orderBy("rank")
+  }
+
+  private val q135Sql =
+    """WITH e AS (SELECT DISTINCT source AS src,
+      |                  'src' || CAST((doc_id * doc_id) % 16 AS VARCHAR) AS dst
+      |           FROM documents
+      |           WHERE source <> 'src' || CAST((doc_id * doc_id) % 16 AS VARCHAR)),
+      |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |nn AS (SELECT COUNT(*) AS n FROM nodes),
+      |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+      |r0 AS (SELECT node, 1000000000000 // n AS r FROM nodes, nn),
+      |i1 AS (SELECT e.dst, CAST(SUM((r0.r * 17) // (20 * deg.deg)) AS BIGINT) AS s
+      |       FROM e JOIN r0 ON r0.node = e.src JOIN deg USING (src)
+      |       GROUP BY 1),
+      |r1 AS (SELECT node, (3000000000000 // (20 * n)) + COALESCE(i1.s, 0) AS r
+      |       FROM nodes CROSS JOIN nn LEFT JOIN i1 ON i1.dst = node),
+      |i2 AS (SELECT e.dst, CAST(SUM((r1.r * 17) // (20 * deg.deg)) AS BIGINT) AS s
+      |       FROM e JOIN r1 ON r1.node = e.src JOIN deg USING (src)
+      |       GROUP BY 1),
+      |r2 AS (SELECT node, (3000000000000 // (20 * n)) + COALESCE(i2.s, 0) AS r
+      |       FROM nodes CROSS JOIN nn LEFT JOIN i2 ON i2.dst = node)
+      |SELECT node, r AS pr_scaled,
+      |       CAST(row_number() OVER (ORDER BY r DESC, node) AS INT) AS rank
+      |FROM r2 ORDER BY rank""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q135_pagerank" -> q135PageRank,
     "q99_line_dedup" -> q99LineDedup,
     "q123_line_quality" -> q123LineQuality,
     "q124_temperature_mix" -> q124TemperatureMix,
@@ -908,6 +981,7 @@ object QueryCatalogCuration {
   )
 
   val oracle: Map[String, String] = Map(
+    "q135_pagerank" -> q135Sql,
     "q99_line_dedup" -> q99Sql,
     "q123_line_quality" -> q123Sql,
     "q124_temperature_mix" -> q124Sql,
