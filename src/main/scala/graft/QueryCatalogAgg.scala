@@ -747,9 +747,97 @@ object QueryCatalogAgg {
       |FROM cell JOIN cs USING (cw)
       |ORDER BY cohort_week, week_offset""".stripMargin
 
+  // ---------------------------------------------------------------- time-weighted average
+  /** Time-weighted average of a sampled signal (the TWA every
+    * monitoring/billing pipeline computes over irregular samples):
+    * each observation holds its value until the next one, so the
+    * mean weights each value by its holding interval. Per user over
+    * the 'value' series: lead(ts) gives the interval end (last
+    * observation contributes nothing — no extrapolation). All
+    * arithmetic is exact int64: value quantized at 1e6, gap in
+    * SECONDS (products <= 1e8 * 2.6e3 per row — no overflow at any
+    * realistic cardinality), ONE double division at the end. One
+    * window + one keyed aggregate, both on user_id — a single
+    * exchange reused. */
+  val q136TimeWeightedAvg: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("tu", "event_id")
+    val ev = Tables.events(s, d)
+      .filter(col("user_id") < 30)
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("tu"))
+      .withColumn("tu_next", lead(col("tu"), 1).over(w))
+      .filter(col("tu_next").isNotNull)
+      .select(col("user_id"),
+        (round(col("value") * 1e6).cast("long") *
+          expr("(tu_next - tu) div 1000000")).as("vw"),
+        expr("(tu_next - tu) div 1000000").as("gap_s"))
+    ev.groupBy("user_id")
+      .agg(sum(col("vw")).as("sum_vw"), sum(col("gap_s")).as("sum_gap_s"),
+        count(lit(1)).as("n_intervals"))
+      .withColumn("twa",
+        col("sum_vw").cast("double") / (col("sum_gap_s") * lit(1000000L)))
+      .orderBy("user_id")
+  }
+
+  private val q136Sql =
+    """WITH ev AS (SELECT user_id, event_id, value,
+      |                   epoch_ns(ts) // 1000 AS tu
+      |            FROM events WHERE user_id < 30),
+      |led AS (SELECT user_id, value, tu,
+      |               lead(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id)
+      |                 AS tu_next
+      |        FROM ev),
+      |iv AS (SELECT user_id,
+      |              CAST(round(value * 1e6) AS BIGINT)
+      |                * ((tu_next - tu) // 1000000) AS vw,
+      |              (tu_next - tu) // 1000000 AS gap_s
+      |       FROM led WHERE tu_next IS NOT NULL)
+      |SELECT user_id, CAST(SUM(vw) AS BIGINT) AS sum_vw,
+      |       CAST(SUM(gap_s) AS BIGINT) AS sum_gap_s,
+      |       COUNT(*) AS n_intervals,
+      |       CAST(SUM(vw) AS DOUBLE) / (CAST(SUM(gap_s) AS BIGINT) * 1000000)
+      |         AS twa
+      |FROM iv GROUP BY 1 ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- rolling 7-day actives
+  /** Rolling 7-day active users per day (the WAU-by-day metric):
+    * exact distinct across a sliding window — which no window frame
+    * can express (countDistinct over RANGE isn't a thing) — done the
+    * distributed way: the distinct (user, day) relation joins a
+    * 7-offset spine, so each activity row lands in the 7 window-end
+    * days it supports, then one countDistinct per day. Output is
+    * restricted to complete windows. At scale this is |activity| x 7
+    * join rows into one agg — the exact form; the approximate form
+    * swaps the distinct for per-day HLL register merges. */
+  val q137RollingActives: Q = (s, d) => {
+    val days = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val bounds = days.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = bounds.select(explode(expr(
+      "sequence(date_add(d0, 6), d1, interval 1 day)")).as("win_end"))
+    days.join(spine,
+        col("day") >= date_sub(col("win_end"), 6) && col("day") <= col("win_end"))
+      .groupBy("win_end")
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .orderBy("win_end")
+  }
+
+  private val q137Sql =
+    """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM days),
+      |spine AS (SELECT CAST(unnest(generate_series(d0 + 6, d1, INTERVAL 1 DAY)) AS DATE)
+      |            AS win_end
+      |          FROM b)
+      |SELECT s.win_end, COUNT(DISTINCT d.user_id) AS wau
+      |FROM days d JOIN spine s
+      |  ON d.day >= s.win_end - 6 AND d.day <= s.win_end
+      |GROUP BY 1 ORDER BY s.win_end""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q133_funnel" -> q133Funnel,
     "q134_cohort_retention" -> q134CohortRetention,
+    "q136_time_weighted_avg" -> q136TimeWeightedAvg,
+    "q137_rolling_actives" -> q137RollingActives,
     "q13_pivot_years" -> q13Pivot,
     "q14_histogram_share" -> q14Hist,
     "q15_weighted_avg" -> q15WeightedAvg,
@@ -778,6 +866,8 @@ object QueryCatalogAgg {
   val oracle: Map[String, String] = Map(
     "q133_funnel" -> q133Sql,
     "q134_cohort_retention" -> q134Sql,
+    "q136_time_weighted_avg" -> q136Sql,
+    "q137_rolling_actives" -> q137Sql,
     "q13_pivot_years" -> q13Sql,
     "q14_histogram_share" -> q14Sql,
     "q15_weighted_avg" -> q15Sql,
