@@ -286,6 +286,17 @@ class PlanQualitySpec extends SparkSpec {
       s"no token-level sort-merge join allowed:\n${p.take(800)}")
   }
 
+  test("rolling-actives spine broadcasts — the activity relation streams through a BNLJ") {
+    val p = finalPlan(
+      QueryCatalogAgg.all("q137_rolling_actives")(spark, "/root/testdata/sf0.001"))
+    // non-equi window-membership join: tiny spine must be the broadcast
+    // side; the (user, day) relation must never shuffle into a cartesian
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"spine must broadcast into the range join:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product allowed:\n${p.take(800)}")
+  }
+
   test("minhash signature plan has no corpus-wide distinct below the aggregation") {
     import graft.ops.dedup.Dedup
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")

@@ -110,6 +110,33 @@ class SinksStreamingSpec extends SparkSpec {
     assert(keys.toSeq == Seq("a", "b", "c"), "duplicate 'a' must be dropped")
   }
 
+  test("streaming decontamination: static bloom sketch prefilters every micro-batch") {
+    import graft.functions.BloomFilter
+    implicit val sqlCtx = spark.sqlContext
+    // the eval reference is STATIC: build its sketch once, probe per batch
+    val m = 4096
+    val evalSketch = Seq("the quick fox", "lazy dog sleeps")
+      .toDF("w").agg(BloomFilter.bloom(col("w"), m).as("bf"))
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "gram")
+    val flagged = docs.crossJoin(evalSketch)
+      .filter(BloomFilter.mightContain(col("bf"), col("gram"), m))
+      .select("doc_id", "gram")
+    val q = flagged.writeStream.outputMode("append")
+      .format("memory").queryName("bloom_decon").start()
+    mem.addData((1L, "the quick fox"), (2L, "unrelated text here"))
+    q.processAllAvailable()
+    mem.addData((3L, "lazy dog sleeps"), (4L, "more clean grams"))
+    q.processAllAvailable()
+    val hits = spark.table("bloom_decon")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    q.stop()
+    // no false negatives across batches; the clean grams may only leak
+    // through as (rare, deterministic) false positives — none at m=4096/n=2
+    assert(hits.toSeq == Seq(1L, 3L),
+      s"contaminated grams must flag in their own micro-batch: ${hits.toSeq}")
+  }
+
   test("session windows close on gap (sessionization §2.9)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
