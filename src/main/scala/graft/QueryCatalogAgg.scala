@@ -833,7 +833,56 @@ object QueryCatalogAgg {
       |  ON d.day >= s.win_end - 6 AND d.day <= s.win_end
       |GROUP BY 1 ORDER BY s.win_end""".stripMargin
 
+  // ---------------------------------------------------------------- join-key skew report
+  /** Join-key skew report — the diagnostic that decides salting /
+    * AQE-skew-join configuration before a big join ships: for each
+    * candidate key of the fact table, one partial-agg pass yields
+    * row count, distinct keys, the heaviest key and its share, and
+    * skew = max_key_rows / (rows/keys). The heaviest key comes from
+    * max(struct(cnt, key)) — a lexicographic struct max inside the
+    * same aggregate, NOT a global window sort (which would funnel
+    * every distinct key through one partition). Skew is exact-int
+    * (max*keys as double)/rows. */
+  val q138SkewReport: Q = (s, d) => {
+    def keyStats(keyCol: String): DataFrame =
+      Tables.lineitem(s, d)
+        .groupBy(col(keyCol).cast("long").as("k")).agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"),
+          max(col("cnt")).as("max_key_rows"),
+          max(struct(col("cnt"), col("k"))).as("ms"))
+        .select(lit(keyCol).as("key_col"), col("n_rows"), col("n_keys"),
+          col("max_key_rows"), col("ms.k").as("top_key"),
+          ((col("max_key_rows") * col("n_keys")).cast("double") / col("n_rows"))
+            .as("skew"))
+    keyStats("l_orderkey")
+      .unionByName(keyStats("l_partkey"))
+      .unionByName(keyStats("l_suppkey"))
+      .orderBy("key_col")
+  }
+
+  private val q138Sql = {
+    def one(k: String) =
+      s"""SELECT '$k' AS key_col,
+         |       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         |       COUNT(*) AS n_keys,
+         |       CAST(MAX(cnt) AS BIGINT) AS max_key_rows,
+         |       (SELECT CAST(k AS BIGINT) FROM
+         |          (SELECT CAST($k AS BIGINT) AS k, COUNT(*) AS cnt
+         |           FROM lineitem GROUP BY 1)
+         |        ORDER BY cnt DESC, k DESC LIMIT 1) AS top_key,
+         |       CAST(MAX(cnt) * COUNT(*) AS DOUBLE) / SUM(cnt) AS skew
+         |FROM (SELECT CAST($k AS BIGINT) AS k, COUNT(*) AS cnt
+         |      FROM lineitem GROUP BY 1)""".stripMargin
+    s"""${one("l_orderkey")}
+       |UNION ALL
+       |${one("l_partkey")}
+       |UNION ALL
+       |${one("l_suppkey")}
+       |ORDER BY key_col""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "q138_skew_report" -> q138SkewReport,
     "q133_funnel" -> q133Funnel,
     "q134_cohort_retention" -> q134CohortRetention,
     "q136_time_weighted_avg" -> q136TimeWeightedAvg,
@@ -864,6 +913,7 @@ object QueryCatalogAgg {
   )
 
   val oracle: Map[String, String] = Map(
+    "q138_skew_report" -> q138Sql,
     "q133_funnel" -> q133Sql,
     "q134_cohort_retention" -> q134Sql,
     "q136_time_weighted_avg" -> q136Sql,
