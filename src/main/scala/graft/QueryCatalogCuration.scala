@@ -961,7 +961,53 @@ object QueryCatalogCuration {
       |       CAST(row_number() OVER (ORDER BY r DESC, node) AS INT) AS rank
       |FROM r2 ORDER BY rank""".stripMargin
 
+  // ---------------------------------------------------------------- stratified split
+  /** Stratified train/val/test split with EXACT per-stratum
+    * fractions (80/10/10 per language) — the corpus-release split:
+    * q102's global hash bucket only approximates fractions and can
+    * starve a small stratum; here every language contributes
+    * floor(n*0.8) to train and floor(n*0.9)-floor(n*0.8) to val by
+    * construction. Rows are ranked inside their stratum by seeded
+    * md5 (deterministic "random"), boundaries are pure integer math
+    * ((n*8) div 10 — never n*0.8 in floating point). One window per
+    * stratum + a broadcast of per-stratum counts. Output: per-doc
+    * assignment plus the rank, fully replayable. */
+  val q139StratifiedSplit: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    val hrk = Dedup.h60(lit(13), col("doc_id").cast("string"))
+    val n = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("lang").orderBy("__h", "doc_id")
+    docs.withColumn("__h", hrk)
+      .withColumn("rk", row_number().over(w))
+      .join(broadcast(n), "lang")
+      .withColumn("split",
+        when(col("rk") <= expr("(n * 8) div 10"), "train")
+          .when(col("rk") <= expr("(n * 9) div 10"), "val")
+          .otherwise("test"))
+      .select("doc_id", "lang", "rk", "split")
+      .orderBy("doc_id")
+  }
+
+  private val q139Sql =
+    """WITH d AS (SELECT doc_id, lang,
+      |                  ('0x' || substr(md5('13|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |                    AS h
+      |           FROM documents),
+      |r AS (SELECT doc_id, lang,
+      |             CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS INT)
+      |               AS rk
+      |      FROM d),
+      |n AS (SELECT lang, COUNT(*) AS n FROM d GROUP BY 1)
+      |SELECT doc_id, r.lang, rk,
+      |       CASE WHEN rk <= (n * 8) // 10 THEN 'train'
+      |            WHEN rk <= (n * 9) // 10 THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM r JOIN n ON r.lang = n.lang
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q139_stratified_split" -> q139StratifiedSplit,
     "q135_pagerank" -> q135PageRank,
     "q99_line_dedup" -> q99LineDedup,
     "q123_line_quality" -> q123LineQuality,
@@ -981,6 +1027,7 @@ object QueryCatalogCuration {
   )
 
   val oracle: Map[String, String] = Map(
+    "q139_stratified_split" -> q139Sql,
     "q135_pagerank" -> q135Sql,
     "q99_line_dedup" -> q99Sql,
     "q123_line_quality" -> q123Sql,
