@@ -160,4 +160,25 @@ class CurationSpec extends SparkSpec {
       .filter(levenshtein(col("name_a"), col("name_b")) <= 1).count()
     assert(uncappedHot == 19900L, s"expected C(200,2) = 19900, got $uncappedHot")
   }
+
+  test("stratified split partitions every stratum at exactly (n*8) div 10 train") {
+    val out = QueryCatalogCuration.q139StratifiedSplit(
+      spark, "/root/testdata/sf0.001")
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    // exhaustive partition: every doc appears exactly once
+    assert(out.count() == docs.count())
+    assert(out.select("doc_id").distinct().count() == docs.count())
+    val perStratum = out.groupBy("lang", "split").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val n = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    n.foreach { case (lang, total) =>
+      val train = perStratum.getOrElse((lang, "train"), 0L)
+      val valN = perStratum.getOrElse((lang, "val"), 0L)
+      val test = perStratum.getOrElse((lang, "test"), 0L)
+      assert(train == total * 8 / 10, s"$lang train $train of $total")
+      assert(valN == total * 9 / 10 - total * 8 / 10, s"$lang val $valN of $total")
+      assert(train + valN + test == total)
+    }
+  }
 }

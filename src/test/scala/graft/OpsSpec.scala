@@ -144,6 +144,22 @@ class OpsSpec extends SparkSpec {
     assert(kept == "https://site.com:8080/a?id=3", kept)
   }
 
+  test("TextOps urlCanon is idempotent: canon(canon(u)) == canon(u)") {
+    import graft.ops.text.TextOps
+    val urls = Seq(
+      "https://www.Site.COM:443/a/b/?utm_source=x",
+      "HTTPS://site.com/a/b",
+      "https://site.com:8080/a?id=3",
+      "http://h.example.org/x/y/z/#f",
+      "not a url at all").toDF("url")
+    val twice = urls
+      .select(TextOps.urlCanon(col("url")).as("c1"))
+      .select(col("c1"), TextOps.urlCanon(col("c1")).as("c2"))
+      .collect()
+    twice.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"not a fixed point: ${r.getString(0)} -> ${r.getString(1)}"))
+  }
+
   test("Buckets: upper-inclusive edges") {
     val df = Seq(3.0, 10.0, 10.5, 40.0, 41.0).toDF("x")
       .select(Buckets.byUpperEdges(col("x"), Seq(10, 40), Seq("lo", "mid", "hi")).as("b"))
