@@ -881,7 +881,85 @@ object QueryCatalogAgg {
        |ORDER BY key_col""".stripMargin
   }
 
+  // ---------------------------------------------------------------- data-quality constraints
+  /** Data-quality constraint gate (the dbt-test / expectations shape
+    * every production pipeline runs before publishing a table): five
+    * constraint classes — not-null, key uniqueness, accepted values,
+    * referential integrity, numeric range — each one aggregate or
+    * anti-join, unioned into a single report with exact violation
+    * counts. Uniqueness counts VIOLATING ROWS (total - distinct);
+    * referential integrity is a left-anti probe of the fact against
+    * the broadcast dimension key set. Nothing here needs more than
+    * one exchange per constraint, and the whole report is one job. */
+  val q140QualityConstraints: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d)
+    def row(name: String, checked: Column, viol: Column, df: DataFrame): DataFrame =
+      df.agg(checked.as("n_checked"), viol.as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_checked"), col("n_violations"),
+          when(col("n_violations") === 0, "Y").otherwise("N").as("pass"))
+    val notNull = row("1_not_null_l_orderkey",
+      count(lit(1)), sum(col("l_orderkey").isNull.cast("long")), li)
+    val unique = row("2_unique_o_orderkey",
+      count(lit(1)), count(lit(1)) - countDistinct(col("o_orderkey")), ord)
+    val accepted = row("3_accepted_l_returnflag",
+      count(lit(1)),
+      sum((!col("l_returnflag").isin("A", "N", "R")).cast("long")), li)
+    val range = row("4_range_l_quantity",
+      count(lit(1)),
+      sum((col("l_quantity") < 1 || col("l_quantity") > 50).cast("long")), li)
+    val orphans = li.join(ord.select(col("o_orderkey").as("l_orderkey")),
+      Seq("l_orderkey"), "left_anti")
+    val refInt = li.agg(count(lit(1)).as("n_checked"))
+      .crossJoin(orphans.agg(count(lit(1)).as("n_violations")))
+      .select(lit("5_ref_lineitem_orders").as("check_name"),
+        col("n_checked"), col("n_violations"),
+        when(col("n_violations") === 0, "Y").otherwise("N").as("pass"))
+    notNull.unionByName(unique).unionByName(accepted)
+      .unionByName(range).unionByName(refInt)
+      .orderBy("check_name")
+  }
+
+  private val q140Sql =
+    """SELECT '1_not_null_l_orderkey' AS check_name, COUNT(*) AS n_checked,
+      |       CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_violations,
+      |       CASE WHEN SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+      |            THEN 'Y' ELSE 'N' END AS pass
+      |FROM lineitem
+      |UNION ALL
+      |SELECT '2_unique_o_orderkey', COUNT(*),
+      |       COUNT(*) - COUNT(DISTINCT o_orderkey),
+      |       CASE WHEN COUNT(*) = COUNT(DISTINCT o_orderkey) THEN 'Y' ELSE 'N' END
+      |FROM orders
+      |UNION ALL
+      |SELECT '3_accepted_l_returnflag', COUNT(*),
+      |       CAST(SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END)
+      |            AS BIGINT),
+      |       CASE WHEN SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) = 0
+      |            THEN 'Y' ELSE 'N' END
+      |FROM lineitem
+      |UNION ALL
+      |SELECT '4_range_l_quantity', COUNT(*),
+      |       CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+      |            AS BIGINT),
+      |       CASE WHEN SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) = 0
+      |            THEN 'Y' ELSE 'N' END
+      |FROM lineitem
+      |UNION ALL
+      |SELECT '5_ref_lineitem_orders',
+      |       (SELECT COUNT(*) FROM lineitem),
+      |       (SELECT COUNT(*) FROM lineitem l
+      |        WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                          WHERE o.o_orderkey = l.l_orderkey)),
+      |       CASE WHEN (SELECT COUNT(*) FROM lineitem l
+      |                  WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                                    WHERE o.o_orderkey = l.l_orderkey)) = 0
+      |            THEN 'Y' ELSE 'N' END
+      |ORDER BY check_name""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q140_quality_constraints" -> q140QualityConstraints,
     "q138_skew_report" -> q138SkewReport,
     "q133_funnel" -> q133Funnel,
     "q134_cohort_retention" -> q134CohortRetention,
@@ -913,6 +991,7 @@ object QueryCatalogAgg {
   )
 
   val oracle: Map[String, String] = Map(
+    "q140_quality_constraints" -> q140Sql,
     "q138_skew_report" -> q138Sql,
     "q133_funnel" -> q133Sql,
     "q134_cohort_retention" -> q134Sql,
