@@ -316,6 +316,69 @@ object QueryCatalog {
       .orderBy("user_id", "day")
   }
 
+  /** SCD Type-2 dimension versioning ([[graft.ops.UpsertMerge.scd2]]):
+    * history-preserving merge — changed keys close their current row
+    * at the effective date and open a fresh version; no-op updates
+    * (planted: every %10==1 customer re-sent unchanged) produce NO new
+    * version; pre-existing closed history (planted for custkey 1)
+    * passes through untouched. The warehouse staple S7/S8 cannot
+    * express. One key join + union; updates side broadcasts at
+    * warehouse scale. */
+  val q141Scd2: Q = (s, d) => {
+    val c = Tables.customer(s, d).select("c_custkey", "c_acctbal", "c_mktsegment")
+    val cur = c.withColumn("valid_from", lit("2024-01-01"))
+      .withColumn("valid_to", lit("9999-12-31"))
+      .withColumn("is_current", lit("Y"))
+    val hist = c.filter(col("c_custkey") === 1)
+      .select(col("c_custkey"), (col("c_acctbal") - 50.0).as("c_acctbal"),
+        col("c_mktsegment"), lit("2023-01-01").as("valid_from"),
+        lit("2024-01-01").as("valid_to"), lit("N").as("is_current"))
+    val updates = c.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), (col("c_acctbal") + 100.0).as("c_acctbal"),
+        lit("MOVED").as("c_mktsegment"))
+      .unionByName(c.filter(col("c_custkey") % 10 === 1))
+    graft.ops.UpsertMerge.scd2(cur.unionByName(hist), updates, "c_custkey",
+        Seq("c_acctbal", "c_mktsegment"), "2024-06-01")
+      .orderBy("c_custkey", "valid_from", "is_current")
+  }
+
+  private val q141Sql =
+    """WITH c AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+      |cur AS (SELECT *, '2024-01-01' AS valid_from, '9999-12-31' AS valid_to,
+      |               'Y' AS is_current FROM c),
+      |hist AS (SELECT c_custkey, c_acctbal - 50.0 AS c_acctbal, c_mktsegment,
+      |                '2023-01-01' AS valid_from, '2024-01-01' AS valid_to,
+      |                'N' AS is_current
+      |         FROM c WHERE c_custkey = 1),
+      |upd AS (SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal,
+      |               'MOVED' AS c_mktsegment, TRUE AS u_present
+      |        FROM c WHERE c_custkey % 10 = 0
+      |        UNION ALL
+      |        SELECT c_custkey, c_acctbal, c_mktsegment, TRUE
+      |        FROM c WHERE c_custkey % 10 = 1),
+      |j AS (SELECT cur.c_custkey, cur.c_acctbal, cur.c_mktsegment,
+      |             cur.valid_from, cur.valid_to, cur.is_current,
+      |             u.c_acctbal AS ub, u.c_mktsegment AS um,
+      |             COALESCE(u.u_present, FALSE) AS has_u
+      |      FROM cur LEFT JOIN upd u USING (c_custkey)),
+      |chg AS (SELECT *,
+      |        (c_acctbal IS DISTINCT FROM ub
+      |         OR c_mktsegment IS DISTINCT FROM um) AS changed
+      |        FROM j)
+      |SELECT c_custkey, c_acctbal, c_mktsegment, valid_from, valid_to, is_current
+      |FROM hist
+      |UNION ALL
+      |SELECT c_custkey, c_acctbal, c_mktsegment, valid_from, valid_to, is_current
+      |FROM chg WHERE NOT has_u OR NOT changed
+      |UNION ALL
+      |SELECT c_custkey, c_acctbal, c_mktsegment, valid_from,
+      |       '2024-06-01', 'N'
+      |FROM chg WHERE has_u AND changed
+      |UNION ALL
+      |SELECT c_custkey, ub, um, '2024-06-01', '9999-12-31', 'Y'
+      |FROM chg WHERE has_u AND changed
+      |ORDER BY c_custkey, valid_from, is_current""".stripMargin
+
   private val q12Sql =
     """WITH daily AS (
       |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n,
@@ -344,6 +407,7 @@ object QueryCatalog {
     "q10_anti_join" -> q10Anti,
     "q11_week_delta" -> q11WeekDelta,
     "q12_upsert_merge" -> q12Upsert,
+    "q141_scd2" -> q141Scd2,
   )
 
   val oracle: Map[String, String] = Map(
@@ -359,5 +423,6 @@ object QueryCatalog {
     "q10_anti_join" -> q10Sql,
     "q11_week_delta" -> q11Sql,
     "q12_upsert_merge" -> q12Sql,
+    "q141_scd2" -> q141Sql,
   )
 }

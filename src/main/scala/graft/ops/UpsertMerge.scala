@@ -41,4 +41,44 @@ object UpsertMerge {
   def deleteInsert(old: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
     old.join(incoming.select(keys.map(col): _*).distinct(), keys, "left_anti")
       .unionByName(incoming)
+
+  /** Slowly-changing-dimension TYPE 2 merge: history-preserving
+    * dimension versioning (the warehouse staple `upsert`/SCD1 cannot
+    * express — it overwrites). `current` must carry `valid_from` /
+    * `valid_to` / `is_current` columns; for every key whose TRACKED
+    * attributes actually changed (null-safe comparison), the current
+    * row is CLOSED (valid_to = effectiveDate, is_current = 'N') and a
+    * fresh version opens at effectiveDate; unchanged and absent keys
+    * pass through untouched, as do already-closed history rows.
+    * One equi-join on the key + a union — the dimension never
+    * shuffles more than once, and at warehouse scale the updates
+    * side is the small one (broadcast). */
+  def scd2(current: DataFrame, updates: DataFrame, key: String,
+           tracked: Seq[String], effectiveDate: String): DataFrame = {
+    val open = current.filter(col("is_current") === "Y")
+    val closedHistory = current.filter(col("is_current") =!= "Y")
+    val upd = updates.select(
+      col(key) +: lit(true).as("__u_present") +:
+        tracked.map(c => col(c).as(s"__u_$c")): _*)
+    val joined = open.join(upd, Seq(key), "left")
+    val changed = tracked.map(c => !(col(c) <=> col(s"__u_$c"))).reduce(_ || _)
+    val hasUpdate = coalesce(col("__u_present"), lit(false))
+    val passThrough = joined.filter(!hasUpdate || !changed)
+      .select(open.columns.map(col): _*)
+    val closed = joined.filter(hasUpdate && changed)
+      .select(open.columns.map {
+        case "valid_to" => lit(effectiveDate).as("valid_to")
+        case "is_current" => lit("N").as("is_current")
+        case c => col(c)
+      }: _*)
+    val fresh = joined.filter(hasUpdate && changed)
+      .select(open.columns.map {
+        case c if tracked.contains(c) => col(s"__u_$c").as(c)
+        case "valid_from" => lit(effectiveDate).as("valid_from")
+        case "valid_to" => lit("9999-12-31").as("valid_to")
+        case "is_current" => lit("Y").as("is_current")
+        case c => col(c)
+      }: _*)
+    closedHistory.unionByName(passThrough).unionByName(closed).unionByName(fresh)
+  }
 }

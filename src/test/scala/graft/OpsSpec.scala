@@ -160,6 +160,25 @@ class OpsSpec extends SparkSpec {
       s"not a fixed point: ${r.getString(0)} -> ${r.getString(1)}"))
   }
 
+  test("scd2: changed keys version, no-op and absent keys pass, nulls compare null-safe") {
+    val cur = Seq(
+      (1L, Option(10.0), "2024-01-01", "9999-12-31", "Y"),
+      (2L, Option.empty[Double], "2024-01-01", "9999-12-31", "Y"),
+      (3L, Option(5.0), "2024-01-01", "9999-12-31", "Y"))
+      .toDF("k", "v", "valid_from", "valid_to", "is_current")
+    val upd = Seq((1L, Option(11.0)), (2L, Option.empty[Double])).toDF("k", "v")
+    val out = UpsertMerge.scd2(cur, upd, "k", Seq("v"), "2024-06-01")
+    // key 1 changed -> closed + fresh; key 2: null -> null is a NO-OP
+    // (null-safe compare); key 3 absent from updates -> untouched
+    assert(out.count() == 4)
+    val k1 = out.filter(col("k") === 1).orderBy("valid_from").collect()
+    assert(k1.map(_.getAs[String]("is_current")).toSeq == Seq("N", "Y"))
+    assert(k1(0).getAs[String]("valid_to") == "2024-06-01")
+    assert(k1(1).getAs[Double]("v") == 11.0)
+    assert(out.filter(col("k") === 2).count() == 1)
+    assert(out.filter(col("k") === 3).head.getAs[String]("is_current") == "Y")
+  }
+
   test("Buckets: upper-inclusive edges") {
     val df = Seq(3.0, 10.0, 10.5, 40.0, 41.0).toDF("x")
       .select(Buckets.byUpperEdges(col("x"), Seq(10, 40), Seq("lo", "mid", "hi")).as("b"))
