@@ -321,9 +321,13 @@ object QueryCatalog {
     * at the effective date and open a fresh version; no-op updates
     * (planted: every %10==1 customer re-sent unchanged) produce NO new
     * version; pre-existing closed history (planted for custkey 1)
-    * passes through untouched. The warehouse staple S7/S8 cannot
-    * express. One key join + union; updates side broadcasts at
-    * warehouse scale. */
+    * passes through untouched; a DUPLICATE update per changed key
+    * (planted: %10==0 keys sent twice, +100/'MOVED' and +50/'MOVED2')
+    * canonicalizes to the max tracked-struct row instead of fanning
+    * out; an update for a key with no current row (planted: custkey
+    * -5) INSERTS as a fresh dimension member. The warehouse staple
+    * S7/S8 cannot express. One key join + union; updates side
+    * broadcasts at warehouse scale. */
   val q141Scd2: Q = (s, d) => {
     val c = Tables.customer(s, d).select("c_custkey", "c_acctbal", "c_mktsegment")
     val cur = c.withColumn("valid_from", lit("2024-01-01"))
@@ -336,7 +340,12 @@ object QueryCatalog {
     val updates = c.filter(col("c_custkey") % 10 === 0)
       .select(col("c_custkey"), (col("c_acctbal") + 100.0).as("c_acctbal"),
         lit("MOVED").as("c_mktsegment"))
+      .unionByName(c.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), (col("c_acctbal") + 50.0).as("c_acctbal"),
+          lit("MOVED2").as("c_mktsegment")))
       .unionByName(c.filter(col("c_custkey") % 10 === 1))
+      .unionByName(s.range(1).select(lit(-5L).as("c_custkey"),
+        lit(123.45).as("c_acctbal"), lit("NEWSEG").as("c_mktsegment")))
     graft.ops.UpsertMerge.scd2(cur.unionByName(hist), updates, "c_custkey",
         Seq("c_acctbal", "c_mktsegment"), "2024-06-01")
       .orderBy("c_custkey", "valid_from", "is_current")
@@ -350,12 +359,21 @@ object QueryCatalog {
       |                '2023-01-01' AS valid_from, '2024-01-01' AS valid_to,
       |                'N' AS is_current
       |         FROM c WHERE c_custkey = 1),
-      |upd AS (SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal,
-      |               'MOVED' AS c_mktsegment, TRUE AS u_present
-      |        FROM c WHERE c_custkey % 10 = 0
-      |        UNION ALL
-      |        SELECT c_custkey, c_acctbal, c_mktsegment, TRUE
-      |        FROM c WHERE c_custkey % 10 = 1),
+      |upd0 AS (SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal,
+      |                'MOVED' AS c_mktsegment
+      |         FROM c WHERE c_custkey % 10 = 0
+      |         UNION ALL
+      |         SELECT c_custkey, c_acctbal + 50.0, 'MOVED2'
+      |         FROM c WHERE c_custkey % 10 = 0
+      |         UNION ALL
+      |         SELECT c_custkey, c_acctbal, c_mktsegment
+      |         FROM c WHERE c_custkey % 10 = 1
+      |         UNION ALL
+      |         SELECT -5, 123.45, 'NEWSEG'),
+      |upd AS (SELECT c_custkey, c_acctbal, c_mktsegment, TRUE AS u_present
+      |        FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey
+      |                ORDER BY c_acctbal DESC, c_mktsegment DESC) AS rn
+      |              FROM upd0) WHERE rn = 1),
       |j AS (SELECT cur.c_custkey, cur.c_acctbal, cur.c_mktsegment,
       |             cur.valid_from, cur.valid_to, cur.is_current,
       |             u.c_acctbal AS ub, u.c_mktsegment AS um,
@@ -377,6 +395,11 @@ object QueryCatalog {
       |UNION ALL
       |SELECT c_custkey, ub, um, '2024-06-01', '9999-12-31', 'Y'
       |FROM chg WHERE has_u AND changed
+      |UNION ALL
+      |SELECT u.c_custkey, u.c_acctbal, u.c_mktsegment,
+      |       '2024-06-01', '9999-12-31', 'Y'
+      |FROM upd u WHERE NOT EXISTS
+      |  (SELECT 1 FROM cur WHERE cur.c_custkey = u.c_custkey)
       |ORDER BY c_custkey, valid_from, is_current""".stripMargin
 
   private val q12Sql =

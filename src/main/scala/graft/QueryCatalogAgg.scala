@@ -813,8 +813,13 @@ object QueryCatalogAgg {
     val days = Tables.events(s, d)
       .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
     val bounds = days.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-    val spine = bounds.select(explode(expr(
-      "sequence(date_add(d0, 6), d1, interval 1 day)")).as("win_end"))
+    // Guard: a span under 7 days has NO complete window. Spark's
+    // sequence(start, stop) throws when start > stop with a positive
+    // step, while DuckDB's generate_series returns empty — filter the
+    // bounds row away first so both engines agree on the empty result.
+    val spine = bounds.filter(col("d1") >= date_add(col("d0"), 6))
+      .select(explode(expr(
+        "sequence(date_add(d0, 6), d1, interval 1 day)")).as("win_end"))
     days.join(spine,
         col("day") >= date_sub(col("win_end"), 6) && col("day") <= col("win_end"))
       .groupBy("win_end")

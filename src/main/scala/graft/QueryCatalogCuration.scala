@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.ops.DistributedRank
 import graft.ops.dedup.{ConnectedComponents, Dedup}
 import graft.ops.text.TextOps
 
@@ -486,7 +487,7 @@ object QueryCatalogCuration {
     // prefilter exists to avoid (PlanQualitySpec pins this)
     val grams = Dedup.shingleSetDistinct(docs, "doc_id", "text", k = 5)
     val flagged = grams.crossJoin(broadcast(sketch))
-      .withColumn("bloom_hit", BloomFilter.mightContain(col("bf"), col("w"), m))
+      .withColumn("bloom_hit", BloomFilter.mightContain(col("bf"), col("w")))
       .drop("bf")
       .join(broadcast(evalGrams.withColumn("conf", lit(true))), Seq("w"), "left")
       .withColumn("conf", coalesce(col("conf"), lit(false)))
@@ -931,10 +932,14 @@ object QueryCatalogCuration {
             coalesce(col("inflow"), lit(0L))).as("r"))
     }
     val r2 = step(step(r0))
-    import org.apache.spark.sql.expressions.Window
-    r2.withColumn("rank",
-        row_number().over(Window.orderBy(col("r").desc, col("node"))))
-      .select(col("node"), col("r").as("pr_scaled"), col("rank"))
+    // Final global rank via DistributedRank (range-partitioned sort +
+    // broadcast offsets), not Window.orderBy — a no-partition window
+    // funnels every host row through one task. Host cardinality is
+    // corpus-sublinear, but the last step should honor the same
+    // superstep discipline as the iterations.
+    DistributedRank.rank(r2, Seq.empty, Seq(col("r").desc, col("node")), "rank")
+      .select(col("node"), col("r").as("pr_scaled"),
+        col("rank").cast("int").as("rank"))
       .orderBy("rank")
   }
 
@@ -969,23 +974,25 @@ object QueryCatalogCuration {
     * floor(n*0.8) to train and floor(n*0.9)-floor(n*0.8) to val by
     * construction. Rows are ranked inside their stratum by seeded
     * md5 (deterministic "random"), boundaries are pure integer math
-    * ((n*8) div 10 — never n*0.8 in floating point). One window per
-    * stratum + a broadcast of per-stratum counts. Output: per-doc
-    * assignment plus the rank, fully replayable. */
+    * ((n*8) div 10 — never n*0.8 in floating point). The per-stratum
+    * rank is [[graft.ops.DistributedRank]] — range-repartition +
+    * broadcast prefix offsets — NOT a `partitionBy(lang)` window,
+    * because languages are few and hugely skewed: a window would push
+    * every row of the dominant stratum through one task's sorter. Here
+    * every task handles at most one range-partition slice regardless
+    * of stratum skew. Output: per-doc assignment plus the rank, fully
+    * replayable. */
   val q139StratifiedSplit: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
-    val hrk = Dedup.h60(lit(13), col("doc_id").cast("string"))
+      .withColumn("__h", Dedup.h60(lit(13), col("doc_id").cast("string")))
     val n = docs.groupBy("lang").agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy("lang").orderBy("__h", "doc_id")
-    docs.withColumn("__h", hrk)
-      .withColumn("rk", row_number().over(w))
+    DistributedRank.rank(docs, Seq("lang"), Seq(col("__h"), col("doc_id")), "rk")
       .join(broadcast(n), "lang")
       .withColumn("split",
         when(col("rk") <= expr("(n * 8) div 10"), "train")
           .when(col("rk") <= expr("(n * 9) div 10"), "val")
           .otherwise("test"))
-      .select("doc_id", "lang", "rk", "split")
+      .select(col("doc_id"), col("lang"), col("rk").cast("int").as("rk"), col("split"))
       .orderBy("doc_id")
   }
 

@@ -425,19 +425,24 @@ object QueryCatalogSim {
     * assigns cells, then each cell keeps its top ceil(20%) vectors
     * by seeded md5 rank — a deterministic "random" draw whose rate
     * is per-cell, not global. The keep count is exact integer math
-    * ((n+4) div 5), never n*0.2 in floating point. One exchange for
-    * the per-cell window; the same shape at any corpus size. */
+    * ((n+4) div 5), never n*0.2 in floating point. The per-cell rank
+    * is [[graft.ops.DistributedRank]] (range-repartition + broadcast
+    * prefix offsets), NOT a `partitionBy(cell)` window: k is small,
+    * so each cell is a corpus-sized shard — a window would sort a
+    * whole cell in one task. Cell counts come from a partial-combined
+    * groupBy (broadcast back); no task ever holds more than one
+    * range-partition slice. The same shape at any corpus size. */
   val q130ClusterSample: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
     val cells = VectorOps.kmeansCells(Tables.embeddings(s, d), "vec_id", k = 4, iters = 1)
     val hrk = conv(substring(md5(concat(lit("cs|"), col("vec_id").cast("string"))), 1, 15), 16, 10)
       .cast("long")
-    val w = Window.partitionBy("cell").orderBy("__rk", "vec_id")
-    cells.withColumn("__rk", hrk)
-      .withColumn("n_cell", count(lit(1)).over(Window.partitionBy("cell")))
-      .withColumn("rk", row_number().over(w))
+    val withH = cells.withColumn("__rk", hrk)
+    val nCell = withH.groupBy("cell").agg(count(lit(1)).as("n_cell"))
+    graft.ops.DistributedRank.rank(withH, Seq("cell"), Seq(col("__rk"), col("vec_id")), "rk")
+      .join(broadcast(nCell), "cell")
       .filter(col("rk") <= expr("(n_cell + 4) div 5"))
-      .select("vec_id", "cell", "n_cell", "rk")
+      .select(col("vec_id"), col("cell"), col("n_cell"),
+        col("rk").cast("int").as("rk"))
       .orderBy("cell", "rk")
   }
 
@@ -513,7 +518,10 @@ object QueryCatalogSim {
       .filter(col("id_a") < col("id_b"))
       .filter(VectorOps.cosine(col("va"), col("vb"), col("na"), col("nb")) >= 0.99)
       .select("id_a", "id_b")
-    val comp = ConnectedComponents.minLabel(edges)
+    // minLabelLocalized: labels materialize (component members only —
+    // corpus-sublinear), the superstep checkpoint storage is released
+    // BEFORE this query returns; no pinned RDD outlives the call
+    val comp = ConnectedComponents.minLabelLocalized(edges)
     val sizes = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
     comp.join(sizes, "component")
       .select(col("id").as("vec_id"), col("component"), col("cluster_size"),

@@ -154,8 +154,13 @@ object QueryCatalogText {
     val docs = Tables.documents(s, d)
     val ref = docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("text"))
     val fresh = docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("text"))
+    // Planted re-crawl ids carry a dedicated HIGH TAG BIT (2^60), not
+    // a fixed additive constant: doc_id + 1e6 would silently collide
+    // with real batch ids once the corpus reaches a million docs,
+    // merging two documents' shingle sets under one uid. Bit 60 is
+    // unreachable by any real doc_id and survives the *2+1 uid encode.
     val recrawl = docs.filter(col("doc_id") % 2 === 0 && col("n_chars") >= 300)
-      .select((col("doc_id") + 1000000).as("doc_id"),
+      .select((col("doc_id") + (1L << 60)).as("doc_id"),
         concat_ws(" ",
           expr("slice(split(text, '\\\\s+'), 1, 3)"),
           expr("slice(split(text, '\\\\s+'), 5, 1000000)")).as("text"))
@@ -177,7 +182,7 @@ object QueryCatalogText {
        |d0 AS (
        |  SELECT doc_id * 2 AS uid, text FROM base WHERE doc_id % 2 = 0
        |  UNION ALL SELECT doc_id * 2 + 1, text FROM base WHERE doc_id % 2 = 1
-       |  UNION ALL SELECT (doc_id + 1000000) * 2 + 1,
+       |  UNION ALL SELECT (doc_id + 1152921504606846976) * 2 + 1,
        |         array_to_string(tk[1:3], ' ') || ' ' || array_to_string(tk[5:], ' ')
        |         FROM toks0),
        |tok AS (SELECT uid, unnest(string_split_regex(text, '\\s+')) AS tok,

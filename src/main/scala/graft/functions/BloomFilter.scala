@@ -130,13 +130,18 @@ object BloomFilter {
   /** Membership probe against a built sketch column: true iff all K
     * probe bits are set. Never false for an inserted value (the bloom
     * contract); true for a small hash-collision fraction of absent
-    * ones. Pure built-in element_at — codegen keeps it on the scan. */
-  def mightContain(sketch: Column, token: Column, mBits: Int = DefaultBits): Column = {
+    * ones. The modulus is `size(sketch)` — derived from the sketch
+    * itself, NOT a caller-supplied width, so a probe can never
+    * silently index with a different width than the build (which
+    * would break the no-false-negatives contract). Pure built-in
+    * element_at — codegen keeps it on the scan. */
+  def mightContain(sketch: Column, token: Column): Column = {
     val h = conv(substring(md5(token), 1, 15), 16, 10).cast("long")
     val h1 = h.bitwiseAND(lit((1L << 30) - 1))
     val h2 = shiftright(h, 30).bitwiseOR(lit(1L))
+    val m = size(sketch).cast("long")
     (0 until K).map { i =>
-      element_at(sketch, ((h1 + lit(i.toLong) * h2) % lit(mBits.toLong) + 1).cast("int")) === 1
+      element_at(sketch, (((h1 + lit(i.toLong) * h2) % m) + 1).cast("int")) === 1
     }.reduce(_ && _)
   }
 }

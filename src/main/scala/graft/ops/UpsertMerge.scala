@@ -50,16 +50,25 @@ object UpsertMerge {
     * row is CLOSED (valid_to = effectiveDate, is_current = 'N') and a
     * fresh version opens at effectiveDate; unchanged and absent keys
     * pass through untouched, as do already-closed history rows.
-    * One equi-join on the key + a union — the dimension never
-    * shuffles more than once, and at warehouse scale the updates
-    * side is the small one (broadcast). */
+    * Update keys with NO current row are new dimension members: they
+    * insert as fresh is_current='Y' versions (non-key, non-tracked
+    * attributes null — the update feed doesn't carry them). Duplicate
+    * keys on the updates side are canonicalized first — the max row by
+    * the tracked-column struct (field-lexicographic, deterministic) —
+    * so a dirty feed can never fan the join out into several
+    * closed/fresh versions per key. One key join + one partial-agg
+    * shuffle on the (small) updates side + a union — the dimension
+    * itself never shuffles more than once, and at warehouse scale the
+    * updates side broadcasts. */
   def scd2(current: DataFrame, updates: DataFrame, key: String,
            tracked: Seq[String], effectiveDate: String): DataFrame = {
     val open = current.filter(col("is_current") === "Y")
     val closedHistory = current.filter(col("is_current") =!= "Y")
-    val upd = updates.select(
-      col(key) +: lit(true).as("__u_present") +:
-        tracked.map(c => col(c).as(s"__u_$c")): _*)
+    val upd = updates
+      .groupBy(col(key))
+      .agg(max(struct(tracked.map(col): _*)).as("__t"))
+      .select(col(key) +: lit(true).as("__u_present") +:
+        tracked.map(c => col(s"__t.$c").as(s"__u_$c")): _*)
     val joined = open.join(upd, Seq(key), "left")
     val changed = tracked.map(c => !(col(c) <=> col(s"__u_$c"))).reduce(_ || _)
     val hasUpdate = coalesce(col("__u_present"), lit(false))
@@ -79,6 +88,17 @@ object UpsertMerge {
         case "is_current" => lit("Y").as("is_current")
         case c => col(c)
       }: _*)
-    closedHistory.unionByName(passThrough).unionByName(closed).unionByName(fresh)
+    val dt = open.schema.fields.map(f => f.name -> f.dataType).toMap
+    val freshNew = upd.join(open.select(col(key)), Seq(key), "left_anti")
+      .select(open.columns.map {
+        case `key` => col(key)
+        case c if tracked.contains(c) => col(s"__u_$c").as(c)
+        case "valid_from" => lit(effectiveDate).cast(dt("valid_from")).as("valid_from")
+        case "valid_to" => lit("9999-12-31").cast(dt("valid_to")).as("valid_to")
+        case "is_current" => lit("Y").as("is_current")
+        case c => lit(null).cast(dt(c)).as(c)
+      }: _*)
+    closedHistory.unionByName(passThrough).unionByName(closed)
+      .unionByName(fresh).unionByName(freshNew)
   }
 }

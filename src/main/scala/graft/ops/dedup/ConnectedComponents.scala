@@ -96,6 +96,26 @@ object ConnectedComponents {
             "this Spark version.")
     }
 
+  /** [[minLabel]], then LOCALIZE: materialize the labels (component
+    * members only — corpus-sublinear; near-dup components are a tiny
+    * fraction of any real corpus), RELEASE the superstep checkpoint
+    * storage, and return the labels as a self-contained local
+    * relation. The returned frame pins NOTHING — no
+    * cached/checkpointed blocks outlive this call — so query-shaped
+    * callers (q132 SemDeDup) that cannot call release() after their
+    * consumer's action get deterministic cleanup anyway. At cluster
+    * scale the localize step becomes a staging-table write + release
+    * instead of a driver materialization; the frame also
+    * broadcast-joins downstream for free (LocalRelation). */
+  def minLabelLocalized(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val comp = minLabel(edges, maxIter)
+    try {
+      val rows = comp.collect()
+      comp.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), comp.schema)
+    } finally release(comp)
+  }
+
   def minLabel(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     // the input edge list is referenced three times below (two union
     // directions + self-loops): cache it, or the caller's upstream

@@ -238,13 +238,32 @@ object Dedup {
     * plan-builder. Callers that already know the candidate
     * cardinality (e.g. from a prior stage's metrics) pass it via
     * `candCount` to defer all execution to the first action. The two
-    * internal caches (pairs, posting lists) live until the session
-    * clears its cache — per-job use is bounded by the LSH bucket
-    * caps; a long-lived session should spark.catalog.clearCache()
-    * between corpus passes. */
+    * internal caches (pairs, posting lists) are bounded by the LSH
+    * bucket caps but live until the session clears its cache — a
+    * long-lived session should use [[jaccardScoped]] (try/finally
+    * release, the CorpusCurationJob.funnel pattern as a combinator)
+    * or [[jaccardReleasable]] (a caller-release handle mirroring
+    * ConnectedComponents.release) instead of this plan-only form. */
   def jaccard(pairs: DataFrame, words: DataFrame, idCol: String,
               broadcastCandMax: Long = 4000000L,
-              candCount: Option[Long] = None): DataFrame = {
+              candCount: Option[Long] = None): DataFrame =
+    jaccardReleasable(pairs, words, idCol, broadcastCandMax, candCount).df
+
+  /** A frame paired with a release() that frees the internal caches
+    * backing it (mirrors [[ConnectedComponents.release]]). Call
+    * release only AFTER the frame's consumers have run their actions:
+    * the caches are part of the frame's execution, not an optional
+    * speedup — releasing early re-evaluates the whole upstream
+    * pipeline per consumer. */
+  final case class Releasable(df: DataFrame, release: () => Unit)
+
+  /** [[jaccard]] with deterministic cache release: the returned
+    * handle's release() unpersists the pair and posting-list caches
+    * NOW instead of at session end — the scoped-release discipline
+    * long-lived sessions need between corpus passes. */
+  def jaccardReleasable(pairs: DataFrame, words: DataFrame, idCol: String,
+                        broadcastCandMax: Long = 4000000L,
+                        candCount: Option[Long] = None): Releasable = {
     // the pair list feeds THREE consumers (candidate ids, the n_inter
     // restriction, the final anchor) and is itself the output of the
     // whole signature pipeline — cache it (bounded small by the LSH
@@ -282,7 +301,7 @@ object Dedup {
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-    p
+    val out = p
       .join(inter, Seq("id_a", "id_b"), "left")
       .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
       .join(counts.withColumnRenamed("n", "n_a")
@@ -291,6 +310,18 @@ object Dedup {
         .withColumnRenamed(idCol, "id_b"), "id_b")
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+    Releasable(out, () => { p.unpersist(false); posting.unpersist(false) })
+  }
+
+  /** Scoped [[jaccard]]: hand the verified frame to `use` (which must
+    * run its actions), then release the internal caches in a finally —
+    * no cached partitions outlive the call, matching the
+    * CorpusCurationJob.funnel discipline. */
+  def jaccardScoped[A](pairs: DataFrame, words: DataFrame, idCol: String,
+                       broadcastCandMax: Long = 4000000L,
+                       candCount: Option[Long] = None)(use: DataFrame => A): A = {
+    val h = jaccardReleasable(pairs, words, idCol, broadcastCandMax, candCount)
+    try use(h.df) finally h.release()
   }
 
   /** Pairwise shingle Jaccard via an inverted index (posting lists)

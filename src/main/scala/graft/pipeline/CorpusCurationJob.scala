@@ -33,9 +33,10 @@ object CorpusCurationJob {
     * it for free inside its own stage instead of materializing the
     * ~50x-exploded shingle rows. */
   private case class Stages(uniq: DataFrame,
-                            deduped: DataFrame, curated: DataFrame) {
+                            deduped: DataFrame, curated: DataFrame,
+                            releaseJaccard: () => Unit) {
     def unpersist(): Unit = {
-      uniq.unpersist(); deduped.unpersist()
+      uniq.unpersist(); deduped.unpersist(); releaseJaccard()
     }
   }
 
@@ -51,14 +52,18 @@ object CorpusCurationJob {
     val sig = Dedup.minHash(shingles, "doc_id", n = 16)
     val cand = Dedup.candidatePairs(
       Dedup.lshBands(sig, "doc_id", n = 16, rowsPerBand = 4), "doc_id")
-    val dupIds = Dedup.jaccard(cand, shingles, "doc_id")
+    // releasable handle: jaccard's internal pair/posting caches are
+    // freed by Stages.unpersist together with the stage frames — no
+    // cached partitions outlive a funnel()/run() call
+    val jh = Dedup.jaccardReleasable(cand, shingles, "doc_id")
+    val dupIds = jh.df
       .filter(col("jaccard") >= jaccardTau)
       .select(col("id_b").as("doc_id")).distinct()
     val deduped = maybeCache(uniq.join(dupIds, Seq("doc_id"), "left_anti"))
     // quality gate
     val curated = deduped.filter(
       TextOps.qualityScore(col("text"), Stopwords) >= minQuality)
-    Stages(uniq, deduped, curated)
+    Stages(uniq, deduped, curated, jh.release)
   }
 
   /** Curated documents after the three gates (single-consumer lineage:

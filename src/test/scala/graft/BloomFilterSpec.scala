@@ -33,7 +33,7 @@ class BloomFilterSpec extends SparkSpec {
     val probes = 20000
     val fp = (1 to probes).map(i => s"out_$i").toDF("w")
       .crossJoin(sketch)
-      .filter(BloomFilter.mightContain(col("bf"), col("w"), m))
+      .filter(BloomFilter.mightContain(col("bf"), col("w")))
       .count()
     // m=4096, k=3, n=1000: p = (1 - e^(-kn/m))^k ~ 13.9%
     val rate = fp.toDouble / probes
@@ -47,7 +47,7 @@ class BloomFilterSpec extends SparkSpec {
       .agg(BloomFilter.bloom(col("w"), m).as("bf"))
     val fp = (1 to 20000).map(i => s"out_$i").toDF("w")
       .crossJoin(sketch)
-      .filter(BloomFilter.mightContain(col("bf"), col("w"), m))
+      .filter(BloomFilter.mightContain(col("bf"), col("w")))
       .count()
     // p ~ (1 - e^(-3000/32768))^3 ~ 6.8e-4
     assert(fp.toDouble / 20000 < 0.005, s"fp=$fp")

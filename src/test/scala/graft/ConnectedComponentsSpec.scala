@@ -79,6 +79,18 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(viaStar == expected, "alternatingStar must keep self-loop-only vertices")
   }
 
+  test("minLabelLocalized: same labels, zero pinned storage on return") {
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val viaLocal = ConnectedComponents.minLabelLocalized(edges)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "minLabelLocalized must release the superstep checkpoint before returning")
+    val got = viaLocal.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // the localized frame stays usable after release (self-contained)
+    assert(viaLocal.filter(col("component") === 1L).count() == 3)
+  }
+
   test("storage contract: one persisted RDD per completed run, zero after release") {
     // the round-6 advisory: the edge checkpoint and superseded
     // supersteps must be freed DETERMINISTICALLY (not via driver GC +

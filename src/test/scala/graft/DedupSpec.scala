@@ -43,6 +43,21 @@ class DedupSpec extends SparkSpec {
     assert(j.getAs[Double]("jaccard") == 1.0)
   }
 
+  test("jaccardScoped: zero cached partitions survive a completed run") {
+    // the round-7 advisory: jaccard's internal pair/posting caches
+    // must be releasable deterministically, not ride until session end
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    val sh = Dedup.shingleSet(docs, "doc_id", "text", 3)
+    val bands = Dedup.lshBands(Dedup.minHash(sh, "doc_id", 16), "doc_id", 16, 4)
+    val n = Dedup.jaccardScoped(Dedup.candidatePairs(bands, "doc_id"), sh, "doc_id") {
+      j => j.filter(col("jaccard") >= 0.7).count() // the consumer's action
+    }
+    assert(n >= 1)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "jaccardScoped must unpersist its internal caches on exit")
+  }
+
   test("candidatePairs: degenerate bucket is dropped by the size cap") {
     // 5 identical docs + 1 pair: every band bucket of the identical
     // docs has 5 members; cap 4 drops them, the pair (6,7) survives

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.DistributedRank
+
+/** Two-phase distributed rank: equivalence with the single-task
+  * window on skewed strata, global (no-stratum) ranks, descending
+  * orders, and the plan guarantee that no Window operator — hence no
+  * single-task-per-stratum sort — appears anywhere in the physical
+  * plan. */
+class DistributedRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("per-stratum rank matches the window rank on a skewed stratum") {
+    // 'en' dominates (the real language skew); ranks must still be the
+    // exact per-stratum row_number
+    val rows = (1 to 200).map(i => (i.toLong, if (i % 20 == 0) "ko" else "en")) ++
+      Seq((201L, "de"))
+    val df = rows.toDF("id", "lang")
+      .withColumn("h", conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10).cast("long"))
+    val got = DistributedRank.rank(df, Seq("lang"), Seq(col("h"), col("id")), "rk", numParts = 7)
+      .select("id", "rk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = df.withColumn("rk",
+        row_number().over(Window.partitionBy("lang").orderBy("h", "id")))
+      .select("id", "rk").collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(got == want)
+  }
+
+  test("global rank (no strata) with a descending order matches orderBy position") {
+    val df = Seq(5L, 3L, 9L, 1L, 7L, 9L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val got = DistributedRank.rank(df, Seq.empty, Seq(col("v").desc, col("id")), "rk", numParts = 3)
+      .orderBy("rk").select("id").collect().map(_.getLong(0)).toSeq
+    val want = df.orderBy(col("v").desc, col("id")).select("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+  }
+
+  test("plan contains no Window operator (no single-task stratum sort)") {
+    val df = (1 to 50).map(i => (i.toLong, "en")).toDF("id", "lang")
+    val ranked = DistributedRank.rank(df, Seq("lang"), Seq(col("id")), "rk")
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected Window in plan:\n$plan")
+  }
+
+  test("ranks are dense 1..n within every stratum") {
+    val df = (1 to 97).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "lang")
+    val out = DistributedRank.rank(df, Seq("lang"), Seq(col("id")), "rk", numParts = 5)
+    val perStratum = out.groupBy("lang")
+      .agg(count(lit(1)).as("n"), min("rk").as("lo"), max("rk").as("hi"),
+        countDistinct("rk").as("d"))
+      .collect()
+    perStratum.foreach { r =>
+      assert(r.getAs[Long]("lo") == 1L && r.getAs[Long]("hi") == r.getAs[Long]("n") &&
+        r.getAs[Long]("d") == r.getAs[Long]("n"), r.toString)
+    }
+  }
+}

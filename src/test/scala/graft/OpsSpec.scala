@@ -179,6 +179,25 @@ class OpsSpec extends SparkSpec {
     assert(out.filter(col("k") === 3).head.getAs[String]("is_current") == "Y")
   }
 
+  test("scd2: new keys insert as fresh members; duplicate updates canonicalize") {
+    val cur = Seq((1L, Option(10.0), "2024-01-01", "9999-12-31", "Y"))
+      .toDF("k", "v", "valid_from", "valid_to", "is_current")
+    // key 9 has no current row -> fresh insert; key 1 sent TWICE with
+    // different values -> one closed + ONE fresh (max-by-struct wins),
+    // never two versions from the fan-out
+    val upd = Seq((9L, Option(7.0)), (1L, Option(11.0)), (1L, Option(10.5)))
+      .toDF("k", "v")
+    val out = UpsertMerge.scd2(cur, upd, "k", Seq("v"), "2024-06-01")
+    assert(out.count() == 3)
+    val k9 = out.filter(col("k") === 9).collect()
+    assert(k9.length == 1 && k9(0).getAs[String]("is_current") == "Y" &&
+      k9(0).getAs[String]("valid_from") == "2024-06-01" &&
+      k9(0).getAs[Double]("v") == 7.0)
+    val k1 = out.filter(col("k") === 1).orderBy("valid_from").collect()
+    assert(k1.map(_.getAs[String]("is_current")).toSeq == Seq("N", "Y"))
+    assert(k1(1).getAs[Double]("v") == 11.0) // max tracked-struct row won
+  }
+
   test("Buckets: upper-inclusive edges") {
     val df = Seq(3.0, 10.0, 10.5, 40.0, 41.0).toDF("x")
       .select(Buckets.byUpperEdges(col("x"), Seq(10, 40), Seq("lo", "mid", "hi")).as("b"))

@@ -120,7 +120,7 @@ class SinksStreamingSpec extends SparkSpec {
     val mem = MemoryStream[(Long, String)]
     val docs = mem.toDF().toDF("doc_id", "gram")
     val flagged = docs.crossJoin(evalSketch)
-      .filter(BloomFilter.mightContain(col("bf"), col("gram"), m))
+      .filter(BloomFilter.mightContain(col("bf"), col("gram")))
       .select("doc_id", "gram")
     val q = flagged.writeStream.outputMode("append")
       .format("memory").queryName("bloom_decon").start()
