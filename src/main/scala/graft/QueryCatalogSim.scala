@@ -242,6 +242,38 @@ object QueryCatalogSim {
       |  ('0x' || substr(md5(text), 25, 8))::BIGINT AS f3
       |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- real image decode
+  /** REAL image decode (q142): PNG payloads are ENCODED and DECODED by
+    * the JDK's javax.imageio inside Spark tasks — no stub in the
+    * image path. The fixture generator writes a (8 + id%8) x
+    * (4 + id%4) constant-gray-(id%256) PNG per doc, so width, height
+    * and the exact red-channel sum have closed forms in doc_id that
+    * the DuckDB oracle computes WITHOUT decoding — an independent
+    * check that the encode->decode round trip is lossless. Every
+    * %10==7 doc instead carries its raw text bytes (the truncated
+    * crawl file): those must decode to ok='N' with null dims, not
+    * fail the task. Both stages are batch-shaped mapPartitions. */
+  val q142ImageDecode: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+      .withColumn("corrupt", col("doc_id") % 10 === 7)
+    MultimodalOps.decodeImageMeta(
+      MultimodalOps.synthImagePayload(docs, "doc_id", "text", "corrupt"),
+      "doc_id")
+      .orderBy("doc_id")
+  }
+
+  private val q142Sql =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 10 = 7 THEN NULL
+      |       ELSE CAST(8 + doc_id % 8 AS INT) END AS width,
+      |  CASE WHEN doc_id % 10 = 7 THEN NULL
+      |       ELSE CAST(4 + doc_id % 4 AS INT) END AS height,
+      |  CASE WHEN doc_id % 10 = 7 THEN NULL
+      |       ELSE (8 + doc_id % 8) * (4 + doc_id % 4) * (doc_id % 256)
+      |       END AS red_sum,
+      |  CASE WHEN doc_id % 10 = 7 THEN 'N' ELSE 'Y' END AS ok
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- embedding quantization
   /** int8 embedding quantization (VectorOps.quantizeInt8): per-vector
     * scale, code checksums, and max reconstruction error — the 4x
@@ -595,6 +627,7 @@ object QueryCatalogSim {
     "q77_embed_ivf_ann" -> q77IvfAnn,
     "q51_multimodal_meta" -> q51MultimodalMeta,
     "q52_multimodal_decode" -> q52MultimodalDecode,
+    "q142_image_decode" -> q142ImageDecode,
     "q55_frame_sample" -> q55FrameSample,
     "q59_embed_quantize" -> q59EmbedQuantize,
   )
@@ -611,6 +644,7 @@ object QueryCatalogSim {
     "q77_embed_ivf_ann" -> q77Sql,
     "q51_multimodal_meta" -> q51Sql,
     "q52_multimodal_decode" -> q52Sql,
+    "q142_image_decode" -> q142Sql,
     "q55_frame_sample" -> q55Sql,
     "q59_embed_quantize" -> q59Sql,
   )

@@ -8,16 +8,143 @@ import java.security.MessageDigest
 /** Multimodal column plumbing: opaque binary payloads + typed
   * metadata, with a batch-shaped decode/feature-extract stage.
   *
-  * The real image/audio decode libraries are absent in this
-  * environment, so `fakeDecodeFeatures` is a clearly-marked
-  * deterministic stand-in (md5-derived features). What IS real and
-  * load-bearing for 100 TB: the schema (binary payload + metadata
-  * struct), the mapPartitions batch shape (decoders amortize model /
-  * codec setup per batch, exactly like a Pandas-UDF batch), and the
-  * partition-parallel execution — swap `fakeFeatures` for a JNI/ONNX
-  * call and nothing else changes.
+  * IMAGE decode/resize is REAL: the JDK's `javax.imageio` reads and
+  * writes PNG/JPEG with zero external dependencies
+  * ([[decodeImageMeta]], [[resizeImageNN]], fixture generator
+  * [[synthImagePayload]]). Audio/video decode libraries are absent in
+  * this environment, so `fakeDecodeFeatures` remains a clearly-marked
+  * deterministic stand-in (md5-derived features) for those modalities.
+  * What is load-bearing for 100 TB either way: the schema (binary
+  * payload + metadata struct), the mapPartitions batch shape
+  * (decoders amortize codec/model setup per batch, exactly like a
+  * Pandas-UDF batch), the corrupt-row discipline (a crawl ALWAYS
+  * contains truncated files — a bad payload yields ok='N', never a
+  * task failure), and the partition-parallel execution — swap the
+  * body for a JNI/ONNX call and nothing else changes.
   */
 object MultimodalOps {
+
+  /** REAL PNG fixture generator: encodes a deterministic synthetic
+    * image per row with the JDK's ImageIO (the container ships no
+    * sample media). Image: (8 + id%8) x (4 + id%4) pixels, constant
+    * gray id%256 — dims and channel sums have CLOSED FORMS in id, so
+    * a SQL oracle verifies the full encode->decode round trip without
+    * itself decoding anything. Rows where `corruptCol` is true emit
+    * the raw text bytes instead (a payload no image reader accepts) —
+    * the planted truncated-crawl-file case. */
+  def synthImagePayload(df: DataFrame, idCol: String, textCol: String,
+                        corruptCol: String, batchSize: Int = 32): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("payload", BinaryType)))
+    val input = df.select(col(idCol).cast("long"),
+      col(textCol).cast("string"), col(corruptCol).cast("boolean"))
+    input.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file spills per encode
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0)
+          val bytes =
+            if (r.getBoolean(2)) r.getString(1).getBytes("UTF-8")
+            else {
+              val w = (8 + id % 8).toInt; val h = (4 + id % 4).toInt
+              val c = (id % 256).toInt
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val rgb = (c << 16) | (c << 8) | c
+              var y = 0
+              while (y < h) {
+                var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", bos)
+              bos.toByteArray
+            }
+          Row(id, bytes)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL image decode via `javax.imageio` (PNG/JPEG, zero external
+    * deps): width, height, exact red-channel sum per payload.
+    * Batch-shaped mapPartitions like every decoder here. A payload no
+    * reader accepts — truncated file, wrong mime, raw text — decodes
+    * to (null, null, null, ok='N') instead of failing the task.
+    * Output: (id, width, height, red_sum, ok). */
+  def decodeImageMeta(df: DataFrame, idCol: String, batchSize: Int = 32): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("red_sum", LongType), StructField("ok", StringType)))
+    val input = df.select(col(idCol).cast("long"), col("payload"))
+    input.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null) Row(r.getLong(0), null, null, null, "N")
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            var sum = 0L; var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { sum += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }
+              y += 1
+            }
+            Row(r.getLong(0), w, h, sum, "Y")
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL resize: decode (ImageIO), nearest-neighbor resample to
+    * (outW, outH) — a hand-rolled sampling loop, NOT Graphics2D
+    * interpolation, so the pixels are bit-deterministic across JVMs —
+    * then PNG re-encode. Undecodable payloads pass through as
+    * (null payload, ok='N'). Output: (id, resized, orig_w, orig_h,
+    * ok). */
+  def resizeImageNN(df: DataFrame, idCol: String, outW: Int, outH: Int,
+                    batchSize: Int = 32): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("resized", BinaryType),
+      StructField("orig_w", IntegerType), StructField("orig_h", IntegerType),
+      StructField("ok", StringType)))
+    val input = df.select(col(idCol).cast("long"), col("payload"))
+    input.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null) Row(r.getLong(0), null, null, null, "N")
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            val dst = new java.awt.image.BufferedImage(
+              outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < outH) {
+              var x = 0
+              while (x < outW) {
+                dst.setRGB(x, y, img.getRGB(x * w / outW, y * h / outH)); x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", bos)
+            Row(r.getLong(0), bos.toByteArray, w, h, "Y")
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
 
   /** Wrap a text column as an opaque binary payload with metadata —
     * the shape an image/audio column has in a lakehouse table. */
@@ -57,11 +184,12 @@ object MultimodalOps {
       .withColumn("frame_len", octet_length(col("frame")))
       .drop("n_frames")
 
-  /** STUB resize: byte-stride downsampling of the payload (every
-    * `factor`-th byte) with the SAME batch-shaped plumbing as decode —
-    * swap the body for a real image scaler and the schema, batching
-    * and partition parallelism stay. Output: id, resized payload,
-    * original/resized lengths. */
+  /** STUB resize for the NON-image modalities (audio windowing /
+    * video transcode — codecs absent here): byte-stride downsampling
+    * of the payload (every `factor`-th byte) with the SAME
+    * batch-shaped plumbing as decode. The image case is real — see
+    * [[resizeImageNN]]. Output: id, resized payload, original/resized
+    * lengths. */
   def fakeResize(df: DataFrame, idCol: String, factor: Int,
                  batchSize: Int = 32): DataFrame = {
     val outSchema = StructType(Seq(
@@ -74,7 +202,7 @@ object MultimodalOps {
       rows.grouped(batchSize).flatMap { batch =>
         // per-batch setup would happen here (scaler/codec init)
         batch.map { r =>
-          val p = r.getAs[Array[Byte]]("payload")
+          val p = r.getAs[Array[Byte]](1)
           // ??? real resize goes here; byte-stride is the stand-in
           val out = p.indices.collect { case i if i % factor == 0 => p(i) }.toArray
           Row(r.getLong(0), out, p.length, out.length)
@@ -96,7 +224,7 @@ object MultimodalOps {
       rows.grouped(batchSize).flatMap { batch =>
         // per-batch setup would happen here (codec init, model load)
         batch.map { r =>
-          val f = fakeFeatures(r.getAs[Array[Byte]]("payload"))
+          val f = fakeFeatures(r.getAs[Array[Byte]](1))
           Row(r.getLong(0), f(0), f(1), f(2), f(3))
         }
       }

@@ -52,4 +52,46 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getInt(1)))
     assert(rows.toSeq == Seq((0, 4)))
   }
+
+  private def synth(ids: Long*) = MultimodalOps.synthImagePayload(
+    ids.map(i => (i, s"text $i", false)).toDF("doc_id", "text", "corrupt"),
+    "doc_id", "text", "corrupt")
+
+  test("real PNG encode->decode round trip recovers dims and exact channel sum") {
+    // id 13: 5x5 image (8+13%8=13? no: 8+5=13 wide, 4+1=5 high), gray 13
+    val rows = MultimodalOps.decodeImageMeta(synth(13L, 200L), "doc_id")
+      .orderBy("doc_id").collect()
+    val r13 = rows(0)
+    assert(r13.getAs[Int]("width") == 13 && r13.getAs[Int]("height") == 5)
+    assert(r13.getAs[Long]("red_sum") == 13L * 5 * 13)
+    assert(r13.getAs[String]("ok") == "Y")
+    val r200 = rows(1) // 8+0=8 wide, 4+0=4 high, gray 200
+    assert(r200.getAs[Int]("width") == 8 && r200.getAs[Long]("red_sum") == 8L * 4 * 200)
+  }
+
+  test("corrupt payloads (raw text, truncated PNG) decode to ok='N', never fail") {
+    val good = synth(5L).collect()(0).getAs[Array[Byte]]("payload")
+    val corrupt = Seq(
+      (1L, "just some text".getBytes("UTF-8")),
+      (2L, good.take(10)), // valid PNG magic, truncated body
+      (3L, Array.empty[Byte])).toDF("doc_id", "payload")
+    val rows = MultimodalOps.decodeImageMeta(corrupt, "doc_id")
+      .orderBy("doc_id").collect()
+    assert(rows.forall(_.getAs[String]("ok") == "N"))
+    assert(rows.forall(_.isNullAt(1)))
+  }
+
+  test("resizeImageNN: constant-color image resizes to exact dims and color") {
+    // constant color survives nearest-neighbor exactly: 4x2 gray-77
+    val resized = MultimodalOps.resizeImageNN(synth(77L), "doc_id", outW = 4, outH = 2)
+      .collect()(0)
+    assert(resized.getAs[Int]("orig_w") == 8 + 77 % 8 &&
+      resized.getAs[Int]("orig_h") == 4 + 77 % 4)
+    val again = MultimodalOps.decodeImageMeta(
+      Seq((77L, resized.getAs[Array[Byte]]("resized"))).toDF("doc_id", "payload"),
+      "doc_id").collect()(0)
+    assert(again.getAs[Int]("width") == 4 && again.getAs[Int]("height") == 2)
+    assert(again.getAs[Long]("red_sum") == 4L * 2 * 77)
+    assert(again.getAs[String]("ok") == "Y")
+  }
 }
