@@ -61,7 +61,7 @@ object Bench {
       .map(math.max(1, _)).getOrElse(3)
     def f2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val results = names.map { name =>
+    val repTimes = names.map { name =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try run(sfDir, name) catch { case _: Throwable => () }
@@ -69,15 +69,19 @@ object Bench {
         cleanup()
         dt
       }
-      // Per-rep spread to STDERR (the JSON keeps only the min): a
-      // loaded box shows up as max >> min, making an environmentally
-      // polluted run self-diagnosing — round 6's driver bench recorded
-      // 2-4x phantom regressions that needed a manual re-run to refute.
+      // Per-rep spread to STDERR (stderr keeps the FULL spread for
+      // every query; the stdout JSON carries it only for the slowest —
+      // see below): a loaded box shows up as max >> min, making an
+      // environmentally polluted run self-diagnosing — round 6's
+      // driver bench recorded 2-4x phantom regressions that needed a
+      // manual re-run to refute.
       System.err.println(
         s"[bench] $name reps=${times.map(f2).mkString(",")} " +
           s"min=${f2(times.min)} max=${f2(times.max)}")
-      name -> times.min
+      name -> times
     }
+    val repsByName = repTimes.toMap
+    val results = repTimes.map { case (n, ts) => n -> ts.min }
     // Keep the JSON line SHORT (2-decimal times, basename sf) and print
     // it LAST, after spark.stop(): the driver keeps only the final
     // 2000 chars of process output (measured from BENCH_r01.json) and
@@ -90,21 +94,37 @@ object Bench {
     // adaptive fit: if the full per-query dict would overflow the
     // budget, fold the FASTEST queries into one "_others" entry until
     // it fits — slow queries (the ones worth reading) stay itemized.
-    def render(rs: Seq[(String, Double)], othersSec: Double, nOthers: Int): String = {
+    // "reps" (additive key, round-7 advice): per-rep times for the
+    // SLOWEST repsK queries ride INSIDE the stdout JSON, so a polluted
+    // driver run is adjudicable from the artifact alone — stderr lines
+    // get truncated in the driver's tail capture, the JSON line does
+    // not. Slowest-first because pollution is adjudicated exactly on
+    // the big-ticket queries; repsK shrinks before the itemized mins
+    // do.
+    def render(rs: Seq[(String, Double)], othersSec: Double, nOthers: Int,
+               repsK: Int): String = {
       val extra = if (nOthers > 0)
         Seq(s""""_others_${nOthers}q":${f2(othersSec)}""") else Nil
       val qs = (rs.map { case (k, v) => "\"" + k + "\":" + f2(v) } ++ extra)
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+      val bySlow = rs.sortBy(-_._2)
+      val repsJson = bySlow.take(repsK).map { case (k, _) =>
+        "\"" + k + "\":[" + repsByName(k).map(f2).mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      val repsPart = if (repsK > 0) s""","reps":$repsJson""" else ""
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$repsPart,"sf":"$sfName"}"""
     }
     val bySlowest = results.sortBy(-_._2)
     var keep = bySlowest
-    var line = render(results, 0.0, 0)
-    while (line.length > 1900 && keep.nonEmpty) {
-      keep = bySlowest.take(keep.length - 4)
+    var repsK = math.min(12, results.length)
+    var line = render(results, 0.0, 0, repsK)
+    while (line.length > 1900 && (keep.length > 4 || repsK > 0)) {
+      if (repsK > 6) repsK -= 2
+      else if (keep.length > 4) keep = bySlowest.take(keep.length - 4)
+      else repsK -= 1
       val others = bySlowest.drop(keep.length)
       line = render(results.filter(r => keep.exists(_._1 == r._1)),
-        others.map(_._2).sum, others.length)
+        others.map(_._2).sum, others.length, repsK)
     }
     spark.stop()
     println(line)

@@ -872,8 +872,115 @@ object QueryCatalogDomain3 {
        |WHERE c.ins_schedule_yn IN ('Y', 'T')
        |ORDER BY scenario, farm_no""".stripMargin
 
+  // ---------------------------------------------------------------- API status probe
+  /** The status endpoint (server.py:209-282) batched over every farm
+    * ([[graft.pipeline.StatusProbe.latestComplete]]): latest COMPLETE
+    * week report per farm — WEEK row AND master both COMPLETE, top-1
+    * by (report_year, report_week_no) via one partial-agg max_by —
+    * with the endpoint's not-found branch as exists_yn='N'. Fixture
+    * shape: master 100 has an errored farm (3) so its batch is
+    * ineligible; every COMPLETE probe must resolve to master 101;
+    * farms 3/4/5 have no eligible row. */
+  val q143StatusProbe: Q = (s, d) =>
+    graft.pipeline.StatusProbe.latestComplete(
+        Fixtures.insWeekRunDf(s), Fixtures.insMasterDf(s), Fixtures.farmDf(s))
+      .orderBy("farm_no")
+
+  private lazy val q143Sql =
+    s"""WITH ${Fixtures.withClause("ins_master", "ins_week_run", "farm")},
+       |wk AS (
+       |  SELECT master_seq, farm_no, status_cd,
+       |    CASE WHEN status_cd = 'COMPLETE'
+       |         THEN sha256(CAST(master_seq AS VARCHAR) || '-' || CAST(farm_no AS VARCHAR)
+       |                     || '-' || complete_ts || '-' || salt) END AS share_token,
+       |    CASE WHEN status_cd = 'COMPLETE'
+       |         THEN strftime(CAST(strptime(substr(complete_ts, 1, 8), '%Y%m%d') AS DATE) + 6,
+       |                       '%Y%m%d') END AS token_expire_dt
+       |  FROM ins_week_run),
+       |m AS (
+       |  SELECT master_seq,
+       |    CASE WHEN SUM(CASE WHEN status_cd = 'ERROR' THEN 1 ELSE 0 END) > 0
+       |         THEN 'ERROR' ELSE 'COMPLETE' END AS m_status_cd
+       |  FROM wk GROUP BY 1),
+       |el AS (
+       |  SELECT wk.farm_no, wk.share_token, wk.token_expire_dt,
+       |         im.report_year, im.report_week_no, wk.master_seq
+       |  FROM wk JOIN m USING (master_seq) JOIN ins_master im USING (master_seq)
+       |  WHERE wk.status_cd = 'COMPLETE' AND m.m_status_cd = 'COMPLETE'),
+       |t1 AS (
+       |  SELECT *, row_number() OVER (PARTITION BY farm_no
+       |            ORDER BY report_year DESC, report_week_no DESC, master_seq DESC) AS rn
+       |  FROM el)
+       |SELECT f.farm_no, f.farm_nm,
+       |  CASE WHEN t.farm_no IS NULL THEN 'N' ELSE 'Y' END AS exists_yn,
+       |  t.share_token, t.report_year, t.report_week_no, t.token_expire_dt
+       |FROM farm f LEFT JOIN (SELECT * FROM t1 WHERE rn = 1) t USING (farm_no)
+       |ORDER BY f.farm_no""".stripMargin
+
+  // ---------------------------------------------------------------- run-farm request validation
+  /** The run-farm request-validation surface (server.py:140-206,
+    * [[graft.pipeline.StatusProbe.validateRunRequests]]): day_gb
+    * default + case-normalization + whitelist, WEEK-only
+    * implementation branch, farm existence/USE_YN eligibility,
+    * ins_date default, and the lastWeekWindow period identity on
+    * accepted rows. The request batch covers every branch: clean
+    * accept, MONTH (unimplemented), bogus day_gb, inactive farm,
+    * unknown farm, all-defaults, lowercase day_gb. */
+  val q144RunValidate: Q = (s, d) => {
+    import s.implicits._
+    val requests = Seq(
+      (1, 1, Option("WEEK"), Option("20251112")),
+      (2, 1, Option("MONTH"), Option("20251112")),
+      (3, 1, Option("YEAR"), Option("20251112")),
+      (4, 4, Option("WEEK"), Option("20251112")),
+      (5, 99, Option("WEEK"), Option("20251112")),
+      (6, 2, Option.empty[String], Option.empty[String]),
+      (7, 3, Option("week"), Option("20251229")))
+      .toDF("req_id", "farm_no", "day_gb", "ins_date")
+    graft.pipeline.StatusProbe.validateRunRequests(
+        requests, Fixtures.farmDf(s), defaultInsDate = "20251110")
+      .orderBy("req_id")
+  }
+
+  private lazy val q144Sql =
+    s"""WITH ${Fixtures.withClause("farm")},
+       |req(req_id, farm_no, day_gb, ins_date) AS (VALUES
+       |  (1, 1, 'WEEK', '20251112'), (2, 1, 'MONTH', '20251112'),
+       |  (3, 1, 'YEAR', '20251112'), (4, 4, 'WEEK', '20251112'),
+       |  (5, 99, 'WEEK', '20251112'), (6, 2, NULL, NULL),
+       |  (7, 3, 'week', '20251229')),
+       |r AS (
+       |  SELECT req_id, r0.farm_no, upper(COALESCE(day_gb, 'WEEK')) AS gb,
+       |         COALESCE(ins_date, '20251110') AS ymd, f.use_yn
+       |  FROM req r0 LEFT JOIN farm f ON f.farm_no = r0.farm_no),
+       |w AS (
+       |  SELECT *, strptime(ymd, '%Y%m%d')::DATE AS bd FROM r),
+       |w2 AS (
+       |  SELECT *, bd - CAST(CASE WHEN isodow(bd) = 7 THEN 7
+       |                           ELSE isodow(bd) END AS INT) AS ls
+       |  FROM w),
+       |v AS (
+       |  SELECT *,
+       |    CASE WHEN gb NOT IN ('WEEK', 'MONTH', 'QUARTER') THEN 'error'
+       |         WHEN gb <> 'WEEK' THEN 'error'
+       |         WHEN use_yn IS NULL OR use_yn <> 'Y' THEN 'error'
+       |         ELSE 'success' END AS status,
+       |    CASE WHEN gb NOT IN ('WEEK', 'MONTH', 'QUARTER') THEN 'invalid day_gb'
+       |         WHEN gb <> 'WEEK' THEN 'not implemented'
+       |         WHEN use_yn IS NULL THEN 'unknown farm'
+       |         WHEN use_yn <> 'Y' THEN 'farm not active' END AS reason
+       |  FROM w2)
+       |SELECT req_id, farm_no, gb AS day_gb, status, reason,
+       |  CASE WHEN status = 'success' THEN CAST(isoyear(ls) AS INT) END AS report_year,
+       |  CASE WHEN status = 'success' THEN CAST(weekofyear(ls) AS INT) END AS week_no,
+       |  CASE WHEN status = 'success' THEN strftime(ls - 6, '%Y%m%d') END AS dt_from,
+       |  CASE WHEN status = 'success' THEN strftime(ls, '%Y%m%d') END AS dt_to
+       |FROM v ORDER BY req_id""".stripMargin
+
   // ----------------------------------------------------------------
   val all: Map[String, Q] = Map(
+    "q143_status_probe" -> q143StatusProbe,
+    "q144_run_validate" -> q144RunValidate,
     "q114_batch_targets" -> q114BatchTargets,
     "q115_farm_summary" -> q115FarmSummary,
     "q117_week_records" -> q117WeekRecords,
@@ -892,6 +999,8 @@ object QueryCatalogDomain3 {
   )
 
   lazy val oracle: Map[String, String] = Map(
+    "q143_status_probe" -> q143Sql,
+    "q144_run_validate" -> q144Sql,
     "q114_batch_targets" -> q114Sql,
     "q115_farm_summary" -> q115Sql,
     "q117_week_records" -> q117Sql,
