@@ -72,6 +72,13 @@ object Explain {
     "q120_farm_sub" -> ("The same ten-section union under a top-level farm filter: " +
       "Catalyst pushes the predicate through union/window/aggregate/join into " +
       "every leaf — the single-farm run, declared, not hand-threaded."),
+    "q139_stratified_split" -> ("DistributedRank: NO Window operator anywhere — the " +
+      "per-stratum rank is a range shuffle + two ScanExistingRDD jobs sharing one " +
+      "lineage (counts, then offset+counter). The skewed English stratum never " +
+      "funnels through one task's sorter."),
+    "q135_pagerank" -> ("Int64-exact Jacobi iterations (one join + partial-agg " +
+      "exchange per round); the final global rank is DistributedRank, not a " +
+      "no-partition window — no single-partition sort above the host frame."),
   )
 
   def main(args: Array[String]): Unit = {
