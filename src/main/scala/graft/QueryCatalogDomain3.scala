@@ -977,10 +977,172 @@ object QueryCatalogDomain3 {
        |  CASE WHEN status = 'success' THEN strftime(ls, '%Y%m%d') END AS dt_to
        |FROM v ORDER BY req_id""".stripMargin
 
+  // ---------------------------------------------------------------- re-init delete policies
+  /** The --init-week/--init-all delete policies
+    * ([[graft.pipeline.ReInit]], run_etl.py:56-60 +
+    * orchestrator.py:758-884): every branch as one scenario —
+    * production guard and test-without-flags guard delete NOTHING;
+    * a week with no matching master deletes nothing; the
+    * farm-restricted week init keeps masters that still have week
+    * rows; the unrestricted week init cascades masters away; init-all
+    * dooms every master. Orphan week_sub/job_log rows under an
+    * unknown master prove the deletes are keyed, not truncations.
+    * Output: per-scenario per-table deleted/retained counts. */
+  val q145ReInit: Q = (s, d) => {
+    import s.implicits._
+    import graft.pipeline.ReInit
+    val weekSub = Seq((100, 1, "CONFIG"), (100, 2, "ALERT"), (100, 3, "GB"),
+      (101, 1, "CONFIG"), (999, 9, "ORPHAN")).toDF("master_seq", "farm_no", "gubun")
+    val jobLog = Seq((100, 1, "collect"), (100, 3, "report"),
+      (101, 2, "collect"), (999, 9, "orphan")).toDF("master_seq", "farm_no", "job_nm")
+    val orig = ReInit.Frames(Fixtures.insMasterDf(s), Fixtures.insWeekRunDf(s),
+      weekSub, jobLog)
+    def rep(scn: String, ret: ReInit.Frames): DataFrame = {
+      def one(t: String, o: DataFrame, r: DataFrame) =
+        o.agg(count(lit(1)).as("n_orig"))
+          .crossJoin(r.agg(count(lit(1)).as("n_retained")))
+          .select(lit(scn).as("scenario"), lit(t).as("table_nm"),
+            (col("n_orig") - col("n_retained")).as("n_deleted"),
+            col("n_retained"))
+      one("master", orig.master, ret.master)
+        .unionByName(one("week", orig.week, ret.week))
+        .unionByName(one("week_sub", orig.weekSub, ret.weekSub))
+        .unionByName(one("job_log", orig.jobLog, ret.jobLog))
+    }
+    rep("noop_prod",
+        ReInit.reInit(orig, 2025, 45, None, testMode = false, initAll = false, initWeek = true))
+      .unionByName(rep("noop_testonly",
+        ReInit.reInit(orig, 2025, 45, None, testMode = true, initAll = false, initWeek = false)))
+      .unionByName(rep("week_other",
+        ReInit.reInit(orig, 2024, 1, None, testMode = true, initAll = false, initWeek = true)))
+      .unionByName(rep("week_farms",
+        ReInit.reInit(orig, 2025, 45, Some(Seq(1, 3)), testMode = true, initAll = false, initWeek = true)))
+      .unionByName(rep("week_all",
+        ReInit.reInit(orig, 2025, 45, None, testMode = true, initAll = false, initWeek = true)))
+      .unionByName(rep("init_all",
+        ReInit.reInit(orig, 2025, 45, None, testMode = true, initAll = true, initWeek = false)))
+      .orderBy("scenario", "table_nm")
+  }
+
+  private lazy val q145Sql =
+    s"""WITH ${Fixtures.withClause("ins_master", "ins_week_run")},
+       |week_sub(master_seq, farm_no, gubun) AS (VALUES
+       |  (100, 1, 'CONFIG'), (100, 2, 'ALERT'), (100, 3, 'GB'),
+       |  (101, 1, 'CONFIG'), (999, 9, 'ORPHAN')),
+       |job_log(master_seq, farm_no, job_nm) AS (VALUES
+       |  (100, 1, 'collect'), (100, 3, 'report'), (101, 2, 'collect'),
+       |  (999, 9, 'orphan')),
+       |doomed AS (SELECT DISTINCT master_seq FROM ins_master
+       |           WHERE report_year = 2025 AND report_week_no = 45),
+       |wf_week AS (SELECT * FROM ins_week_run w
+       |  WHERE NOT (w.master_seq IN (SELECT master_seq FROM doomed)
+       |             AND w.farm_no IN (1, 3))),
+       |wf_sub AS (SELECT * FROM week_sub t
+       |  WHERE NOT (t.master_seq IN (SELECT master_seq FROM doomed)
+       |             AND t.farm_no IN (1, 3))),
+       |wf_log AS (SELECT * FROM job_log t
+       |  WHERE NOT (t.master_seq IN (SELECT master_seq FROM doomed)
+       |             AND t.farm_no IN (1, 3))),
+       |wf_master AS (SELECT * FROM ins_master m
+       |  WHERE m.master_seq NOT IN (SELECT master_seq FROM doomed)
+       |     OR m.master_seq IN (SELECT DISTINCT master_seq FROM wf_week)),
+       |wa_week AS (SELECT * FROM ins_week_run
+       |  WHERE master_seq NOT IN (SELECT master_seq FROM doomed)),
+       |wa_sub AS (SELECT * FROM week_sub
+       |  WHERE master_seq NOT IN (SELECT master_seq FROM doomed)),
+       |wa_log AS (SELECT * FROM job_log
+       |  WHERE master_seq NOT IN (SELECT master_seq FROM doomed)),
+       |wa_master AS (SELECT * FROM ins_master m
+       |  WHERE m.master_seq NOT IN (SELECT master_seq FROM doomed)
+       |     OR m.master_seq IN (SELECT DISTINCT master_seq FROM wa_week)),
+       |doomed_all AS (SELECT DISTINCT master_seq FROM ins_master),
+       |ia_week AS (SELECT * FROM ins_week_run
+       |  WHERE master_seq NOT IN (SELECT master_seq FROM doomed_all)),
+       |ia_sub AS (SELECT * FROM week_sub
+       |  WHERE master_seq NOT IN (SELECT master_seq FROM doomed_all)),
+       |ia_log AS (SELECT * FROM job_log
+       |  WHERE master_seq NOT IN (SELECT master_seq FROM doomed_all)),
+       |ia_master AS (SELECT * FROM ins_master m
+       |  WHERE m.master_seq NOT IN (SELECT master_seq FROM doomed_all)
+       |     OR m.master_seq IN (SELECT DISTINCT master_seq FROM ia_week)),
+       |doomed_wo AS (SELECT DISTINCT master_seq FROM ins_master
+       |              WHERE report_year = 2024 AND report_week_no = 1),
+       |wo_week AS (SELECT * FROM ins_week_run
+       |  WHERE master_seq NOT IN (SELECT master_seq FROM doomed_wo)),
+       |wo_sub AS (SELECT * FROM week_sub
+       |  WHERE master_seq NOT IN (SELECT master_seq FROM doomed_wo)),
+       |wo_log AS (SELECT * FROM job_log
+       |  WHERE master_seq NOT IN (SELECT master_seq FROM doomed_wo)),
+       |wo_master AS (SELECT * FROM ins_master m
+       |  WHERE m.master_seq NOT IN (SELECT master_seq FROM doomed_wo)
+       |     OR m.master_seq IN (SELECT DISTINCT master_seq FROM wo_week)),
+       |counts(scenario, table_nm, n_deleted, n_retained) AS (
+       |  SELECT 'noop_prod', 'master', CAST(0 AS BIGINT),
+       |         (SELECT COUNT(*) FROM ins_master)
+       |  UNION ALL SELECT 'noop_prod', 'week', 0, (SELECT COUNT(*) FROM ins_week_run)
+       |  UNION ALL SELECT 'noop_prod', 'week_sub', 0, (SELECT COUNT(*) FROM week_sub)
+       |  UNION ALL SELECT 'noop_prod', 'job_log', 0, (SELECT COUNT(*) FROM job_log)
+       |  UNION ALL SELECT 'noop_testonly', 'master', 0, (SELECT COUNT(*) FROM ins_master)
+       |  UNION ALL SELECT 'noop_testonly', 'week', 0, (SELECT COUNT(*) FROM ins_week_run)
+       |  UNION ALL SELECT 'noop_testonly', 'week_sub', 0, (SELECT COUNT(*) FROM week_sub)
+       |  UNION ALL SELECT 'noop_testonly', 'job_log', 0, (SELECT COUNT(*) FROM job_log)
+       |  UNION ALL SELECT 'week_other', 'master',
+       |    (SELECT COUNT(*) FROM ins_master) - (SELECT COUNT(*) FROM wo_master),
+       |    (SELECT COUNT(*) FROM wo_master)
+       |  UNION ALL SELECT 'week_other', 'week',
+       |    (SELECT COUNT(*) FROM ins_week_run) - (SELECT COUNT(*) FROM wo_week),
+       |    (SELECT COUNT(*) FROM wo_week)
+       |  UNION ALL SELECT 'week_other', 'week_sub',
+       |    (SELECT COUNT(*) FROM week_sub) - (SELECT COUNT(*) FROM wo_sub),
+       |    (SELECT COUNT(*) FROM wo_sub)
+       |  UNION ALL SELECT 'week_other', 'job_log',
+       |    (SELECT COUNT(*) FROM job_log) - (SELECT COUNT(*) FROM wo_log),
+       |    (SELECT COUNT(*) FROM wo_log)
+       |  UNION ALL SELECT 'week_farms', 'master',
+       |    (SELECT COUNT(*) FROM ins_master) - (SELECT COUNT(*) FROM wf_master),
+       |    (SELECT COUNT(*) FROM wf_master)
+       |  UNION ALL SELECT 'week_farms', 'week',
+       |    (SELECT COUNT(*) FROM ins_week_run) - (SELECT COUNT(*) FROM wf_week),
+       |    (SELECT COUNT(*) FROM wf_week)
+       |  UNION ALL SELECT 'week_farms', 'week_sub',
+       |    (SELECT COUNT(*) FROM week_sub) - (SELECT COUNT(*) FROM wf_sub),
+       |    (SELECT COUNT(*) FROM wf_sub)
+       |  UNION ALL SELECT 'week_farms', 'job_log',
+       |    (SELECT COUNT(*) FROM job_log) - (SELECT COUNT(*) FROM wf_log),
+       |    (SELECT COUNT(*) FROM wf_log)
+       |  UNION ALL SELECT 'week_all', 'master',
+       |    (SELECT COUNT(*) FROM ins_master) - (SELECT COUNT(*) FROM wa_master),
+       |    (SELECT COUNT(*) FROM wa_master)
+       |  UNION ALL SELECT 'week_all', 'week',
+       |    (SELECT COUNT(*) FROM ins_week_run) - (SELECT COUNT(*) FROM wa_week),
+       |    (SELECT COUNT(*) FROM wa_week)
+       |  UNION ALL SELECT 'week_all', 'week_sub',
+       |    (SELECT COUNT(*) FROM week_sub) - (SELECT COUNT(*) FROM wa_sub),
+       |    (SELECT COUNT(*) FROM wa_sub)
+       |  UNION ALL SELECT 'week_all', 'job_log',
+       |    (SELECT COUNT(*) FROM job_log) - (SELECT COUNT(*) FROM wa_log),
+       |    (SELECT COUNT(*) FROM wa_log)
+       |  UNION ALL SELECT 'init_all', 'master',
+       |    (SELECT COUNT(*) FROM ins_master) - (SELECT COUNT(*) FROM ia_master),
+       |    (SELECT COUNT(*) FROM ia_master)
+       |  UNION ALL SELECT 'init_all', 'week',
+       |    (SELECT COUNT(*) FROM ins_week_run) - (SELECT COUNT(*) FROM ia_week),
+       |    (SELECT COUNT(*) FROM ia_week)
+       |  UNION ALL SELECT 'init_all', 'week_sub',
+       |    (SELECT COUNT(*) FROM week_sub) - (SELECT COUNT(*) FROM ia_sub),
+       |    (SELECT COUNT(*) FROM ia_sub)
+       |  UNION ALL SELECT 'init_all', 'job_log',
+       |    (SELECT COUNT(*) FROM job_log) - (SELECT COUNT(*) FROM ia_log),
+       |    (SELECT COUNT(*) FROM ia_log))
+       |SELECT scenario, table_nm, CAST(n_deleted AS BIGINT) AS n_deleted,
+       |       CAST(n_retained AS BIGINT) AS n_retained
+       |FROM counts ORDER BY scenario, table_nm""".stripMargin
+
   // ----------------------------------------------------------------
   val all: Map[String, Q] = Map(
     "q143_status_probe" -> q143StatusProbe,
     "q144_run_validate" -> q144RunValidate,
+    "q145_reinit_policies" -> q145ReInit,
     "q114_batch_targets" -> q114BatchTargets,
     "q115_farm_summary" -> q115FarmSummary,
     "q117_week_records" -> q117WeekRecords,
@@ -1001,6 +1163,7 @@ object QueryCatalogDomain3 {
   lazy val oracle: Map[String, String] = Map(
     "q143_status_probe" -> q143Sql,
     "q144_run_validate" -> q144Sql,
+    "q145_reinit_policies" -> q145Sql,
     "q114_batch_targets" -> q114Sql,
     "q115_farm_summary" -> q115Sql,
     "q117_week_records" -> q117Sql,

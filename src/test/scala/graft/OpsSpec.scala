@@ -179,6 +179,34 @@ class OpsSpec extends SparkSpec {
     assert(out.filter(col("k") === 3).head.getAs[String]("is_current") == "Y")
   }
 
+  test("ReInit: guards protect data; master cascades only when week rows are gone") {
+    import graft.pipeline.ReInit
+    val master = Seq((100, 2025, 45), (101, 2025, 45), (200, 2025, 46))
+      .toDF("master_seq", "report_year", "report_week_no")
+    val week = Seq((100, 1), (100, 2), (101, 1), (200, 5))
+      .toDF("master_seq", "farm_no")
+    val sub = Seq((100, 1), (200, 5)).toDF("master_seq", "farm_no")
+    val log = Seq((100, 2), (999, 9)).toDF("master_seq", "farm_no")
+    val orig = ReInit.Frames(master, week, sub, log)
+    // production guard: nothing deleted even with the flag set
+    val prod = ReInit.reInit(orig, 2025, 45, None, testMode = false,
+      initAll = false, initWeek = true)
+    assert(prod.master.count() == 3 && prod.week.count() == 4)
+    // farm-restricted week init: master 100 loses farm 1 but keeps
+    // farm 2 -> master stays; master 101 loses its only farm -> gone
+    val wf = ReInit.reInit(orig, 2025, 45, Some(Seq(1)), testMode = true,
+      initAll = false, initWeek = true)
+    assert(wf.master.select("master_seq").collect().map(_.getInt(0)).toSet ==
+      Set(100, 200))
+    assert(wf.week.count() == 2 && wf.jobLog.count() == 2) // log rows untouched (farm 2, 9)
+    // unrestricted week init: both 2025/45 masters cascade away, the
+    // other week's master and the orphan log row survive
+    val wa = ReInit.reInit(orig, 2025, 45, None, testMode = true,
+      initAll = false, initWeek = true)
+    assert(wa.master.select("master_seq").collect().map(_.getInt(0)).toSeq == Seq(200))
+    assert(wa.week.count() == 1 && wa.weekSub.count() == 1 && wa.jobLog.count() == 1)
+  }
+
   test("scd2: new keys insert as fresh members; duplicate updates canonicalize") {
     val cur = Seq((1L, Option(10.0), "2024-01-01", "9999-12-31", "Y"))
       .toDF("k", "v", "valid_from", "valid_to", "is_current")
