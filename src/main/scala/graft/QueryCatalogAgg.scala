@@ -838,6 +838,58 @@ object QueryCatalogAgg {
       |  ON d.day >= s.win_end - 6 AND d.day <= s.win_end
       |GROUP BY 1 ORDER BY s.win_end""".stripMargin
 
+  // ---------------------------------------------------------------- rolling actives via sketches
+  /** q137's 100 TB path: rolling 7-day actives from MERGEABLE daily
+    * HLL sketches (functions.HllSketch / HllMerge). The exact form
+    * fans the whole distinct activity RELATION out 7x; this builds
+    * ONE 64-byte sketch per day (raw events never deduped — HLL is
+    * duplicate-blind) and fans out 7 sketch ROWS per window end, then
+    * merges registers. At warehouse scale the daily sketch table is
+    * what you persist; any window/rollup is a register merge, never a
+    * re-scan. Same md5-60bit register contract as q54, so the oracle
+    * replays every register of every merged window bit-for-bit. */
+  val q146RollingActivesHll: Q = (s, d) => {
+    import graft.functions.HyperLogLog
+    val ev = Tables.events(s, d)
+      .select(col("user_id").cast("string").as("u"), to_date(col("ts")).as("day"))
+    val daily = ev.groupBy("day").agg(HyperLogLog.hllSketch(col("u")).as("sk"))
+    val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = bounds.filter(col("d1") >= date_add(col("d0"), 6))
+      .select(explode(expr(
+        "sequence(date_add(d0, 6), d1, interval 1 day)")).as("win_end"))
+    daily.join(spine,
+        col("day") >= date_sub(col("win_end"), 6) && col("day") <= col("win_end"))
+      .groupBy("win_end")
+      .agg(HyperLogLog.hllMergeEstimate(col("sk")).as("wau_hll"))
+      .orderBy("win_end")
+  }
+
+  private val q146Sql = {
+    val rankCase = (53 to 0 by -1)
+      .map(k => s"WHEN r >= ${1L << k} THEN ${54 - k}")
+      .mkString("CASE WHEN r = 0 THEN 55 ", " ", " END")
+    s"""WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS u, CAST(ts AS DATE) AS day
+       |            FROM events),
+       |h AS (SELECT DISTINCT day, ('0x' || substr(md5(u), 1, 15))::BIGINT AS h FROM ev),
+       |br AS (SELECT day, h % 64 AS b, h // 64 AS r FROM h),
+       |rk AS (SELECT day, b, MAX($rankCase) AS m FROM br GROUP BY 1, 2),
+       |bnd AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+       |spine AS (SELECT CAST(unnest(generate_series(d0 + 6, d1, INTERVAL 1 DAY)) AS DATE)
+       |            AS win_end
+       |          FROM bnd),
+       |wr AS (SELECT s.win_end, rk.b, MAX(rk.m) AS m
+       |       FROM spine s JOIN rk ON rk.day >= s.win_end - 6 AND rk.day <= s.win_end
+       |       GROUP BY 1, 2),
+       |regs AS (SELECT s.win_end, g.b, COALESCE(wr.m, 0) AS m
+       |         FROM spine s CROSS JOIN (SELECT unnest(range(64)) AS b) g
+       |         LEFT JOIN wr ON wr.win_end = s.win_end AND wr.b = g.b),
+       |sm AS (SELECT win_end, SUM(CAST(pow(2, 55 - m) AS BIGINT)) AS si FROM regs GROUP BY 1)
+       |SELECT win_end,
+       |       ((0.709::DOUBLE * 4096::DOUBLE) * 36028797018963968::DOUBLE) / (si::DOUBLE)
+       |         AS wau_hll
+       |FROM sm ORDER BY win_end""".stripMargin
+  }
+
   // ---------------------------------------------------------------- join-key skew report
   /** Join-key skew report — the diagnostic that decides salting /
     * AQE-skew-join configuration before a big join ships: for each
@@ -970,6 +1022,7 @@ object QueryCatalogAgg {
     "q134_cohort_retention" -> q134CohortRetention,
     "q136_time_weighted_avg" -> q136TimeWeightedAvg,
     "q137_rolling_actives" -> q137RollingActives,
+    "q146_rolling_actives_hll" -> q146RollingActivesHll,
     "q13_pivot_years" -> q13Pivot,
     "q14_histogram_share" -> q14Hist,
     "q15_weighted_avg" -> q15WeightedAvg,
@@ -1002,6 +1055,7 @@ object QueryCatalogAgg {
     "q134_cohort_retention" -> q134Sql,
     "q136_time_weighted_avg" -> q136Sql,
     "q137_rolling_actives" -> q137Sql,
+    "q146_rolling_actives_hll" -> q146Sql,
     "q13_pivot_years" -> q13Sql,
     "q14_histogram_share" -> q14Sql,
     "q15_weighted_avg" -> q15Sql,

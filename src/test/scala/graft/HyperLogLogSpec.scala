@@ -50,6 +50,29 @@ class HyperLogLogSpec extends SparkSpec {
     }
   }
 
+  test("sketch/merge: union of sketches == sketch of union, bit-for-bit") {
+    val a = (1 to 400).map(i => s"u$i")
+    val b = (200 to 600).map(i => s"u$i") // overlapping
+    val skA = a.toDF("u").agg(HyperLogLog.hllSketch(col("u"))).head.getAs[Array[Byte]](0)
+    val skB = b.toDF("u").agg(HyperLogLog.hllSketch(col("u"))).head.getAs[Array[Byte]](0)
+    val skU = (a ++ b).toDF("u").agg(HyperLogLog.hllSketch(col("u"))).head.getAs[Array[Byte]](0)
+    // element-wise max of the two stored sketches equals the sketch
+    // built over the union stream — the mergeable-sketch contract
+    assert(skA.zip(skB).map { case (x, y) => math.max(x, y).toByte }.toSeq == skU.toSeq)
+    // and the merge AGGREGATE over stored sketches equals the direct
+    // estimate over the union
+    val merged = Seq(skA, skB).toDF("sk")
+      .agg(HyperLogLog.hllMergeEstimate(col("sk"))).head.getDouble(0)
+    val direct = (a ++ b).toDF("u").agg(HyperLogLog.hll(col("u"))).head.getDouble(0)
+    assert(merged == direct, s"merge=$merged direct=$direct")
+    // duplicate-blind: re-feeding a sketch never changes it
+    val twice = Seq(skA, skA, skA).toDF("sk")
+      .agg(HyperLogLog.hllMergeEstimate(col("sk"))).head.getDouble(0)
+    val once = Seq(skA).toDF("sk")
+      .agg(HyperLogLog.hllMergeEstimate(col("sk"))).head.getDouble(0)
+    assert(twice == once)
+  }
+
   test("hash60 equals the corpus md5-60bit convention") {
     // replay ('0x' || substr(md5('abc'), 1, 15))::BIGINT
     val hex = java.security.MessageDigest.getInstance("MD5")
