@@ -14,6 +14,27 @@ class PlanQualitySpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  test("q139/q130/q135 plans contain no Window operator (the round-7 weaks)") {
+    // the per-stratum / per-cell / global ranks are DistributedRank
+    // (range shuffle + offset jobs) — a Window here would mean a
+    // corpus-sized stratum funnels through ONE task's sorter again
+    val sf = "/root/testdata/sf0.001"
+    Seq(
+      "q139" -> QueryCatalogCuration.all("q139_stratified_split")(spark, sf),
+      "q130" -> QueryCatalogSim.all("q130_cluster_sample")(spark, sf),
+      "q135" -> QueryCatalogCuration.all("q135_pagerank")(spark, sf)
+    ).foreach { case (n, df) =>
+      val p = plan(df)
+      // q130's kmeansCells seeds use k-row windows (bounded by limit k,
+      // never data-sized); assert no window PARTITIONED or ORDERED by
+      // the rank columns that used to be the weak spot
+      val bad = p.linesIterator.filter(_.contains("Window")).filter(l =>
+        l.contains("lang") || l.contains("__rk#") || l.contains("pr_scaled") ||
+          l.contains("rk#"))
+      assert(bad.isEmpty, s"$n still ranks via a Window:\n${bad.mkString("\n")}")
+    }
+  }
+
   test("dimension joins in q06 resolve to broadcast hash joins") {
     val p = plan(QueryCatalog.q06JoinChain(spark, "/root/testdata/sf0.001"))
     assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
