@@ -526,6 +526,55 @@ object QueryCatalogText {
       |       CAST(n_cms - n_exact AS BIGINT) AS overcount
       |FROM est ORDER BY n_exact DESC, token""".stripMargin
 
+  // ---------------------------------------------------------------- cms sketch rollup
+  /** The mergeable-sketch rollup for heavy hitters (q90's persistence
+    * story, [[graft.functions.CmsMerge]]): one CMS per language is
+    * what a partitioned corpus would PERSIST; the global sketch is
+    * their element-wise counter SUM — exactly the sketch of the union
+    * (integer sums commute), so the merged estimates must equal q90's
+    * direct-sketch estimates bit-for-bit. The shuffle carries one 8 KB
+    * sketch row per language; the rollup never re-scans the token
+    * stream. Output adds n_sketches (how many per-lang sketches
+    * merged). */
+  val q147CmsMergeRollup: Q = (s, d) => {
+    val words = Tables.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), "\\s+")).as("w"))
+    val perLang = words.groupBy("lang")
+      .agg(graft.functions.CountMin.cms(col("w")).as("cms"))
+    val merged = perLang.agg(
+      graft.functions.CountMin.cmsMerge(col("cms")).as("cms"),
+      count(lit(1)).as("n_sketches"))
+    val top = words.groupBy("w").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("w")).limit(10)
+    top.crossJoin(broadcast(merged))
+      .select(col("w").as("token"), col("n_exact"),
+        graft.functions.CountMin.estimate(col("cms"), col("w")).as("n_cms"),
+        col("n_sketches"))
+      .orderBy(col("n_exact").desc, col("token"))
+  }
+
+  private val q147Sql =
+    """WITH w AS (SELECT lang, unnest(string_split_regex(text, '\s+')) AS w
+      |           FROM documents),
+      |h AS (SELECT w, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM w),
+      |c AS (SELECT i.i AS i,
+      |             (h // CAST(pow(256, i.i) AS BIGINT)) % 256 AS b,
+      |             COUNT(*) AS cnt
+      |      FROM h, (SELECT unnest(range(4)) AS i) i GROUP BY 1, 2),
+      |nl AS (SELECT COUNT(DISTINCT lang) AS n_sketches FROM w),
+      |ex AS (SELECT w, COUNT(*) AS n_exact FROM w GROUP BY 1
+      |       ORDER BY n_exact DESC, w LIMIT 10),
+      |p AS (SELECT w, n_exact,
+      |             ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM ex),
+      |est AS (SELECT p.w, p.n_exact, MIN(c.cnt) AS n_cms
+      |        FROM p, (SELECT unnest(range(4)) AS i) i
+      |        JOIN c ON c.i = i.i
+      |              AND c.b = (p.h // CAST(pow(256, i.i) AS BIGINT)) % 256
+      |        GROUP BY 1, 2)
+      |SELECT w AS token, n_exact, CAST(n_cms AS BIGINT) AS n_cms,
+      |       (SELECT n_sketches FROM nl) AS n_sketches
+      |FROM est ORDER BY n_exact DESC, token""".stripMargin
+
   // ---------------------------------------------------------------- corpus curation funnel
   /** The assembled curation pipeline (pipeline.CorpusCurationJob) on
     * a re-crawl-simulated corpus (first 50 docs duplicated under new
@@ -1031,6 +1080,7 @@ object QueryCatalogText {
     "q96_repetition_quality" -> q96Repetition,
     "q54_hll_distinct" -> q54Hll,
     "q90_cms_heavyhitters" -> q90CmsHeavyHitters,
+    "q147_cms_merge_rollup" -> q147CmsMergeRollup,
     "q91_curation_funnel" -> q91CurationFunnel,
     "q47_text_tokens" -> q47Tokens,
     "q48_text_quality" -> q48Quality,
@@ -1053,6 +1103,7 @@ object QueryCatalogText {
     "q96_repetition_quality" -> q96Sql,
     "q54_hll_distinct" -> q54Sql,
     "q90_cms_heavyhitters" -> q90Sql,
+    "q147_cms_merge_rollup" -> q147Sql,
     "q91_curation_funnel" -> q91Sql,
     "q47_text_tokens" -> q47Sql,
     "q48_text_quality" -> q48Sql,

@@ -76,6 +76,65 @@ case class CountMin(
     copy(child = newChild)
 }
 
+/** Merge aggregate over STORED CMS sketches — element-wise counter
+  * SUM across input sketch rows (CMS's lossless union, the additive
+  * twin of [[HllMerge]]'s register max). Completes the mergeable-
+  * sketch architecture for heavy hitters: persist one sketch per
+  * (partition dimension — day, lang, source), answer any rollup's
+  * point estimates by summing counters, never re-scanning the token
+  * stream. Merging per-partition sketches is EXACTLY the sketch of
+  * the union (integer sums commute), spec- and oracle-verified. */
+case class CmsMerge(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  import CountMin._
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_cms_merge"
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](D * W)
+
+  override def update(c: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray()
+      var i = 0
+      while (i < D * W && i < arr.length) { c(i) += arr(i); i += 1 }
+    }
+    c
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < D * W) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(c: Array[Long]): Any = new GenericArrayData(c)
+
+  override def serialize(c: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(c.length * 8)
+    bb.asLongBuffer().put(c)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsMerge =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsMerge =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CmsMerge =
+    copy(child = newChild)
+}
+
 object CountMin {
   import org.apache.spark.sql.GraftExpressionBridge._
   import org.apache.spark.sql.functions._
@@ -86,6 +145,10 @@ object CountMin {
 
   def cms(c: Column): Column =
     toColumn(CountMin(toExpression(c)).toAggregateExpression())
+
+  /** Column form: union of stored sketch arrays (counter sums). */
+  def cmsMerge(c: Column): Column =
+    toColumn(CmsMerge(toExpression(c)).toAggregateExpression())
 
   /** Point estimate of `token`'s count from a sketch array column:
     * min over rows of counters[i*W + bucket_i(token)], with bucket_i

@@ -73,6 +73,20 @@ class HyperLogLogSpec extends SparkSpec {
     assert(twice == once)
   }
 
+  test("CMS merge: sum of per-partition sketches == sketch of union, exactly") {
+    import graft.functions.CountMin
+    val a = (1 to 200).flatMap(i => Seq.fill(i % 5 + 1)(s"t$i"))
+    val b = (100 to 300).map(i => s"t$i")
+    val skA = a.toDF("w").agg(CountMin.cms(col("w"))).head.getSeq[Long](0)
+    val skB = b.toDF("w").agg(CountMin.cms(col("w"))).head.getSeq[Long](0)
+    val skU = (a ++ b).toDF("w").agg(CountMin.cms(col("w"))).head.getSeq[Long](0)
+    assert(skA.zip(skB).map(p => p._1 + p._2) == skU,
+      "counter sums must commute with the union")
+    val merged = Seq(skA.toArray, skB.toArray).toDF("sk")
+      .agg(CountMin.cmsMerge(col("sk"))).head.getSeq[Long](0)
+    assert(merged == skU, "CmsMerge aggregate must equal the direct sketch")
+  }
+
   test("hash60 equals the corpus md5-60bit convention") {
     // replay ('0x' || substr(md5('abc'), 1, 15))::BIGINT
     val hex = java.security.MessageDigest.getInstance("MD5")
