@@ -29,7 +29,10 @@ object Ranking {
   /** T2: order rows by `ord`, assign 1-based sort index, and fold each
     * consecutive `width` rows into one wide row with columns
     * <valueCol>_1.._<width> keyed by chunk_no (reference culling.py:
-    * 258-309 packs 15 reason strings per SUB row). */
+    * 258-309 packs 15 reason strings per SUB row). The global window
+    * is BOUNDED BY USAGE: inputs are one farm-report section's rows
+    * (tens, per culling.py's per-farm loop), never a corpus relation —
+    * a corpus-sized global rank belongs to [[DistributedRank]]. */
   def chunkWide(df: DataFrame, ord: Seq[Column], valueCol: String,
                 width: Int): DataFrame = {
     val w = Window.orderBy(ord: _*)

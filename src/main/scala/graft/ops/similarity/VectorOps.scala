@@ -169,6 +169,8 @@ object VectorOps {
       .cast("long")
     val seeds = df.select(col(idCol), col("embedding"), seedRank.as("__h"))
       .orderBy(col("__h"), col(idCol)).limit(k)
+    // bounded global window: `seeds` is post-limit(k) — k rows total,
+    // never data-sized (the corpus-sized ranks all use DistributedRank)
     val cents0 = seeds
       .withColumn("cell", row_number().over(Window.orderBy(col("__h"), col(idCol))) - 1)
       .select(col("cell"), transform(col("embedding"), _.cast("double")).as("cv"))
@@ -224,6 +226,7 @@ object VectorOps {
       .cast("long")
     val seeds = df.select(col(idCol), seedRank.as("__h"))
       .orderBy(col("__h"), col(idCol)).limit(ksub)
+      // bounded global window over the post-limit(ksub) seed rows only
       .withColumn("cell", row_number().over(Window.orderBy(col("__h"), col(idCol))) - 1)
       .select(col(idCol), col("cell"))
     val cents0 = sub.join(seeds, idCol).select(col("mi"), col("cell"), col("sv").as("cv"))
