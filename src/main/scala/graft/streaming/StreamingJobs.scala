@@ -44,6 +44,24 @@ object StreamingJobs {
       .toDF("user_id", "n_batch", "n_total")
   }
 
+  /** Windowed distinct actives via the HLL sketch aggregate (q146's
+    * stream face): watermarked tumbling windows, per-window
+    * `graft_hll` — the state store carries ONE 64-byte register
+    * buffer per open window instead of a distinct user-id set.
+    * `countDistinct` is unbounded state and Spark rejects it in
+    * streaming for exactly that reason; the sketch is the shape that
+    * survives a 100 TB/day stream, and its estimates match the batch
+    * q146 registers bit-for-bit (same hash contract). */
+  def activesStream(events: DataFrame, tsCol: String, windowLen: String,
+                    watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(graft.functions.HyperLogLog.hll(
+        col("user_id").cast("string")).as("n_active_est"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"), col("n_active_est"))
+
   /** Streaming exact dedup (the corpus dedup family's stream face):
     * drop re-ingested duplicates by content key across micro-batches,
     * bounded by a watermark so the dedup state is evictable — the

@@ -25,6 +25,30 @@ class SinksStreamingSpec extends SparkSpec {
     assert(out.toSeq == Seq((3, "d2", 30), (9, "d1", 99)))
   }
 
+  test("activesStream: HLL sketch state per window matches the batch estimate") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val events = mem.toDF.toDF("ts", "user_id")
+    val agg = StreamingJobs.activesStream(events, "ts", "10 minutes", "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("actives")
+      .outputMode("update").start()
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // window 10:00-10:10 sees users 1..40 across TWO batches (state
+    // must carry the registers between micro-batches), incl. repeats
+    mem.addData((1 to 25).map(i => (t(1), i.toLong)): _*)
+    q.processAllAvailable()
+    mem.addData((10 to 40).map(i => (t(5), i.toLong)): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("actives")
+      .filter(col("win_start") === t(0)).orderBy(col("win_end").desc)
+      .select("n_active_est").head.getDouble(0)
+    val batch = (1 to 40).map(_.toString).toDF("u")
+      .agg(graft.functions.HyperLogLog.hll(col("u"))).head.getDouble(0)
+    q.stop()
+    assert(streamed == batch,
+      s"stream state registers must equal the batch sketch: $streamed vs $batch")
+  }
+
   test("upsertParquet merges on key with incoming-wins (S7)") {
     val path = tmp() + "/t"
     Sinks.upsertParquet(spark, Seq((1, "a"), (2, "b")).toDF("k", "v"), path, Seq("k"))
