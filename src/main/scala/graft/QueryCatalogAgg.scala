@@ -880,8 +880,12 @@ object QueryCatalogAgg {
        |wr AS (SELECT s.win_end, rk.b, MAX(rk.m) AS m
        |       FROM spine s JOIN rk ON rk.day >= s.win_end - 6 AND rk.day <= s.win_end
        |       GROUP BY 1, 2),
+       |-- windows with NO event-day drop entirely (the Spark side's
+       |-- inner spine join and the exact q137 form agree); only windows
+       |-- with >=1 daily sketch zero-fill their missing buckets
        |regs AS (SELECT s.win_end, g.b, COALESCE(wr.m, 0) AS m
-       |         FROM spine s CROSS JOIN (SELECT unnest(range(64)) AS b) g
+       |         FROM (SELECT DISTINCT win_end FROM wr) s
+       |         CROSS JOIN (SELECT unnest(range(64)) AS b) g
        |         LEFT JOIN wr ON wr.win_end = s.win_end AND wr.b = g.b),
        |sm AS (SELECT win_end, SUM(CAST(pow(2, 55 - m) AS BIGINT)) AS si FROM regs GROUP BY 1)
        |SELECT win_end,

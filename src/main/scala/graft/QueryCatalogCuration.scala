@@ -985,9 +985,10 @@ object QueryCatalogCuration {
   val q139StratifiedSplit: Q = (s, d) => {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
       .withColumn("__h", Dedup.h60(lit(13), col("doc_id").cast("string")))
-    val n = docs.groupBy("lang").agg(count(lit(1)).as("n"))
-    DistributedRank.rank(docs, Seq("lang"), Seq(col("__h"), col("doc_id")), "rk")
-      .join(broadcast(n), "lang")
+    // stratum totals ride out of the rank's own count job — no second
+    // groupBy pass over the corpus, no broadcast join
+    DistributedRank.rank(docs, Seq("lang"), Seq(col("__h"), col("doc_id")), "rk",
+        totalCol = "n")
       .withColumn("split",
         when(col("rk") <= expr("(n * 8) div 10"), "train")
           .when(col("rk") <= expr("(n * 9) div 10"), "val")

@@ -1036,13 +1036,13 @@ object QueryCatalogDomain3 {
        |           WHERE report_year = 2025 AND report_week_no = 45),
        |wf_week AS (SELECT * FROM ins_week_run w
        |  WHERE NOT (w.master_seq IN (SELECT master_seq FROM doomed)
-       |             AND w.farm_no IN (1, 3))),
+       |             AND COALESCE(w.farm_no IN (1, 3), FALSE))),
        |wf_sub AS (SELECT * FROM week_sub t
        |  WHERE NOT (t.master_seq IN (SELECT master_seq FROM doomed)
-       |             AND t.farm_no IN (1, 3))),
+       |             AND COALESCE(t.farm_no IN (1, 3), FALSE))),
        |wf_log AS (SELECT * FROM job_log t
        |  WHERE NOT (t.master_seq IN (SELECT master_seq FROM doomed)
-       |             AND t.farm_no IN (1, 3))),
+       |             AND COALESCE(t.farm_no IN (1, 3), FALSE))),
        |wf_master AS (SELECT * FROM ins_master m
        |  WHERE m.master_seq NOT IN (SELECT master_seq FROM doomed)
        |     OR m.master_seq IN (SELECT DISTINCT master_seq FROM wf_week)),

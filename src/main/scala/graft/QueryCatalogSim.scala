@@ -469,9 +469,11 @@ object QueryCatalogSim {
     val hrk = conv(substring(md5(concat(lit("cs|"), col("vec_id").cast("string"))), 1, 15), 16, 10)
       .cast("long")
     val withH = cells.withColumn("__rk", hrk)
-    val nCell = withH.groupBy("cell").agg(count(lit(1)).as("n_cell"))
-    graft.ops.DistributedRank.rank(withH, Seq("cell"), Seq(col("__rk"), col("vec_id")), "rk")
-      .join(broadcast(nCell), "cell")
+    // per-cell totals come from the rank's own count job — the
+    // iterative kmeansCells lineage is NOT re-evaluated for a
+    // separate groupBy count
+    graft.ops.DistributedRank.rank(withH, Seq("cell"), Seq(col("__rk"), col("vec_id")), "rk",
+        totalCol = "n_cell")
       .filter(col("rk") <= expr("(n_cell + 4) div 5"))
       .select(col("vec_id"), col("cell"), col("n_cell"),
         col("rk").cast("int").as("rk"))

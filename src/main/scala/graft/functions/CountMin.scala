@@ -102,8 +102,15 @@ case class CmsMerge(
     if (v != null) {
       val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         .toLongArray()
+      // fail LOUDLY on a wrong-width sketch (schema drift, truncated
+      // write, different D/W constants): a partial sum would silently
+      // undercount — violating CMS's never-underestimate contract —
+      // the same silent-width divergence the Bloom probe guards against
+      require(arr.length == D * W,
+        s"graft_cms_merge: sketch width ${arr.length} != ${D * W} (D*W); " +
+          "input was not built by graft_cms with these constants")
       var i = 0
-      while (i < D * W && i < arr.length) { c(i) += arr(i); i += 1 }
+      while (i < D * W) { c(i) += arr(i); i += 1 }
     }
     c
   }

@@ -40,9 +40,22 @@ object DistributedRank {
     * `order` columns must reference columns present in `df` (plain
     * `col(...)`/`.desc` forms — they are also used as range-partition
     * keys). (strata ++ order) must totally order the rows.
+    *
+    * `totalCol` (optional): ALSO append each stratum's total row count
+    * — it falls out of Job 1's per-partition counts for free, so
+    * callers that need (rank, stratum_size) pairs (split boundaries,
+    * per-cell keep quotas) avoid a separate groupBy pass + broadcast
+    * join that would re-evaluate the whole upstream lineage again.
+    *
+    * Cost note: range partitioning inherently evaluates the input
+    * lineage twice (the boundary-sampling job, then the shuffle map
+    * tasks) — the same cost profile as any global sort. Callers with
+    * an EXPENSIVE upstream (iterative k-means, multi-join graphs)
+    * should materialize it first if that 2x matters at their scale.
     */
   def rank(df: DataFrame, strata: Seq[String], order: Seq[Column],
-           rkCol: String, numParts: Int = 0): DataFrame = {
+           rkCol: String, numParts: Int = 0,
+           totalCol: String = null): DataFrame = {
     val spark = df.sparkSession
     val parts =
       if (numParts > 0) numParts
@@ -82,17 +95,24 @@ object DistributedRank {
       }
     }
     val bc = spark.sparkContext.broadcast(offsets.toMap)
+    val bcTotals = spark.sparkContext.broadcast(running.toMap)
+    val withTotal = totalCol != null
 
     // Job 2: local counter + broadcast offset = exact global rank.
-    val outSchema = schema.add(rkCol, LongType, nullable = false)
+    val outSchema0 = schema.add(rkCol, LongType, nullable = false)
+    val outSchema =
+      if (withTotal) outSchema0.add(totalCol, LongType, nullable = false)
+      else outSchema0
     val rankedRdd = rdd.mapPartitionsWithIndex { (pid, it) =>
       val local = mutable.Map.empty[Seq[Any], Long]
       val offs = bc.value
+      val totals = bcTotals.value
       it.map { row =>
         val key = strataIdx.map(row.get(_): Any)
         val c = local.getOrElse(key, 0L) + 1L
         local.update(key, c)
-        Row.fromSeq(row.toSeq :+ (offs.getOrElse((pid, key), 0L) + c))
+        val base = row.toSeq :+ (offs.getOrElse((pid, key), 0L) + c)
+        Row.fromSeq(if (withTotal) base :+ totals.getOrElse(key, 0L) else base)
       }
     }
     spark.createDataFrame(rankedRdd, outSchema)

@@ -41,13 +41,19 @@ object ReInit {
                     col("report_week_no") === weekNo))
       .select(col("master_seq")).distinct()
 
-    // retained = NOT (row's master doomed AND row's farm in scope)
+    // retained = NOT (row's master doomed AND row's farm in scope).
+    // NULL farm_no must SURVIVE a farm-scoped delete: the reference's
+    // `DELETE ... WHERE farm_no IN (1,3)` never matches NULL (SQL
+    // three-valued logic), so the coalesce pins the in-scope test to
+    // false for NULL rather than letting the OR go null and drop the
+    // row.
     def cut(df: DataFrame): DataFrame = farms match {
       case None => df.join(broadcast(doomed), Seq("master_seq"), "left_anti")
       case Some(fs) =>
         df.join(broadcast(doomed.withColumn("__doomed", lit(1))),
             Seq("master_seq"), "left")
-          .filter(col("__doomed").isNull || !col("farm_no").isin(fs.map(Int.box): _*))
+          .filter(col("__doomed").isNull ||
+            !coalesce(col("farm_no").isin(fs.map(Int.box): _*), lit(false)))
           .drop("__doomed")
     }
     val week = cut(f.week)

@@ -44,6 +44,14 @@ class DistributedRankSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"unexpected Window in plan:\n$plan")
   }
 
+  test("totalCol emits each stratum's exact size without a second pass") {
+    val df = (1 to 30).map(i => (i.toLong, if (i <= 20) "a" else "b")).toDF("id", "s")
+    val out = DistributedRank.rank(df, Seq("s"), Seq(col("id")), "rk",
+        numParts = 4, totalCol = "n")
+      .select("s", "n").distinct().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 20L, "b" -> 10L))
+  }
+
   test("ranks are dense 1..n within every stratum") {
     val df = (1 to 97).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "lang")
     val out = DistributedRank.rank(df, Seq("lang"), Seq(col("id")), "rk", numParts = 5)

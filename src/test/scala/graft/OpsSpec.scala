@@ -205,6 +205,14 @@ class OpsSpec extends SparkSpec {
       initAll = false, initWeek = true)
     assert(wa.master.select("master_seq").collect().map(_.getInt(0)).toSeq == Seq(200))
     assert(wa.week.count() == 1 && wa.weekSub.count() == 1 && wa.jobLog.count() == 1)
+    // NULL farm_no under a doomed master SURVIVES a farm-scoped delete
+    // (SQL IN-list semantics: farm_no IN (1) never matches NULL)
+    val subNull = Seq((100, Option(1)), (100, Option.empty[Int]))
+      .toDF("master_seq", "farm_no")
+    val wn = ReInit.reInit(ReInit.Frames(master, week, subNull, log),
+      2025, 45, Some(Seq(1)), testMode = true, initAll = false, initWeek = true)
+    assert(wn.weekSub.count() == 1 && wn.weekSub.head.isNullAt(1),
+      "the NULL-farm row must be retained, the farm-1 row deleted")
   }
 
   test("scd2: new keys insert as fresh members; duplicate updates canonicalize") {

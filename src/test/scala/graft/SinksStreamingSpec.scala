@@ -39,9 +39,13 @@ class SinksStreamingSpec extends SparkSpec {
     q.processAllAvailable()
     mem.addData((10 to 40).map(i => (t(5), i.toLong)): _*)
     q.processAllAvailable()
+    // the update-mode memory sink keeps one row PER BATCH EMISSION of
+    // the same window; HLL registers only ever grow, so the window's
+    // final state is its MAX estimate — selecting by order would
+    // nondeterministically read the stale batch-1 row
     val streamed = spark.table("actives")
-      .filter(col("win_start") === t(0)).orderBy(col("win_end").desc)
-      .select("n_active_est").head.getDouble(0)
+      .filter(col("win_start") === t(0))
+      .agg(max(col("n_active_est"))).head.getDouble(0)
     val batch = (1 to 40).map(_.toString).toDF("u")
       .agg(graft.functions.HyperLogLog.hll(col("u"))).head.getDouble(0)
     q.stop()
