@@ -74,8 +74,13 @@ object Explain {
       "every leaf — the single-farm run, declared, not hand-threaded."),
     "q139_stratified_split" -> ("DistributedRank: NO Window operator anywhere — the " +
       "per-stratum rank is a range shuffle + two ScanExistingRDD jobs sharing one " +
-      "lineage (counts, then offset+counter). The skewed English stratum never " +
-      "funnels through one task's sorter."),
+      "lineage (counts, then offset+counter), and the stratum totals ride out of " +
+      "the count job (totalCol) — no second corpus pass, no broadcast join. The " +
+      "skewed English stratum never funnels through one task's sorter."),
+    "q146_rolling_actives_hll" -> ("Mergeable-sketch rolling actives: ONE 64-byte " +
+      "HLL sketch per day (ObjectHashAggregate), 7 sketch ROWS per window through " +
+      "the spine join, register-max merge per window end — the activity relation " +
+      "itself is never fanned out."),
     "q135_pagerank" -> ("Int64-exact Jacobi iterations (one join + partial-agg " +
       "exchange per round); the final global rank is DistributedRank, not a " +
       "no-partition window — no single-partition sort above the host frame."),
