@@ -52,6 +52,20 @@ class DistributedRankSpec extends SparkSpec {
     assert(out == Map("a" -> 20L, "b" -> 10L))
   }
 
+  test("ranks are invariant to input partitioning and partition count") {
+    // the rank must be a pure function of (strata, order) — not of how
+    // the input happened to be laid out or how many range partitions
+    // the two-phase pass used
+    val df = (1 to 120).map(i => (i.toLong, s"s${i % 2}")).toDF("id", "lang")
+    def run(src: org.apache.spark.sql.DataFrame, parts: Int) =
+      DistributedRank.rank(src, Seq("lang"), Seq(col("id")), "rk", numParts = parts)
+        .select("id", "rk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = run(df, 3)
+    assert(run(df.repartition(11), 3) == base, "input layout must not matter")
+    assert(run(df, 7) == base, "range partition count must not matter")
+    assert(run(df.orderBy(col("id").desc), 5) == base, "input order must not matter")
+  }
+
   test("ranks are dense 1..n within every stratum") {
     val df = (1 to 97).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "lang")
     val out = DistributedRank.rank(df, Seq("lang"), Seq(col("id")), "rk", numParts = 5)
