@@ -66,6 +66,18 @@ class DistributedRankSpec extends SparkSpec {
     assert(run(df.orderBy(col("id").desc), 5) == base, "input order must not matter")
   }
 
+  test("null stratum values form their own stratum; empty input yields empty output") {
+    val df = Seq((1L, Option("en")), (2L, Option.empty[String]),
+      (3L, Option("en")), (4L, Option.empty[String])).toDF("id", "lang")
+    val got = DistributedRank.rank(df, Seq("lang"), Seq(col("id")), "rk", numParts = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // en: ids 1,3 -> ranks 1,2; null: ids 2,4 -> ranks 1,2
+    assert(got == Map(1L -> 1L, 3L -> 2L, 2L -> 1L, 4L -> 2L))
+    val empty = DistributedRank.rank(df.filter(col("id") < 0), Seq("lang"),
+      Seq(col("id")), "rk")
+    assert(empty.count() == 0 && empty.columns.contains("rk"))
+  }
+
   test("ranks are dense 1..n within every stratum") {
     val df = (1 to 97).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "lang")
     val out = DistributedRank.rank(df, Seq("lang"), Seq(col("id")), "rk", numParts = 5)
