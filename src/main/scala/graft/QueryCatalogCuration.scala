@@ -213,10 +213,16 @@ object QueryCatalogCuration {
     val sig = Dedup.minHash(shingles, "doc_id", n = 16)
     val cand = Dedup.candidatePairs(
       Dedup.lshBands(sig, "doc_id", n = 16, rowsPerBand = 4), "doc_id")
-    val edges = Dedup.jaccard(cand, shingles, "doc_id")
-      .filter(col("jaccard") >= 0.7)
-      .select("id_a", "id_b")
-    val comp = ConnectedComponents.minLabel(edges)
+    // scoped: jaccard's caches are released before CC starts; the
+    // verified edge list (corpus-sublinear) localizes, so the CC
+    // supersteps never re-plan the whole LSH pipeline either
+    val edges = Dedup.jaccardScoped(cand, shingles, "doc_id") { j =>
+      graft.ops.Materialize.localize(
+        j.filter(col("jaccard") >= 0.7).select("id_a", "id_b"))
+    }
+    // localized labels: the superstep checkpoints are freed before
+    // this query returns (q132's discipline) — the query pins nothing
+    val comp = ConnectedComponents.minLabelLocalized(edges)
     val sizes = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
     comp.join(sizes, "component")
       .select(col("id").as("doc_id"), col("component"), col("cluster_size"))
@@ -317,24 +323,24 @@ object QueryCatalogCuration {
     * mixture-weighting step when assembling a training corpus from
     * per-language pools.
     *
-    * Scale shape: one hash exchange on lang + an ordered prefix sum
-    * inside each partition. A per-key ordered prefix sum is
-    * inherently sequential PER KEY, so with few huge keys (languages)
-    * the 100 TB form is two-phase: per-partition local sums, then a
-    * tiny offsets table joined back — same arithmetic, same result.
-    * The verified semantics here are the contract for that variant. */
+    * Scale shape: a per-key ordered prefix sum is inherently
+    * sequential PER KEY, and languages are few and hugely skewed —
+    * a `partitionBy(lang)` window would push every row of the
+    * dominant language through ONE task's sorter. The prefix sum is
+    * [[graft.ops.DistributedRank.prefixSum]]: range-repartition over
+    * (lang, quality desc, doc_id), per-partition per-language token
+    * sums (KB-sized), broadcast exclusive offsets, local running sum
+    * — same arithmetic bit-for-bit, every task bounded by data/parts
+    * regardless of language skew. */
   val q103TokenBudgetMix: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
     val budget = 2000L
     val scored = Tables.documents(s, d)
       .select(col("lang"), col("doc_id"),
         TextOps.nWsTokens(col("text")).cast("long").as("n_tokens"),
         TextOps.qualityScore(col("text"),
           graft.pipeline.CorpusCurationJob.Stopwords).as("quality"))
-    val w = Window.partitionBy("lang")
-      .orderBy(col("quality").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    scored.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    DistributedRank.prefixSum(scored, Seq("lang"),
+        Seq(col("quality").desc, col("doc_id")), "n_tokens", "cum_tokens")
       .filter(col("cum_tokens") - col("n_tokens") < budget)
       .select("lang", "doc_id", "n_tokens", "cum_tokens", "quality")
       .orderBy("lang", "doc_id")
@@ -561,17 +567,17 @@ object QueryCatalogCuration {
     * is what makes it a plan, not a job. Output: one row per doc
     * with (seq_id, seq_offset, spills) — `spills` marks docs that
     * straddle a sequence boundary (they get split downstream).
-    * Same scale posture as q103: one exchange on lang; the two-phase
-    * offsets form covers few-huge-keys. */
+    * Same scale posture as q103: the running token count is
+    * [[graft.ops.DistributedRank.prefixSum]] (range shuffle +
+    * broadcast offsets), never a per-language window — no language,
+    * however dominant, funnels through a single task. */
   val q106SequencePack: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
     val seqLen = 512L
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, d)
+    val toks = Tables.documents(s, d)
       .select(col("lang"), col("doc_id"),
         TextOps.nWsTokens(col("text")).cast("long").as("n_tokens"))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
+    DistributedRank.prefixSum(toks, Seq("lang"), Seq(col("doc_id")),
+        "n_tokens", "cum")
       .select(col("lang"), col("doc_id"), col("n_tokens"),
         ((col("cum") - col("n_tokens")) / seqLen).cast("long").as("seq_id"),
         ((col("cum") - col("n_tokens")) % seqLen).as("seq_offset"),

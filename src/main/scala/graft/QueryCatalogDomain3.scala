@@ -1021,6 +1021,11 @@ object QueryCatalogDomain3 {
         ReInit.reInit(orig, 2025, 45, None, testMode = true, initAll = false, initWeek = true)))
       .unionByName(rep("init_all",
         ReInit.reInit(orig, 2025, 45, None, testMode = true, initAll = true, initWeek = false)))
+      // init-all WITH farms: week/sub/log rows for those farms go, but
+      // masters are NEVER deleted (_delete_all_test_data skips the
+      // master delete whenever farm_list is given — orchestrator.py:730-731)
+      .unionByName(rep("init_all_farms",
+        ReInit.reInit(orig, 2025, 45, Some(Seq(1, 3)), testMode = true, initAll = true, initWeek = false)))
       .orderBy("scenario", "table_nm")
   }
 
@@ -1065,6 +1070,16 @@ object QueryCatalogDomain3 {
        |ia_master AS (SELECT * FROM ins_master m
        |  WHERE m.master_seq NOT IN (SELECT master_seq FROM doomed_all)
        |     OR m.master_seq IN (SELECT DISTINCT master_seq FROM ia_week)),
+       |iaf_week AS (SELECT * FROM ins_week_run w
+       |  WHERE NOT (w.master_seq IN (SELECT master_seq FROM doomed_all)
+       |             AND COALESCE(w.farm_no IN (1, 3), FALSE))),
+       |iaf_sub AS (SELECT * FROM week_sub t
+       |  WHERE NOT (t.master_seq IN (SELECT master_seq FROM doomed_all)
+       |             AND COALESCE(t.farm_no IN (1, 3), FALSE))),
+       |iaf_log AS (SELECT * FROM job_log t
+       |  WHERE NOT (t.master_seq IN (SELECT master_seq FROM doomed_all)
+       |             AND COALESCE(t.farm_no IN (1, 3), FALSE))),
+       |iaf_master AS (SELECT * FROM ins_master),
        |doomed_wo AS (SELECT DISTINCT master_seq FROM ins_master
        |              WHERE report_year = 2024 AND report_week_no = 1),
        |wo_week AS (SELECT * FROM ins_week_run
@@ -1133,7 +1148,19 @@ object QueryCatalogDomain3 {
        |    (SELECT COUNT(*) FROM ia_sub)
        |  UNION ALL SELECT 'init_all', 'job_log',
        |    (SELECT COUNT(*) FROM job_log) - (SELECT COUNT(*) FROM ia_log),
-       |    (SELECT COUNT(*) FROM ia_log))
+       |    (SELECT COUNT(*) FROM ia_log)
+       |  UNION ALL SELECT 'init_all_farms', 'master',
+       |    (SELECT COUNT(*) FROM ins_master) - (SELECT COUNT(*) FROM iaf_master),
+       |    (SELECT COUNT(*) FROM iaf_master)
+       |  UNION ALL SELECT 'init_all_farms', 'week',
+       |    (SELECT COUNT(*) FROM ins_week_run) - (SELECT COUNT(*) FROM iaf_week),
+       |    (SELECT COUNT(*) FROM iaf_week)
+       |  UNION ALL SELECT 'init_all_farms', 'week_sub',
+       |    (SELECT COUNT(*) FROM week_sub) - (SELECT COUNT(*) FROM iaf_sub),
+       |    (SELECT COUNT(*) FROM iaf_sub)
+       |  UNION ALL SELECT 'init_all_farms', 'job_log',
+       |    (SELECT COUNT(*) FROM job_log) - (SELECT COUNT(*) FROM iaf_log),
+       |    (SELECT COUNT(*) FROM iaf_log))
        |SELECT scenario, table_nm, CAST(n_deleted AS BIGINT) AS n_deleted,
        |       CAST(n_retained AS BIGINT) AS n_retained
        |FROM counts ORDER BY scenario, table_nm""".stripMargin

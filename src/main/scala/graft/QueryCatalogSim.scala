@@ -274,6 +274,42 @@ object QueryCatalogSim {
       |  CASE WHEN doc_id % 10 = 7 THEN 'N' ELSE 'Y' END AS ok
       |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- real audio (WAV) decode
+  /** REAL audio decode (q148): PCM WAV payloads are ENCODED and
+    * DECODED by the JDK's javax.sound.sampled inside Spark tasks —
+    * the audio twin of q142. The fixture generator writes a mono
+    * 16-bit WAV per doc with n = 64 + id%64 samples at
+    * 8000 + (id%3)*4000 Hz where sample i = (id%100) + i, so the
+    * sample count, rate and exact sum have closed forms in doc_id
+    * that the DuckDB oracle computes WITHOUT decoding — an
+    * independent check of the encode->decode round trip. Every
+    * %10==7 doc instead carries its raw text bytes (no RIFF header):
+    * those must decode to ok='N' with null fields, never fail the
+    * task. Both stages are batch-shaped mapPartitions. */
+  val q148AudioDecode: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+      .withColumn("corrupt", col("doc_id") % 10 === 7)
+    MultimodalOps.decodeWavMeta(
+      MultimodalOps.synthWavPayload(docs, "doc_id", "text", "corrupt"),
+      "doc_id")
+      .orderBy("doc_id")
+  }
+
+  private val q148Sql =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 10 = 7 THEN NULL
+      |       ELSE CAST(64 + doc_id % 64 AS INT) END AS n_samples,
+      |  CASE WHEN doc_id % 10 = 7 THEN NULL
+      |       ELSE CAST(8000 + (doc_id % 3) * 4000 AS INT) END AS sample_rate,
+      |  CASE WHEN doc_id % 10 = 7 THEN NULL
+      |       ELSE CAST(1 AS INT) END AS channels,
+      |  CASE WHEN doc_id % 10 = 7 THEN NULL
+      |       ELSE (64 + doc_id % 64) * (doc_id % 100)
+      |            + ((64 + doc_id % 64) * (64 + doc_id % 64 - 1)) // 2
+      |       END AS sample_sum,
+      |  CASE WHEN doc_id % 10 = 7 THEN 'N' ELSE 'Y' END AS ok
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- embedding quantization
   /** int8 embedding quantization (VectorOps.quantizeInt8): per-vector
     * scale, code checksums, and max reconstruction error — the 4x
@@ -471,9 +507,13 @@ object QueryCatalogSim {
     val withH = cells.withColumn("__rk", hrk)
     // per-cell totals come from the rank's own count job — the
     // iterative kmeansCells lineage is NOT re-evaluated for a
-    // separate groupBy count
+    // separate groupBy count. materializeInput: the range shuffle's
+    // boundary sampling + map stage would otherwise evaluate the
+    // iterative k-means lineage TWICE (DistributedRank's cost note);
+    // the leaf checkpoint runs it once and is released as soon as the
+    // shuffle files hold the assignment.
     graft.ops.DistributedRank.rank(withH, Seq("cell"), Seq(col("__rk"), col("vec_id")), "rk",
-        totalCol = "n_cell")
+        totalCol = "n_cell", materializeInput = true)
       .filter(col("rk") <= expr("(n_cell + 4) div 5"))
       .select(col("vec_id"), col("cell"), col("n_cell"),
         col("rk").cast("int").as("rk"))
@@ -630,6 +670,7 @@ object QueryCatalogSim {
     "q51_multimodal_meta" -> q51MultimodalMeta,
     "q52_multimodal_decode" -> q52MultimodalDecode,
     "q142_image_decode" -> q142ImageDecode,
+    "q148_audio_decode" -> q148AudioDecode,
     "q55_frame_sample" -> q55FrameSample,
     "q59_embed_quantize" -> q59EmbedQuantize,
   )
@@ -647,6 +688,7 @@ object QueryCatalogSim {
     "q51_multimodal_meta" -> q51Sql,
     "q52_multimodal_decode" -> q52Sql,
     "q142_image_decode" -> q142Sql,
+    "q148_audio_decode" -> q148Sql,
     "q55_frame_sample" -> q55Sql,
     "q59_embed_quantize" -> q59Sql,
   )

@@ -95,10 +95,15 @@ object QueryCatalogText {
     val sig = Dedup.minHash(shingles, "doc_id", n = 16)
     val bands = Dedup.lshBands(sig, "doc_id", n = 16, rowsPerBand = 4)
     val cand = Dedup.candidatePairs(bands, "doc_id")
-    Dedup.jaccard(cand, shingles, "doc_id")
-      .filter(col("jaccard") >= 0.7)
-      .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
-      .orderBy("id_a", "id_b")
+    // scoped verification: jaccard's internal caches (pairs, posting
+    // lists) are released before this query returns, and the verified
+    // pairs (corpus-sublinear) come back as a self-contained local
+    // relation — the minLabelLocalized discipline, no reliance on a
+    // harness clearCache between queries
+    Dedup.jaccardScoped(cand, shingles, "doc_id") { j =>
+      graft.ops.Materialize.localize(j.filter(col("jaccard") >= 0.7)
+        .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard"))
+    }.orderBy("id_a", "id_b")
   }
 
   private val q42Sql =
@@ -164,15 +169,18 @@ object QueryCatalogText {
         concat_ws(" ",
           expr("slice(split(text, '\\\\s+'), 1, 3)"),
           expr("slice(split(text, '\\\\s+'), 5, 1000000)")).as("text"))
-    Dedup.dedupAgainst(ref, fresh.unionByName(recrawl), "doc_id", "text")
-      .filter(col("jaccard") >= 0.5)
-      .select(
-        shiftright(when(col("id_a") % 2 === 1, col("id_a"))
-          .otherwise(col("id_b")), 1).as("new_id"),
-        shiftright(when(col("id_a") % 2 === 1, col("id_b"))
-          .otherwise(col("id_a")), 1).as("ref_id"),
-        col("n_inter"), col("jaccard"))
-      .orderBy("new_id", "ref_id")
+    // scoped: verification caches released before the query returns;
+    // the flagged pairs (corpus-sublinear) localize
+    Dedup.dedupAgainstScoped(ref, fresh.unionByName(recrawl), "doc_id", "text") { j =>
+      graft.ops.Materialize.localize(j
+        .filter(col("jaccard") >= 0.5)
+        .select(
+          shiftright(when(col("id_a") % 2 === 1, col("id_a"))
+            .otherwise(col("id_b")), 1).as("new_id"),
+          shiftright(when(col("id_a") % 2 === 1, col("id_b"))
+            .otherwise(col("id_a")), 1).as("ref_id"),
+          col("n_inter"), col("jaccard")))
+    }.orderBy("new_id", "ref_id")
   }
 
   private lazy val q129Sql =
@@ -275,11 +283,13 @@ object QueryCatalogText {
           .as("bg"))
 
   val q44NgramJaccard: Q = (s, d) =>
-    Dedup.invertedJaccard(docBigrams(Tables.documents(s, d)),
-        "doc_id", "bg", Seq("lang", "source"), maxDf = NgramMaxDf)
-      .filter(col("jaccard") >= 0.2)
-      .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
-      .orderBy("id_a", "id_b")
+    // scoped: the posting-list cache is released before this query
+    // returns; the verified pairs localize (corpus-sublinear)
+    Dedup.invertedJaccardScoped(docBigrams(Tables.documents(s, d)),
+        "doc_id", "bg", Seq("lang", "source"), maxDf = NgramMaxDf) { j =>
+      graft.ops.Materialize.localize(j.filter(col("jaccard") >= 0.2)
+        .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard"))
+    }.orderBy("id_a", "id_b")
 
   private val q44Sql =
     s"""WITH t AS (SELECT doc_id, lang, source,
@@ -325,22 +335,27 @@ object QueryCatalogText {
     // ONE corpus-wide grouped shuffle: df stats AND pair expansion
     // both derive from the same cached posting lists (df = set size)
     val posting = Dedup.postingLists(bg, "doc_id", "bg", Seq("lang", "source"))
-    val dfStats = posting
-      .select(col("lang"), col("source"), size(col("ids")).cast("long").as("df"))
-      .groupBy("lang", "source")
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("df") > capDf, 1L).otherwise(0L)).as("n_hot_dropped"),
-        max(col("df")).as("max_df"))
-    val pairsPerGroup = Dedup.invertedJaccardFrom(posting, maxDf = capDf)
-      .join(docs.select(col("doc_id").as("id_a"), col("lang"), col("source")), "id_a")
-      .groupBy("lang", "source").agg(count(lit(1)).as("n_pairs"))
-    docs.groupBy("lang", "source").agg(count(lit(1)).as("n_docs"))
-      .join(dfStats, Seq("lang", "source"))
-      .join(pairsPerGroup, Seq("lang", "source"), "left")
-      .select(col("lang"), col("source"), col("n_docs"), col("n_shingles"),
-        col("n_hot_dropped"), col("max_df"),
-        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
-      .orderBy("lang", "source")
+    try {
+      val dfStats = posting
+        .select(col("lang"), col("source"), size(col("ids")).cast("long").as("df"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") > capDf, 1L).otherwise(0L)).as("n_hot_dropped"),
+          max(col("df")).as("max_df"))
+      val pairsPerGroup = Dedup.invertedJaccardFrom(posting, maxDf = capDf)
+        .join(docs.select(col("doc_id").as("id_a"), col("lang"), col("source")), "id_a")
+        .groupBy("lang", "source").agg(count(lit(1)).as("n_pairs"))
+      // localize (one row per (lang, source) — tiny) so the posting
+      // cache can be released before the query returns
+      graft.ops.Materialize.localize(
+        docs.groupBy("lang", "source").agg(count(lit(1)).as("n_docs"))
+          .join(dfStats, Seq("lang", "source"))
+          .join(pairsPerGroup, Seq("lang", "source"), "left")
+          .select(col("lang"), col("source"), col("n_docs"), col("n_shingles"),
+            col("n_hot_dropped"), col("max_df"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs")))
+        .orderBy("lang", "source")
+    } finally posting.unpersist(false)
   }
 
   private val q92Sql =

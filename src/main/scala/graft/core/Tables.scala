@@ -20,10 +20,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = read(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = read(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-    * default. Read it as a long (legacy flag) and floor-divide to
-    * microseconds — matching DuckDB's ns->us truncation so the oracle
-    * compares equal.
+  /** events.ts arrives in one of two physical encodings, by testdata
+    * generation vintage:
+    *   - TIMESTAMP(NANOS), which Spark 4 refuses by default — read as
+    *     a long (legacy flag) and floor-divide to microseconds,
+    *     matching DuckDB's ns->us truncation so the oracle compares
+    *     equal;
+    *   - TIMESTAMP(MICROS) (isAdjustedToUTC=false -> inferred
+    *     TIMESTAMP_NTZ) — cast to the session TIMESTAMP type; with
+    *     the UTC session every query/oracle sees identical instants.
+    * Dispatch is on the READ schema, so either vintage of the parquet
+    * works unchanged.
     *
     * The flag is an INTENTIONAL session-global toggle: the driver's
     * harness calls `SparkEntry.queries` on a session it builds itself,
@@ -34,9 +41,15 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").forall(_ != "true"))
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = read(s, d, "events")
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // nanos-as-long vintage
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000"))
+      case _ => // micros vintage (NTZ or LTZ)
+        org.apache.spark.sql.functions.col("ts").cast("timestamp")
+    }
+    raw.withColumn("ts", ts)
   }
   def documents(s: SparkSession, d: String): DataFrame  = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")

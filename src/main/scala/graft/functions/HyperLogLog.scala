@@ -112,7 +112,16 @@ case class HllMerge(
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
   override def update(regs: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
-    if (v != null) mergeRegs(regs, v.asInstanceOf[Array[Byte]]) else regs
+    if (v != null) {
+      val sk = v.asInstanceOf[Array[Byte]]
+      // width guard (mirrors CmsMerge): a wrong-width blob means
+      // schema drift — a longer one would silently merge only the
+      // first M registers (wrong estimate, no error), a shorter one
+      // would throw an opaque index error mid-merge
+      require(sk.length == M,
+        s"graft_hll_merge: sketch must be exactly $M registers, got ${sk.length}")
+      mergeRegs(regs, sk)
+    } else regs
   }
   override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = mergeRegs(a, b)
   override def eval(regs: Array[Byte]): Any = estimate(regs)

@@ -2,38 +2,53 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{ArrayType, BinaryType, LongType, MapType, StructType}
 
 import scala.collection.mutable
 
-/** Two-phase distributed rank: the scale-safe replacement for
-  * `row_number() OVER (PARTITION BY stratum ORDER BY ...)` when a
-  * stratum can be corpus-sized (few, skewed languages; few k-means
-  * cells; or no stratum at all — a global rank). A plain window sends
-  * EVERY row of a stratum through one task's sorter; at 100 TB the
-  * English stratum is tens of TB through a single task.
+/** Two-phase distributed rank / prefix sum: the scale-safe replacement
+  * for `row_number() / sum(x) OVER (PARTITION BY stratum ORDER BY ...)`
+  * when a stratum can be corpus-sized (few, skewed languages; few
+  * k-means cells; or no stratum at all — a global rank). A plain window
+  * sends EVERY row of a stratum through one task's sorter; at 100 TB
+  * the English stratum is tens of TB through a single task.
   *
   * Phase plan (classic distributed sort-rank):
   *   1. `repartitionByRange` over (strata ++ order) — each physical
   *      partition holds a contiguous slice of the GLOBAL
   *      (strata, order) sort order, bounded by data/parts, never by
   *      stratum size. `sortWithinPartitions` finishes the local sort.
-  *   2. Job 1 over the shuffled RDD: per-partition, per-stratum row
-  *      counts (a few KB — parts x strata-per-partition entries).
+  *   2. Job 1 over the shuffled RDD: per-partition, per-stratum
+  *      aggregates — row counts for [[rank]], SUMS of the value column
+  *      for [[prefixSum]] (the count path is the special case
+  *      value = 1). A few KB — parts x strata-per-partition entries.
   *   3. Driver: exclusive prefix sums per stratum across partition
   *      index -> offset map (tiny; broadcast).
-  *   4. Job 2 over the SAME RDD: a per-partition counter per stratum,
-  *      rank = offset + local position. The two jobs share one RDD
-  *      lineage, so the range shuffle is computed once and its files
-  *      are reused — partition boundaries are identical by
-  *      construction, not by seeding luck.
+  *   4. Job 2 over the SAME RDD: a per-partition running accumulator
+  *      per stratum, result = offset + local running value. The two
+  *      jobs share one RDD lineage, so the range shuffle is computed
+  *      once and its files are reused — partition boundaries are
+  *      identical by construction, not by seeding luck.
   *
-  * Output rank equals the single-task window's rank bit-for-bit
-  * whenever (strata ++ order) is a TOTAL order on the rows (callers
-  * must include a tiebreaker key, e.g. the row id). No stage
-  * materializes more than one range-partition slice per task.
+  * Output equals the single-task window's result bit-for-bit whenever
+  * (strata ++ order) is a TOTAL order on the rows (callers must
+  * include a tiebreaker key, e.g. the row id). No stage materializes
+  * more than one range-partition slice per task.
+  *
+  * Stratum columns must be ATOMIC types (string/numeric/date/...):
+  * they are used as hash-map keys by VALUE on the driver, and an
+  * array/binary stratum would compare by reference, silently
+  * fragmenting per-stratum offsets — asserted up front.
   */
 object DistributedRank {
+
+  private def assertAtomicStrata(df: DataFrame, strata: Seq[String]): Unit =
+    strata.foreach { s =>
+      val dt = df.schema(s).dataType
+      require(!dt.isInstanceOf[ArrayType] && !dt.isInstanceOf[MapType] &&
+        !dt.isInstanceOf[StructType] && dt != BinaryType,
+        s"stratum column '$s' must be an atomic (hashable-by-value) type, got $dt")
+    }
 
   /** Append `rkCol` (LongType, 1-based within each stratum, ordered by
     * `order`) to `df`. `strata` may be empty for a global rank.
@@ -51,11 +66,58 @@ object DistributedRank {
     * lineage twice (the boundary-sampling job, then the shuffle map
     * tasks) — the same cost profile as any global sort. Callers with
     * an EXPENSIVE upstream (iterative k-means, multi-join graphs)
-    * should materialize it first if that 2x matters at their scale.
+    * should pass `materializeInput = true`: the input is eagerly
+    * leaf-checkpointed ([[Materialize.leafCache]]) so the upstream
+    * jobs run ONCE, and the checkpoint storage is released as soon as
+    * the count job has populated the range-shuffle's map files — the
+    * later rank job (and the caller's action) reuse those files via
+    * map-stage skip, so nothing is pinned past this call. (Cluster
+    * durability caveat as in [[Materialize]]: an executor loss after
+    * release fails the job instead of recomputing.)
     */
   def rank(df: DataFrame, strata: Seq[String], order: Seq[Column],
            rkCol: String, numParts: Int = 0,
-           totalCol: String = null): DataFrame = {
+           totalCol: String = null,
+           materializeInput: Boolean = false): DataFrame =
+    twoPhase(df, strata, order, valueCol = None, outCol = rkCol,
+      numParts = numParts, totalCol = totalCol,
+      materializeInput = materializeInput)
+
+  /** Append `cumCol` (LongType): the INCLUSIVE ordered prefix sum of
+    * `valueCol` within each stratum — the scale-safe form of
+    * `sum(valueCol) OVER (PARTITION BY strata ORDER BY order ROWS
+    * UNBOUNDED PRECEDING)`. `valueCol` must be LongType (cast first:
+    * exact integer arithmetic is what makes the result
+    * order-independent and hash-stable); nulls contribute 0.
+    *
+    * `totalCol` (optional): each stratum's total sum, from the same
+    * count job — rank's totalCol note applies. The same machinery
+    * backs ntile/percent_rank/cume_dist for few-valued strata:
+    * rank + total are exactly the (row_number, count) pair those
+    * functions are defined over.
+    */
+  def prefixSum(df: DataFrame, strata: Seq[String], order: Seq[Column],
+                valueCol: String, cumCol: String, numParts: Int = 0,
+                totalCol: String = null,
+                materializeInput: Boolean = false): DataFrame = {
+    require(df.schema(valueCol).dataType == LongType,
+      s"valueCol '$valueCol' must be LongType (cast first), got " +
+        df.schema(valueCol).dataType)
+    twoPhase(df, strata, order, valueCol = Some(valueCol), outCol = cumCol,
+      numParts = numParts, totalCol = totalCol,
+      materializeInput = materializeInput)
+  }
+
+  /** Shared two-phase engine: valueCol = None counts rows (rank),
+    * Some(c) sums column c (prefix sum). */
+  private def twoPhase(df0: DataFrame, strata: Seq[String], order: Seq[Column],
+                       valueCol: Option[String], outCol: String,
+                       numParts: Int, totalCol: String,
+                       materializeInput: Boolean): DataFrame = {
+    assertAtomicStrata(df0, strata)
+    // materializeInput: run the expensive upstream ONCE into a leaf
+    // checkpoint; released below once the shuffle files hold the data.
+    val df = if (materializeInput) Materialize.leafCache(df0) else df0
     val spark = df.sparkSession
     val parts =
       if (numParts > 0) numParts
@@ -68,21 +130,33 @@ object DistributedRank {
 
     val schema = ranged.schema
     val strataIdx = strata.map(schema.fieldIndex)
+    val valIdx = valueCol.map(schema.fieldIndex)
 
     // One RDD object, two jobs: the range shuffle is computed once and
     // reused, so both jobs see identical partition boundaries.
     val rdd = ranged.rdd
 
-    // Job 1: per-(partition, stratum) counts. Tiny result.
+    // Job 1: per-(partition, stratum) count/sum. Tiny result.
     val counts: Array[(Int, Map[Seq[Any], Long])] =
       rdd.mapPartitionsWithIndex { (pid, it) =>
         val m = mutable.LinkedHashMap.empty[Seq[Any], Long]
         it.foreach { row =>
           val key = strataIdx.map(row.get(_): Any)
-          m.update(key, m.getOrElse(key, 0L) + 1L)
+          val v = valIdx match {
+            case Some(i) => if (row.isNullAt(i)) 0L else row.getLong(i)
+            case None => 1L
+          }
+          m.update(key, m.getOrElse(key, 0L) + v)
         }
         Iterator.single(pid -> m.toMap)
       }.collect()
+
+    // The count job above ran the boundary-sampling job AND the range
+    // shuffle's map stage: the shuffled data now lives in shuffle
+    // files that Job 2 (and the caller's action) reuse via map-stage
+    // skip. The input checkpoint is no longer needed — free it NOW
+    // rather than pinning corpus-sized blocks until driver GC.
+    if (materializeInput) Materialize.release(df)
 
     // Driver: exclusive prefix sum per stratum across partition ids.
     val running = mutable.Map.empty[Seq[Any], Long]
@@ -98,8 +172,9 @@ object DistributedRank {
     val bcTotals = spark.sparkContext.broadcast(running.toMap)
     val withTotal = totalCol != null
 
-    // Job 2: local counter + broadcast offset = exact global rank.
-    val outSchema0 = schema.add(rkCol, LongType, nullable = false)
+    // Job 2: local running accumulator + broadcast offset = exact
+    // global rank / inclusive prefix sum.
+    val outSchema0 = schema.add(outCol, LongType, nullable = false)
     val outSchema =
       if (withTotal) outSchema0.add(totalCol, LongType, nullable = false)
       else outSchema0
@@ -109,7 +184,11 @@ object DistributedRank {
       val totals = bcTotals.value
       it.map { row =>
         val key = strataIdx.map(row.get(_): Any)
-        val c = local.getOrElse(key, 0L) + 1L
+        val v = valIdx match {
+          case Some(i) => if (row.isNullAt(i)) 0L else row.getLong(i)
+          case None => 1L
+        }
+        val c = local.getOrElse(key, 0L) + v
         local.update(key, c)
         val base = row.toSeq :+ (offs.getOrElse((pid, key), 0L) + c)
         Row.fromSeq(if (withTotal) base :+ totals.getOrElse(key, 0L) else base)

@@ -60,41 +60,20 @@ object ConnectedComponents {
     * `release` instead of pinning blocks until some future driver GC
     * lets ContextCleaner run. */
   private def leafCache(df: DataFrame): DataFrame =
-    df.localCheckpoint(true)
+    graft.ops.Materialize.leafCache(df)
 
-  /** Free a leafCache'd frame's stored blocks NOW. The checkpointed
-    * RDD sits behind the plan's LogicalRDD leaf; its lineage is
+  /** Free a leafCache'd frame's stored blocks NOW (delegates to the
+    * shared [[graft.ops.Materialize.release]]). The checkpointed RDD
+    * sits behind the plan's LogicalRDD leaf; its lineage is
     * truncated, so this is only safe once the frame's DATA is no
     * longer needed — internally when a superstep is superseded, and
     * for the RETURNED labels frame when the CALLER is done with it
     * (write/collect finished): both minLabel and alternatingStar
     * return a leaf-cached frame whose storage is freed only by this
     * call (or, eventually, by driver GC + ContextCleaner — a slow
-    * leak in a long-lived session that loops over CC jobs).
-    *
-    * Durability caveat (shared with leafCache): localCheckpoint
-    * trades lineage recoverability away — an executor loss during the
-    * loop fails the job instead of recomputing. On a cluster, a
-    * reliable checkpoint()/staging table is the durable variant.
-    *
-    * Fails LOUDLY (stderr + IllegalStateException is avoided — a
-    * release is cleanup, not a correctness step) if the plan shape is
-    * not the LogicalRDD leaf localCheckpoint(true) produces: a Spark
-    * upgrade that changes the shape would otherwise turn every
-    * superstep into a silent storage leak — the exact pinning problem
-    * this method exists to prevent. */
+    * leak in a long-lived session that loops over CC jobs). */
   def release(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(false)
-      case other =>
-        System.err.println(
-          "[graft.ConnectedComponents] release() expected a LogicalRDD " +
-            s"leaf but saw ${other.getClass.getSimpleName}: the " +
-            "localCheckpoint plan shape changed and checkpoint storage " +
-            "is now being LEAKED until driver GC. Fix release() for " +
-            "this Spark version.")
-    }
+    graft.ops.Materialize.release(df)
 
   /** [[minLabel]], then LOCALIZE: materialize the labels (component
     * members only — corpus-sublinear; near-dup components are a tiny
@@ -109,11 +88,7 @@ object ConnectedComponents {
     * broadcast-joins downstream for free (LocalRelation). */
   def minLabelLocalized(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val comp = minLabel(edges, maxIter)
-    try {
-      val rows = comp.collect()
-      comp.sparkSession.createDataFrame(
-        java.util.Arrays.asList(rows: _*), comp.schema)
-    } finally release(comp)
+    try graft.ops.Materialize.localize(comp) finally release(comp)
   }
 
   def minLabel(edges: DataFrame, maxIter: Int = 20): DataFrame = {

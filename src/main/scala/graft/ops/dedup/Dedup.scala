@@ -195,6 +195,28 @@ object Dedup {
   def dedupAgainst(reference: DataFrame, batch: DataFrame, idCol: String,
                    textCol: String, k: Int = 3, n: Int = 16,
                    rowsPerBand: Int = 4, maxBucket: Int = 64): DataFrame = {
+    val (cand, sh) = dedupAgainstStages(reference, batch, idCol, textCol,
+      k, n, rowsPerBand, maxBucket)
+    jaccard(cand, sh, "uid")
+  }
+
+  /** [[dedupAgainst]] with the [[jaccardScoped]] discipline: `use`
+    * runs its actions over the verified frame, then the internal
+    * caches are released in a finally — no cached partitions outlive
+    * the call. */
+  def dedupAgainstScoped[A](reference: DataFrame, batch: DataFrame,
+                            idCol: String, textCol: String, k: Int = 3,
+                            n: Int = 16, rowsPerBand: Int = 4,
+                            maxBucket: Int = 64)(use: DataFrame => A): A = {
+    val (cand, sh) = dedupAgainstStages(reference, batch, idCol, textCol,
+      k, n, rowsPerBand, maxBucket)
+    jaccardScoped(cand, sh, "uid")(use)
+  }
+
+  private def dedupAgainstStages(reference: DataFrame, batch: DataFrame,
+                                 idCol: String, textCol: String, k: Int,
+                                 n: Int, rowsPerBand: Int,
+                                 maxBucket: Int): (DataFrame, DataFrame) = {
     val u = reference
       .select((col(idCol) * 2).as("uid"), col(textCol).as("__t"))
       .unionByName(batch
@@ -203,7 +225,7 @@ object Dedup {
     val cand = candidatePairs(
         lshBands(minHash(sh, "uid", n), "uid", n, rowsPerBand), "uid", maxBucket)
       .filter(col("id_a") % 2 =!= col("id_b") % 2)
-    jaccard(cand, sh, "uid")
+    (cand, sh)
   }
 
   /** Exact shingle-set Jaccard for given candidate pairs, with NO
@@ -346,6 +368,17 @@ object Dedup {
   def invertedJaccard(sh: DataFrame, idCol: String, wCol: String,
                       groupCols: Seq[String], maxDf: Int): DataFrame =
     invertedJaccardFrom(postingLists(sh, idCol, wCol, groupCols), maxDf)
+
+  /** [[invertedJaccard]] with scoped release of the posting-list
+    * cache: `use` runs its actions, then the cache is released in a
+    * finally — no cached partitions outlive the call. */
+  def invertedJaccardScoped[A](sh: DataFrame, idCol: String, wCol: String,
+                               groupCols: Seq[String], maxDf: Int)
+                              (use: DataFrame => A): A = {
+    val posting = postingLists(sh, idCol, wCol, groupCols)
+    try use(invertedJaccardFrom(posting, maxDf))
+    finally posting.unpersist(false)
+  }
 
   /** The ONE grouped shuffle of the inverted-index family: doc-id
     * SETS per (group, shingle), cached — every downstream consumer

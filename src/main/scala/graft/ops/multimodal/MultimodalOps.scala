@@ -11,9 +11,12 @@ import java.security.MessageDigest
   * IMAGE decode/resize is REAL: the JDK's `javax.imageio` reads and
   * writes PNG/JPEG with zero external dependencies
   * ([[decodeImageMeta]], [[resizeImageNN]], fixture generator
-  * [[synthImagePayload]]). Audio/video decode libraries are absent in
-  * this environment, so `fakeDecodeFeatures` remains a clearly-marked
-  * deterministic stand-in (md5-derived features) for those modalities.
+  * [[synthImagePayload]]). AUDIO decode is REAL for PCM WAV: the
+  * JDK's `javax.sound.sampled` parses RIFF/WAVE with zero external
+  * deps ([[decodeWavMeta]], fixture generator [[synthWavPayload]]).
+  * Video codecs are absent in this environment, so
+  * `fakeDecodeFeatures` remains a clearly-marked deterministic
+  * stand-in (md5-derived features) for that modality.
   * What is load-bearing for 100 TB either way: the schema (binary
   * payload + metadata struct), the mapPartitions batch shape
   * (decoders amortize codec/model setup per batch, exactly like a
@@ -146,6 +149,108 @@ object MultimodalOps {
     }(Encoders.row(outSchema))
   }
 
+  /** REAL WAV fixture generator: encodes a deterministic mono 16-bit
+    * PCM WAV per row with the JDK's `javax.sound.sampled` (zero
+    * external deps — the same trick as [[synthImagePayload]]).
+    * Audio: n = 64 + id%64 samples at 8000 + (id%3)*4000 Hz, sample i
+    * carries the value (id%100) + i — so the sample COUNT, RATE and
+    * SUM all have closed forms in id and a SQL oracle verifies the
+    * encode->decode round trip without decoding anything. Rows where
+    * `corruptCol` is true emit the raw text bytes instead (no RIFF
+    * header — the truncated-crawl-file case). */
+  def synthWavPayload(df: DataFrame, idCol: String, textCol: String,
+                      corruptCol: String, batchSize: Int = 32): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("payload", BinaryType)))
+    val input = df.select(col(idCol).cast("long"),
+      col(textCol).cast("string"), col(corruptCol).cast("boolean"))
+    input.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0)
+          val bytes =
+            if (r.getBoolean(2)) r.getString(1).getBytes("UTF-8")
+            else {
+              val n = (64 + id % 64).toInt
+              val rate = (8000 + (id % 3) * 4000).toFloat
+              val pcm = new Array[Byte](n * 2) // 16-bit LE mono
+              var i = 0
+              while (i < n) {
+                val v = ((id % 100) + i).toInt
+                pcm(2 * i) = (v & 0xff).toByte
+                pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+                i += 1
+              }
+              val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1,
+                true, false) // signed, little-endian
+              val ais = new javax.sound.sampled.AudioInputStream(
+                new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.sound.sampled.AudioSystem.write(ais,
+                javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+              bos.toByteArray
+            }
+          Row(id, bytes)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL WAV decode via `javax.sound.sampled` (PCM, zero external
+    * deps): sample count, rate, channel count and the exact signed
+    * 16-bit sample sum per payload. Batch-shaped mapPartitions like
+    * every decoder here. A payload the parser rejects (no RIFF
+    * header, wrong mime, raw text) decodes to nulls + ok='N'; a
+    * TRUNCATED file — header promises more frames than the data
+    * section holds — is also ok='N' (a crawl's most common audio
+    * corruption; silently summing half a file would poison the
+    * features downstream). Output: (id, n_samples, sample_rate,
+    * channels, sample_sum, ok). */
+  def decodeWavMeta(df: DataFrame, idCol: String, batchSize: Int = 32): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("n_samples", IntegerType), StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType), StructField("sample_sum", LongType),
+      StructField("ok", StringType)))
+    val bad = (id: Long) => Row(id, null, null, null, null, "N")
+    val input = df.select(col(idCol).cast("long"), col("payload"))
+    input.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0)
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            val fmt = ais.getFormat
+            val nFrames = ais.getFrameLength
+            val frameSize = fmt.getFrameSize
+            if (nFrames < 0 || frameSize <= 0 ||
+              fmt.getSampleSizeInBits != 16 || fmt.getEncoding !=
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) bad(id)
+            else {
+              val expected = (nFrames * frameSize).toInt
+              val data = ais.readNBytes(expected)
+              if (data.length < expected) bad(id) // truncated data section
+              else {
+                val le = !fmt.isBigEndian
+                var sum = 0L; var i = 0
+                while (i + 1 < data.length) {
+                  val lo = data(if (le) i else i + 1) & 0xff
+                  val hi = data(if (le) i + 1 else i)
+                  sum += (hi << 8) | lo // hi sign-extends: signed 16-bit
+                  i += 2
+                }
+                Row(id, (nFrames * fmt.getChannels).toInt,
+                  fmt.getSampleRate.toInt, fmt.getChannels, sum, "Y")
+              }
+            }
+          } catch { case scala.util.control.NonFatal(_) => bad(id) }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Wrap a text column as an opaque binary payload with metadata —
     * the shape an image/audio column has in a lakehouse table. */
   def attachPayload(df: DataFrame, textCol: String): DataFrame =
@@ -184,12 +289,12 @@ object MultimodalOps {
       .withColumn("frame_len", octet_length(col("frame")))
       .drop("n_frames")
 
-  /** STUB resize for the NON-image modalities (audio windowing /
-    * video transcode — codecs absent here): byte-stride downsampling
-    * of the payload (every `factor`-th byte) with the SAME
-    * batch-shaped plumbing as decode. The image case is real — see
-    * [[resizeImageNN]]. Output: id, resized payload, original/resized
-    * lengths. */
+  /** STUB resize for VIDEO (codecs absent here): byte-stride
+    * downsampling of the payload (every `factor`-th byte) with the
+    * SAME batch-shaped plumbing as decode. The image case is real
+    * ([[resizeImageNN]]) and WAV audio decode is real
+    * ([[decodeWavMeta]]). Output: id, resized payload,
+    * original/resized lengths. */
   def fakeResize(df: DataFrame, idCol: String, factor: Int,
                  batchSize: Int = 32): DataFrame = {
     val outSchema = StructType(Seq(

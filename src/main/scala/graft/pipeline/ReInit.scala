@@ -16,10 +16,15 @@ import org.apache.spark.sql.functions._
   *     (year, week_no); --test --init-all -> every master.
   *   - week / week_sub / job_log rows under a doomed master are
   *     deleted — restricted to `farms` when given.
-  *   - a doomed MASTER row is deleted only when NO week rows remain
-  *     under it (the reference checks COUNT(*) after the farm-scoped
-  *     deletes; with no farm list that is always zero, so the master
-  *     always goes — one rule covers both branches).
+  *   - --init-week: a doomed MASTER row is deleted only when NO week
+  *     rows remain under it (the reference checks COUNT(*) after the
+  *     farm-scoped deletes; with no farm list that is always zero, so
+  *     the master always goes).
+  *   - --init-all WITH a farm list: masters are NEVER deleted — the
+  *     reference's `_delete_all_test_data` (orchestrator.py:730-731)
+  *     simply skips the master delete when farm_list is given, even
+  *     for masters whose week rows all fell to the farm-scoped
+  *     cascade. Only the no-farm init_all run clears masters.
   *
   * Batch-engine formulation: deletion = anti-join retention. Each
   * table's retained frame is one broadcast join against the doomed
@@ -57,12 +62,17 @@ object ReInit {
           .drop("__doomed")
     }
     val week = cut(f.week)
-    // a doomed master survives only while week rows still reference it
-    val stillUsed = week.select(col("master_seq")).distinct()
-    val master = f.master.join(broadcast(doomed), Seq("master_seq"), "left_anti")
-      .unionByName(f.master
-        .join(broadcast(doomed), Seq("master_seq"), "left_semi")
-        .join(broadcast(stillUsed), Seq("master_seq"), "left_semi"))
+    val master =
+      if (initAll && farms.isDefined) f.master
+      // init_week: a doomed master survives only while week rows still
+      // reference it (farm-scoped deletes can leave survivors)
+      else {
+        val stillUsed = week.select(col("master_seq")).distinct()
+        f.master.join(broadcast(doomed), Seq("master_seq"), "left_anti")
+          .unionByName(f.master
+            .join(broadcast(doomed), Seq("master_seq"), "left_semi")
+            .join(broadcast(stillUsed), Seq("master_seq"), "left_semi"))
+      }
     Frames(master, week, cut(f.weekSub), cut(f.jobLog))
   }
 }

@@ -139,6 +139,11 @@ object StreamingJobs {
         val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val store =
           if (fs.exists(storePath)) Some(spark.read.parquet(storeDir)) else None
+        // every cache this batch takes (incl. jaccard's internal
+        // pair/posting caches) is released when the batch's writes
+        // finish — a long-lived stream must not accumulate cached
+        // partitions across micro-batches
+        val releases = scala.collection.mutable.ListBuffer.empty[() => Unit]
         val dupIds = store match {
           case None => batch.select("doc_id").limit(0)
           case Some(st) =>
@@ -148,6 +153,7 @@ object StreamingJobs {
             val coll = bands
               .join(st.withColumnRenamed("doc_id", "sid"), Seq("band", "band_key"))
               .select(col("sid"), col("doc_id").as("bid")).distinct().cache()
+            releases += (() => coll.unpersist(false))
             val sameId = coll.filter(col("sid") === col("bid"))
               .select(col("bid").as("doc_id"))
             // Dedup.jaccard's posting expansion emits pairs ordered
@@ -167,14 +173,19 @@ object StreamingJobs {
               storeDocs.select("doc_id", "text")
                 .unionByName(batch.select("doc_id", "text")),
               "doc_id", "text", k = 3)
-            Dedup.jaccard(cand, corpus, "doc_id")
+            val jh = Dedup.jaccardReleasable(cand, corpus, "doc_id")
+            releases += jh.release
+            jh.df
               .filter(col("jaccard") >= tau)
               .select(col("bid").as("doc_id"))
               .unionByName(sameId).distinct()
         }
         // 3. intra-batch near-dups (non-identical): the batch
         // pipeline's own candidate stage, drop the larger id
-        val intra = Dedup.jaccard(Dedup.candidatePairs(bands, "doc_id"), shingles, "doc_id")
+        val ih = Dedup.jaccardReleasable(
+          Dedup.candidatePairs(bands, "doc_id"), shingles, "doc_id")
+        releases += ih.release
+        val intra = ih.df
           .filter(col("jaccard") >= tau)
           .select(col("id_b").as("doc_id")).distinct()
         // 4. novel docs -> curated corpus; their bands -> store
@@ -185,6 +196,7 @@ object StreamingJobs {
         bands.join(novel.select("doc_id"), Seq("doc_id"), "left_semi")
           .write.mode("append").parquet(storeDir)
         batch.unpersist(); bands.unpersist(); novel.unpersist()
+        releases.foreach(_())
         ()
       }
       .start()

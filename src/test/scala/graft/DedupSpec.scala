@@ -147,6 +147,28 @@ class DedupSpec extends SparkSpec {
       s"expected batch uid 21 x ref uids {2,4}, got $pairs")
   }
 
+  test("scoped dedup queries leave zero cached partitions behind (q42/q44/q92/q101/q129)") {
+    // the round-8 advisory: catalog call sites must not rely on the
+    // bench harness's clearCache — every internal cache (jaccard's
+    // pair/posting frames, CC superstep checkpoints) is released
+    // before the query function returns (results are localized)
+    spark.catalog.clearCache()
+    val sf = "/root/testdata/sf0.001"
+    Seq(
+      "q42_lsh_pairs" -> QueryCatalogText.all("q42_lsh_pairs"),
+      "q44_ngram_jaccard" -> QueryCatalogText.all("q44_ngram_jaccard"),
+      "q92_hot_shingle_cap" -> QueryCatalogText.all("q92_hot_shingle_cap"),
+      "q129_incremental_dedup" -> QueryCatalogText.all("q129_incremental_dedup"),
+      "q101_dup_clusters" -> QueryCatalogCuration.all("q101_dup_clusters")
+    ).foreach { case (name, q) =>
+      val out = q(spark, sf)
+      assert(out.count() > 0, s"$name must produce rows")
+      val cached = spark.sparkContext.getRDDStorageInfo.filter(_.numCachedPartitions > 0)
+      assert(cached.isEmpty,
+        s"$name leaked cached partitions: ${cached.map(_.name).mkString(", ")}")
+    }
+  }
+
   test("simhash: equal for identical docs, close for near-dups") {
     def hamming(a: (Long, Long), b: (Long, Long)): Int =
       java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)

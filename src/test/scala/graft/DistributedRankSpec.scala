@@ -78,6 +78,61 @@ class DistributedRankSpec extends SparkSpec {
     assert(empty.count() == 0 && empty.columns.contains("rk"))
   }
 
+  test("prefixSum matches the window prefix sum on a skewed stratum, nulls contribute 0") {
+    // 'en' dominates; the inclusive running token sum must equal the
+    // single-task window's bit-for-bit, including null values (-> 0)
+    val rows = (1 to 200).map { i =>
+      val v: java.lang.Long = if (i % 13 == 0) null else java.lang.Long.valueOf(i % 7 + 1)
+      (i.toLong, if (i % 20 == 0) "ko" else "en", v)
+    }
+    val df = rows.toDF("id", "lang", "v")
+      .withColumn("q", conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10).cast("long"))
+    val got = DistributedRank.prefixSum(df, Seq("lang"),
+        Seq(col("q").desc, col("id")), "v", "cum", numParts = 7)
+      .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = Window.partitionBy("lang").orderBy(col("q").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("cum", coalesce(sum(col("v")).over(w), lit(0L)))
+      .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("prefixSum totalCol carries each stratum's full sum; non-long valueCol rejected") {
+    val df = Seq((1L, "a", 10L), (2L, "a", 5L), (3L, "b", 7L)).toDF("id", "s", "v")
+    val out = DistributedRank.prefixSum(df, Seq("s"), Seq(col("id")), "v", "cum",
+        numParts = 2, totalCol = "tot")
+      .select("s", "tot").distinct().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 15L, "b" -> 7L))
+    val bad = df.withColumn("vi", col("v").cast("int"))
+    intercept[IllegalArgumentException] {
+      DistributedRank.prefixSum(bad, Seq("s"), Seq(col("id")), "vi", "cum")
+    }
+  }
+
+  test("non-atomic stratum columns are rejected up front") {
+    // array strata would be compared by reference in the driver's
+    // offset map — silently fragmenting ranks; must fail loudly
+    val df = Seq((1L, Seq("a")), (2L, Seq("a"))).toDF("id", "tags")
+    intercept[IllegalArgumentException] {
+      DistributedRank.rank(df, Seq("tags"), Seq(col("id")), "rk")
+    }
+  }
+
+  test("materializeInput gives identical results and releases the checkpoint storage") {
+    val df = (1 to 150).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "lang")
+    val plain = DistributedRank.rank(df, Seq("lang"), Seq(col("id")), "rk", numParts = 4)
+      .select("id", "rk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mat = DistributedRank.rank(df, Seq("lang"), Seq(col("id")), "rk",
+      numParts = 4, materializeInput = true)
+    assert(mat.select("id", "rk").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == plain)
+    // the leaf checkpoint must be freed by the time rank() returns —
+    // same zero-cached-partitions accounting as ConnectedComponentsSpec
+    val cached = spark.sparkContext.getRDDStorageInfo.filter(_.numCachedPartitions > 0)
+    assert(cached.isEmpty,
+      s"checkpoint storage leaked: ${cached.map(_.name).mkString(", ")}")
+  }
+
   test("ranks are dense 1..n within every stratum") {
     val df = (1 to 97).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "lang")
     val out = DistributedRank.rank(df, Seq("lang"), Seq(col("id")), "rk", numParts = 5)

@@ -81,6 +81,41 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(_.isNullAt(1)))
   }
 
+  private def synthWav(ids: Long*) =
+    MultimodalOps.synthWavPayload(
+      ids.map(i => (i, s"text $i", false)).toDF("doc_id", "text", "corrupt"),
+      "doc_id", "text", "corrupt")
+
+  test("real WAV encode->decode round trip recovers count, rate and exact sample sum") {
+    // id 13: n = 64+13 = 77 samples @ 8000+(13%3)*4000 = 12000 Hz,
+    // sample i = 13+i -> sum = 77*13 + 77*76/2
+    val rows = MultimodalOps.decodeWavMeta(synthWav(13L, 200L), "doc_id")
+      .orderBy("doc_id").collect()
+    val r13 = rows(0)
+    assert(r13.getAs[Int]("n_samples") == 77 && r13.getAs[Int]("sample_rate") == 12000)
+    assert(r13.getAs[Int]("channels") == 1)
+    assert(r13.getAs[Long]("sample_sum") == 77L * 13 + 77L * 76 / 2)
+    assert(r13.getAs[String]("ok") == "Y")
+    val r200 = rows(1) // n = 64+200%64 = 72, rate = 8000+(200%3)*4000 = 16000
+    assert(r200.getAs[Int]("n_samples") == 72 && r200.getAs[Int]("sample_rate") == 16000)
+    assert(r200.getAs[Long]("sample_sum") == 72L * 0 + 72L * 71 / 2)
+  }
+
+  test("corrupt WAV payloads (raw text, truncated data, empty) decode to ok='N', never fail") {
+    val good = synthWav(5L).collect()(0).getAs[Array[Byte]]("payload")
+    val corrupt = Seq(
+      (1L, "just some text".getBytes("UTF-8")),
+      // valid RIFF/WAVE header, data section cut short — the header
+      // still promises 64+5=69 frames, so a sum over what's left
+      // would silently be wrong: must be flagged, not computed
+      (2L, good.take(good.length - 20)),
+      (3L, Array.empty[Byte])).toDF("doc_id", "payload")
+    val rows = MultimodalOps.decodeWavMeta(corrupt, "doc_id")
+      .orderBy("doc_id").collect()
+    assert(rows.forall(_.getAs[String]("ok") == "N"), rows.mkString(";"))
+    assert(rows.forall(_.isNullAt(1)))
+  }
+
   test("resizeImageNN: constant-color image resizes to exact dims and color") {
     // constant color survives nearest-neighbor exactly: 4x2 gray-77
     val resized = MultimodalOps.resizeImageNN(synth(77L), "doc_id", outW = 4, outH = 2)

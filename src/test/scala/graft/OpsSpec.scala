@@ -213,6 +213,20 @@ class OpsSpec extends SparkSpec {
       2025, 45, Some(Seq(1)), testMode = true, initAll = false, initWeek = true)
     assert(wn.weekSub.count() == 1 && wn.weekSub.head.isNullAt(1),
       "the NULL-farm row must be retained, the farm-1 row deleted")
+    // init-all WITH a farm list: farm-scoped week cascade runs, but
+    // masters are NEVER deleted — the reference's _delete_all_test_data
+    // skips the master delete whenever farm_list is given
+    // (orchestrator.py:730-731), even for masters with zero week rows
+    // left (here: 101 loses its only farm-1 week row but survives)
+    val af = ReInit.reInit(orig, 2025, 45, Some(Seq(1)), testMode = true,
+      initAll = true, initWeek = false)
+    assert(af.master.count() == 3, "init-all+farms must retain EVERY master")
+    assert(af.week.select("master_seq").collect().map(_.getInt(0)).sorted.toSeq ==
+      Seq(100, 200), "farm-1 week rows under doomed masters must go")
+    // unrestricted init-all still cascades masters (no week rows remain)
+    val aa = ReInit.reInit(orig, 2025, 45, None, testMode = true,
+      initAll = true, initWeek = false)
+    assert(aa.master.count() == 0 && aa.week.count() == 0)
   }
 
   test("scd2: new keys insert as fresh members; duplicate updates canonicalize") {

@@ -35,6 +35,21 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q103/q106 plans contain no lang-partitioned Window (the round-8 weaks)") {
+    // the per-language running token sums are DistributedRank.prefixSum
+    // (range shuffle + broadcast offsets) — a partitionBy(lang) window
+    // would push the dominant language through ONE task's sorter
+    val sf = "/root/testdata/sf0.001"
+    Seq(
+      "q103" -> QueryCatalogCuration.all("q103_token_budget_mix")(spark, sf),
+      "q106" -> QueryCatalogCuration.all("q106_sequence_pack")(spark, sf)
+    ).foreach { case (n, df) =>
+      val p = plan(df)
+      val bad = p.linesIterator.filter(_.contains("Window")).toSeq
+      assert(bad.isEmpty, s"$n still prefix-sums via a Window:\n${bad.mkString("\n")}")
+    }
+  }
+
   test("dimension joins in q06 resolve to broadcast hash joins") {
     val p = plan(QueryCatalog.q06JoinChain(spark, "/root/testdata/sf0.001"))
     assert(p.contains("BroadcastHashJoin"), "dims must broadcast")

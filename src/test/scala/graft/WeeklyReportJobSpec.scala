@@ -30,6 +30,47 @@ class WeeklyReportJobSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/week_sub").count() == before)
   }
 
+  test("re-init + rerun reproduces byte-identical week/week_sub/master frames (SURVEY §5)") {
+    // the reference's core operational guarantee: a week can be
+    // re-initialized (--init-week) and re-run, and the rerun is a
+    // deterministic replay — identical outputs, not merely identical
+    // counts. Clock/entropy are injected: week records carry literal
+    // (year, week, dt_from, dt_to), and the report sections derive
+    // only from fixture frames.
+    import graft.pipeline.ReInit
+    import graft.domain.Fixtures
+    def weekRun(): (Seq[String], Seq[String], Seq[String]) = {
+      val out = Files.createTempDirectory("graft_rerun").toString
+      WeeklyReportJob.run(spark, out)
+      val master = WeeklyReportJob.periodMaster(spark, 100, "WEEK", "20251112")
+      val week = WeeklyReportJob.createWeekRecords(
+        graft.domain.BatchGate.targetFarms(
+          Fixtures.farmDf(spark), Fixtures.svcActiveDf(spark)),
+        100, 2025, 45, "20251103", "20251109")
+      def dump(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.collect().map(_.toString).sorted.toSeq
+      (dump(master), dump(week), dump(spark.read.parquet(s"$out/week_sub")))
+    }
+    val (m1, w1, s1) = weekRun()
+    // re-init the week: every week row under the doomed master falls,
+    // the master cascades (no farm list) — a clean slate, proven
+    val week1 = WeeklyReportJob.createWeekRecords(
+      graft.domain.BatchGate.targetFarms(
+        Fixtures.farmDf(spark), Fixtures.svcActiveDf(spark)),
+      100, 2025, 45, "20251103", "20251109")
+    val master1 = WeeklyReportJob.periodMaster(spark, 100, "WEEK", "20251112")
+    val empty = week1.limit(0)
+    val cut = ReInit.reInit(ReInit.Frames(master1, week1, empty, empty),
+      2025, 45, None, testMode = true, initAll = false, initWeek = true)
+    assert(cut.master.count() == 0 && cut.week.count() == 0,
+      "init-week must clear the doomed master and its week rows")
+    // rerun after the wipe: byte-identical to the first run
+    val (m2, w2, s2) = weekRun()
+    assert(m1 == m2, "master frame must replay byte-identically")
+    assert(w1 == w2, "week records must replay byte-identically")
+    assert(s1 == s2, "week_sub rows must replay byte-identically")
+  }
+
   test("finalize: tokens only for COMPLETE farms, master ERROR iff any farm errored") {
     val out = WeeklyReportJob.finalize(
         graft.domain.Fixtures.insWeekRunDf(spark),
