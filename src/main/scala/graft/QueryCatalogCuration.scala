@@ -1020,7 +1020,42 @@ object QueryCatalogCuration {
       |FROM r JOIN n ON r.lang = n.lang
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- distributed rank functions
+  /** ntile / percent_rank / cume_dist over a corpus-sized stratum —
+    * the whole SQL rank-function family from ONE
+    * [[graft.ops.DistributedRank.rank]] pass (totalCol carries the
+    * stratum size out of the rank's own count job): the three
+    * functions are pure per-row projections of the (row_number,
+    * count) pair under a total order ([[DistributedRank.ntile]] and
+    * friends). The plan contains NO Window operator — the scale-safe
+    * replacement for `ntile(10) OVER (PARTITION BY lang ORDER BY
+    * ...)` when a language holds tens of TB. Deciles here are the
+    * standard quality-binning step before mix weighting (q103/q124
+    * consume exactly such bins at corpus scale). */
+  val q149RankFunctions: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    DistributedRank.rank(docs, Seq("lang"),
+        Seq(col("n_chars").desc, col("doc_id")), "rk", totalCol = "n")
+      .select(col("doc_id"), col("lang"), col("rk"),
+        DistributedRank.ntile(col("rk"), col("n"), 10).as("decile"),
+        DistributedRank.percentRank(col("rk"), col("n")).as("pct_rank"),
+        DistributedRank.cumeDist(col("rk"), col("n")).as("cume"))
+      .orderBy("doc_id")
+  }
+
+  private val q149Sql =
+    """SELECT doc_id, lang,
+      |       CAST(row_number() OVER w AS BIGINT) AS rk,
+      |       CAST(ntile(10) OVER w AS BIGINT) AS decile,
+      |       percent_rank() OVER w AS pct_rank,
+      |       cume_dist() OVER w AS cume
+      |FROM documents
+      |WINDOW w AS (PARTITION BY lang ORDER BY n_chars DESC, doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q149_rank_functions" -> q149RankFunctions,
     "q139_stratified_split" -> q139StratifiedSplit,
     "q135_pagerank" -> q135PageRank,
     "q99_line_dedup" -> q99LineDedup,
@@ -1041,6 +1076,7 @@ object QueryCatalogCuration {
   )
 
   val oracle: Map[String, String] = Map(
+    "q149_rank_functions" -> q149Sql,
     "q139_stratified_split" -> q139Sql,
     "q135_pagerank" -> q135Sql,
     "q99_line_dedup" -> q99Sql,

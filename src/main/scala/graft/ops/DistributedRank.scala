@@ -108,6 +108,48 @@ object DistributedRank {
       materializeInput = materializeInput)
   }
 
+  // ------------------------------------------------------------------
+  // Rank-function expressions over a (rank, total) pair.
+  //
+  // SQL's ntile / percent_rank / cume_dist are pure functions of the
+  // (row_number, partition count) pair whenever (strata ++ order) is a
+  // TOTAL order on the rows (no peers) — exactly what
+  // [[rank]](totalCol = ...) produces in one two-phase pass. So the
+  // scale-safe form of
+  //   `ntile(k) OVER (PARTITION BY stratum ORDER BY ...)`
+  // for a corpus-sized stratum is rank + one of these projections: no
+  // `Window` operator, no stratum funnels through one task's sorter.
+  // All three are plain Column arithmetic (codegen'd, shuffles
+  // nothing). Division results are IEEE-exact given identical
+  // operands, so they hash-match any engine computing the same
+  // definition.
+
+  /** SQL-standard `ntile(k)`: the first (total % k) buckets get
+    * ceil(total/k) rows, the rest floor(total/k). `rk` is the 1-based
+    * [[rank]] output, `total` its totalCol. Pure integer arithmetic. */
+  def ntile(rk: Column, total: Column, k: Int): Column = {
+    val base = total.divide(k).cast(LongType) // floor: both operands >= 0
+    val rem = total % k
+    val thresh = rem * (base + 1)
+    when(rk <= thresh, (rk - 1).divide(base + 1).cast(LongType) + 1)
+      .otherwise(rem + (rk - 1 - thresh).divide(base).cast(LongType) + 1)
+  }
+
+  /** SQL `percent_rank()` = (rank-1)/(total-1), 0.0 for a 1-row
+    * stratum. Valid when the rank's order is total (no peers —
+    * callers include a tiebreaker, as [[rank]] already requires). */
+  def percentRank(rk: Column, total: Column): Column =
+    when(total === 1L, lit(0.0))
+      .otherwise((rk - 1).cast("double") / (total - 1).cast("double"))
+
+  /** SQL `cume_dist()` = rank/total under a total order (no peers —
+    * with peers cume_dist jumps to the LAST peer's row number, which
+    * a per-row projection cannot see; callers needing peer semantics
+    * should rank on the peer key alone and max-join, but every
+    * catalog caller orders by a unique tiebreaker). */
+  def cumeDist(rk: Column, total: Column): Column =
+    rk.cast("double") / total.cast("double")
+
   /** Shared two-phase engine: valueCol = None counts rows (rank),
     * Some(c) sums column c (prefix sum). */
   private def twoPhase(df0: DataFrame, strata: Seq[String], order: Seq[Column],

@@ -133,6 +133,32 @@ class DistributedRankSpec extends SparkSpec {
       s"checkpoint storage leaked: ${cached.map(_.name).mkString(", ")}")
   }
 
+  test("ntile/percentRank/cumeDist projections match Spark's own window functions") {
+    // the three SQL rank functions as pure (rank, total) projections —
+    // must equal the engine's window forms under a total order,
+    // including the total<k ntile edge and the 1-row-stratum
+    // percent_rank edge. The window here is the TEST oracle only.
+    val rows = (1 to 83).map(i => (i.toLong, if (i <= 70) "en" else if (i <= 82) "ko" else "de",
+      (i * 37 % 11).toLong))
+    val df = rows.toDF("id", "lang", "v")
+    val got = DistributedRank.rank(df, Seq("lang"), Seq(col("v").desc, col("id")), "rk",
+        numParts = 5, totalCol = "n")
+      .select(col("id"),
+        DistributedRank.ntile(col("rk"), col("n"), 7).as("t7"),
+        DistributedRank.ntile(col("rk"), col("n"), 20).as("t20"), // > de's 1 row, > ko's 12
+        DistributedRank.percentRank(col("rk"), col("n")).as("pr"),
+        DistributedRank.cumeDist(col("rk"), col("n")).as("cd"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val w = Window.partitionBy("lang").orderBy(col("v").desc, col("id"))
+    val want = df.select(col("id"),
+        ntile(7).over(w).cast("long").as("t7"),
+        ntile(20).over(w).cast("long").as("t20"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got == want)
+  }
+
   test("ranks are dense 1..n within every stratum") {
     val df = (1 to 97).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "lang")
     val out = DistributedRank.rank(df, Seq("lang"), Seq(col("id")), "rk", numParts = 5)

@@ -50,6 +50,16 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q149's rank-function family plan contains no Window operator") {
+    // ntile/percent_rank/cume_dist are (rank, total) projections over
+    // DistributedRank — a Window would reintroduce the one-task-per-
+    // language sorter the whole family exists to avoid
+    val p = plan(QueryCatalogCuration.all("q149_rank_functions")(
+      spark, "/root/testdata/sf0.001"))
+    val bad = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(bad.isEmpty, s"q149 ranks via a Window:\n${bad.mkString("\n")}")
+  }
+
   test("dimension joins in q06 resolve to broadcast hash joins") {
     val p = plan(QueryCatalog.q06JoinChain(spark, "/root/testdata/sf0.001"))
     assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
