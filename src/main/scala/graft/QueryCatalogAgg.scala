@@ -894,6 +894,108 @@ object QueryCatalogAgg {
        |FROM sm ORDER BY win_end""".stripMargin
   }
 
+  // ---------------------------------------------------------------- hdr quantile sketch rollup
+  /** Mergeable QUANTILE sketches ([[graft.functions.HdrHistogram]])
+    * — the rank-statistics completion of the sketch family (q146
+    * HLL distincts, q147 CMS heavy hitters): per-language HDR
+    * histograms of document length, plus the global row ('*') MERGED
+    * from the per-language sketches — never rebuilt from raw values.
+    * Because a value's bucket is a pure function of the value, the
+    * merged sketch of a union equals the directly-built one exactly,
+    * at ANY scale — the oracle rebuilds both from raw values with the
+    * same integer bit arithmetic and must agree bit-for-bit. The
+    * per-language sketch frame is lang-count rows x 15 KB — localized
+    * ([[graft.ops.Materialize.localize]]) as the stand-in for the
+    * PERSISTED sketch table this architecture stores at 100 TB, so
+    * the corpus is scanned once, not once per consumer. */
+  val q150HdrQuantiles: Q = (s, d) => {
+    import graft.functions.HdrHistogram
+    val docs = Tables.documents(s, d)
+      .select(col("lang"), col("n_chars").cast("long").as("v"))
+    val perLang = graft.ops.Materialize.localize(
+      docs.groupBy("lang").agg(
+        HdrHistogram.hdr(col("v")).as("sk"), count(lit(1)).as("n")))
+    val global = perLang
+      .agg(HdrHistogram.hdrMerge(col("sk")).as("sk"), sum("n").as("n"))
+      .select(lit("*").as("lang"), col("sk"), col("n"))
+    perLang.select(col("lang"), col("sk"), col("n")).unionByName(global)
+      .select(col("lang"), col("n"),
+        HdrHistogram.quantile(col("sk"), 1, 2).as("p50"),
+        HdrHistogram.quantile(col("sk"), 9, 10).as("p90"),
+        HdrHistogram.quantile(col("sk"), 99, 100).as("p99"))
+      .orderBy("lang")
+  }
+
+  /** DuckDB replay of the HDR bucket math: msb from the binary digit
+    * count, bucket = (msb-K+1)*2^K + ((v >> (msb-K)) - 2^K), quantile
+    * = lower bound of the first bucket whose cumulative count reaches
+    * ceil(n*p) — all integer, no logs. */
+  private val q150Sql =
+    """WITH v AS (SELECT lang, greatest(n_chars, 0) AS v FROM documents),
+      |b AS (SELECT lang,
+      |        CASE WHEN v < 32 THEN v
+      |             ELSE (length(format('{:b}', v)) - 5) * 32
+      |                  + ((v >> (length(format('{:b}', v)) - 6)) - 32)
+      |        END AS b,
+      |        COUNT(*) AS cnt
+      |      FROM v GROUP BY 1, 2),
+      |a AS (SELECT * FROM b
+      |      UNION ALL
+      |      SELECT '*' AS lang, b, SUM(cnt) AS cnt FROM b GROUP BY 2),
+      |c AS (SELECT lang, b, cnt,
+      |             SUM(cnt) OVER (PARTITION BY lang ORDER BY b) AS cum,
+      |             SUM(cnt) OVER (PARTITION BY lang) AS n
+      |      FROM a),
+      |q AS (SELECT lang, n,
+      |        MIN(CASE WHEN cum >= (n + 1) // 2 THEN b END) AS b50,
+      |        MIN(CASE WHEN cum >= (n * 9 + 9) // 10 THEN b END) AS b90,
+      |        MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN b END) AS b99
+      |      FROM c GROUP BY 1, 2)
+      |SELECT lang, CAST(n AS BIGINT) AS n,
+      |  CAST(CASE WHEN b50 < 32 THEN b50
+      |            ELSE (32 + b50 % 32) << (b50 // 32 - 1) END AS BIGINT) AS p50,
+      |  CAST(CASE WHEN b90 < 32 THEN b90
+      |            ELSE (32 + b90 % 32) << (b90 // 32 - 1) END AS BIGINT) AS p90,
+      |  CAST(CASE WHEN b99 < 32 THEN b99
+      |            ELSE (32 + b99 % 32) << (b99 // 32 - 1) END AS BIGINT) AS p99
+      |FROM q ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- z-order layout cells
+  /** Z-order (Morton) clustering summary ([[graft.ops.ZOrder]]) —
+    * the multi-dimensional data-LAYOUT operator: interleave the bits
+    * of two quantized dimensions, group by a 1024-wide z range
+    * ("what one output file would hold after a z-ordered write") and
+    * report each cell's bounding box. The point the numbers make:
+    * every cell's x-span and y-span are <= 32 — BOTH dimensions stay
+    * narrow at once, so parquet min/max stats prune scans filtered
+    * on either key (a 1-D sort gets ~full-range spans on the second
+    * key). The interleave is pure codegen'd bit arithmetic, exactly
+    * replayable by the oracle; ZOrderSpec asserts the layout/pruning
+    * properties on the physical partitions themselves. */
+  val q151ZOrderCells: Q = (s, d) => {
+    import graft.ops.ZOrder
+    val t = Tables.lineitem(s, d)
+      .select((col("l_partkey") % 256).as("x"), (col("l_suppkey") % 256).as("y"))
+    t.withColumn("z", ZOrder.zValue(Seq(col("x"), col("y")), 8))
+      .groupBy((col("z") / 1024).cast("long").as("cell"))
+      .agg(count(lit(1)).as("n"),
+        min("x").as("x_min"), max("x").as("x_max"),
+        min("y").as("y_min"), max("y").as("y_max"))
+      .orderBy("cell")
+  }
+
+  private val q151Sql = {
+    val zExpr = (0 until 8).flatMap(i => Seq(
+      s"(((x >> $i) & 1) << ${2 * i})",
+      s"(((y >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+    s"""WITH t AS (SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem),
+       |z AS (SELECT x, y, $zExpr AS z FROM t)
+       |SELECT z // 1024 AS cell, COUNT(*) AS n,
+       |       MIN(x) AS x_min, MAX(x) AS x_max,
+       |       MIN(y) AS y_min, MAX(y) AS y_max
+       |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // ---------------------------------------------------------------- join-key skew report
   /** Join-key skew report — the diagnostic that decides salting /
     * AQE-skew-join configuration before a big join ships: for each
@@ -1027,6 +1129,8 @@ object QueryCatalogAgg {
     "q136_time_weighted_avg" -> q136TimeWeightedAvg,
     "q137_rolling_actives" -> q137RollingActives,
     "q146_rolling_actives_hll" -> q146RollingActivesHll,
+    "q150_hdr_quantiles" -> q150HdrQuantiles,
+    "q151_zorder_cells" -> q151ZOrderCells,
     "q13_pivot_years" -> q13Pivot,
     "q14_histogram_share" -> q14Hist,
     "q15_weighted_avg" -> q15WeightedAvg,
@@ -1060,6 +1164,8 @@ object QueryCatalogAgg {
     "q136_time_weighted_avg" -> q136Sql,
     "q137_rolling_actives" -> q137Sql,
     "q146_rolling_actives_hll" -> q146Sql,
+    "q150_hdr_quantiles" -> q150Sql,
+    "q151_zorder_cells" -> q151Sql,
     "q13_pivot_years" -> q13Sql,
     "q14_histogram_share" -> q14Sql,
     "q15_weighted_avg" -> q15Sql,

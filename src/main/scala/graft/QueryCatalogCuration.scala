@@ -1054,8 +1054,45 @@ object QueryCatalogCuration {
       |WINDOW w AS (PARTITION BY lang ORDER BY n_chars DESC, doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- weighted sample (bottom-k)
+  /** Weighted sampling WITHOUT replacement as a bottom-k sketch
+    * (Cohen/Kaplan bottom-k estimation): each document holds w
+    * integer tickets (w = its length-derived sampling weight), every
+    * ticket draws a deterministic md5 key, the document's key is its
+    * MINIMUM ticket key, and the sample is the k smallest document
+    * keys. Equivalent to drawing documents ticket-by-ticket without
+    * replacement — the pure-integer/lexicographic form of A-ES
+    * exponential-race sampling, chosen over u^(1/w) because it needs
+    * NO pow()/ln() whose last ulp the oracle's engine could round
+    * differently: keys are md5 hex STRINGS, compared exactly.
+    *
+    * Scale shape: ticket explosion is a pure map bounded by max
+    * weight (4x); per-doc min is one partial-agg; the k smallest
+    * keys are TakeOrdered (per-partition top-k, k-sized merge on the
+    * driver) — no global sort, no window, nothing corpus-sized on
+    * one task. Replayable: the sample is a pure function of the
+    * corpus, so a re-run (reference §5 rerun discipline) reproduces
+    * it byte-for-byte. */
+  val q152WeightedSample: Q = (s, d) => {
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("CAST(least(4, 1 + n_chars div 500) AS BIGINT)").as("w"))
+    graft.ops.Sampling.weightedBottomK(t, col("doc_id"), col("w"), 25)
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  private val q152Sql =
+    """WITH t AS (SELECT doc_id, CAST(least(4, 1 + n_chars // 500) AS BIGINT) AS w
+      |           FROM documents),
+      |k AS (SELECT doc_id, w, unnest(generate_series(1, w)) AS i FROM t),
+      |m AS (SELECT doc_id, w,
+      |             MIN(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR))) AS key
+      |      FROM k GROUP BY 1, 2)
+      |SELECT doc_id, w, key FROM m ORDER BY key LIMIT 25""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q149_rank_functions" -> q149RankFunctions,
+    "q152_weighted_sample" -> q152WeightedSample,
     "q139_stratified_split" -> q139StratifiedSplit,
     "q135_pagerank" -> q135PageRank,
     "q99_line_dedup" -> q99LineDedup,
@@ -1077,6 +1114,7 @@ object QueryCatalogCuration {
 
   val oracle: Map[String, String] = Map(
     "q149_rank_functions" -> q149Sql,
+    "q152_weighted_sample" -> q152Sql,
     "q139_stratified_split" -> q139Sql,
     "q135_pagerank" -> q135Sql,
     "q99_line_dedup" -> q99Sql,

@@ -590,6 +590,64 @@ object QueryCatalogText {
       |       (SELECT n_sketches FROM nl) AS n_sketches
       |FROM est ORDER BY n_exact DESC, token""".stripMargin
 
+  // ---------------------------------------------------------------- bm25 retrieval
+  /** BM25 ranked retrieval over the corpus for a literal query
+    * ("hash join filter") — the lexical-retrieval operator a
+    * training-data pipeline uses for targeted corpus search and
+    * hard-negative mining. Classic inverted-index shape as one plan:
+    * token explode -> per-(doc,term) tf partial-agg, term df is a
+    * terms-sized broadcast, corpus stats (N, avgdl) one broadcast
+    * row, score = Σ_t idf_t * tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)),
+    * top-15 via TakeOrdered. Two determinism choices, both because
+    * the correctness gate hash-compares floats bit-for-bit: idf is
+    * the RATIONAL odds form (N-df+0.5)/(df+0.5)+1 (same monotone
+    * ordering as Robertson's ln of it, no transcendental whose last
+    * ulp engines may round differently), and per-term scores are
+    * floor-quantized to integer micros BEFORE the per-doc sum so the
+    * sum is exact integer arithmetic — commutative under any shuffle
+    * order. k1=1.2, b=0.75 (the standard defaults). */
+  val q153Bm25: Q = (s, d) => {
+    val terms = Seq("hash", "join", "filter")
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), "\\s+")).as("t"))
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), "\\s+")).cast("long").as("dl"))
+    val st = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot"))
+    val tf = toks.filter(col("t").isin(terms: _*))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val avgdl = col("tot").cast("double") / col("n_docs").cast("double")
+    val denom = col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl)
+    val wtf = col("tf") * lit(2.2) / denom
+    val idf = ((col("n_docs") - col("df")) + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)
+    tf.join(dl, "doc_id").join(broadcast(dfq), "t").crossJoin(broadcast(st))
+      .select(col("doc_id"), col("dl"),
+        floor(wtf * idf * lit(1000000.0)).cast("long").as("micros"))
+      .groupBy("doc_id", "dl").agg(sum("micros").as("score_micros"))
+      .orderBy(col("score_micros").desc, col("doc_id")).limit(15)
+  }
+
+  private val q153Sql =
+    """WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+      |             FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS dl
+      |       FROM documents),
+      |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot FROM dl),
+      |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok
+      |       WHERE t IN ('hash', 'join', 'filter') GROUP BY 1, 2),
+      |dfq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
+      |sc AS (SELECT tf.doc_id, dl.dl,
+      |         CAST(floor(
+      |           (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+      |              / (CAST(st.tot AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))
+      |           * (((st.n_docs - dfq.df) + 0.5) / (dfq.df + 0.5) + 1.0)
+      |           * 1000000.0) AS BIGINT) AS micros
+      |       FROM tf JOIN dl USING (doc_id) JOIN dfq USING (t) CROSS JOIN st)
+      |SELECT doc_id, dl, CAST(SUM(micros) AS BIGINT) AS score_micros
+      |FROM sc GROUP BY 1, 2
+      |ORDER BY score_micros DESC, doc_id LIMIT 15""".stripMargin
+
   // ---------------------------------------------------------------- corpus curation funnel
   /** The assembled curation pipeline (pipeline.CorpusCurationJob) on
     * a re-crawl-simulated corpus (first 50 docs duplicated under new
@@ -1096,6 +1154,7 @@ object QueryCatalogText {
     "q54_hll_distinct" -> q54Hll,
     "q90_cms_heavyhitters" -> q90CmsHeavyHitters,
     "q147_cms_merge_rollup" -> q147CmsMergeRollup,
+    "q153_bm25" -> q153Bm25,
     "q91_curation_funnel" -> q91CurationFunnel,
     "q47_text_tokens" -> q47Tokens,
     "q48_text_quality" -> q48Quality,
@@ -1119,6 +1178,7 @@ object QueryCatalogText {
     "q54_hll_distinct" -> q54Sql,
     "q90_cms_heavyhitters" -> q90Sql,
     "q147_cms_merge_rollup" -> q147Sql,
+    "q153_bm25" -> q153Sql,
     "q91_curation_funnel" -> q91Sql,
     "q47_text_tokens" -> q47Sql,
     "q48_text_quality" -> q48Sql,
