@@ -238,20 +238,29 @@ object Dedup {
     *      heavily duplicated corpora make candidates corpus-order —
     *      the hint is dropped and the planner shuffles, which is the
     *      only safe regime there.
-    *   2. Intersections come from posting lists over that reduced
-    *      set (collect_list per shingle + in-row pair expansion —
-    *      the invertedJaccard shape): m^2 per shingle is bounded by
-    *      the shingle's df AMONG CANDIDATE DOCS, never corpus df.
-    *   3. Per-doc sizes fall out of the same posting lists, so the
-    *      grouped exchange is built once and reused (ReuseExchange)
-    *      by both consumers.
+    *   2. Intersections are PAIR-ANCHORED: each candidate pair fans
+    *      out by doc a's shingles, then one equi-join probes doc b's
+    *      (id, w) membership — cost O(|pairs| x shingles-per-doc),
+    *      LINEAR in the candidate-pair count by construction. The
+    *      earlier posting-list form (collect_set per shingle +
+    *      in-row m^2 pair expansion) was quadratic in the shingle's
+    *      df among candidate docs: fine for big-vocabulary corpora
+    *      where candidate-restricted df stays small, but a
+    *      small-vocabulary corpus at 10x data made ONE hot shingle's
+    *      df explode the expansion (q129: 4 s -> 65 s at sf1, the
+    *      round-9 scaling-curve catch) — and a boilerplate shingle
+    *      at 100 TB is exactly that hot key. No stage here is
+    *      super-linear in anything.
+    *   3. Per-doc set sizes come from the same candidate-restricted
+    *      distinct (id, w) relation, which is cached and feeds both
+    *      the sizes and the two membership probes.
     *
-    * The earlier form double-broadcast the pairs×shingles
-    * intermediate (driver ceiling at corpus scale), and letting AQE
-    * shuffle-join instead paid a full corpus shuffle on (id, w) —
-    * measured +40% on q42/q91 at sf0.1. This shape is safe AND
-    * shuffle-minimal: the only exchange is over candidate-doc
-    * shingles.
+    * The first form of this verifier double-broadcast the
+    * pairs×shingles intermediate (driver ceiling at corpus scale);
+    * the posting-list rewrite fixed that but kept the df^2 term.
+    * This shape is safe AND bounded: the exchanges are the candidate
+    * shingle distinct, the two membership joins, and the final
+    * pair-keyed aggregation — all hash-partitioned, all linear.
     *
     * EAGER by construction: unless `candCount` is supplied, this
     * method runs a Spark job AT CALL TIME (a count over the cached
@@ -304,24 +313,20 @@ object Dedup {
     // dropped and the planner/AQE picks the join (shuffle at scale).
     val nCand = candCount.getOrElse(candIds.count())
     val candSide = if (nCand <= broadcastCandMax) broadcast(candIds) else candIds
-    val cw = words.join(candSide, idCol)
-    // posting lists over the candidate-restricted shingles.
-    // collect_set supplies the SET semantics Jaccard needs, so the
-    // corpus-wide relation may arrive as a multiset (shingleSet is
-    // map-only — no corpus-wide distinct shuffle anywhere): dedup
-    // happens inside this one grouped aggregation, after the
-    // broadcast semi-join has already cut the input to candidate
-    // docs. Cached: it feeds both per-doc sizes and intersections
-    // (bounded by candidate docs; released with the session).
-    val posting = cw.groupBy(col("w")).agg(collect_set(col(idCol)).as("ids"))
-      .cache()
-    val counts = posting.select(explode(col("ids")).as(idCol))
-      .groupBy(idCol).agg(count(lit(1)).as("n"))
-    val inter = posting
-      .filter(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
+    // candidate-restricted DISTINCT (id, w): the set semantics
+    // Jaccard needs (the corpus-wide relation may arrive as a
+    // multiset — shingleSet is map-only, no corpus-wide distinct
+    // shuffle anywhere); dedup happens on the candidate-cut relation
+    // only. Cached: it feeds the per-doc sizes and BOTH membership
+    // probes of the intersection join (released via the handle).
+    val cw = words.join(candSide, idCol).distinct().cache()
+    val counts = cw.groupBy(idCol).agg(count(lit(1)).as("n"))
+    // pair-anchored intersection: fan each pair by doc a's shingles,
+    // probe doc b's membership — |pairs| x shingles-per-doc rows,
+    // never df^2 (see scaladoc point 2)
+    val inter = p.select("id_a", "id_b")
+      .join(cw.select(col(idCol).as("id_a"), col("w")), "id_a")
+      .join(cw.select(col(idCol).as("id_b"), col("w")), Seq("id_b", "w"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
     val out = p
       .join(inter, Seq("id_a", "id_b"), "left")
@@ -332,7 +337,7 @@ object Dedup {
         .withColumnRenamed(idCol, "id_b"), "id_b")
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
-    Releasable(out, () => { p.unpersist(false); posting.unpersist(false) })
+    Releasable(out, () => { p.unpersist(false); cw.unpersist(false) })
   }
 
   /** Scoped [[jaccard]]: hand the verified frame to `use` (which must
