@@ -62,6 +62,29 @@ object StreamingJobs {
       .select(col("window.start").as("win_start"),
         col("window.end").as("win_end"), col("n_active_est"))
 
+  /** Windowed latency/size quantiles via the HDR-histogram sketch
+    * aggregate (q150's stream face): watermarked tumbling windows,
+    * per-window `graft_hdr` — 1888 integer counters per open window
+    * where an exact percentile would hold every value. The streamed
+    * sketch equals the batch sketch of the same window bit-for-bit
+    * (bucket-of-value is a pure function; counter sums commute
+    * across micro-batches), so p50/p95/p99 read-outs agree with
+    * any batch backfill — the reconciliation property a monitoring
+    * pipeline needs. */
+  def quantileStream(events: DataFrame, tsCol: String, valueCol: String,
+                     windowLen: String, watermark: String): DataFrame = {
+    import graft.functions.HdrHistogram
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(HdrHistogram.hdr(col(valueCol).cast("long")).as("sk"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"),
+        HdrHistogram.quantile(col("sk"), 1, 2).as("p50"),
+        HdrHistogram.quantile(col("sk"), 99, 100).as("p99"),
+        HdrHistogram.total(col("sk")).as("n"))
+  }
+
   /** Streaming exact dedup (the corpus dedup family's stream face):
     * drop re-ingested duplicates by content key across micro-batches,
     * bounded by a watermark so the dedup state is evictable — the

@@ -60,6 +60,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(bad.isEmpty, s"q149 ranks via a Window:\n${bad.mkString("\n")}")
   }
 
+  test("q153 BM25: df/stats broadcast, top-k is TakeOrdered — no global sort") {
+    // the inverted-index retrieval shape: the terms-sized df relation
+    // and the one-row (N, avgdl) stats both broadcast; the final
+    // top-15 is per-partition top-k + driver merge, never a full sort
+    val p = plan(QueryCatalogText.all("q153_bm25")(spark, "/root/testdata/sf0.001"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "df/stats must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must be TakeOrdered")
+  }
+
+  test("q152 weighted sample: the k smallest keys come from TakeOrdered") {
+    val p = plan(QueryCatalogCuration.all("q152_weighted_sample")(
+      spark, "/root/testdata/sf0.001"))
+    assert(p.contains("TakeOrderedAndProject"),
+      "bottom-k selection must be TakeOrdered, not a global sort")
+  }
+
   test("dimension joins in q06 resolve to broadcast hash joins") {
     val p = plan(QueryCatalog.q06JoinChain(spark, "/root/testdata/sf0.001"))
     assert(p.contains("BroadcastHashJoin"), "dims must broadcast")

@@ -53,6 +53,37 @@ class SinksStreamingSpec extends SparkSpec {
       s"stream state registers must equal the batch sketch: $streamed vs $batch")
   }
 
+  test("quantileStream: HDR sketch state per window matches the batch read-out") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val events = mem.toDF.toDF("ts", "v")
+    val agg = StreamingJobs.quantileStream(events, "ts", "v", "10 minutes", "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("quants")
+      .outputMode("update").start()
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // one window fed across TWO micro-batches: counters must carry
+    val vs1 = (1 to 30).map(i => (i * 97L) % 5000L)
+    val vs2 = (31 to 80).map(i => (i * 97L) % 5000L)
+    mem.addData(vs1.map(v => (t(2), v)): _*)
+    q.processAllAvailable()
+    mem.addData(vs2.map(v => (t(7), v)): _*)
+    q.processAllAvailable()
+    // update-mode memory sink keeps a row per emission; counts only
+    // grow, so the window's final state is the max-n row
+    val row = spark.table("quants").filter(col("win_start") === t(0))
+      .orderBy(col("n").desc).head()
+    q.stop()
+    val batch = (vs1 ++ vs2).map(Tuple1(_)).toDF("v")
+      .agg(graft.functions.HdrHistogram.hdr(col("v")).as("sk"))
+      .select(graft.functions.HdrHistogram.quantile(col("sk"), 1, 2),
+        graft.functions.HdrHistogram.quantile(col("sk"), 99, 100),
+        graft.functions.HdrHistogram.total(col("sk"))).head()
+    assert(row.getAs[Long]("n") == batch.getLong(2))
+    assert(row.getAs[Long]("p50") == batch.getLong(0) &&
+      row.getAs[Long]("p99") == batch.getLong(1),
+      "streamed sketch read-outs must equal the batch backfill's")
+  }
+
   test("upsertParquet merges on key with incoming-wins (S7)") {
     val path = tmp() + "/t"
     Sinks.upsertParquet(spark, Seq((1, "a"), (2, "b")).toDF("k", "v"), path, Seq("k"))
