@@ -84,6 +84,21 @@ object Explain {
     "q135_pagerank" -> ("Int64-exact Jacobi iterations (one join + partial-agg " +
       "exchange per round); the final global rank is DistributedRank, not a " +
       "no-partition window — no single-partition sort above the host frame."),
+    "q149_rank_functions" -> ("The whole SQL rank-function family (ntile / " +
+      "percent_rank / cume_dist) as per-row projections of DistributedRank's " +
+      "(rank, total) pair — NO Window operator; one range shuffle + KB-sized " +
+      "offset jobs regardless of language skew."),
+    "q150_hdr_quantiles" -> ("Mergeable HDR quantile sketches: per-lang " +
+      "ObjectHashAggregate into 1888 integer counters; the global row is a " +
+      "counter-SUM merge of the localized per-lang sketch frame (the persisted " +
+      "sketch table stand-in) — raw values scanned ONCE, quantile read-out is " +
+      "integer arithmetic over the tiny sketch rows."),
+    "q151_zorder_cells" -> ("Morton interleave as pure codegen'd bit arithmetic " +
+      "(shifts/masks/OR folds inside WholeStageCodegen) — the z-layout key " +
+      "costs no exchange of its own; the only shuffle is the cell aggregation."),
+    "q153_bm25" -> ("Inverted-index retrieval: per-(doc,term) tf partial-agg; " +
+      "term df and (N, avgdl) corpus stats broadcast; top-15 is " +
+      "TakeOrderedAndProject — no global sort, nothing corpus-sized on one task."),
   )
 
   def main(args: Array[String]): Unit = {

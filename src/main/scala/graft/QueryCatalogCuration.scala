@@ -1090,9 +1090,41 @@ object QueryCatalogCuration {
       |      FROM k GROUP BY 1, 2)
       |SELECT doc_id, w, key FROM m ORDER BY key LIMIT 25""".stripMargin
 
+  // ---------------------------------------------------------------- per-stratum k-sample
+  /** Per-stratum fixed-k deterministic sample — "k docs from EVERY
+    * language", the balanced-eval-set draw (contrast q152: k docs
+    * total, weight-proportional; q139: fractional split). Seeded md5
+    * order makes the draw uniform-at-random per stratum yet a pure
+    * function of the corpus; the k-per-key selection runs on the
+    * custom [[graft.plans.TopKPerKey]] physical operator — bounded
+    * per-key heaps in partial AND final aggregation, so a stratum is
+    * never sorted whole anywhere: the exchange carries at most k
+    * rows per (partition, stratum). The third sampling shape, and
+    * the third consumer of the no-corpus-sort discipline
+    * (DistributedRank ranks, TakeOrdered global k, TopKPerKey
+    * stratum k). */
+  val q154GroupSample: Q = (s, d) => {
+    val keyed = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        md5(concat(lit("21|"), col("doc_id").cast("string"))).as("r"))
+    graft.plans.TopKPerKey.topK(keyed, Seq(col("lang")),
+        Seq(col("r").asc, col("doc_id").asc), 7)
+      .orderBy("lang", "doc_id")
+  }
+
+  private val q154Sql =
+    """WITH s AS (SELECT doc_id, lang,
+      |             md5('21|' || CAST(doc_id AS VARCHAR)) AS r
+      |           FROM documents),
+      |k AS (SELECT *, row_number() OVER (
+      |        PARTITION BY lang ORDER BY r, doc_id) AS rn FROM s)
+      |SELECT doc_id, lang, r FROM k WHERE rn <= 7
+      |ORDER BY lang, doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q149_rank_functions" -> q149RankFunctions,
     "q152_weighted_sample" -> q152WeightedSample,
+    "q154_group_sample" -> q154GroupSample,
     "q139_stratified_split" -> q139StratifiedSplit,
     "q135_pagerank" -> q135PageRank,
     "q99_line_dedup" -> q99LineDedup,
@@ -1115,6 +1147,7 @@ object QueryCatalogCuration {
   val oracle: Map[String, String] = Map(
     "q149_rank_functions" -> q149Sql,
     "q152_weighted_sample" -> q152Sql,
+    "q154_group_sample" -> q154Sql,
     "q139_stratified_split" -> q139Sql,
     "q135_pagerank" -> q135Sql,
     "q99_line_dedup" -> q99Sql,
