@@ -1121,8 +1121,58 @@ object QueryCatalogCuration {
       |SELECT doc_id, lang, r FROM k WHERE rn <= 7
       |ORDER BY lang, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- triangle counting
+  /** Per-node triangles + local clustering coefficient over the q135
+    * host graph ([[graft.ops.Graphs.triangleCounts]]) — the
+    * link-graph structure signal (dense triangles = spam ring /
+    * mirror farm; trees = crawl frontier) that complements CC
+    * (components, q101) and PageRank (authority, q135). The
+    * degree-orientation trick bounds the wedge join at m^(3/2)
+    * total fan-out regardless of hub skew — see the op's scaladoc;
+    * the oracle replays orientation, wedges and closures verbatim. */
+  val q155Triangles: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val dst = concat(lit("src"),
+      ((col("doc_id") * col("doc_id")) % 16).cast("string"))
+    val edges = docs.select(col("source").as("u"), dst.as("v"))
+    graft.ops.Graphs.triangleCounts(edges).orderBy("node")
+  }
+
+  private val q155Sql =
+    """WITH raw AS (SELECT source AS s,
+      |                    'src' || CAST((doc_id * doc_id) % 16 AS VARCHAR) AS t
+      |             FROM documents),
+      |e0 AS (SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v
+      |       FROM raw WHERE s <> t),
+      |deg AS (SELECT node, COUNT(*) AS deg
+      |        FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+      |        GROUP BY 1),
+      |f AS (SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+      |                  THEN u ELSE v END AS a,
+      |             CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+      |                  THEN v ELSE u END AS b,
+      |             CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+      |                  THEN dv.deg ELSE du.deg END AS db
+      |      FROM e0 JOIN deg du ON du.node = e0.u
+      |              JOIN deg dv ON dv.node = e0.v),
+      |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |      FROM f e1
+      |      JOIN f e2 ON e1.a = e2.a
+      |              AND (e1.db < e2.db OR (e1.db = e2.db AND e1.b < e2.b))
+      |      JOIN f e3 ON e3.a = e1.b AND e3.b = e2.b),
+      |c AS (SELECT node, COUNT(*) AS n_tri
+      |      FROM (SELECT x AS node FROM t UNION ALL SELECT y FROM t
+      |            UNION ALL SELECT z FROM t)
+      |      GROUP BY 1)
+      |SELECT deg.node, deg.deg, COALESCE(c.n_tri, 0) AS n_tri,
+      |       CASE WHEN deg.deg >= 2
+      |            THEN (2.0 * COALESCE(c.n_tri, 0)) / (deg.deg * (deg.deg - 1))
+      |            ELSE 0.0 END AS clustering
+      |FROM deg LEFT JOIN c USING (node) ORDER BY node""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q149_rank_functions" -> q149RankFunctions,
+    "q155_triangles" -> q155Triangles,
     "q152_weighted_sample" -> q152WeightedSample,
     "q154_group_sample" -> q154GroupSample,
     "q139_stratified_split" -> q139StratifiedSplit,
@@ -1148,6 +1198,7 @@ object QueryCatalogCuration {
     "q149_rank_functions" -> q149Sql,
     "q152_weighted_sample" -> q152Sql,
     "q154_group_sample" -> q154Sql,
+    "q155_triangles" -> q155Sql,
     "q139_stratified_split" -> q139Sql,
     "q135_pagerank" -> q135Sql,
     "q99_line_dedup" -> q99Sql,
