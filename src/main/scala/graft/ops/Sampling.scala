@@ -21,14 +21,19 @@ object Sampling {
     * engine. Adding tickets can only LOWER a row's key, so inclusion
     * is monotone in weight (spec-asserted).
     *
-    * `w` must be a positive integral Column; weights are the
-    * TICKET-count resolution (cap them — cost is Σw exploded rows,
-    * a pure map). Output: one row per input row in the sample —
-    * (id, w, key), the k lexicographically-smallest keys, via
-    * TakeOrdered (per-partition top-k + k-sized driver merge; no
-    * global sort, no window). */
+    * `w` is an integral Column; rows with w < 1 hold no tickets and
+    * are EXCLUDED up front (the standard zero-weight semantics —
+    * and a required guard: Spark's sequence(1, 0) would descend
+    * [1, 0] and mint two phantom tickets where SQL engines'
+    * generate_series(1, 0) is empty). Weights are the TICKET-count
+    * resolution (cap them — cost is Σw exploded rows, a pure map).
+    * Output: one row per input row in the sample — (id, w, key),
+    * the k lexicographically-smallest keys, via TakeOrdered
+    * (per-partition top-k + k-sized driver merge; no global sort,
+    * no window). */
   def weightedBottomK(df: DataFrame, id: Column, w: Column, k: Int): DataFrame =
     df.select(id.as("id"), w.cast("long").as("w"))
+      .filter(col("w") >= 1L)
       .select(col("id"), col("w"),
         explode(sequence(lit(1L), col("w"))).as("i"))
       .select(col("id"), col("w"),

@@ -24,6 +24,16 @@ class SamplingSpec extends SparkSpec {
     assert(got.sortBy(_._2).toSeq == want)
   }
 
+  test("non-positive weights hold zero tickets (no phantom sequence(1,0) tickets)") {
+    // Spark's sequence(1, 0) DESCENDS ([1, 0]) — without the guard a
+    // zero-weight row would mint two tickets where SQL engines'
+    // generate_series(1, 0) yields none
+    val df = Seq((1L, 2L), (2L, 0L), (3L, -3L), (4L, 1L)).toDF("doc", "wt")
+    val got = Sampling.weightedBottomK(df, col("doc"), col("wt"), 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 4L), s"w<1 rows must be excluded, got $got")
+  }
+
   test("inclusion is monotone in weight: more tickets never evicts a row's key upward") {
     val base = (1L to 40L).map(i => (i, 1L + i % 3)).toDF("doc", "wt")
     val bumped = (1L to 40L).map(i => (i, if (i == 7L) 8L else 1L + i % 3)).toDF("doc", "wt")
