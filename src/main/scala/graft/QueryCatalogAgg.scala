@@ -960,6 +960,65 @@ object QueryCatalogAgg {
       |            ELSE (32 + b99 % 32) << (b99 // 32 - 1) END AS BIGINT) AS p99
       |FROM q ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- weighted hdr quantiles
+  /** TOKEN-MASS quantiles by document length
+    * ([[graft.functions.HdrWeighted]]): each document contributes
+    * its token count — not 1 — to its length bucket, so p50 answers
+    * "half the corpus's TOKEN BUDGET sits in documents shorter than
+    * this", the statistic that actually drives packing/truncation
+    * decisions (q106's seq-len choice, long-doc truncation loss
+    * estimates); q150's unweighted twin answers "half the DOCUMENTS
+    * are shorter". Same buckets/counters/merge-invariance as q150:
+    * the '*' row is merged from the per-lang sketches and must equal
+    * a direct build bit-for-bit at any scale. */
+  val q156WeightedQuantiles: Q = (s, d) => {
+    import graft.functions.HdrHistogram
+    val docs = Tables.documents(s, d)
+      .select(col("lang"), col("n_chars").cast("long").as("v"),
+        graft.ops.text.TextOps.nWsTokens(col("text")).cast("long").as("w"))
+    val perLang = graft.ops.Materialize.localize(
+      docs.groupBy("lang").agg(
+        HdrHistogram.hdrWeighted(col("v"), col("w")).as("sk")))
+    val global = perLang
+      .agg(HdrHistogram.hdrMerge(col("sk")).as("sk"))
+      .select(lit("*").as("lang"), col("sk"))
+    perLang.select(col("lang"), col("sk")).unionByName(global)
+      .select(col("lang"),
+        HdrHistogram.total(col("sk")).as("tok_mass"),
+        HdrHistogram.quantile(col("sk"), 1, 2).as("p50_len"),
+        HdrHistogram.quantile(col("sk"), 9, 10).as("p90_len"))
+      .orderBy("lang")
+  }
+
+  private val q156Sql =
+    """WITH v AS (SELECT lang, greatest(n_chars, 0) AS v,
+      |                  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS w
+      |           FROM documents),
+      |b AS (SELECT lang,
+      |        CASE WHEN v < 32 THEN v
+      |             ELSE (length(format('{:b}', v)) - 5) * 32
+      |                  + ((v >> (length(format('{:b}', v)) - 6)) - 32)
+      |        END AS b,
+      |        SUM(w) AS cnt
+      |      FROM v WHERE w >= 1 GROUP BY 1, 2),
+      |a AS (SELECT * FROM b
+      |      UNION ALL
+      |      SELECT '*' AS lang, b, SUM(cnt) AS cnt FROM b GROUP BY 2),
+      |c AS (SELECT lang, b, cnt,
+      |             SUM(cnt) OVER (PARTITION BY lang ORDER BY b) AS cum,
+      |             SUM(cnt) OVER (PARTITION BY lang) AS n
+      |      FROM a),
+      |q AS (SELECT lang, n,
+      |        MIN(CASE WHEN cum >= (n + 1) // 2 THEN b END) AS b50,
+      |        MIN(CASE WHEN cum >= (n * 9 + 9) // 10 THEN b END) AS b90
+      |      FROM c GROUP BY 1, 2)
+      |SELECT lang, CAST(n AS BIGINT) AS tok_mass,
+      |  CAST(CASE WHEN b50 < 32 THEN b50
+      |            ELSE (32 + b50 % 32) << (b50 // 32 - 1) END AS BIGINT) AS p50_len,
+      |  CAST(CASE WHEN b90 < 32 THEN b90
+      |            ELSE (32 + b90 % 32) << (b90 // 32 - 1) END AS BIGINT) AS p90_len
+      |FROM q ORDER BY lang""".stripMargin
+
   // ---------------------------------------------------------------- z-order layout cells
   /** Z-order (Morton) clustering summary ([[graft.ops.ZOrder]]) —
     * the multi-dimensional data-LAYOUT operator: interleave the bits
@@ -1131,6 +1190,7 @@ object QueryCatalogAgg {
     "q146_rolling_actives_hll" -> q146RollingActivesHll,
     "q150_hdr_quantiles" -> q150HdrQuantiles,
     "q151_zorder_cells" -> q151ZOrderCells,
+    "q156_weighted_quantiles" -> q156WeightedQuantiles,
     "q13_pivot_years" -> q13Pivot,
     "q14_histogram_share" -> q14Hist,
     "q15_weighted_avg" -> q15WeightedAvg,
@@ -1166,6 +1226,7 @@ object QueryCatalogAgg {
     "q146_rolling_actives_hll" -> q146Sql,
     "q150_hdr_quantiles" -> q150Sql,
     "q151_zorder_cells" -> q151Sql,
+    "q156_weighted_quantiles" -> q156Sql,
     "q13_pivot_years" -> q13Sql,
     "q14_histogram_share" -> q14Sql,
     "q15_weighted_avg" -> q15Sql,

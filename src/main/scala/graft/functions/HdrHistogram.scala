@@ -88,6 +88,67 @@ case class HdrHistogram(
     copy(child = newChild)
 }
 
+/** WEIGHTED [[HdrHistogram]]: bucket counters accumulate a weight
+  * column instead of 1 — the sketch of a weighted distribution
+  * ("where does the corpus's TOKEN MASS sit by document length",
+  * not "how many documents have each length"). Same buckets, same
+  * integer counters, same exact merge-invariance; the quantile
+  * read-out's rank is over total weight. Null/negative weights
+  * contribute 0 (a negative weight would corrupt the monotone
+  * cumulative scan the read-out depends on). */
+case class HdrWeighted(
+    left: Expression,
+    right: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  import HdrHistogram._
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_hdr_weighted"
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](B)
+
+  override def update(c: Array[Long], input: InternalRow): Array[Long] = {
+    val v = left.eval(input)
+    val w = right.eval(input)
+    if (v != null && w != null) {
+      val wl = w.asInstanceOf[Long]
+      if (wl > 0L) c(bucketOf(v.asInstanceOf[Long])) += wl
+    }
+    c
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < B) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(c: Array[Long]): Any = new GenericArrayData(c)
+
+  override def serialize(c: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(c.length * 8)
+    bb.asLongBuffer().put(c)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HdrWeighted =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HdrWeighted =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HdrWeighted =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Merge aggregate over STORED HDR sketches — element-wise counter
   * sum, width-guarded like [[CmsMerge]]: the rollup path that turns a
   * per-(entity, day) sketch table into any window's quantiles with
@@ -176,6 +237,11 @@ object HdrHistogram {
   /** Aggregate a LongType column into a sketch (array of B counters). */
   def hdr(c: Column): Column =
     toColumn(HdrHistogram(toExpression(c)).toAggregateExpression())
+
+  /** Weighted sketch: counters accumulate `w` (LongType; w < 1 and
+    * null contribute nothing) at `v`'s bucket. */
+  def hdrWeighted(v: Column, w: Column): Column =
+    toColumn(HdrWeighted(toExpression(v), toExpression(w)).toAggregateExpression())
 
   /** Union of stored sketch arrays (counter sums). */
   def hdrMerge(c: Column): Column =

@@ -90,6 +90,21 @@ class HdrHistogramSpec extends SparkSpec {
     assert(empty.getLong(0) == 0L && empty.getLong(1) == 0L)
   }
 
+  test("hdrWeighted equals the replicate-by-weight sketch; w<1/null contribute nothing") {
+    val rows = Seq((10L, 3L), (100L, 1L), (10L, 2L), (5000L, 4L))
+    val weighted = rows.toDF("v", "w")
+      .agg(HdrHistogram.hdrWeighted(col("v"), col("w"))).head.getSeq[Long](0)
+    val replicated = rows.flatMap { case (v, w) => Seq.fill(w.toInt)(v) }
+      .map(Tuple1(_)).toDF("v")
+      .agg(HdrHistogram.hdr(col("v"))).head.getSeq[Long](0)
+    assert(weighted == replicated, "weight w must equal w unit entries")
+    val withJunk = (rows.map { case (v, w) => (v, Option(w)) } ++
+      Seq((7L, Option(0L)), (7L, Option(-5L)), (7L, Option.empty[Long])))
+      .toDF("v", "w")
+      .agg(HdrHistogram.hdrWeighted(col("v"), col("w"))).head.getSeq[Long](0)
+    assert(withJunk == replicated, "w<1 and null weights must be no-ops")
+  }
+
   test("hdrMerge rejects a wrong-width sketch loudly") {
     val bad = Seq(Tuple1(Array.fill(10)(1L))).toDF("sk")
     val e = intercept[Exception] {
