@@ -648,6 +648,51 @@ object QueryCatalogText {
       |FROM sc GROUP BY 1, 2
       |ORDER BY score_micros DESC, doc_id LIMIT 15""".stripMargin
 
+  // ---------------------------------------------------------------- sft chat rendering
+  /** SFT chat-template rendering — the format-conversion stage that
+    * turns curated documents into model-ready training text: each
+    * sufficiently long document becomes a (system, user, assistant)
+    * exchange (prompt = first 30 tokens, response = next 60, system
+    * line keyed by language), rendered with explicit role sentinels
+    * and hard-truncated by token budget — slice-then-join on the
+    * token ARRAY, so truncation is by tokens, never by characters
+    * mid-word. Pure map (codegen string/array ops, no UDF, no
+    * shuffle but the presentation sort): the shape that renders a
+    * trillion-token corpus embarrassingly parallel. The oracle
+    * replays the template byte-for-byte, so sentinel placement and
+    * whitespace discipline — what the tokenizer actually sees — are
+    * hash-gated, not eyeballed. */
+  val q157ChatRender: Q = (s, d) => {
+    val toks = split(col("text"), "\\s+")
+    val usr = array_join(slice(toks, 1, 30), " ")
+    val asst = array_join(slice(toks, 31, 60), " ")
+    val sys = concat(lit("Respond in "), col("lang"), lit("."))
+    val rendered = concat(
+      lit("<|system|>\n"), sys,
+      lit("\n<|user|>\n"), usr,
+      lit("\n<|assistant|>\n"), asst, lit("<|end|>"))
+    Tables.documents(s, d)
+      .filter(size(toks) >= 40)
+      .select(col("doc_id"), col("lang"), rendered.as("rendered"))
+      .withColumn("n_tok",
+        size(split(col("rendered"), "\\s+")).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  private val q157Sql =
+    """WITH t AS (SELECT doc_id, lang, string_split_regex(text, '\s+') AS tk
+      |           FROM documents),
+      |r AS (SELECT doc_id, lang,
+      |        '<|system|>' || chr(10) || 'Respond in ' || lang || '.' ||
+      |        chr(10) || '<|user|>' || chr(10) ||
+      |        array_to_string(tk[1:30], ' ') ||
+      |        chr(10) || '<|assistant|>' || chr(10) ||
+      |        array_to_string(tk[31:90], ' ') || '<|end|>' AS rendered
+      |      FROM t WHERE len(tk) >= 40)
+      |SELECT doc_id, lang, rendered,
+      |       CAST(len(string_split_regex(rendered, '\s+')) AS BIGINT) AS n_tok
+      |FROM r ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- corpus curation funnel
   /** The assembled curation pipeline (pipeline.CorpusCurationJob) on
     * a re-crawl-simulated corpus (first 50 docs duplicated under new
@@ -1155,6 +1200,7 @@ object QueryCatalogText {
     "q90_cms_heavyhitters" -> q90CmsHeavyHitters,
     "q147_cms_merge_rollup" -> q147CmsMergeRollup,
     "q153_bm25" -> q153Bm25,
+    "q157_chat_render" -> q157ChatRender,
     "q91_curation_funnel" -> q91CurationFunnel,
     "q47_text_tokens" -> q47Tokens,
     "q48_text_quality" -> q48Quality,
@@ -1179,6 +1225,7 @@ object QueryCatalogText {
     "q90_cms_heavyhitters" -> q90Sql,
     "q147_cms_merge_rollup" -> q147Sql,
     "q153_bm25" -> q153Sql,
+    "q157_chat_render" -> q157Sql,
     "q91_curation_funnel" -> q91Sql,
     "q47_text_tokens" -> q47Sql,
     "q48_text_quality" -> q48Sql,
