@@ -115,22 +115,18 @@ object Sinks {
     * statistics. */
   def writeZOrdered(df: DataFrame, path: String, c1: String, c2: String,
                     nFiles: Int): Unit = {
-    import org.apache.spark.sql.functions._
+    // quantize to the 16-bit grid, then delegate the interleave +
+    // layout to ops.ZOrder (one implementation of the bit math —
+    // writeZOrdered predates it and used to hand-roll the same fold)
     val b = df.agg(min(col(c1)).cast("double"), max(col(c1)).cast("double"),
       min(col(c2)).cast("double"), max(col(c2)).cast("double")).head()
     val (mn1, mx1, mn2, mx2) = (b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3))
     def quant(c: String, mn: Double, mx: Double) =
       if (mx == mn) lit(0L)
       else ((col(c).cast("double") - mn) / (mx - mn) * 65535.0).cast("long")
-    val (q1, q2) = (quant(c1, mn1, mx1), quant(c2, mn2, mx2))
-    val z = (0 until 16).map { i =>
-      (shiftright(q1, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
-        (shiftright(q2, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
-    }.reduce(_ + _)
-    df.withColumn("__z", z)
-      .repartitionByRange(nFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
+    graft.ops.ZOrder.layoutByZ(df,
+        Seq(quant(c1, mn1, mx1), quant(c2, mn2, mx2)), bits = 16,
+        numParts = nFiles)
       .write.mode("overwrite").parquet(path)
   }
 
