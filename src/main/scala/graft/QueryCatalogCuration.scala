@@ -1170,9 +1170,64 @@ object QueryCatalogCuration {
       |            ELSE 0.0 END AS clustering
       |FROM deg LEFT JOIN c USING (node) ORDER BY node""".stripMargin
 
+  // ---------------------------------------------------------------- MAD outlier gate
+  /** Robust outlier gate: per-language EXACT median and MAD (median
+    * absolute deviation) of document length, outliers = dev > 3*MAD
+    * — the robust-statistics data-quality screen (mean/stddev gates
+    * break on the long tail they are supposed to catch; median/MAD
+    * don't). Both medians are EXACT integer order statistics
+    * (lower-median rank (n+1) div 2, ties broken by doc_id) via TWO
+    * [[graft.ops.DistributedRank]] passes — selection by rank, not a
+    * sort-and-pick: no Window, no stratum through one task, and the
+    * per-lang medians broadcast back as lang-count rows. Contrast
+    * q150: HDR gives mergeable APPROXIMATE quantiles for rollups;
+    * this is the exact form a release gate wants. */
+  val q158MadOutliers: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val r1 = DistributedRank.rank(docs, Seq("lang"),
+      Seq(col("n_chars"), col("doc_id")), "rk", totalCol = "n")
+    val med = r1.filter(col("rk") === expr("(n + 1) div 2"))
+      .select(col("lang"), col("n_chars").as("med"), col("n"))
+    val dev = docs.join(broadcast(med), "lang")
+      .withColumn("dev", abs(col("n_chars") - col("med")))
+    val r2 = DistributedRank.rank(dev, Seq("lang"),
+      Seq(col("dev"), col("doc_id")), "rk2")
+    val mad = r2.filter(col("rk2") === expr("(n + 1) div 2"))
+      .select(col("lang"), col("dev").as("mad"))
+    dev.join(broadcast(mad), "lang")
+      .groupBy("lang")
+      .agg(max("n").as("n"), max("med").as("med"), max("mad").as("mad"),
+        sum(when(col("dev") > lit(3) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy("lang")
+  }
+
+  private val q158Sql =
+    """WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+      |r1 AS (SELECT *, row_number() OVER (PARTITION BY lang
+      |                                    ORDER BY n_chars, doc_id) AS rk,
+      |              COUNT(*) OVER (PARTITION BY lang) AS n
+      |       FROM d),
+      |med AS (SELECT lang, n_chars AS med, n FROM r1 WHERE rk = (n + 1) // 2),
+      |dev AS (SELECT d.doc_id, d.lang, med.med, med.n,
+      |               abs(d.n_chars - med.med) AS dev
+      |        FROM d JOIN med USING (lang)),
+      |r2 AS (SELECT *, row_number() OVER (PARTITION BY lang
+      |                                    ORDER BY dev, doc_id) AS rk2
+      |       FROM dev),
+      |mad AS (SELECT lang, dev AS mad FROM r2 WHERE rk2 = (n + 1) // 2)
+      |SELECT dev.lang, CAST(MAX(dev.n) AS BIGINT) AS n,
+      |       CAST(MAX(dev.med) AS BIGINT) AS med,
+      |       CAST(MAX(mad.mad) AS BIGINT) AS mad,
+      |       CAST(SUM(CASE WHEN dev.dev > 3 * mad.mad THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_outliers
+      |FROM dev JOIN mad USING (lang) GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q149_rank_functions" -> q149RankFunctions,
     "q155_triangles" -> q155Triangles,
+    "q158_mad_outliers" -> q158MadOutliers,
     "q152_weighted_sample" -> q152WeightedSample,
     "q154_group_sample" -> q154GroupSample,
     "q139_stratified_split" -> q139StratifiedSplit,
@@ -1199,6 +1254,7 @@ object QueryCatalogCuration {
     "q152_weighted_sample" -> q152Sql,
     "q154_group_sample" -> q154Sql,
     "q155_triangles" -> q155Sql,
+    "q158_mad_outliers" -> q158Sql,
     "q139_stratified_split" -> q139Sql,
     "q135_pagerank" -> q135Sql,
     "q99_line_dedup" -> q99Sql,

@@ -50,14 +50,21 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
-  test("q149's rank-function family plan contains no Window operator") {
-    // ntile/percent_rank/cume_dist are (rank, total) projections over
-    // DistributedRank — a Window would reintroduce the one-task-per-
+  test("q149/q158 rank-statistic plans contain no Window operator") {
+    // ntile/percent_rank/cume_dist are (rank, total) projections and
+    // the exact median/MAD are selection-by-rank — both over
+    // DistributedRank; a Window would reintroduce the one-task-per-
     // language sorter the whole family exists to avoid
-    val p = plan(QueryCatalogCuration.all("q149_rank_functions")(
-      spark, "/root/testdata/sf0.001"))
-    val bad = p.linesIterator.filter(_.contains("Window")).toSeq
-    assert(bad.isEmpty, s"q149 ranks via a Window:\n${bad.mkString("\n")}")
+    Seq(
+      "q149" -> QueryCatalogCuration.all("q149_rank_functions")(
+        spark, "/root/testdata/sf0.001"),
+      "q158" -> QueryCatalogCuration.all("q158_mad_outliers")(
+        spark, "/root/testdata/sf0.001")
+    ).foreach { case (n, df) =>
+      val p = plan(df)
+      val bad = p.linesIterator.filter(_.contains("Window")).toSeq
+      assert(bad.isEmpty, s"$n ranks via a Window:\n${bad.mkString("\n")}")
+    }
   }
 
   test("q153 BM25: df/stats broadcast, top-k is TakeOrdered — no global sort") {
