@@ -88,15 +88,15 @@ object QueryCatalogText {
     * verification cost is bounded by bucket collisions, never N^2. */
   val q42LshPairs: Q = (s, d) => {
     // shingleSet is a pure map-side projection (no distinct shuffle:
-    // minHash is duplicate-blind, jaccard dedups inside its
-    // candidate-restricted posting lists) — each consumer re-derives
-    // it inside its own stage; nothing corpus-wide is materialized.
+    // minHash is duplicate-blind, jaccard dedups on its candidate-
+    // restricted (id, w) relation) — each consumer re-derives it
+    // inside its own stage; nothing corpus-wide is materialized.
     val shingles = Dedup.shingleSet(Tables.documents(s, d), "doc_id", "text", k = 3)
     val sig = Dedup.minHash(shingles, "doc_id", n = 16)
     val bands = Dedup.lshBands(sig, "doc_id", n = 16, rowsPerBand = 4)
     val cand = Dedup.candidatePairs(bands, "doc_id")
-    // scoped verification: jaccard's internal caches (pairs, posting
-    // lists) are released before this query returns, and the verified
+    // scoped verification: jaccard's internal caches (pairs, candidate
+    // shingles) are released before this query returns, and the verified
     // pairs (corpus-sublinear) come back as a self-contained local
     // relation — the minLabelLocalized discipline, no reliance on a
     // harness clearCache between queries

@@ -52,7 +52,7 @@ object CorpusCurationJob {
     val sig = Dedup.minHash(shingles, "doc_id", n = 16)
     val cand = Dedup.candidatePairs(
       Dedup.lshBands(sig, "doc_id", n = 16, rowsPerBand = 4), "doc_id")
-    // releasable handle: jaccard's internal pair/posting caches are
+    // releasable handle: jaccard's internal pair/candidate-shingle caches are
     // freed by Stages.unpersist together with the stage frames — no
     // cached partitions outlive a funnel()/run() call
     val jh = Dedup.jaccardReleasable(cand, shingles, "doc_id")

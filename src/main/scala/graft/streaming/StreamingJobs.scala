@@ -163,7 +163,7 @@ object StreamingJobs {
         val store =
           if (fs.exists(storePath)) Some(spark.read.parquet(storeDir)) else None
         // every cache this batch takes (incl. jaccard's internal
-        // pair/posting caches) is released when the batch's writes
+        // pair/candidate-shingle caches) is released when the batch's writes
         // finish — a long-lived stream must not accumulate cached
         // partitions across micro-batches
         val releases = scala.collection.mutable.ListBuffer.empty[() => Unit]
@@ -179,10 +179,10 @@ object StreamingJobs {
             releases += (() => coll.unpersist(false))
             val sameId = coll.filter(col("sid") === col("bid"))
               .select(col("bid").as("doc_id"))
-            // Dedup.jaccard's posting expansion emits pairs ordered
-            // id_a < id_b — the candidate frame must use the same
-            // canonical order or store ids >= batch ids never match;
-            // carry the batch id alongside for the verdict
+            // Dedup.jaccard anchors on pairs ordered id_a < id_b —
+            // the candidate frame must use the same canonical order
+            // or store ids >= batch ids never match; carry the batch
+            // id alongside for the verdict
             val cand = coll.filter(col("sid") =!= col("bid"))
               .select(least(col("sid"), col("bid")).as("id_a"),
                 greatest(col("sid"), col("bid")).as("id_b"),
