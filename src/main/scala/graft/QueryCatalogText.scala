@@ -693,6 +693,54 @@ object QueryCatalogText {
       |       CAST(len(string_split_regex(rendered, '\s+')) AS BIGINT) AS n_tok
       |FROM r ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- overlapping chunking
+  /** Overlapping token-window chunking — the RAG / long-context
+    * ingestion step: every document becomes ceil-strided windows of
+    * 50 tokens with a 40-token stride (10-token overlap so no
+    * retrieval-relevant span is ever split without a copy that
+    * contains it whole); the last window is short, never padded.
+    * Chunk boundaries are computed per-row on the token ARRAY
+    * (transform over an index sequence + slice + posexplode) — a
+    * pure codegen map, no shuffle but the presentation sort, and the
+    * chunk count is exact integer arithmetic replayed by the oracle.
+    * Output keeps (chunk_idx, start_tok) so chunks join back to
+    * their source span losslessly. */
+  val q159Chunking: Q = (s, d) => {
+    val sz = 50
+    val stride = 40
+    val toks = split(col("text"), "\\s+")
+    val n = size(toks)
+    val nChunks = when(n <= sz, lit(1))
+      .otherwise(expr(s"((size(split(text, '\\\\s+')) - $sz + $stride - 1) div $stride) + 1"))
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      i => struct((i * stride).as("start_tok"),
+        array_join(slice(toks, i * stride + 1, lit(sz)), " ").as("chunk")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("c.start_tok").cast("long").as("start_tok"),
+        col("c.chunk").as("chunk"))
+      .withColumn("n_tok", size(split(col("chunk"), "\\s+")).cast("long"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  private val q159Sql =
+    """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS tk,
+      |                  len(string_split_regex(text, '\s+')) AS n
+      |           FROM documents),
+      |c AS (SELECT doc_id,
+      |             unnest(range(CASE WHEN n <= 50 THEN 1
+      |                               ELSE (n - 50 + 39) // 40 + 1 END)) AS i
+      |      FROM t)
+      |SELECT c.doc_id, CAST(c.i AS BIGINT) AS chunk_idx,
+      |       CAST(c.i * 40 AS BIGINT) AS start_tok,
+      |       array_to_string(t.tk[c.i * 40 + 1 : c.i * 40 + 50], ' ') AS chunk,
+      |       CAST(len(string_split_regex(
+      |         array_to_string(t.tk[c.i * 40 + 1 : c.i * 40 + 50], ' '), '\s+'))
+      |         AS BIGINT) AS n_tok
+      |FROM c JOIN t USING (doc_id)
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   // ---------------------------------------------------------------- corpus curation funnel
   /** The assembled curation pipeline (pipeline.CorpusCurationJob) on
     * a re-crawl-simulated corpus (first 50 docs duplicated under new
@@ -1201,6 +1249,7 @@ object QueryCatalogText {
     "q147_cms_merge_rollup" -> q147CmsMergeRollup,
     "q153_bm25" -> q153Bm25,
     "q157_chat_render" -> q157ChatRender,
+    "q159_chunking" -> q159Chunking,
     "q91_curation_funnel" -> q91CurationFunnel,
     "q47_text_tokens" -> q47Tokens,
     "q48_text_quality" -> q48Quality,
@@ -1226,6 +1275,7 @@ object QueryCatalogText {
     "q147_cms_merge_rollup" -> q147Sql,
     "q153_bm25" -> q153Sql,
     "q157_chat_render" -> q157Sql,
+    "q159_chunking" -> q159Sql,
     "q91_curation_funnel" -> q91Sql,
     "q47_text_tokens" -> q47Sql,
     "q48_text_quality" -> q48Sql,
