@@ -1181,7 +1181,16 @@ object QueryCatalogCuration {
     * sort-and-pick: no Window, no stratum through one task, and the
     * per-lang medians broadcast back as lang-count rows. Contrast
     * q150: HDR gives mergeable APPROXIMATE quantiles for rollups;
-    * this is the exact form a release gate wants. */
+    * this is the exact form a release gate wants.
+    *
+    * Scan-count note: two ranks re-evaluate their inputs per the
+    * range-partition cost note in [[DistributedRank.rank]] (~4
+    * column-pruned scans end to end). `materializeInput` is
+    * deliberately NOT used: the upstream here is a bare 3-column
+    * parquet scan, and re-scanning a pruned leaf beats transiently
+    * pinning corpus-sized checkpoint blocks — materializeInput is
+    * for EXPENSIVE lineages (iterative k-means, multi-join graphs),
+    * which this is not. */
   val q158MadOutliers: Q = (s, d) => {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("n_chars"))
