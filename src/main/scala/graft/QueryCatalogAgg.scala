@@ -370,6 +370,34 @@ object QueryCatalogAgg {
       |       COUNT(value) AS cnt_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- salted skew join
+  /** The skew-safe salted JOIN (ops.Salting.saltedJoin) pushed through
+    * the hash gate: the fact side (events, every hot user's rows) is
+    * salted into 8 deterministic buckets and the dimension side
+    * (customer) replicated once per bucket, so a hot user's join work
+    * spreads over 8 reducers instead of one. Salting is
+    * semantics-preserving for fact-driven join types, so the oracle
+    * is the PLAIN LEFT JOIN — the gate proves the spread+replicate
+    * round trip changes nothing, null-extension included (user_id 0
+    * has no customer row). The manual a-priori form of AQE's
+    * skew-join split, for keys KNOWN hot before runtime. */
+  val q160SaltedJoin: Q = (s, d) =>
+    graft.ops.Salting.saltedJoin(
+        Tables.events(s, d).withColumn("user_id", col("user_id").cast("long")),
+        Tables.customer(s, d)
+          .select(col("c_custkey").cast("long").as("user_id"),
+            col("c_name"), col("c_mktsegment")),
+        Seq("user_id"), saltSource = col("event_id"), buckets = 8,
+        joinType = "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_name"), col("c_mktsegment"))
+      .orderBy("event_id")
+
+  private val q160Sql =
+    """SELECT e.event_id, e.user_id, e.event_type, c.c_name, c.c_mktsegment
+      |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      |ORDER BY e.event_id""".stripMargin
+
   // ---------------------------------------------------------------- statistical aggregates
   /** Variance / stddev / correlation from EXACT moment sums: the
     * builtin corr/stddev stream doubles in partition order (different
@@ -1206,6 +1234,7 @@ object QueryCatalogAgg {
     "q57_rollup" -> q57Rollup,
     "q84_tumbling_window" -> q84Tumbling,
     "q107_salted_agg" -> q107SaltedAgg,
+    "q160_salted_join" -> q160SaltedJoin,
     "q110_stats_agg" -> q110StatsAgg,
     "q112_supplier_rollup" -> q112SupplierRollup,
     "q111_rank_kit" -> q111RankKit,
@@ -1242,6 +1271,7 @@ object QueryCatalogAgg {
     "q57_rollup" -> q57Sql,
     "q84_tumbling_window" -> q84Sql,
     "q107_salted_agg" -> q107Sql,
+    "q160_salted_join" -> q160Sql,
     "q110_stats_agg" -> q110Sql,
     "q112_supplier_rollup" -> q112Sql,
     "q111_rank_kit" -> q111Sql,

@@ -1170,6 +1170,82 @@ object QueryCatalogCuration {
       |            ELSE 0.0 END AS clustering
       |FROM deg LEFT JOIN c USING (node) ORDER BY node""".stripMargin
 
+  // ---------------------------------------------------------------- k-core decomposition
+  /** k-core decomposition ([[graft.ops.Graphs.kCorePeel]]) over a
+    * deterministic 4-level host hierarchy (leaf pages -> mid hosts ->
+    * aggregators -> a doubly-linked 11-hub ring): the onion-layer /
+    * nucleus-vs-fringe signal that completes the link-graph kit
+    * (CC q101, PageRank q135, triangles q155). Node ids are pure
+    * residue functions of doc_id, so every level's degree profile is
+    * scale-factor-stable and the peel cascades EXACTLY one level per
+    * round (leaves at round 1, mids 2, aggregators 3; the hub ring
+    * survives as the 3-core) — verified to fix-point by round 3 at
+    * every SF; 5 fixed rounds leave two provably-idle rounds in both
+    * engines. The oracle replays all five synchronous rounds as
+    * generated chained CTEs — degrees over alive nodes (zero-degree
+    * stragglers included), same-round mass removal. */
+  val q161KCore: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    def lvl(mod: Int, pa: String, mult: Int, add: Int, mod2: Int, pb: String) =
+      docs.select(
+        concat(lit(pa), (col("doc_id") % mod).cast("string")).as("u"),
+        concat(lit(pb),
+          (((col("doc_id") % mod) * mult + add) % mod2).cast("string")).as("v"))
+    val edges = lvl(211, "t", 13, 0, 53, "m")
+      .unionByName(lvl(53, "m", 7, 0, 23, "n"))
+      .unionByName(lvl(23, "n", 3, 0, 11, "h"))
+      .unionByName(lvl(11, "h", 5, 2, 11, "h"))
+      .unionByName(lvl(11, "h", 3, 1, 11, "h"))
+    graft.ops.Graphs.kCorePeel(edges, k = 3, rounds = 5).orderBy("node")
+  }
+
+  private val q161Sql: String = {
+    def lvlSql(mod: Int, pa: String, mult: Int, add: Int, mod2: Int, pb: String) =
+      s"""SELECT '$pa' || CAST(doc_id % $mod AS VARCHAR) AS s,
+         |       '$pb' || CAST(((doc_id % $mod) * $mult + $add) % $mod2 AS VARCHAR) AS t
+         |FROM documents""".stripMargin
+    val raw = Seq(lvlSql(211, "t", 13, 0, 53, "m"), lvlSql(53, "m", 7, 0, 23, "n"),
+      lvlSql(23, "n", 3, 0, 11, "h"), lvlSql(11, "h", 5, 2, 11, "h"),
+      lvlSql(11, "h", 3, 1, 11, "h")).mkString("\nUNION ALL\n")
+    val rounds = (1 to 5).map { r =>
+      val p = r - 1
+      // MATERIALIZED: each round references the previous round's CTEs
+      // several times; inlining would re-expand the whole peel chain
+      // 3^rounds times (the SQL twin of the plan blow-up the Scala op
+      // leaf-caches away)
+      s"""dg$r AS MATERIALIZED (SELECT a.node, COALESCE(c.deg, 0) AS deg
+         |  FROM alive$p a LEFT JOIN (
+         |    SELECT node, COUNT(*) AS deg
+         |    FROM (SELECT u AS node FROM e$p UNION ALL SELECT v FROM e$p)
+         |    GROUP BY 1) c USING (node)),
+         |b$r AS MATERIALIZED (SELECT node FROM dg$r WHERE deg < 3),
+         |alive$r AS MATERIALIZED (SELECT node FROM alive$p
+         |  WHERE node NOT IN (SELECT node FROM b$r)),
+         |e$r AS MATERIALIZED (SELECT u, v FROM e$p
+         |  WHERE u IN (SELECT node FROM alive$r)
+         |    AND v IN (SELECT node FROM alive$r))""".stripMargin
+    }.mkString(",\n")
+    val peeledUnion = (1 to 5)
+      .map(r => s"SELECT node, $r AS peel_round FROM b$r").mkString("\nUNION ALL\n")
+    s"""WITH raw AS (
+       |$raw),
+       |e0 AS MATERIALIZED (SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v
+       |       FROM raw WHERE s <> t),
+       |alive0 AS MATERIALIZED (SELECT u AS node FROM e0 UNION SELECT v FROM e0),
+       |$rounds,
+       |peeled AS (
+       |$peeledUnion),
+       |cd AS (SELECT node, COUNT(*) AS core_deg
+       |       FROM (SELECT u AS node FROM e5 UNION ALL SELECT v FROM e5)
+       |       GROUP BY 1)
+       |SELECT a.node,
+       |       CASE WHEN p.peel_round IS NULL THEN 'core' ELSE 'peeled' END AS status,
+       |       CAST(p.peel_round AS INT) AS peel_round,
+       |       CAST(cd.core_deg AS BIGINT) AS core_deg
+       |FROM alive0 a LEFT JOIN peeled p USING (node) LEFT JOIN cd USING (node)
+       |ORDER BY a.node""".stripMargin
+  }
+
   // ---------------------------------------------------------------- MAD outlier gate
   /** Robust outlier gate: per-language EXACT median and MAD (median
     * absolute deviation) of document length, outliers = dev > 3*MAD
@@ -1236,6 +1312,7 @@ object QueryCatalogCuration {
   val all: Map[String, Q] = Map(
     "q149_rank_functions" -> q149RankFunctions,
     "q155_triangles" -> q155Triangles,
+    "q161_kcore" -> q161KCore,
     "q158_mad_outliers" -> q158MadOutliers,
     "q152_weighted_sample" -> q152WeightedSample,
     "q154_group_sample" -> q154GroupSample,
@@ -1263,6 +1340,7 @@ object QueryCatalogCuration {
     "q152_weighted_sample" -> q152Sql,
     "q154_group_sample" -> q154Sql,
     "q155_triangles" -> q155Sql,
+    "q161_kcore" -> q161Sql,
     "q158_mad_outliers" -> q158Sql,
     "q139_stratified_split" -> q139Sql,
     "q135_pagerank" -> q135Sql,

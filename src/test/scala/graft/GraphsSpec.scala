@@ -51,4 +51,40 @@ class GraphsSpec extends SparkSpec {
     // total triangle identity: sum of per-node counts = 3 * #triangles
     assert(got.values.sum % 3 == 0)
   }
+
+  test("kCorePeel: K4 core survives, pendant chain peels one layer per round") {
+    // K4 (a,b,c,d) + chain d-e-f: e/f below k=2... with k=2 the whole
+    // chain peels (f round 1, e round 2); K4 is the 2-core (deg 3 each)
+    val edges = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d"), ("d", "e"), ("e", "f")).toDF("u", "v")
+    val got = Graphs.kCorePeel(edges, k = 2, rounds = 4).collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    Seq("a", "b", "c", "d").foreach { n =>
+      assert(got(n) == (("core", None, Some(3L))), s"$n: ${got(n)}") }
+    assert(got("f") == (("peeled", Some(1), None)))
+    assert(got("e") == (("peeled", Some(2), None)))
+  }
+
+  test("kCorePeel counts zero-degree stragglers as peelable") {
+    // x-y-z path with k=2: round 1 peels x and z (deg 1); y then has
+    // NO edges left — it must still be peeled (round 2), not linger
+    // as a phantom 'core' node missing from the degree count
+    val edges = Seq(("x", "y"), ("y", "z")).toDF("u", "v")
+    val got = Graphs.kCorePeel(edges, k = 2, rounds = 3).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), Option(r.get(2))))).toMap
+    assert(got("x") == (("peeled", Some(1))))
+    assert(got("z") == (("peeled", Some(1))))
+    assert(got("y") == (("peeled", Some(2))), s"straggler: ${got("y")}")
+  }
+
+  test("kCorePeel is dirty-input tolerant and idle past fixpoint") {
+    val clean = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("u", "v")
+    val dirty = Seq(("a", "b"), ("b", "a"), ("a", "b"), ("b", "c"),
+      ("c", "a"), ("b", "b")).toDF("u", "v")
+    val g1 = Graphs.kCorePeel(clean, 2, 2).collect().map(_.toSeq).toSet
+    val g2 = Graphs.kCorePeel(dirty, 2, 5).collect().map(_.toSeq).toSet
+    assert(g1 == g2, "canonicalization + idle rounds must not change the result")
+    assert(g1.forall(r => r(1) == "core"))
+  }
 }

@@ -18,4 +18,30 @@ class SaltingSpec extends SparkSpec {
     assert(salted == plain)
     assert(salted("hot")._2 == 9000L)
   }
+
+  test("salted join equals plain join and spreads the hot key across buckets") {
+    val fact = ((1 to 900).map(i => ("hot", i)) ++
+      (1 to 100).map(i => (s"k${i % 10}", i)) ++
+      Seq(("orphan", -1))).toDF("k", "id")
+    val dim = (Seq("hot") ++ (0 until 10).map(i => s"k$i") ++ Seq("unused"))
+      .zipWithIndex.map { case (k, i) => (k, s"name$i") }.toDF("k", "kname")
+
+    for (jt <- Seq("inner", "left", "left_semi", "left_anti")) {
+      val got = Salting.saltedJoin(fact, dim, Seq("k"), col("id"), 8, jt)
+      val want = fact.join(dim, Seq("k"), jt)
+      assert(got.count() == want.count(), s"count for $jt")
+      val gs = got.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+      val ws = want.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+      assert(gs == ws, s"rows for $jt")
+    }
+    // the hot key really is spread: >1 distinct salt bucket
+    val spread = fact.withColumn("s", pmod(hash(col("id")), lit(8)))
+      .filter(col("k") === "hot").select("s").distinct().count()
+    assert(spread > 4, s"hot key used only $spread of 8 buckets")
+
+    // non-fact-driven join types are rejected
+    intercept[IllegalArgumentException] {
+      Salting.saltedJoin(fact, dim, Seq("k"), col("id"), 8, "full_outer")
+    }
+  }
 }
