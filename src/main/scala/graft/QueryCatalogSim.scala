@@ -310,6 +310,91 @@ object QueryCatalogSim {
       |  CASE WHEN doc_id % 10 = 7 THEN 'N' ELSE 'Y' END AS ok
       |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- perceptual image dedup (dHash)
+  /** Image near-dup dedup via REAL perceptual hashing: PNG payloads
+    * are encoded and decoded by ImageIO, average-pooled to a 9x8
+    * grid, and dHash'd ([[MultimodalOps.dHash64]]) — then deduped at
+    * the HASH level: exact clusters = groupBy(dhash) (all docs of a
+    * pattern class are pixel-identical), near-dup partners = 16-bit
+    * band LSH over the DISTINCT hashes + Hamming ≤ 6 verify
+    * (pigeonhole: ≤3 differing bits ALWAYS share one of 4 bands, so
+    * the planted 1-2-bit variants are guaranteed recall; 4-6 bits
+    * are best-effort — the documented LSH contract). Banding runs on
+    * distinct hashes, never docs: the pair space is
+    * |distinct-patterns|², corpus-INdependent, while every
+    * doc-level stage is one hash groupBy. The oracle reproduces the
+    * hashes arithmetically from the planted pattern (generate_series
+    * bit fold — no decoding) and replays band+Hamming verbatim;
+    * corrupt payloads (%10==7, raw text bytes) gate through as
+    * ok='N' with null hash/cluster. */
+  val q162ImageDhash: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % 23).as("cls"),
+        (col("doc_id") % 4 === 3).as("variant"),
+        (col("doc_id") % 10 === 7).as("corrupt"))
+    val hashed = MultimodalOps.dHash64(
+      MultimodalOps.synthPatternImagePayload(
+        docs, "doc_id", "cls", "variant", "corrupt"), "doc_id")
+    val reps = graft.ops.Materialize.localize(
+      hashed.filter(col("ok") === "Y").groupBy("dhash")
+        .agg(min("doc_id").as("cluster_rep"), count(lit(1)).as("cluster_sz")))
+    val bands = reps.select(col("dhash"), col("cluster_sz"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+          shiftright(col("dhash"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("bv"))): _*))
+          .as("e"))
+      .select(col("dhash"), col("cluster_sz"),
+        col("e.band").as("band"), col("e.bv").as("bv"))
+    val cand = bands.select(col("dhash"), col("band"), col("bv"))
+      .join(bands.select(col("dhash").as("other"), col("cluster_sz").as("osz"),
+        col("band"), col("bv")), Seq("band", "bv"))
+      .filter(col("dhash") =!= col("other"))
+      .select("dhash", "other", "osz").distinct()
+    val near = cand
+      .filter(bit_count(col("dhash").bitwiseXOR(col("other"))).between(1, 6))
+      .groupBy("dhash").agg(sum("osz").as("near_ct"))
+    hashed.join(reps, Seq("dhash"), "left").join(near, Seq("dhash"), "left")
+      .select(col("doc_id"), col("dhash"), col("ok"),
+        col("cluster_rep"), col("cluster_sz"),
+        when(col("ok") === "Y", coalesce(col("near_ct"), lit(0L))).as("near_ct"))
+      .orderBy("doc_id")
+  }
+
+  private val q162Sql =
+    """WITH g AS (SELECT i, i % 8 AS x, i // 8 AS y FROM generate_series(0, 63) t(i)),
+      |b AS (SELECT doc_id, CAST(doc_id % 23 AS BIGINT) AS c, (doc_id % 4 = 3) AS v
+      |      FROM documents WHERE doc_id % 10 <> 7),
+      |h AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    COALESCE(bit_or(CASE WHEN i = 63 THEN -9223372036854775808
+      |                         ELSE (1::BIGINT << i) END)
+      |      FILTER (WHERE
+      |        ((((c*(x+4) + (x+1)*(x+1) + y*(7 + c%3)) % 5) < 2)
+      |           <> (v AND (x+1) = c%9 AND y = c%8))
+      |        AND NOT ((((c*(x+3) + x*x + y*(7 + c%3)) % 5) < 2)
+      |           <> (v AND x = c%9 AND y = c%8))), 0) AS dhash
+      |  FROM b CROSS JOIN g GROUP BY doc_id),
+      |reps AS MATERIALIZED (SELECT dhash, MIN(doc_id) AS cluster_rep,
+      |                             COUNT(*) AS cluster_sz
+      |                      FROM h GROUP BY 1),
+      |bands AS MATERIALIZED (SELECT dhash, cluster_sz, band,
+      |                              (dhash >> (16*band)) & 65535 AS bv
+      |  FROM reps CROSS JOIN generate_series(0, 3) s(band)),
+      |cand AS (SELECT DISTINCT a.dhash AS dhash, b2.dhash AS other,
+      |                b2.cluster_sz AS osz
+      |  FROM bands a JOIN bands b2 USING (band, bv) WHERE a.dhash <> b2.dhash),
+      |near AS (SELECT dhash, CAST(SUM(osz) AS BIGINT) AS near_ct FROM cand
+      |  WHERE bit_count(xor(dhash, other)) BETWEEN 1 AND 6 GROUP BY 1)
+      |SELECT d.doc_id, h.dhash,
+      |  CASE WHEN d.doc_id % 10 = 7 THEN 'N' ELSE 'Y' END AS ok,
+      |  r.cluster_rep, r.cluster_sz,
+      |  CASE WHEN d.doc_id % 10 = 7 THEN NULL
+      |       ELSE COALESCE(n.near_ct, 0) END AS near_ct
+      |FROM documents d
+      |LEFT JOIN h ON h.doc_id = d.doc_id
+      |LEFT JOIN reps r ON r.dhash = h.dhash
+      |LEFT JOIN near n ON n.dhash = h.dhash
+      |ORDER BY d.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- embedding quantization
   /** int8 embedding quantization (VectorOps.quantizeInt8): per-vector
     * scale, code checksums, and max reconstruction error — the 4x
@@ -671,6 +756,7 @@ object QueryCatalogSim {
     "q52_multimodal_decode" -> q52MultimodalDecode,
     "q142_image_decode" -> q142ImageDecode,
     "q148_audio_decode" -> q148AudioDecode,
+    "q162_image_dhash" -> q162ImageDhash,
     "q55_frame_sample" -> q55FrameSample,
     "q59_embed_quantize" -> q59EmbedQuantize,
   )
@@ -689,6 +775,7 @@ object QueryCatalogSim {
     "q52_multimodal_decode" -> q52Sql,
     "q142_image_decode" -> q142Sql,
     "q148_audio_decode" -> q148Sql,
+    "q162_image_dhash" -> q162Sql,
     "q55_frame_sample" -> q55Sql,
     "q59_embed_quantize" -> q59Sql,
   )

@@ -316,6 +316,129 @@ object MultimodalOps {
     }(Encoders.row(outSchema))
   }
 
+  /** The synthetic 9x8 block pattern behind [[synthPatternImagePayload]]
+    * — a pure integer predicate so a SQL oracle can reproduce the
+    * downstream dHash without decoding: block (x∈0..8, y∈0..7) of
+    * class `c` is BRIGHT iff ((c*(x+3) + x² + y*(7 + c%3)) % 5) < 2,
+    * with `variant` images flipping the single block (c%9, c%8) — a
+    * planted near-duplicate 1-2 Hamming bits from its base class. */
+  def patternBright(c: Long, variant: Boolean,
+                                        x: Int, y: Int): Boolean = {
+    val base = (c * (x + 3) + x.toLong * x + y * (7 + c % 3)) % 5 < 2
+    base ^ (variant && x == (c % 9) && y == (c % 8))
+  }
+
+  /** REAL PNG fixture generator for the perceptual-hash path: an
+    * 18x16 image of 2x2 constant blocks rendering [[patternBright]]
+    * (bright=220, dark=40) — every doc of a class is pixel-identical,
+    * `variant` docs differ by one block. Encoded with ImageIO like
+    * [[synthImagePayload]]; rows where `corruptCol` is true emit raw
+    * text bytes (the truncated-crawl case). */
+  def synthPatternImagePayload(df: DataFrame, idCol: String, clsCol: String,
+                               variantCol: String, corruptCol: String,
+                               batchSize: Int = 32): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("payload", BinaryType)))
+    val input = df.select(col(idCol).cast("long"), col(clsCol).cast("long"),
+      col(variantCol).cast("boolean"), col(corruptCol).cast("boolean"),
+      col(idCol).cast("string"))
+    input.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val bytes =
+            if (r.getBoolean(3)) ("corrupt:" + r.getString(4)).getBytes("UTF-8")
+            else {
+              val c = r.getLong(1); val v = r.getBoolean(2)
+              val img = new java.awt.image.BufferedImage(
+                18, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var by = 0
+              while (by < 8) {
+                var bx = 0
+                while (bx < 9) {
+                  val g = if (patternBright(c, v, bx, by)) 220 else 40
+                  val rgb = (g << 16) | (g << 8) | g
+                  img.setRGB(2 * bx, 2 * by, rgb); img.setRGB(2 * bx + 1, 2 * by, rgb)
+                  img.setRGB(2 * bx, 2 * by + 1, rgb); img.setRGB(2 * bx + 1, 2 * by + 1, rgb)
+                  bx += 1
+                }
+                by += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", bos)
+              bos.toByteArray
+            }
+          Row(r.getLong(0), bytes)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL 64-bit difference hash (dHash) over (id, payload) rows: the
+    * standard perceptual near-dup signature for image corpora. Decode
+    * (ImageIO), average-pool the red channel onto a 9x8 grid, then
+    * bit i=y*8+x is [cell(x+1,y) > cell(x,y)] — brightness-gradient
+    * signs, robust to re-encoding and small edits. Cell means are
+    * compared as EXACT cross-multiplied integer sums (sumA*cntB >
+    * sumB*cntA) so uneven pool boxes on non-multiple dims never hit
+    * float rounding — bit-deterministic across JVMs. Undecodable or
+    * sub-9x8 payloads yield (null, 'N') instead of failing the task.
+    * Output: (id, dhash long, ok). */
+  def dHash64(df: DataFrame, idCol: String, batchSize: Int = 32): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("dhash", LongType), StructField("ok", StringType)))
+    val input = df.select(col(idCol).cast("long"), col("payload"))
+    input.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null || img.getWidth < 9 || img.getHeight < 8)
+            Row(r.getLong(0), null, "N")
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            val sums = new Array[Long](72); val cnts = new Array[Long](72)
+            var cy = 0
+            while (cy < 8) {
+              var cx = 0
+              while (cx < 9) {
+                val xs = cx * w / 9; val xe = (cx + 1) * w / 9
+                val ys = cy * h / 8; val ye = (cy + 1) * h / 8
+                var sum = 0L; var y = ys
+                while (y < ye) {
+                  var x = xs
+                  while (x < xe) { sum += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }
+                  y += 1
+                }
+                sums(cy * 9 + cx) = sum
+                cnts(cy * 9 + cx) = (xe - xs).toLong * (ye - ys)
+                cx += 1
+              }
+              cy += 1
+            }
+            var hash = 0L; var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                val l = y * 9 + x; val rr = l + 1
+                if (sums(rr) * cnts(l) > sums(l) * cnts(rr))
+                  hash |= 1L << (y * 8 + x)
+                x += 1
+              }
+              y += 1
+            }
+            Row(r.getLong(0), hash, "Y")
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Batch-shaped feature extraction over (id, payload) rows:
     * mapPartitions, batches of `batchSize` rows — the decoder
     * amortization boundary. Output (id, f0..f3). */

@@ -129,4 +129,34 @@ class MultimodalSpec extends SparkSpec {
     assert(again.getAs[Long]("red_sum") == 4L * 2 * 77)
     assert(again.getAs[String]("ok") == "Y")
   }
+
+  test("dHash64: decode round trip matches the closed form; variants are near") {
+    // base and variant of the same class, two classes, one corrupt row
+    val docs = Seq(
+      (0L, 5L, false, false), (1L, 5L, true, false),
+      (2L, 9L, false, false), (3L, 9L, false, true)).toDF(
+      "doc_id", "cls", "variant", "corrupt")
+    val got = MultimodalOps.dHash64(
+        MultimodalOps.synthPatternImagePayload(
+          docs, "doc_id", "cls", "variant", "corrupt"), "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getString(2)))).toMap
+    // closed form: bit i = bright(x+1,y) && !bright(x,y)
+    def closed(c: Long, v: Boolean): Long = {
+      var h = 0L
+      for (y <- 0 until 8; x <- 0 until 8)
+        if (MultimodalOps.patternBright(c, v, x + 1, y) &&
+          !MultimodalOps.patternBright(c, v, x, y)) h |= 1L << (y * 8 + x)
+      h
+    }
+    assert(got(0L) == ((Some(closed(5, false)), "Y")))
+    assert(got(1L) == ((Some(closed(5, true)), "Y")))
+    assert(got(2L) == ((Some(closed(9, false)), "Y")))
+    assert(got(3L) == ((None, "N")), "corrupt payload must gate, not fail")
+    // the planted variant is a NEAR duplicate of its base (1-2 bits)
+    val ham = java.lang.Long.bitCount(closed(5, false) ^ closed(5, true))
+    assert(ham >= 1 && ham <= 2, s"variant hamming $ham")
+    // different classes are far apart
+    assert(java.lang.Long.bitCount(closed(5, false) ^ closed(9, false)) > 6)
+  }
 }
