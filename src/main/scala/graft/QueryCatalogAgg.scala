@@ -398,6 +398,41 @@ object QueryCatalogAgg {
       |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
       |ORDER BY e.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- time-decay (half-life) score
+  /** Recency-weighted engagement score with a one-week HALF-LIFE:
+    * weight = 2^-(whole weeks before the anchor), so a user's score
+    * is dominated by recent activity — the freshness prior
+    * recommendation/curation pipelines put on interaction signals.
+    * EXACT integer arithmetic end to end: value rides decimal cents
+    * (core.Num), the decay is an arithmetic right-shift by the age
+    * bucket (floor division by 2^age — no pow(), no float decay
+    * factor whose last ulp differs per engine), and the per-user sum
+    * of shifted longs is order-independent. One partial-agg shuffle;
+    * the anchor is a fixed literal so the score is reproducible
+    * (and incremental: yesterday's scores shift right once per
+    * elapsed week and add the new week's mass). */
+  val q164DecayScore: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("cents", (graft.core.Num.dec2(col("value")) * 100).cast("long"))
+      .withColumn("age_wk",
+        floor(datediff(lit("2024-02-01").cast("date"), col("ts").cast("date")) / 7)
+          .cast("int"))
+      .withColumn("decayed", expr("shiftright(cents, least(age_wk, 40))"))
+      .groupBy("user_id")
+      .agg(sum("decayed").as("decayed_cents"),
+        sum("cents").as("raw_cents"), count(lit(1)).as("n"))
+      .orderBy("user_id")
+
+  private val q164Sql =
+    """SELECT user_id,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      >> least(datediff('day', CAST(ts AS DATE), DATE '2024-02-01') // 7, 40))
+      |    AS BIGINT) AS decayed_cents,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |    AS raw_cents,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------------------------- statistical aggregates
   /** Variance / stddev / correlation from EXACT moment sums: the
     * builtin corr/stddev stream doubles in partition order (different
@@ -1235,6 +1270,7 @@ object QueryCatalogAgg {
     "q84_tumbling_window" -> q84Tumbling,
     "q107_salted_agg" -> q107SaltedAgg,
     "q160_salted_join" -> q160SaltedJoin,
+    "q164_decay_score" -> q164DecayScore,
     "q110_stats_agg" -> q110StatsAgg,
     "q112_supplier_rollup" -> q112SupplierRollup,
     "q111_rank_kit" -> q111RankKit,
@@ -1272,6 +1308,7 @@ object QueryCatalogAgg {
     "q84_tumbling_window" -> q84Sql,
     "q107_salted_agg" -> q107Sql,
     "q160_salted_join" -> q160Sql,
+    "q164_decay_score" -> q164Sql,
     "q110_stats_agg" -> q110Sql,
     "q112_supplier_rollup" -> q112Sql,
     "q111_rank_kit" -> q111Sql,

@@ -291,6 +291,70 @@ object QueryCatalogText {
         .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard"))
     }.orderBy("id_a", "id_b")
 
+  // ---------------------------------------------------------------- dedup: containment (excerpt/quote)
+  /** Containment-similarity join ([[graft.ops.dedup.Dedup.containment]]):
+    * the excerpt/quote detector Jaccard structurally misses — a short
+    * excerpt inside a long page scores Jaccard ≈ |A|/|B| (tiny) but
+    * containment |A∩B|/|A| = 1.0. Fixture plants real excerpts: every
+    * %6==0 doc contributes a second row (id + 1e6) holding its first
+    * 2/5 tokens — the prefix's bigram set is a SUBSET of the
+    * source's, and because the df-cap drops bigrams by (group, bg)
+    * consistently for both docs, the subset property survives the
+    * cap and c_ba lands on EXACTLY 1.0. Candidates and (n_inter,
+    * n_a, n_b) ride the same df-capped posting-list machinery as q44
+    * (bounded maxDf²/2 pair expansion, no corpus-wide self-join);
+    * the containment scores are a pure projection on top. */
+  val q163Containment: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val excerpts = base.filter(col("doc_id") % 6 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        col("lang"), col("source"),
+        expr("concat_ws(' ', slice(split(text, '\\\\s+'), 1, " +
+          "greatest(4, (size(split(text, '\\\\s+')) * 2) div 5)))").as("text"))
+    val corpus = base.unionByName(excerpts)
+    Dedup.invertedJaccardScoped(docBigrams(corpus),
+        "doc_id", "bg", Seq("lang", "source"), maxDf = NgramMaxDf) { j =>
+      graft.ops.Materialize.localize(Dedup.containment(j)
+        .filter(greatest(col("c_ab"), col("c_ba")) >= 0.9)
+        .select("id_a", "id_b", "n_inter", "n_a", "n_b", "c_ab", "c_ba"))
+    }.orderBy("id_a", "id_b")
+  }
+
+  private val q163Sql =
+    s"""WITH basedocs AS (SELECT doc_id, lang, source, text FROM documents),
+       |exc AS (SELECT doc_id + 1000000 AS doc_id, lang, source,
+       |          array_to_string(
+       |            string_split_regex(text, '\\s+')[1 :
+       |              greatest(4, (len(string_split_regex(text, '\\s+')) * 2) // 5)],
+       |            ' ') AS text
+       |        FROM documents WHERE doc_id % 6 = 0),
+       |docs AS (SELECT * FROM basedocs UNION ALL SELECT * FROM exc),
+       |t AS (SELECT doc_id, lang, source,
+       |             unnest(string_split_regex(text, '\\s+')) AS w,
+       |             generate_subscripts(string_split_regex(text, '\\s+'), 1) AS pos
+       |      FROM docs),
+       |bg0 AS (SELECT doc_id, lang, source,
+       |               w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+       |        FROM t),
+       |bgall AS (SELECT DISTINCT doc_id, lang, source, bg FROM bg0 WHERE bg IS NOT NULL),
+       |ok AS (SELECT lang, source, bg FROM bgall
+       |       GROUP BY 1, 2, 3 HAVING COUNT(*) <= $NgramMaxDf),
+       |bg AS (SELECT b.* FROM bgall b JOIN ok USING (lang, source, bg)),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM bg GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+       |          FROM bg a JOIN bg b USING (lang, source, bg)
+       |          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT id_a, id_b, n_inter, ca.n AS n_a, cb.n AS n_b,
+       |       CAST(n_inter AS DOUBLE) / ca.n AS c_ab,
+       |       CAST(n_inter AS DOUBLE) / cb.n AS c_ba
+       |FROM inter
+       |JOIN cnt ca ON ca.doc_id = id_a
+       |JOIN cnt cb ON cb.doc_id = id_b
+       |WHERE greatest(CAST(n_inter AS DOUBLE) / ca.n,
+       |               CAST(n_inter AS DOUBLE) / cb.n) >= 0.9
+       |ORDER BY id_a, id_b""".stripMargin
+
   private val q44Sql =
     s"""WITH t AS (SELECT doc_id, lang, source,
        |                  unnest(string_split_regex(text, '\\s+')) AS w,
@@ -1242,6 +1306,7 @@ object QueryCatalogText {
     "q129_incremental_dedup" -> q129IncrementalDedup,
     "q43_simhash" -> q43SimHash,
     "q44_ngram_jaccard" -> q44NgramJaccard,
+    "q163_containment" -> q163Containment,
     "q92_hot_shingle_cap" -> q92HotShingleCap,
     "q96_repetition_quality" -> q96Repetition,
     "q54_hll_distinct" -> q54Hll,
@@ -1268,6 +1333,7 @@ object QueryCatalogText {
     "q129_incremental_dedup" -> q129Sql,
     "q43_simhash" -> q43Sql,
     "q44_ngram_jaccard" -> q44Sql,
+    "q163_containment" -> q163Sql,
     "q92_hot_shingle_cap" -> q92Sql,
     "q96_repetition_quality" -> q96Sql,
     "q54_hll_distinct" -> q54Sql,

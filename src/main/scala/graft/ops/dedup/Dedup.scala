@@ -416,6 +416,19 @@ object Dedup {
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
   }
 
+  /** Asymmetric set-CONTAINMENT scores over an [[invertedJaccard]] /
+    * [[jaccard]] output frame: c_ab = |A∩B| / |A| (how much of doc a
+    * sits inside doc b) and c_ba = |A∩B| / |B|. Containment is the
+    * quote/excerpt/subset-duplication signal Jaccard structurally
+    * misses — a 100-word excerpt inside a 10k-word page has Jaccard
+    * ~0.01 but containment ~1.0 — and a training corpus wants those
+    * pages deduped (the excerpt adds nothing) or at least weighted.
+    * Pure projection: no new shuffle, the verifier's (n_inter, n_a,
+    * n_b) already carry everything. */
+  def containment(j: DataFrame): DataFrame = j
+    .withColumn("c_ab", col("n_inter").cast("double") / col("n_a"))
+    .withColumn("c_ba", col("n_inter").cast("double") / col("n_b"))
+
   /** SimHash (64-bit, as two int32-range longs hi/lo): per distinct
     * word take md5 bits, sum ±1 votes per bit position over the doc,
     * bit = (vote sum > 0). Output (id, simhash_hi, simhash_lo).

@@ -25,6 +25,35 @@ object StreamingJobs {
       .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-stream INTERVAL join (impression->click attribution, the
+    * canonical two-stream pattern): clicks attach to impressions of
+    * the same user within `joinWindow` after the impression. Both
+    * sides carry watermarks and the join condition carries the time
+    * range, so Spark derives a state-retention bound for EACH side —
+    * without the range + watermarks the state store would hold both
+    * streams forever (Spark rejects that combination in append mode
+    * for exactly this reason). State is keyed by user and partitioned
+    * by the join keys — the 100 TB/day shape. `joinType` "inner"
+    * emits matches as they arrive; "left_outer" additionally emits
+    * (impression, null click) once the watermark proves no click can
+    * arrive — the unclicked-impression feed. */
+  def intervalJoinStream(imps: DataFrame, clicks: DataFrame,
+                         joinWindow: String = "15 minutes",
+                         watermark: String = "30 minutes",
+                         joinType: String = "inner"): DataFrame = {
+    val i = imps.select(col("user_id"), col("imp_id"), col("i_ts"))
+      .withWatermark("i_ts", watermark)
+    val c = clicks.select(col("user_id").as("c_user"), col("click_id"), col("c_ts"))
+      .withWatermark("c_ts", watermark)
+    i.join(c,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("i_ts") &&
+          col("c_ts") <= col("i_ts") + expr(s"interval $joinWindow"),
+        joinType)
+      .select(col("user_id"), col("imp_id"), col("click_id"),
+        col("i_ts"), col("c_ts"))
+  }
+
   /** Custom keyed state across micro-batches (SURVEY §2.9 /
     * KeyValueGroupedDataset.mapGroupsWithState): per-key running
     * aggregates that survive batch boundaries — the building block

@@ -133,6 +133,43 @@ class SinksStreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("click", 2L), ("view", 1L)))
   }
 
+  test("stream-stream interval join attributes clicks within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val impMem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val clkMem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val joined = StreamingJobs.intervalJoinStream(
+      impMem.toDF().toDF("user_id", "imp_id", "i_ts"),
+      clkMem.toDF().toDF("user_id", "click_id", "c_ts"),
+      joinWindow = "15 minutes", watermark = "30 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attrib").start()
+    def t(m: String) = java.sql.Timestamp.valueOf(s"2024-01-01 10:$m:00")
+    impMem.addData((1L, "i1", t("00")), (1L, "i2", t("20")), (2L, "i3", t("00")))
+    clkMem.addData(
+      (1L, "c1", t("05")),  // in i1's window only
+      (1L, "c2", t("25")),  // in i2's window only (i1+15min = 10:15 < 10:25)
+      (2L, "c3", t("40")),  // 40 min after i3 — outside its window
+      (3L, "c4", t("05")))  // no impression for user 3
+    q.processAllAvailable()
+    val got = spark.table("attrib")
+      .select("imp_id", "click_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    q.stop()
+    assert(got == Set(("i1", "c1"), ("i2", "c2")), got.toString)
+    // the stream result must equal the batch interval join on the same rows
+    import spark.implicits._
+    val iB = Seq((1L, "i1", t("00")), (1L, "i2", t("20")), (2L, "i3", t("00")))
+      .toDF("user_id", "imp_id", "i_ts")
+    val cB = Seq((1L, "c1", t("05")), (1L, "c2", t("25")), (2L, "c3", t("40")),
+      (3L, "c4", t("05"))).toDF("c_user", "click_id", "c_ts")
+    val batch = iB.join(cB, col("user_id") === col("c_user") &&
+        col("c_ts") >= col("i_ts") &&
+        col("c_ts") <= col("i_ts") + expr("interval 15 minutes"))
+      .select("imp_id", "click_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == batch, "stream/batch parity")
+  }
+
   test("mapGroupsWithState keeps per-key state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
