@@ -741,8 +741,166 @@ object QueryCatalogSim {
       |FROM cmp JOIN sz USING (component)
       |ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- hybrid retrieval: rrf fusion
+  /** Lexical retriever leg shared by q165/q167: histogram-intersection
+    * score n_shared = Σ_t min(tf_q(t), tf_c(t)) between each probe
+    * document (doc_id < nq) and every candidate. Scale shape: the
+    * probe postings (nq docs × vocab terms) are a broadcast — the
+    * corpus-sized candidate tf frame joins map-side on the term and
+    * never shuffles for the match; only matched (q, c) partial sums
+    * cross the wire for the groupBy. Top-k per probe goes through the
+    * bounded-heap [[graft.plans.TopKPerKey]] physical operator (no
+    * per-probe sort of a corpus-sized candidate list); the rank
+    * column is a row_number over the ALREADY k-bounded frame. A
+    * production corpus adds the q44-style df cap on the posting join;
+    * the synthetic 31-word vocabulary here is all-stopwords, so the
+    * cap is deliberately off and the min-tf weighting carries the
+    * discrimination. */
+  private def lexicalTopK(s: SparkSession, d: String, nq: Int, k: Int): DataFrame = {
+    graft.plans.TopKPerKey.install(s)
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val probes = tf.filter(col("doc_id") < nq)
+      .select(col("doc_id").as("q_id"), col("t"), col("tf").as("tf_q"))
+    val scored = tf.join(broadcast(probes), Seq("t"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("doc_id").as("c_id"))
+      .agg(sum(least(col("tf"), col("tf_q"))).as("n_shared"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("n_shared").desc, col("c_id"))
+    graft.plans.TopKPerKey.topK(scored, Seq(col("q_id")),
+        Seq(col("n_shared").desc, col("c_id").asc), k)
+      .withColumn("rank_lex", row_number().over(w).cast("int"))
+  }
+
+  /** Reciprocal-rank-fusion hybrid retrieval — the fusion stage of a
+    * two-tower search/mining pipeline: a lexical list (min-tf
+    * histogram intersection, [[lexicalTopK]]) and a dense list
+    * (cosine top-k over the embedding column) are fused per probe by
+    * RRF(c) = Σ_lists 1/(60 + rank_list(c)), the standard
+    * rank-only fusion that needs no score calibration between
+    * incomparable retrievers. Determinism: each reciprocal is the
+    * INTEGER 1e9 div (60 + rank) so the fused score is an exact
+    * integer sum — no float addition order to disagree on. Candidates
+    * in either list survive (full outer join on the two k-bounded
+    * lists — bounded frames, cheap); final top-10 per probe by fused
+    * score. The dense leg is the brute-force baseline here
+    * (probe-side broadcast, no candidate shuffle); at corpus scale it
+    * swaps for the q77 IVF / q116 multi-LSH leg unchanged, since
+    * fusion only consumes (q_id, c_id, rank). */
+  val q165RrfFusion: Q = (s, d) => {
+    val nq = 10; val k = 20
+    val lex = lexicalTopK(s, d, nq, k)
+      .select(col("q_id"), col("c_id"), col("rank_lex"))
+    val den = VectorOps.bruteForceKnn(
+        Tables.embeddings(s, d).filter(col("vec_id") < nq),
+        Tables.embeddings(s, d), k = k)
+      .select(col("q_id"), col("c_id"), col("rank").cast("int").as("rank_dense"))
+    val fused = lex.join(den, Seq("q_id", "c_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(expr("1000000000 div (60 + rank_lex)"), lit(0L)) +
+        coalesce(expr("1000000000 div (60 + rank_dense)"), lit(0L)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("rrf_score").desc, col("c_id"))
+    fused.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("c_id"), col("rank"), col("rrf_score"),
+        col("rank_lex"), col("rank_dense"))
+      .orderBy("q_id", "rank")
+  }
+
+  private val q165Sql =
+    """WITH tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM (
+      |        SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+      |        FROM documents) GROUP BY 1, 2),
+      |lexs AS (SELECT p.doc_id AS q_id, c.doc_id AS c_id,
+      |                SUM(LEAST(c.tf, p.tf)) AS n_shared
+      |         FROM tf c JOIN tf p ON p.t = c.t
+      |         WHERE p.doc_id < 10 AND c.doc_id <> p.doc_id GROUP BY 1, 2),
+      |lex AS (SELECT q_id, c_id,
+      |               CAST(row_number() OVER (PARTITION BY q_id
+      |                 ORDER BY n_shared DESC, c_id) AS INT) AS rank_lex
+      |        FROM lexs QUALIFY rank_lex <= 20),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM e),
+      |dens AS (SELECT p.vec_id AS q_id, c.vec_id AS c_id,
+      |                list_dot_product(p.v, c.v) / (p.nm * c.nm) AS cos
+      |         FROM n p CROSS JOIN n c
+      |         WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id),
+      |den AS (SELECT q_id, c_id,
+      |               CAST(row_number() OVER (PARTITION BY q_id
+      |                 ORDER BY cos DESC, c_id) AS INT) AS rank_dense
+      |        FROM dens QUALIFY rank_dense <= 20),
+      |f AS (SELECT COALESCE(lex.q_id, den.q_id) AS q_id,
+      |             COALESCE(lex.c_id, den.c_id) AS c_id,
+      |             lex.rank_lex, den.rank_dense,
+      |             COALESCE(1000000000 // (60 + lex.rank_lex), 0)
+      |           + COALESCE(1000000000 // (60 + den.rank_dense), 0) AS rrf_score
+      |      FROM lex FULL OUTER JOIN den
+      |        ON lex.q_id = den.q_id AND lex.c_id = den.c_id)
+      |SELECT q_id, c_id,
+      |       CAST(row_number() OVER (PARTITION BY q_id
+      |         ORDER BY rrf_score DESC, c_id) AS INT) AS rank,
+      |       CAST(rrf_score AS BIGINT) AS rrf_score, rank_lex, rank_dense
+      |FROM f QUALIFY rank <= 10 ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- hard-negative mining
+  /** Hard-negative mining for contrastive/embedding training: per
+    * probe, candidates the LEXICAL retriever ranks highly (top-20
+    * min-tf overlap) that the DENSE retriever does NOT place in its
+    * top-20 — surface-similar but semantically distant, the exact
+    * negatives that teach an embedding model the difference. Pure
+    * composition of the two k-bounded legs: left-anti join of the
+    * lexical list against the dense list on (q_id, c_id), keep the 5
+    * lexically closest survivors. Both inputs are ≤k rows per probe,
+    * so the anti-join and re-rank are bounded regardless of corpus
+    * size; all the heavy lifting happened inside the retriever legs'
+    * scale-safe plans. */
+  val q167HardNegatives: Q = (s, d) => {
+    val nq = 10; val k = 20
+    val lex = lexicalTopK(s, d, nq, k)
+    val den = VectorOps.bruteForceKnn(
+        Tables.embeddings(s, d).filter(col("vec_id") < nq),
+        Tables.embeddings(s, d), k = k)
+      .select(col("q_id"), col("c_id"))
+    lex.join(den, Seq("q_id", "c_id"), "left_anti")
+      .filter(col("rank_lex") <= 5)
+      .select(col("q_id"), col("c_id"), col("n_shared"), col("rank_lex"))
+      .orderBy("q_id", "rank_lex")
+  }
+
+  private val q167Sql =
+    """WITH tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM (
+      |        SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+      |        FROM documents) GROUP BY 1, 2),
+      |lexs AS (SELECT p.doc_id AS q_id, c.doc_id AS c_id,
+      |                CAST(SUM(LEAST(c.tf, p.tf)) AS BIGINT) AS n_shared
+      |         FROM tf c JOIN tf p ON p.t = c.t
+      |         WHERE p.doc_id < 10 AND c.doc_id <> p.doc_id GROUP BY 1, 2),
+      |lex AS (SELECT q_id, c_id, n_shared,
+      |               CAST(row_number() OVER (PARTITION BY q_id
+      |                 ORDER BY n_shared DESC, c_id) AS INT) AS rank_lex
+      |        FROM lexs QUALIFY rank_lex <= 20),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM e),
+      |dens AS (SELECT p.vec_id AS q_id, c.vec_id AS c_id,
+      |                list_dot_product(p.v, c.v) / (p.nm * c.nm) AS cos
+      |         FROM n p CROSS JOIN n c
+      |         WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id),
+      |den AS (SELECT q_id, c_id,
+      |               CAST(row_number() OVER (PARTITION BY q_id
+      |                 ORDER BY cos DESC, c_id) AS INT) AS rd
+      |        FROM dens QUALIFY rd <= 20)
+      |SELECT l.q_id, l.c_id, l.n_shared, l.rank_lex
+      |FROM lex l ANTI JOIN den d ON d.q_id = l.q_id AND d.c_id = l.c_id
+      |WHERE l.rank_lex <= 5
+      |ORDER BY l.q_id, l.rank_lex""".stripMargin
+
   // ----------------------------------------------------------------
   val all: Map[String, Q] = Map(
+    "q165_rrf_fusion" -> q165RrfFusion,
+    "q167_hard_negatives" -> q167HardNegatives,
     "q132_semdedup" -> q132SemDedup,
     "q130_cluster_sample" -> q130ClusterSample,
     "q128_pq_adc" -> q128PqAdc,
@@ -762,6 +920,8 @@ object QueryCatalogSim {
   )
 
   val oracle: Map[String, String] = Map(
+    "q165_rrf_fusion" -> q165Sql,
+    "q167_hard_negatives" -> q167Sql,
     "q132_semdedup" -> q132Sql,
     "q130_cluster_sample" -> q130Sql,
     "q128_pq_adc" -> q128Sql,

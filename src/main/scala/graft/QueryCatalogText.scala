@@ -1295,7 +1295,82 @@ object QueryCatalogText {
        |ORDER BY doc_id""".stripMargin
 
   // ----------------------------------------------------------------
+  // ---------------------------------------------------------------- corpus drift
+  /** Corpus-drift detection — the monitoring stage that catches a
+    * silently changed upstream source before it poisons a training
+    * mix: per language, the total-variation distance between the
+    * token distributions of two corpus slices (here the deterministic
+    * even/odd doc_id halves; in production, yesterday's snapshot vs
+    * today's), plus the top-3 drifting tokens by contribution.
+    * Determinism: TV = Σ_t |p_A(t) − p_B(t)| / 2 is computed
+    * CROSS-MULTIPLIED — contrib(t) = |c_A(t)·N_B − c_B(t)·N_A| is
+    * exact BIGINT arithmetic, and the single double division
+    * Σcontrib / (2·N_A·N_B) happens once per language at the end, so
+    * there is no per-token float sum whose order could differ. No
+    * logs (a KL/JS form would hash-diverge on the last ulp of ln);
+    * TV is the metric of choice precisely because it is rational.
+    * Scale shape: one explode→groupBy(lang, token) with map-side
+    * partial aggregation, language totals are a langs-sized broadcast
+    * back onto the token frame, top-3 per language via the bounded
+    * [[graft.plans.TopKPerKey]] heap. At trillion-token scale the
+    * BIGINT cross-products approach 2^63 — swap the contrib column to
+    * DECIMAL(38,0) there; everything else is unchanged. */
+  val q166CorpusDrift: Q = (s, d) => {
+    graft.plans.TopKPerKey.install(s)
+    val toks = Tables.documents(s, d).select(col("lang"),
+      (col("doc_id") % 2 === 0).as("in_a"),
+      explode(split(col("text"), "\\s+")).as("t"))
+    val perTok = toks.groupBy("lang", "t").agg(
+      sum(when(col("in_a"), 1L).otherwise(0L)).as("c_a"),
+      sum(when(col("in_a"), 0L).otherwise(1L)).as("c_b"))
+    val totals = perTok.groupBy("lang").agg(
+      sum("c_a").as("n_a"), sum("c_b").as("n_b"))
+    val contrib = perTok.join(broadcast(totals), Seq("lang"))
+      .withColumn("contrib",
+        abs(col("c_a") * col("n_b") - col("c_b") * col("n_a")))
+    val tv = contrib.groupBy("lang").agg(sum("contrib").as("sum_contrib"))
+      .join(broadcast(totals), Seq("lang"))
+      .select(col("lang"), (col("sum_contrib").cast("double") /
+        (lit(2.0) * col("n_a") * col("n_b"))).as("tv"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("contrib").desc, col("t"))
+    graft.plans.TopKPerKey.topK(contrib, Seq(col("lang")),
+        Seq(col("contrib").desc, col("t").asc), 3)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .join(broadcast(tv), Seq("lang"))
+      .select(col("lang"), col("rank"), col("t").as("token"),
+        col("c_a"), col("c_b"), col("contrib"), col("tv"))
+      .orderBy("lang", "rank")
+  }
+
+  private val q166Sql =
+    """WITH tok AS (SELECT lang, doc_id % 2 = 0 AS in_a,
+      |                    unnest(string_split_regex(text, '\s+')) AS t
+      |             FROM documents),
+      |pt AS (SELECT lang, t,
+      |              CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+      |              CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+      |       FROM tok GROUP BY 1, 2),
+      |tot AS (SELECT lang, CAST(SUM(c_a) AS BIGINT) AS n_a,
+      |               CAST(SUM(c_b) AS BIGINT) AS n_b
+      |        FROM pt GROUP BY 1),
+      |ct AS (SELECT pt.lang, pt.t, pt.c_a, pt.c_b,
+      |              abs(pt.c_a * tot.n_b - pt.c_b * tot.n_a) AS contrib
+      |       FROM pt JOIN tot USING (lang)),
+      |tv AS (SELECT ct.lang,
+      |              CAST(SUM(ct.contrib) AS DOUBLE)
+      |                / (2.0 * tot.n_a * tot.n_b) AS tv
+      |       FROM ct JOIN tot USING (lang) GROUP BY ct.lang, tot.n_a, tot.n_b),
+      |r AS (SELECT lang, t, c_a, c_b, contrib,
+      |             CAST(row_number() OVER (PARTITION BY lang
+      |               ORDER BY contrib DESC, t) AS INT) AS rank
+      |      FROM ct QUALIFY rank <= 3)
+      |SELECT r.lang, r.rank, r.t AS token, r.c_a, r.c_b,
+      |       CAST(r.contrib AS BIGINT) AS contrib, tv.tv
+      |FROM r JOIN tv USING (lang) ORDER BY lang, rank""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q166_corpus_drift" -> q166CorpusDrift,
     "q131_url_canon" -> q131UrlCanon,
     "q127_unigram_lm" -> q127UnigramLm,
     "q125_gopher_rules" -> q125GopherRules,
@@ -1323,6 +1398,7 @@ object QueryCatalogText {
   )
 
   val oracle: Map[String, String] = Map(
+    "q166_corpus_drift" -> q166Sql,
     "q131_url_canon" -> q131Sql,
     "q127_unigram_lm" -> q127Sql,
     "q125_gopher_rules" -> q125Sql,
