@@ -99,6 +99,16 @@ object Explain {
     "q153_bm25" -> ("Inverted-index retrieval: per-(doc,term) tf partial-agg; " +
       "term df and (N, avgdl) corpus stats broadcast; top-15 is " +
       "TakeOrderedAndProject — no global sort, nothing corpus-sized on one task."),
+    "q165_rrf_fusion" -> ("Hybrid RRF: probe postings BROADCAST into the lexical " +
+      "leg (candidate tf frame matches map-side, no shuffle to pair); per-probe " +
+      "top-k on both legs is the bounded TopKPerKeyPartial/Final heap pair; the " +
+      "fusion full-outer join runs on two k-bounded lists — nothing corpus-sized " +
+      "crosses an exchange after the tf aggregation."),
+    "q166_corpus_drift" -> ("Corpus-drift TV distance: one explode -> " +
+      "groupBy(lang, token) with map-side combine; language totals broadcast " +
+      "back; the cross-multiplied |cA*NB - cB*NA| contributions stay integer; " +
+      "top drifting tokens via the bounded TopKPerKey heap — no Window, one " +
+      "corpus-sized exchange total."),
   )
 
   def main(args: Array[String]): Unit = {

@@ -1309,7 +1309,58 @@ object QueryCatalogCuration {
       |            AS BIGINT) AS n_outliers
       |FROM dev JOIN mad USING (lang) GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- k-anonymity gate
+  /** k-anonymity release gate with one generalization step — the
+    * privacy check a pipeline runs before shipping user-adjacent
+    * metadata alongside training text (the structured-data sibling of
+    * the q122 PII scrub): every quasi-identifier group
+    * (nation, segment) must contain ≥ k members or a row in it is
+    * re-identifiable. Groups that fail level 0 are GENERALIZED — the
+    * segment coarsens to '*' and the failing members re-pool per
+    * nation (the first rung of the Samarati generalization ladder);
+    * a pooled group that STILL fails is marked 'S': suppress before
+    * release. Scale shape: one groupBy with map-side combine over the
+    * data; the generalization and verdicts run on the GROUP frame
+    * (|QI-value combinations| rows, corpus-independent) — no second
+    * data pass, no window. Deterministic: counts and thresholds only.
+    * k = 10. */
+  val q169KAnonymity: Q = (s, d) => {
+    val k = 10
+    val g1 = Tables.customer(s, d)
+      .groupBy(col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("group_size"))
+    val pass = g1.filter(col("group_size") >= k)
+      .withColumn("level", lit(0))
+    val gen = g1.filter(col("group_size") < k)
+      .groupBy("nation")
+      .agg(sum("group_size").as("group_size"))
+      .withColumn("segment", lit("*"))
+      .withColumn("level", lit(1))
+    pass.unionByName(gen)
+      .select(col("nation"), col("segment"),
+        col("group_size"), col("level").cast("int").as("level"),
+        when(col("group_size") >= k, lit("Y")).otherwise(lit("S")).as("status"))
+      .orderBy("nation", "segment")
+  }
+
+  private val q169Sql =
+    """WITH g1 AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+      |                   c_mktsegment AS segment,
+      |                   CAST(COUNT(*) AS BIGINT) AS group_size
+      |            FROM customer GROUP BY 1, 2),
+      |pass AS (SELECT nation, segment, group_size, 0 AS level
+      |         FROM g1 WHERE group_size >= 10),
+      |gen AS (SELECT nation, '*' AS segment,
+      |               CAST(SUM(group_size) AS BIGINT) AS group_size, 1 AS level
+      |        FROM g1 WHERE group_size < 10 GROUP BY 1),
+      |u AS (SELECT * FROM pass UNION ALL SELECT * FROM gen)
+      |SELECT nation, segment, group_size, CAST(level AS INT) AS level,
+      |       CASE WHEN group_size >= 10 THEN 'Y' ELSE 'S' END AS status
+      |FROM u ORDER BY nation, segment""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q169_k_anonymity" -> q169KAnonymity,
     "q149_rank_functions" -> q149RankFunctions,
     "q155_triangles" -> q155Triangles,
     "q161_kcore" -> q161KCore,
@@ -1336,6 +1387,7 @@ object QueryCatalogCuration {
   )
 
   val oracle: Map[String, String] = Map(
+    "q169_k_anonymity" -> q169Sql,
     "q149_rank_functions" -> q149Sql,
     "q152_weighted_sample" -> q152Sql,
     "q154_group_sample" -> q154Sql,

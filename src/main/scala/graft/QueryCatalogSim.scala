@@ -897,8 +897,101 @@ object QueryCatalogSim {
       |WHERE l.rank_lex <= 5
       |ORDER BY l.q_id, l.rank_lex""".stripMargin
 
+  // ---------------------------------------------------------------- clustering quality: ari + purity
+  /** Clustering-quality evaluation — the measurement stage that tells
+    * a curation pipeline whether its embedding clusters (the backbone
+    * of SemDeDup, cluster-balanced sampling, IVF cells) actually
+    * track meaning: Adjusted Rand Index and purity of the k-means
+    * cells against the held-out `label` column. ARI is the canonical
+    * chance-corrected agreement and is RATIONAL — every term is a
+    * pair count C(x,2) in exact int64 (products kept doubled to dodge
+    * the odd-sum halving), so the single double division at the end
+    * is the only float op and the hash gate holds cross-engine.
+    * Contingency = one groupBy(cell, label); margins are two more
+    * tiny aggregations; all one-row frames broadcast-crossed. At
+    * >~50k evaluated vectors the doubled int64 products approach
+    * 2^63 — swap to DECIMAL(38,0) there (ARI is evaluated on a
+    * sample at corpus scale anyway). */
+  val q168ClusterAri: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val cells = VectorOps.kmeansCells(emb, "vec_id", k = 4, iters = 1)
+    val ct = cells.join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy("cell", "label").agg(count(lit(1)).as("nij"))
+    val sumIj = ct.agg(sum(expr("(nij * (nij - 1)) div 2")).as("sum_ij"))
+    val aRow = ct.groupBy("cell").agg(sum("nij").as("ai"), max("nij").as("mi"))
+      .agg(sum(expr("(ai * (ai - 1)) div 2")).as("sum_a"),
+        sum("mi").as("pur_num"), count(lit(1)).as("n_cells"))
+    val bRow = ct.groupBy("label").agg(sum("nij").as("bj"))
+      .agg(sum(expr("(bj * (bj - 1)) div 2")).as("sum_b"),
+        count(lit(1)).as("n_labels"))
+    val nRow = ct.agg(sum("nij").as("n"))
+      .withColumn("cn2", expr("(n * (n - 1)) div 2"))
+    sumIj.crossJoin(broadcast(aRow)).crossJoin(broadcast(bRow))
+      .crossJoin(broadcast(nRow))
+      .select(col("n"), col("n_cells"), col("n_labels"), col("pur_num"),
+        ((lit(2L) * (col("cn2") * col("sum_ij") - col("sum_a") * col("sum_b")))
+          .cast("double") /
+          (col("cn2") * (col("sum_a") + col("sum_b")) -
+            lit(2L) * col("sum_a") * col("sum_b")).cast("double")).as("ari"),
+        (col("pur_num").cast("double") / col("n").cast("double")).as("purity"))
+  }
+
+  private val q168Sql =
+    """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+      |h AS (SELECT vec_id, v,
+      |             ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS hh
+      |      FROM e0),
+      |seeds AS (SELECT vec_id, v, hh FROM h ORDER BY hh, vec_id LIMIT 4),
+      |c0 AS (SELECT CAST(row_number() OVER (ORDER BY hh, vec_id) - 1 AS INT) AS cell,
+      |              v AS cv
+      |       FROM seeds),
+      |a1 AS (SELECT vec_id, cell FROM (
+      |         SELECT e.vec_id, c.cell,
+      |                row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |                  list_dot_product(e.v, c.cv)
+      |                  / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+      |                  DESC, c.cell) AS rn
+      |         FROM e0 e CROSS JOIN c0 c) WHERE rn = 1),
+      |x AS (SELECT a1.cell, generate_subscripts(e.v, 1) - 1 AS dim,
+      |             CAST(round(unnest(e.v) * 1e6) AS BIGINT) AS xi
+      |      FROM e0 e JOIN a1 USING (vec_id)),
+      |cm AS (SELECT cell, dim, CAST(SUM(xi) AS DOUBLE) / COUNT(*) / 1e6 AS c
+      |       FROM x GROUP BY 1, 2),
+      |c1 AS (SELECT cell, list(c ORDER BY dim) AS cv FROM cm GROUP BY 1),
+      |a2 AS (SELECT vec_id, cell FROM (
+      |         SELECT e.vec_id, c.cell,
+      |                row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |                  list_dot_product(e.v, c.cv)
+      |                  / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+      |                  DESC, c.cell) AS rn
+      |         FROM e0 e CROSS JOIN c1 c) WHERE rn = 1),
+      |ct AS (SELECT a2.cell, e.label, CAST(COUNT(*) AS BIGINT) AS nij
+      |       FROM a2 JOIN e0 e USING (vec_id) GROUP BY 1, 2),
+      |sij AS (SELECT CAST(SUM((nij * (nij - 1)) // 2) AS BIGINT) AS sum_ij FROM ct),
+      |am AS (SELECT cell, CAST(SUM(nij) AS BIGINT) AS ai,
+      |              CAST(MAX(nij) AS BIGINT) AS mi
+      |       FROM ct GROUP BY 1),
+      |ar AS (SELECT CAST(SUM((ai * (ai - 1)) // 2) AS BIGINT) AS sum_a,
+      |              CAST(SUM(mi) AS BIGINT) AS pur_num,
+      |              CAST(COUNT(*) AS BIGINT) AS n_cells
+      |       FROM am),
+      |bm AS (SELECT label, CAST(SUM(nij) AS BIGINT) AS bj FROM ct GROUP BY 1),
+      |br AS (SELECT CAST(SUM((bj * (bj - 1)) // 2) AS BIGINT) AS sum_b,
+      |              CAST(COUNT(*) AS BIGINT) AS n_labels
+      |       FROM bm),
+      |nr AS (SELECT CAST(SUM(nij) AS BIGINT) AS n,
+      |              CAST((SUM(nij) * (SUM(nij) - 1)) // 2 AS BIGINT) AS cn2
+      |       FROM ct)
+      |SELECT nr.n, ar.n_cells, br.n_labels, ar.pur_num,
+      |       CAST(2 * (nr.cn2 * sij.sum_ij - ar.sum_a * br.sum_b) AS DOUBLE)
+      |         / CAST(nr.cn2 * (ar.sum_a + br.sum_b)
+      |                - 2 * ar.sum_a * br.sum_b AS DOUBLE) AS ari,
+      |       CAST(ar.pur_num AS DOUBLE) / CAST(nr.n AS DOUBLE) AS purity
+      |FROM sij CROSS JOIN ar CROSS JOIN br CROSS JOIN nr""".stripMargin
+
   // ----------------------------------------------------------------
   val all: Map[String, Q] = Map(
+    "q168_cluster_ari" -> q168ClusterAri,
     "q165_rrf_fusion" -> q165RrfFusion,
     "q167_hard_negatives" -> q167HardNegatives,
     "q132_semdedup" -> q132SemDedup,
@@ -920,6 +1013,7 @@ object QueryCatalogSim {
   )
 
   val oracle: Map[String, String] = Map(
+    "q168_cluster_ari" -> q168Sql,
     "q165_rrf_fusion" -> q165Sql,
     "q167_hard_negatives" -> q167Sql,
     "q132_semdedup" -> q132Sql,

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.similarity.VectorOps
+
+/** Semantic checks for the evaluation/privacy gates (q168 ARI,
+  * q169 k-anonymity) — recompute the arithmetic independently in
+  * plain Scala and assert the closed-form edges. */
+class QualityGatesSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Reference ARI/purity from a contingency map, straight from the
+    * Hubert-Arabie formula in doubles — the independent twin of the
+    * query's exact-integer form. */
+  private def refAri(ct: Map[(Int, Int), Long]): (Double, Double) = {
+    def c2(x: Long): Double = x.toDouble * (x - 1) / 2
+    val a = ct.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val b = ct.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n = ct.values.sum
+    val sumIj = ct.values.map(c2).sum
+    val sumA = a.values.map(c2).sum
+    val sumB = b.values.map(c2).sum
+    val exp = sumA * sumB / c2(n)
+    val ari = (sumIj - exp) / ((sumA + sumB) / 2 - exp)
+    val pur = ct.groupBy(_._1._1).values
+      .map(_.values.max).sum.toDouble / n
+    (ari, pur)
+  }
+
+  test("q168 ARI/purity match an independent double-precision recomputation") {
+    val row = QueryCatalogSim.all("q168_cluster_ari")(spark, sf).collect()(0)
+    val emb = Tables.embeddings(spark, sf)
+    val ct = VectorOps.kmeansCells(emb, "vec_id", k = 4, iters = 1)
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy("cell", "label").count().collect()
+      .map(r => (r.getAs[Int]("cell"), r.getAs[Int]("label")) -> r.getAs[Long]("count"))
+      .toMap
+    val (ari, pur) = refAri(ct)
+    // the query's integer form is exact; the double recomputation can
+    // differ in rounding only
+    assert(math.abs(row.getAs[Double]("ari") - ari) < 1e-12,
+      s"ari ${row.getAs[Double]("ari")} vs ref $ari")
+    assert(math.abs(row.getAs[Double]("purity") - pur) < 1e-12)
+    assert(row.getAs[Long]("n") == ct.values.sum)
+  }
+
+  test("ARI closed forms: identical partitions give exactly 1") {
+    // perfect agreement: contingency is diagonal
+    val (ari, pur) = refAri(Map((0, 0) -> 7L, (1, 1) -> 5L, (2, 2) -> 9L))
+    assert(ari == 1.0 && pur == 1.0)
+    // and the query's integer formula on the same diagonal case
+    val ct = Seq((0, 0, 7L), (1, 1, 5L), (2, 2, 9L))
+    val sumIj = ct.map { case (_, _, x) => x * (x - 1) / 2 }.sum
+    val sumA = sumIj; val sumB = sumIj // diagonal: margins = cells
+    val n = ct.map(_._3).sum
+    val cn2 = n * (n - 1) / 2
+    val num2 = 2L * (cn2 * sumIj - sumA * sumB)
+    val den2 = cn2 * (sumA + sumB) - 2L * sumA * sumB
+    assert(num2.toDouble / den2.toDouble == 1.0)
+  }
+
+  test("q169 k-anonymity: every verdict is recomputable from the raw groups") {
+    val out = QueryCatalogCuration.all("q169_k_anonymity")(spark, sf).collect()
+    val raw = Tables.customer(spark, sf)
+      .groupBy(col("c_nationkey").cast("long"), col("c_mktsegment"))
+      .count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val k = 10
+    out.foreach { r =>
+      val (nation, seg) = (r.getAs[Long]("nation"), r.getAs[String]("segment"))
+      val size = r.getAs[Long]("group_size")
+      if (r.getAs[Int]("level") == 0) {
+        assert(seg != "*" && raw((nation, seg)) == size && size >= k)
+        assert(r.getAs[String]("status") == "Y")
+      } else {
+        // pooled: sum of this nation's under-k groups
+        val want = raw.collect {
+          case ((n2, _), c) if n2 == nation && c < k => c
+        }.sum
+        assert(seg == "*" && size == want, s"pool mismatch for nation $nation")
+        assert(r.getAs[String]("status") == (if (size >= k) "Y" else "S"))
+      }
+    }
+    // no member lost: level-0 + pooled sizes == total customers
+    assert(out.map(_.getAs[Long]("group_size")).sum == raw.values.sum)
+    // every under-k nation appears exactly once as a pool
+    val pooledNations = out.filter(_.getAs[Int]("level") == 1)
+      .map(_.getAs[Long]("nation")).toSet
+    val wantNations = raw.collect { case ((n2, _), c) if c < k => n2 }.toSet
+    assert(pooledNations == wantNations)
+  }
+}
