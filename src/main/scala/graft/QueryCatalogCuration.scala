@@ -1359,7 +1359,62 @@ object QueryCatalogCuration {
       |       CASE WHEN group_size >= 10 THEN 'Y' ELSE 'S' END AS status
       |FROM u ORDER BY nation, segment""".stripMargin
 
+  // ---------------------------------------------------------------- importance resampling
+  /** DSIR-style importance resampling — data selection that tilts a
+    * raw corpus toward a target domain (Xie et al. 2023: importance
+    * weights from hashed n-gram LMs; here the deterministic unigram
+    * form): per token, the target/raw probability ratio
+    * p_tgt(t)/p_raw(t) is computed CROSS-MULTIPLIED and floor-
+    * quantized to integer micros (c_tgt·N_raw and c_raw·N_tgt are
+    * exact int64 products; ONE IEEE division + floor per token), a
+    * document's score is the count-weighted integer sum of its
+    * tokens' ratio micros (the arithmetic-mean-of-ratios twin of
+    * DSIR's log-likelihood-ratio sum — same ordering intent, no ln
+    * to hash-diverge), and the kept set is the global top ceil(20%)
+    * by (score, doc_id) via [[graft.ops.DistributedRank]] — range
+    * shuffle + broadcast offsets, never a no-partition window.
+    * Target here: sources src0/src1 (the curated-reference stand-in).
+    * Scoring lives in [[graft.ops.text.Dsir.scoreMicros]] (ratio
+    * table broadcast, corpus tokens join map-side); see its doc for
+    * the int64-overflow note at trillion-token slices. */
+  val q170ImportanceResample: Q = (s, d) => {
+    val scored = graft.ops.text.Dsir.scoreMicros(Tables.documents(s, d),
+      "doc_id", "text", col("source").isin("src0", "src1"))
+    graft.ops.DistributedRank.rank(scored, Seq.empty,
+        Seq(col("score_micros").desc, col("doc_id")), "rk", totalCol = "n_total")
+      .filter(col("rk") <= expr("(n_total + 4) div 5"))
+      .select(col("doc_id"), col("score_micros"),
+        col("rk").cast("int").as("rk"))
+      .orderBy("rk")
+  }
+
+  private val q170Sql =
+    """WITH tok AS (SELECT doc_id, source,
+      |                    unnest(string_split_regex(text, '\s+')) AS t
+      |             FROM documents),
+      |pt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c_raw,
+      |              CAST(SUM(CASE WHEN source IN ('src0','src1')
+      |                            THEN 1 ELSE 0 END) AS BIGINT) AS c_tgt
+      |       FROM tok GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(c_raw) AS BIGINT) AS n_raw,
+      |               CAST(SUM(c_tgt) AS BIGINT) AS n_tgt FROM pt),
+      |ratio AS (SELECT t,
+      |                 CAST(floor(CAST(c_tgt * n_raw AS DOUBLE)
+      |                   / CAST(c_raw * n_tgt AS DOUBLE) * 1000000.0) AS BIGINT)
+      |                   AS r_micros
+      |          FROM pt CROSS JOIN tot),
+      |sc AS (SELECT doc_id, CAST(SUM(r_micros) AS BIGINT) AS score_micros
+      |       FROM tok JOIN ratio USING (t) GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_total FROM sc),
+      |r AS (SELECT doc_id, score_micros,
+      |             CAST(row_number() OVER (ORDER BY score_micros DESC, doc_id)
+      |               AS INT) AS rk
+      |      FROM sc)
+      |SELECT doc_id, score_micros, rk FROM r
+      |WHERE rk <= (SELECT (n_total + 4) // 5 FROM n) ORDER BY rk""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q170_importance_resample" -> q170ImportanceResample,
     "q169_k_anonymity" -> q169KAnonymity,
     "q149_rank_functions" -> q149RankFunctions,
     "q155_triangles" -> q155Triangles,
@@ -1387,6 +1442,7 @@ object QueryCatalogCuration {
   )
 
   val oracle: Map[String, String] = Map(
+    "q170_importance_resample" -> q170Sql,
     "q169_k_anonymity" -> q169Sql,
     "q149_rank_functions" -> q149Sql,
     "q152_weighted_sample" -> q152Sql,

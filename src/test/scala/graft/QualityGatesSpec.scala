@@ -61,6 +61,47 @@ class QualityGatesSpec extends SparkSpec {
     assert(num2.toDouble / den2.toDouble == 1.0)
   }
 
+  test("DSIR importance scoring tilts hard toward the target distribution") {
+    import spark.implicits._
+    // target docs speak {x, y}; background docs speak {a, b}; two
+    // probe docs — one x-heavy, one b-heavy — must rank first/last
+    val docs = (
+      Seq((0L, "x y x y", true), (1L, "y x y x", true)) ++
+      (2L to 9L).map(i => (i, "a b a b a b", false)) ++
+      Seq((100L, "x x x y", false), (101L, "b b b b", false))
+    ).toDF("id", "text", "tgt")
+    val scored = graft.ops.text.Dsir.scoreMicros(docs, "id", "text", col("tgt"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("score_micros")).toMap
+    val nonTgt = scored.filterKeys(k => k >= 2L)
+    assert(nonTgt(100L) == nonTgt.values.max, "x-heavy probe must score highest")
+    assert(nonTgt(101L) == nonTgt.values.min, "b-heavy probe must score lowest")
+    // closed form for the b-only probe: r(b) = floor(1e6 * (0 * N_raw) / ...) = 0
+    assert(nonTgt(101L) == 0L, "tokens unseen in target score exactly 0")
+    // and the target docs themselves score at the top of the pool
+    assert(scored(0L) > nonTgt(100L) / 2, "sanity: target docs carry high ratios")
+  }
+
+  test("q170 keeps exactly ceil(20%) and its scores are recomputable") {
+    val out = QueryCatalogCuration.all("q170_importance_resample")(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    assert(out.length == ((n + 4) / 5).toInt, s"kept ${out.length} of $n")
+    val want = graft.ops.text.Dsir.scoreMicros(docs, "doc_id", "text",
+        col("source").isin("src0", "src1"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_micros")).toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("score_micros") == want(r.getAs[Long]("doc_id")))
+    }
+    // ranks are the global (score desc, doc_id) order, 1..kept
+    assert(out.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to out.length))
+    val inOrder = out.sortBy(_.getAs[Int]("rk"))
+      .map(r => (r.getAs[Long]("score_micros"), r.getAs[Long]("doc_id")))
+    assert(inOrder.sliding(2).forall {
+      case Array((s1, d1), (s2, d2)) => s1 > s2 || (s1 == s2 && d1 < d2)
+      case _ => true
+    })
+  }
+
   test("q169 k-anonymity: every verdict is recomputable from the raw groups") {
     val out = QueryCatalogCuration.all("q169_k_anonymity")(spark, sf).collect()
     val raw = Tables.customer(spark, sf)
