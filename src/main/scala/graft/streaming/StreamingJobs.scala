@@ -253,6 +253,57 @@ object StreamingJobs {
       }
       .start()
 
+  /** Streaming corpus-drift monitor (q166's stream face): per
+    * tumbling window, the total-variation distance between the
+    * window's token distribution and a STATIC reference distribution
+    * `ref` (token, c_ref — yesterday's snapshot, vocabulary-sized).
+    * State is the watermarked (window, token) count aggregation in
+    * APPEND mode, so a window's token counts emit exactly once, on
+    * finalization; the TV arithmetic — which needs the window total
+    * N_w inside every per-token term and so cannot be one linear
+    * aggregate — runs in foreachBatch over the finalized rows as
+    * plain batch math, exactly q166's cross-multiplied integer form:
+    * num = Σ_{t∈W} |c_w·N_ref − c_ref·N_w| + (N_ref − Σ_{t∈W} c_ref)·N_w
+    * (the second term is the mass of reference tokens the window
+    * never saw), tv = num / (2·N_w·N_ref). One row (win_start,
+    * win_end, n_w, tv) upserts per window — the drift time series a
+    * monitoring pipeline alerts on. */
+  def driftStream(docs: DataFrame, tsCol: String, textCol: String,
+                  ref: DataFrame, nRef: Long, windowLen: String,
+                  watermark: String, targetPath: String,
+                  checkpoint: String): StreamingQuery = {
+    val perTok = docs
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), explode(split(col(textCol), "\\s+")).as("t"))
+      .groupBy(window(col(tsCol), windowLen), col("t"))
+      .agg(count(lit(1)).as("c_w"))
+    perTok.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val withRef = batch.join(broadcast(ref), Seq("t"), "left")
+            .na.fill(0L, Seq("c_ref"))
+          val totals = withRef.groupBy("window")
+            .agg(sum("c_w").as("n_w"), sum("c_ref").as("ref_seen"))
+          val tv = withRef.join(broadcast(totals), Seq("window"))
+            .groupBy(col("window"), col("n_w"), col("ref_seen"))
+            .agg(sum(abs(col("c_w") * lit(nRef) - col("c_ref") * col("n_w")))
+              .as("num_seen"))
+            .select(col("window.start").as("win_start"),
+              col("window.end").as("win_end"), col("n_w"),
+              ((col("num_seen") + (lit(nRef) - col("ref_seen")) * col("n_w"))
+                .cast("double") /
+                (lit(2.0) * col("n_w") * lit(nRef))).as("tv"))
+          Sinks.upsertParquet(batch.sparkSession, tv, targetPath,
+            Seq("win_start", "win_end"))
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Micro-batch keyed upsert: every batch MERGEs into the parquet
     * target on `keys` (the weather MERGE, weather.py:1697-1732, as a
     * stream). foreachBatch is the batch-engine bridge — on Delta this

@@ -116,6 +116,44 @@ class SinksStreamingSpec extends SparkSpec {
     assert(out.filter(col("status") === "ERROR").count() == 1)
   }
 
+  test("driftStream: per-window TV against a static reference equals the batch formula") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val docs = mem.toDF().toDF("ts", "text")
+    // reference distribution: {a: 3, b: 1}, N_ref = 4
+    val ref = Seq(("a", 3L), ("b", 1L)).toDF("t", "c_ref")
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val store = tmp() + "/drift"
+    // window 10:00-10:10 sees "a b b" + "c" split across two rows;
+    // the 11:30 sentinel pushes the watermark past 10:10 so the
+    // append-mode aggregation finalizes and emits the window
+    mem.addData((t(10, 1), "a b"), (t(10, 4), "b c"), (t(11, 30), "zzz"))
+    val q = StreamingJobs.driftStream(docs, "ts", "text", ref, nRef = 4L,
+      windowLen = "10 minutes", watermark = "5 minutes",
+      targetPath = store, checkpoint = tmp() + "/ckp")
+    q.awaitTermination()
+    val got = spark.read.parquet(store)
+      .filter(col("win_start") === t(10, 0)).collect()
+    assert(got.length == 1, s"exactly one drift row per finalized window: ${got.length}")
+    // batch replay of the same formula: c_w = {a:1, b:2, c:1}, n_w = 4
+    // num = |1*4-3*4| + |2*4-1*4| + |1*4-0*4| + (4 - (3+1))*4 = 8+4+4+0 = 16
+    // tv = 16 / (2*4*4) = 0.5
+    assert(got(0).getAs[Long]("n_w") == 4L)
+    assert(got(0).getAs[Double]("tv") == 0.5, s"tv ${got(0).getAs[Double]("tv")}")
+    // identical-to-reference window: stream a window whose counts ARE the
+    // reference -> tv must be exactly 0
+    val mem2 = MemoryStream[(java.sql.Timestamp, String)]
+    val store2 = tmp() + "/drift2"
+    mem2.addData((t(10, 2), "a a a b"), (t(11, 30), "zzz"))
+    val q2 = StreamingJobs.driftStream(mem2.toDF().toDF("ts", "text"),
+      "ts", "text", ref, nRef = 4L, windowLen = "10 minutes",
+      watermark = "5 minutes", targetPath = store2, checkpoint = tmp() + "/ckp2")
+    q2.awaitTermination()
+    val z = spark.read.parquet(store2).filter(col("win_start") === t(10, 0)).collect()
+    assert(z.length == 1 && z(0).getAs[Double]("tv") == 0.0,
+      "a window that matches the reference distribution has zero drift")
+  }
+
   test("streaming windowed aggregation with watermark (§2.9)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
