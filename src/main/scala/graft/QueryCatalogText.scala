@@ -1369,7 +1369,55 @@ object QueryCatalogText {
       |       CAST(r.contrib AS BIGINT) AS contrib, tv.tv
       |FROM r JOIN tv USING (lang) ORDER BY lang, rank""".stripMargin
 
+  // ---------------------------------------------------------------- unicode normalization
+  /** Unicode NFC canonicalization via the native codegen'd
+    * [[graft.functions.NfcNormalize]] expression — the step that must
+    * precede hash dedup / exact groupBy on crawled text, where "é"
+    * arrives both precomposed (U+00E9) and decomposed (U+0065+U+0301)
+    * and would otherwise hash to two dedup keys. Fixture rows plant
+    * the canonical-equivalence cases (combining acute, ring+diaeresis,
+    * Hangul jamo composition, ASCII fast-path identity, empty); the
+    * oracle replays byte-for-byte through DuckDB's utf8proc
+    * `nfc_normalize` — two independent Unicode implementations
+    * agreeing on the composed bytes is the contract. Pure map; the
+    * ASCII fast path makes the common crawl row a no-op. */
+  val q171UnicodeNormalize: Q = (s, _) => {
+    import s.implicits._
+    import graft.functions.NfcNormalize.nfc
+    val rows = Seq(
+      (1L, "cafe\u0301 menu"),          // decomposed e + combining acute
+      (2L, "caf\u00E9 menu"),           // precomposed — same NFC target as id 1
+      (3L, "A\u030Angstro\u0308m"),     // ring + diaeresis compose
+      (4L, "\u1100\u1161\u11A8"),       // Hangul jamo -> U+AC01
+      (5L, "plain ascii text"),
+      (6L, ""))
+    rows.toDF("id", "raw")
+      .select(col("id"),
+        nfc(col("raw")).as("norm"),
+        when(nfc(col("raw")) =!= col("raw"), lit("Y")).otherwise(lit("N"))
+          .as("changed"),
+        length(col("raw")).cast("long").as("n_raw"),
+        length(nfc(col("raw"))).cast("long").as("n_norm"))
+      .orderBy("id")
+  }
+
+  private val q171Sql =
+    """WITH v(id, raw) AS (VALUES
+      |  (1, 'cafe' || chr(769) || ' menu'),
+      |  (2, 'caf' || chr(233) || ' menu'),
+      |  (3, 'A' || chr(778) || 'ngstro' || chr(776) || 'm'),
+      |  (4, chr(4352) || chr(4449) || chr(4520)),
+      |  (5, 'plain ascii text'),
+      |  (6, ''))
+      |SELECT CAST(id AS BIGINT) AS id,
+      |       nfc_normalize(raw) AS norm,
+      |       CASE WHEN nfc_normalize(raw) <> raw THEN 'Y' ELSE 'N' END AS changed,
+      |       CAST(length(raw) AS BIGINT) AS n_raw,
+      |       CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_norm
+      |FROM v ORDER BY id""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q171_unicode_normalize" -> q171UnicodeNormalize,
     "q166_corpus_drift" -> q166CorpusDrift,
     "q131_url_canon" -> q131UrlCanon,
     "q127_unigram_lm" -> q127UnigramLm,
@@ -1398,6 +1446,7 @@ object QueryCatalogText {
   )
 
   val oracle: Map[String, String] = Map(
+    "q171_unicode_normalize" -> q171Sql,
     "q166_corpus_drift" -> q166Sql,
     "q131_url_canon" -> q131Sql,
     "q127_unigram_lm" -> q127Sql,
