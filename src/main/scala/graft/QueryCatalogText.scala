@@ -1416,7 +1416,52 @@ object QueryCatalogText {
       |       CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_norm
       |FROM v ORDER BY id""".stripMargin
 
+  // ---------------------------------------------------------------- padding waste
+  /** Length-bucketing padding-waste report — the measurement that
+    * justifies (or kills) a bucketed-batching stage in a training
+    * pipeline: documents bucket by token length (width 16); per
+    * bucket, the padding wasted if batches pad to the BUCKET ceiling
+    * vs to the GLOBAL max sequence length. pad_bucketed is the
+    * attainable cost of bucketed batching, pad_global what naive
+    * homogeneous batching pays for the same rows; saved_pct is the
+    * argument in one number. All integer arithmetic (one division
+    * per bucket at the end); the global max is a one-row broadcast.
+    * One explode-free pure map + one groupBy — scan-bound at any
+    * corpus size. */
+  val q172PaddingWaste: Q = (s, d) => {
+    val len = size(split(col("text"), "\\s+")).cast("long")
+    val docs = Tables.documents(s, d).select(len.as("len"))
+    val gmax = docs.agg(max("len").as("gmax"))
+    docs.crossJoin(broadcast(gmax))
+      .withColumn("bucket", expr("len div 16"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("len").as("sum_tok"),
+        sum((col("bucket") + 1) * 16 - col("len")).as("pad_bucketed"),
+        sum(col("gmax") - col("len")).as("pad_global"))
+      .withColumn("saved_pct",
+        when(col("pad_global") === 0, lit(0.0)).otherwise(
+          (col("pad_global") - col("pad_bucketed")).cast("double") * lit(100.0) /
+            col("pad_global").cast("double")))
+      .orderBy("bucket")
+  }
+
+  private val q172Sql =
+    """WITH l AS (SELECT CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS len
+      |           FROM documents),
+      |g AS (SELECT MAX(len) AS gmax FROM l),
+      |b AS (SELECT len // 16 AS bucket, len, g.gmax FROM l CROSS JOIN g)
+      |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(len) AS BIGINT) AS sum_tok,
+      |       CAST(SUM((bucket + 1) * 16 - len) AS BIGINT) AS pad_bucketed,
+      |       CAST(SUM(gmax - len) AS BIGINT) AS pad_global,
+      |       CASE WHEN SUM(gmax - len) = 0 THEN 0.0
+      |            ELSE CAST(SUM(gmax - len) - SUM((bucket + 1) * 16 - len) AS DOUBLE)
+      |                 * 100.0 / CAST(SUM(gmax - len) AS DOUBLE) END AS saved_pct
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q172_padding_waste" -> q172PaddingWaste,
     "q171_unicode_normalize" -> q171UnicodeNormalize,
     "q166_corpus_drift" -> q166CorpusDrift,
     "q131_url_canon" -> q131UrlCanon,
@@ -1446,6 +1491,7 @@ object QueryCatalogText {
   )
 
   val oracle: Map[String, String] = Map(
+    "q172_padding_waste" -> q172Sql,
     "q171_unicode_normalize" -> q171Sql,
     "q166_corpus_drift" -> q166Sql,
     "q131_url_canon" -> q131Sql,
