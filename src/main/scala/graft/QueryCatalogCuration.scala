@@ -1413,7 +1413,84 @@ object QueryCatalogCuration {
       |SELECT doc_id, score_micros, rk FROM r
       |WHERE rk <= (SELECT (n_total + 4) // 5 FROM n) ORDER BY rk""".stripMargin
 
+  // ---------------------------------------------------------------- personalized pagerank
+  /** Personalized (topic-sensitive) PageRank — authority measured
+    * FROM trusted seeds rather than uniformly (Haveliwala 2002; the
+    * TrustRank-style prior a curation pipeline uses to damp spam
+    * domains that plain PageRank rewards for raw in-degree): the
+    * teleport term concentrates on the seed set {src0, src1} instead
+    * of 1/n everywhere, so mass reaches a node only through paths
+    * from the seeds. Same int64-exact Jacobi machinery as q135 —
+    * r0 = SCALE div |S| on seeds else 0, two iterations of
+    * r' = [v∈S]·(3·SCALE) div (20·|S|) + Σ inflow·17 div (20·deg) —
+    * one join + partial-agg exchange per round, final global rank via
+    * [[graft.ops.DistributedRank]]. Nodes unreachable from the seeds
+    * in two hops hold EXACTLY 0 — the damping evidence the oracle
+    * pins. */
+  val q173PersonalizedPagerank: Q = (s, d) => {
+    val SCALE = 1000000000000L
+    val seeds = Seq("src0", "src1")
+    val docs = Tables.documents(s, d)
+    val dst = concat(lit("src"),
+      ((col("doc_id") * col("doc_id")) % 16).cast("string"))
+    val edges = docs.select(col("source").as("src"), dst.as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct()
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val isSeed = col("node").isin(seeds: _*)
+    val nS = seeds.length
+    val r0 = nodes.select(col("node"),
+      when(isSeed, lit(SCALE / nS)).otherwise(lit(0L)).as("r"))
+    def step(r: DataFrame): DataFrame = {
+      val inflow = edges.join(r, edges("src") === r("node"))
+        .join(outdeg, "src")
+        .select(col("dst"), expr("(r * 17) div (20 * deg)").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("inflow"))
+      nodes.join(inflow, nodes("node") === inflow("dst"), "left")
+        .select(col("node"),
+          (when(isSeed, lit(3L * SCALE / (20L * nS))).otherwise(lit(0L)) +
+            coalesce(col("inflow"), lit(0L))).as("r"))
+    }
+    val r2 = step(step(r0))
+    DistributedRank.rank(r2, Seq.empty, Seq(col("r").desc, col("node")), "rank")
+      .select(col("node"), col("r").as("ppr_scaled"),
+        when(isSeed, lit("Y")).otherwise(lit("N")).as("is_seed"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("rank")
+  }
+
+  private val q173Sql =
+    """WITH e AS (SELECT DISTINCT source AS src,
+      |                  'src' || CAST((doc_id * doc_id) % 16 AS VARCHAR) AS dst
+      |           FROM documents
+      |           WHERE source <> 'src' || CAST((doc_id * doc_id) % 16 AS VARCHAR)),
+      |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+      |r0 AS (SELECT node, CASE WHEN node IN ('src0','src1')
+      |                         THEN 1000000000000 // 2 ELSE 0 END AS r
+      |       FROM nodes),
+      |i1 AS (SELECT e.dst, CAST(SUM((r0.r * 17) // (20 * deg.deg)) AS BIGINT) AS s
+      |       FROM e JOIN r0 ON r0.node = e.src JOIN deg USING (src)
+      |       GROUP BY 1),
+      |r1 AS (SELECT node, CASE WHEN node IN ('src0','src1')
+      |                         THEN 3000000000000 // 40 ELSE 0 END
+      |              + COALESCE(i1.s, 0) AS r
+      |       FROM nodes LEFT JOIN i1 ON i1.dst = node),
+      |i2 AS (SELECT e.dst, CAST(SUM((r1.r * 17) // (20 * deg.deg)) AS BIGINT) AS s
+      |       FROM e JOIN r1 ON r1.node = e.src JOIN deg USING (src)
+      |       GROUP BY 1),
+      |r2 AS (SELECT node, CASE WHEN node IN ('src0','src1')
+      |                         THEN 3000000000000 // 40 ELSE 0 END
+      |              + COALESCE(i2.s, 0) AS r
+      |       FROM nodes LEFT JOIN i2 ON i2.dst = node)
+      |SELECT node, r AS ppr_scaled,
+      |       CASE WHEN node IN ('src0','src1') THEN 'Y' ELSE 'N' END AS is_seed,
+      |       CAST(row_number() OVER (ORDER BY r DESC, node) AS INT) AS rank
+      |FROM r2 ORDER BY rank""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q173_personalized_pagerank" -> q173PersonalizedPagerank,
     "q170_importance_resample" -> q170ImportanceResample,
     "q169_k_anonymity" -> q169KAnonymity,
     "q149_rank_functions" -> q149RankFunctions,
@@ -1442,6 +1519,7 @@ object QueryCatalogCuration {
   )
 
   val oracle: Map[String, String] = Map(
+    "q173_personalized_pagerank" -> q173Sql,
     "q170_importance_resample" -> q170Sql,
     "q169_k_anonymity" -> q169Sql,
     "q149_rank_functions" -> q149Sql,
