@@ -1489,7 +1489,56 @@ object QueryCatalogCuration {
       |       CAST(row_number() OVER (ORDER BY r DESC, node) AS INT) AS rank
       |FROM r2 ORDER BY rank""".stripMargin
 
+  // ---------------------------------------------------------------- l-diversity
+  /** l-diversity audit — the homogeneity-attack check k-anonymity
+    * (q169) misses: a group can hold ≥ k members yet leak the
+    * sensitive attribute anyway if they all SHARE it (k-anonymous,
+    * zero-diverse). Per quasi-identifier group (nation, segment):
+    * distinct sensitive values (account-balance sign: the
+    * negative / low / high tri-bucket), the dominant value's share
+    * in exact integer micros (the re-identification confidence an
+    * attacker gains), and the verdict n_sensitive ≥ l (l = 2).
+    * Shapes: ONE groupBy over the data at (QI, sensitive) grain —
+    * corpus-sized with map-side combine; the group-level rollup and
+    * verdicts run on the |QI×sensitive| frame (corpus-independent).
+    * max-share via max(struct) inside the aggregate — no window. */
+  val q174LDiversity: Q = (s, d) => {
+    val l = 2
+    val sens = when(col("c_acctbal") < 0, lit("NEG"))
+      .when(col("c_acctbal") < 5000, lit("LOW")).otherwise(lit("HIGH"))
+    val fine = Tables.customer(s, d)
+      .groupBy(col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"), sens.as("sv"))
+      .agg(count(lit(1)).as("cnt"))
+    fine.groupBy("nation", "segment")
+      .agg(sum("cnt").as("group_size"),
+        count(lit(1)).as("n_sensitive"),
+        max("cnt").as("max_cnt"))
+      .select(col("nation"), col("segment"), col("group_size"),
+        col("n_sensitive"),
+        expr("(max_cnt * 1000000) div group_size").as("top_share_micros"),
+        when(col("n_sensitive") >= l, lit("Y")).otherwise(lit("N"))
+          .as("diverse"))
+      .orderBy("nation", "segment")
+  }
+
+  private val q174Sql =
+    """WITH f AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+      |                  c_mktsegment AS segment,
+      |                  CASE WHEN c_acctbal < 0 THEN 'NEG'
+      |                       WHEN c_acctbal < 5000 THEN 'LOW'
+      |                       ELSE 'HIGH' END AS sv,
+      |                  CAST(COUNT(*) AS BIGINT) AS cnt
+      |           FROM customer GROUP BY 1, 2, 3)
+      |SELECT nation, segment,
+      |       CAST(SUM(cnt) AS BIGINT) AS group_size,
+      |       CAST(COUNT(*) AS BIGINT) AS n_sensitive,
+      |       CAST((MAX(cnt) * 1000000) // SUM(cnt) AS BIGINT) AS top_share_micros,
+      |       CASE WHEN COUNT(*) >= 2 THEN 'Y' ELSE 'N' END AS diverse
+      |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q174_l_diversity" -> q174LDiversity,
     "q173_personalized_pagerank" -> q173PersonalizedPagerank,
     "q170_importance_resample" -> q170ImportanceResample,
     "q169_k_anonymity" -> q169KAnonymity,
@@ -1519,6 +1568,7 @@ object QueryCatalogCuration {
   )
 
   val oracle: Map[String, String] = Map(
+    "q174_l_diversity" -> q174Sql,
     "q173_personalized_pagerank" -> q173Sql,
     "q170_importance_resample" -> q170Sql,
     "q169_k_anonymity" -> q169Sql,

@@ -989,8 +989,113 @@ object QueryCatalogSim {
       |       CAST(ar.pur_num AS DOUBLE) / CAST(nr.n AS DOUBLE) AS purity
       |FROM sij CROSS JOIN ar CROSS JOIN br CROSS JOIN nr""".stripMargin
 
+  // ---------------------------------------------------------------- ann quality metrics
+  /** ANN retriever evaluation — recall@5 and MRR of the LSH index
+    * against the exact brute-force ground truth, as a first-class
+    * VERIFIED query rather than a test-only assertion: the metric a
+    * pipeline watches when it tunes nPlanes/nprobe or swaps index
+    * types, and the number that justifies shipping an approximate
+    * index at all. Per probe: hits = |LSH top-5 ∩ exact top-5| (an
+    * equi-join of two k-bounded lists), rr = 1e6 div (LSH rank of
+    * the TRUE nearest neighbor), 0 when the index misses it
+    * entirely. Metrics aggregate in exact integers (hit counts,
+    * reciprocal micros); the two mean divisions are the only float
+    * ops. Both retriever legs are the audited scale shapes (probe
+    * broadcast + bucket equi-join); the metric math runs on
+    * nq-bounded frames. */
+  val q175AnnMetrics: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    // probes = q53's planted near-twins (first component zeroed, ids
+    // +100000): each probe's TRUE nearest neighbor is its source
+    // vector, so recall/MRR measure something a random near-orthogonal
+    // corpus cannot — whether the index finds the planted neighbor
+    val probes = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        expr("transform(embedding, (x, i) -> CASE WHEN i = 0 THEN CAST(0.0 AS FLOAT) ELSE x END)")
+          .as("embedding"))
+    val corpus = emb.unionByName(probes)
+    val exact = VectorOps.bruteForceKnn(probes, corpus, k = 5)
+      .select(col("q_id"), col("c_id"), col("rank").as("rank_true"))
+    val ann = VectorOps.lshAnn(probes, corpus, k = 5, nPlanes = 8)
+      .select(col("q_id"), col("c_id"), col("rank").as("rank_ann"))
+    val hits = exact.join(ann, Seq("q_id", "c_id"))
+    val perProbe = exact.groupBy("q_id").agg(count(lit(1)).as("n_true"))
+      .join(hits.groupBy("q_id").agg(
+          count(lit(1)).as("n_hit"),
+          max(when(col("rank_true") === 1,
+            expr("1000000 div rank_ann")).otherwise(lit(0L))).as("rr_micros")),
+        Seq("q_id"), "left")
+      .na.fill(0L, Seq("n_hit", "rr_micros"))
+    perProbe.agg(
+        count(lit(1)).as("n_probes"),
+        sum("n_hit").as("total_hits"),
+        sum("n_true").as("total_true"),
+        sum("rr_micros").as("sum_rr_micros"))
+      .select(col("n_probes"), col("total_hits"), col("total_true"),
+        (col("total_hits").cast("double") / col("total_true").cast("double"))
+          .as("recall_at_5"),
+        (col("sum_rr_micros").cast("double") /
+          (col("n_probes") * lit(1000000L)).cast("double")).as("mrr"))
+  }
+
+  private val q175Sql =
+    """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |planted AS (SELECT vec_id + 100000 AS vec_id,
+      |                   list_prepend(0.0, v[2:]) AS v
+      |            FROM base WHERE vec_id < 20),
+      |e AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+      |nrm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM e),
+      |px AS (SELECT * FROM nrm WHERE vec_id >= 100000),
+      |tpr AS (SELECT p.vec_id AS q_id, c.vec_id AS c_id,
+      |               list_dot_product(p.v, c.v) / (p.nm * c.nm) AS cos
+      |        FROM px p CROSS JOIN nrm c WHERE c.vec_id != p.vec_id),
+      |tru AS (SELECT q_id, c_id, rank_true FROM (
+      |          SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+      |            ORDER BY cos DESC, c_id) AS INT) AS rank_true FROM tpr)
+      |        WHERE rank_true <= 5),
+      |x AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS k,
+      |             CAST(round(unnest(v) * 1e6) AS BIGINT) AS xi
+      |      FROM e),
+      |pl AS (SELECT vec_id, k, xi, j.j AS j,
+      |              ((('0x' || substr(md5(CAST(j.j AS VARCHAR) || '_' || CAST(k AS VARCHAR)), 1, 1))::INT % 2) * 2 - 1) AS sgn
+      |       FROM x, (SELECT unnest(range(8)) AS j) j),
+      |votes AS (SELECT vec_id, j, SUM(sgn * xi) AS vsum FROM pl GROUP BY 1, 2),
+      |bk AS (SELECT vec_id,
+      |              CAST(SUM(CASE WHEN vsum > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      |       FROM votes GROUP BY 1),
+      |nb AS (SELECT e.vec_id, v, sqrt(list_dot_product(v, v)) AS nm, bucket
+      |       FROM e JOIN bk ON bk.vec_id = e.vec_id),
+      |pb AS (SELECT * FROM nb WHERE vec_id >= 100000),
+      |apr AS (SELECT p.vec_id AS q_id, c.vec_id AS c_id,
+      |               list_dot_product(p.v, c.v) / (p.nm * c.nm) AS cos
+      |        FROM pb p JOIN nb c ON c.bucket = p.bucket AND c.vec_id != p.vec_id),
+      |ann AS (SELECT q_id, c_id, rank_ann FROM (
+      |          SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+      |            ORDER BY cos DESC, c_id) AS INT) AS rank_ann FROM apr)
+      |        WHERE rank_ann <= 5),
+      |h AS (SELECT t.q_id, t.c_id, t.rank_true, a.rank_ann
+      |      FROM tru t JOIN ann a ON a.q_id = t.q_id AND a.c_id = t.c_id),
+      |pp AS (SELECT t.q_id,
+      |              CAST(COUNT(*) AS BIGINT) AS n_true,
+      |              CAST(COALESCE(hh.n_hit, 0) AS BIGINT) AS n_hit,
+      |              CAST(COALESCE(hh.rr, 0) AS BIGINT) AS rr_micros
+      |       FROM tru t LEFT JOIN (
+      |         SELECT q_id, COUNT(*) AS n_hit,
+      |                MAX(CASE WHEN rank_true = 1
+      |                         THEN 1000000 // rank_ann ELSE 0 END) AS rr
+      |         FROM h GROUP BY 1) hh ON hh.q_id = t.q_id
+      |       GROUP BY t.q_id, hh.n_hit, hh.rr)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+      |       CAST(SUM(n_hit) AS BIGINT) AS total_hits,
+      |       CAST(SUM(n_true) AS BIGINT) AS total_true,
+      |       CAST(SUM(n_hit) AS DOUBLE) / CAST(SUM(n_true) AS DOUBLE) AS recall_at_5,
+      |       CAST(SUM(rr_micros) AS DOUBLE)
+      |         / CAST(COUNT(*) * 1000000 AS DOUBLE) AS mrr
+      |FROM pp""".stripMargin
+
   // ----------------------------------------------------------------
   val all: Map[String, Q] = Map(
+    "q175_ann_metrics" -> q175AnnMetrics,
     "q168_cluster_ari" -> q168ClusterAri,
     "q165_rrf_fusion" -> q165RrfFusion,
     "q167_hard_negatives" -> q167HardNegatives,
@@ -1013,6 +1118,7 @@ object QueryCatalogSim {
   )
 
   val oracle: Map[String, String] = Map(
+    "q175_ann_metrics" -> q175Sql,
     "q168_cluster_ari" -> q168Sql,
     "q165_rrf_fusion" -> q165Sql,
     "q167_hard_negatives" -> q167Sql,
