@@ -1537,7 +1537,68 @@ object QueryCatalogCuration {
       |       CASE WHEN COUNT(*) >= 2 THEN 'Y' ELSE 'N' END AS diverse
       |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- mixing schedule
+  /** Source-mixing epoch schedule — the step after q124's mix
+    * weights that every pretraining run actually executes: given
+    * per-source token inventories and the temperature-smoothed
+    * target mix (same α=0.5 sqrt weighting, same quantize-then-
+    * normalize discipline as q124), allocate a 1M-token budget and
+    * convert each source's allocation into EPOCHS over its
+    * inventory — epochs_micros = alloc·1e6 div n_tokens, with the
+    * oversampled flag (> 1 epoch = the source repeats; the
+    * repetition-harm literature's watch metric) and the residual
+    * under/over-shoot of integer allocation. All integer once past
+    * the one sqrt (IEEE-exact, q124's argument); group frame is
+    * sources-sized, corpus pass is ONE token-count aggregation. */
+  val q176MixSchedule: Q = (s, d) => {
+    val budget = 1000000L
+    val counts = Tables.documents(s, d)
+      .groupBy("source")
+      .agg(sum(TextOps.nWsTokens(col("text")).cast("long")).cast("long").as("n_tokens"))
+    val tot = counts.agg(sum(col("n_tokens")).cast("long").as("n_total"))
+    val w = counts.crossJoin(broadcast(tot))
+      .withColumn("wq",
+        floor(sqrt(col("n_tokens").cast("double") / col("n_total")) * 1e12 + 0.5)
+          .cast("long"))
+    val denom = w.agg(sum(col("wq")).cast("long").as("wq_sum"))
+    w.crossJoin(broadcast(denom))
+      .withColumn("alloc_tokens",
+        floor(col("wq").cast("double") / col("wq_sum") * budget + 0.5).cast("long"))
+      .withColumn("epochs_micros",
+        expr("(alloc_tokens * 1000000) div n_tokens"))
+      .select(col("source"), col("n_tokens"), col("alloc_tokens"),
+        col("epochs_micros"),
+        when(col("epochs_micros") > 1000000L, lit("Y")).otherwise(lit("N"))
+          .as("oversampled"),
+        (col("alloc_tokens") - expr("(alloc_tokens div n_tokens) * n_tokens"))
+          .as("partial_epoch_tokens"))
+      .orderBy("source")
+  }
+
+  private val q176Sql =
+    """WITH c AS (SELECT source,
+      |    CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS n_total FROM c),
+      |w AS (SELECT source, n_tokens,
+      |             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) / n_total) * 1e12 + 0.5)
+      |                  AS BIGINT) AS wq
+      |      FROM c, t),
+      |dn AS (SELECT CAST(SUM(wq) AS BIGINT) AS wq_sum FROM w),
+      |a AS (SELECT source, n_tokens,
+      |             CAST(floor(CAST(wq AS DOUBLE) / wq_sum * 1000000.0 + 0.5) AS BIGINT)
+      |               AS alloc_tokens
+      |      FROM w, dn)
+      |SELECT source, n_tokens, alloc_tokens,
+      |       CAST((alloc_tokens * 1000000) // n_tokens AS BIGINT) AS epochs_micros,
+      |       CASE WHEN (alloc_tokens * 1000000) // n_tokens > 1000000
+      |            THEN 'Y' ELSE 'N' END AS oversampled,
+      |       CAST(alloc_tokens - (alloc_tokens // n_tokens) * n_tokens AS BIGINT)
+      |         AS partial_epoch_tokens
+      |FROM a ORDER BY source""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q176_mix_schedule" -> q176MixSchedule,
     "q174_l_diversity" -> q174LDiversity,
     "q173_personalized_pagerank" -> q173PersonalizedPagerank,
     "q170_importance_resample" -> q170ImportanceResample,
@@ -1568,6 +1629,7 @@ object QueryCatalogCuration {
   )
 
   val oracle: Map[String, String] = Map(
+    "q176_mix_schedule" -> q176Sql,
     "q174_l_diversity" -> q174Sql,
     "q173_personalized_pagerank" -> q173Sql,
     "q170_importance_resample" -> q170Sql,
