@@ -109,6 +109,15 @@ object Explain {
       "back; the cross-multiplied |cA*NB - cB*NA| contributions stay integer; " +
       "top drifting tokens via the bounded TopKPerKey heap — no Window, one " +
       "corpus-sized exchange total."),
+    "q170_importance_resample" -> ("DSIR importance resampling: vocabulary-" +
+      "sized ratio table broadcasts; the corpus token frame joins map-side " +
+      "and partial-aggregates per doc; the global top-20% cut is " +
+      "DistributedRank (range shuffle + KB offset jobs), NOT a no-partition " +
+      "window — no corpus-sized single-task sort anywhere."),
+    "q173_personalized_pagerank" -> ("Seed-teleport PageRank: same per-round " +
+      "join + partial-agg exchange as q135; the seed membership test is a " +
+      "pure projection, so personalization costs zero extra plan structure; " +
+      "final rank via DistributedRank."),
   )
 
   def main(args: Array[String]): Unit = {
