@@ -881,6 +881,120 @@ object QueryCatalogText {
        |LEFT JOIN s3 ON s3.lang = s0.lang
        |ORDER BY s0.lang""".stripMargin
 
+  // ---------------------------------------------------------------- curation + selection
+  /** End-to-end curation WITH data selection (the v2 funnel): q91's
+    * three gates (exact dedup → near-dup removal → quality) feed
+    * q170's DSIR importance scorer, and the global top-20% of the
+    * CURATED corpus is kept by target-domain affinity — dedup decides
+    * what is admissible, selection decides what is worth training on.
+    * Every stage is an already-verified operator
+    * ([[graft.pipeline.CorpusCurationJob.curate]],
+    * [[graft.ops.text.Dsir.scoreMicros]], `DistributedRank`); THIS
+    * query verifies the composition, per-language: curated counts,
+    * selected counts, selected token mass. Same scale shapes as the
+    * pieces — the only additions are the sources-sized ratio
+    * broadcast and the ranged rank. */
+  val q177CurationSelect: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val recrawl = docs.unionByName(
+      docs.filter(col("doc_id") < 50).withColumn("doc_id", col("doc_id") + 1000000))
+    val curated = graft.pipeline.CorpusCurationJob.curate(recrawl)
+    val scored = graft.ops.text.Dsir.scoreMicros(curated, "doc_id", "text",
+      col("source").isin("src0", "src1"))
+    val kept = graft.ops.DistributedRank.rank(scored, Seq.empty,
+        Seq(col("score_micros").desc, col("doc_id")), "rk", totalCol = "n_total")
+      .filter(col("rk") <= expr("(n_total + 4) div 5"))
+      .join(curated.select(col("doc_id"), col("lang"), col("text")), "doc_id")
+    val curStats = curated.groupBy("lang").agg(count(lit(1)).as("n_curated"))
+    val selStats = kept.groupBy("lang").agg(
+      count(lit(1)).as("n_selected"),
+      sum(TextOps.nWsTokens(col("text")).cast("long")).as("tok_selected"))
+    curStats.join(selStats, Seq("lang"), "left")
+      .na.fill(0L, Seq("n_selected", "tok_selected"))
+      .orderBy("lang")
+  }
+
+  private val q177Sql =
+    s"""WITH dup AS (
+       |  SELECT * FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+       |  FROM documents WHERE doc_id < 50),
+       |g AS (SELECT md5(text) AS ch, MIN(doc_id) AS keep FROM dup GROUP BY 1),
+       |uniq AS (SELECT d.* FROM dup d JOIN g ON g.keep = d.doc_id),
+       |tok AS (SELECT doc_id,
+       |       unnest(string_split_regex(text, '\\s+')) AS tok,
+       |       generate_subscripts(string_split_regex(text, '\\s+'), 1) AS pos
+       |     FROM uniq),
+       |sh0 AS (SELECT doc_id,
+       |        lag(tok, 2) OVER dw || ' ' || lag(tok, 1) OVER dw || ' ' || tok AS w
+       |        FROM tok WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+       |w AS (SELECT DISTINCT doc_id, w FROM sh0 WHERE w IS NOT NULL),
+       |sig AS (SELECT doc_id, s.seed,
+       |               MIN(${mhSql("s.seed", "w")}) AS mh
+       |        FROM w, (SELECT unnest(range(16)) AS seed) s GROUP BY 1, 2),
+       |b AS (SELECT doc_id, seed // 4 AS band,
+       |             md5(string_agg(CAST(mh AS VARCHAR), ':' ORDER BY seed)) AS band_key
+       |      FROM sig GROUP BY doc_id, seed // 4),
+       |bsz AS (SELECT band, band_key FROM b
+       |        GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 64),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+       |         FROM b a JOIN b b2 USING (band, band_key)
+       |         JOIN bsz USING (band, band_key)
+       |         WHERE a.doc_id < b2.doc_id),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY 1),
+       |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+       |          FROM cand c
+       |          JOIN w wa ON wa.doc_id = c.id_a
+       |          JOIN w wb ON wb.doc_id = c.id_b AND wb.w = wa.w
+       |          GROUP BY 1, 2),
+       |dropped AS (
+       |  SELECT DISTINCT c.id_b AS doc_id
+       |  FROM cand c
+       |  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+       |  JOIN cnt ca ON ca.doc_id = c.id_a
+       |  JOIN cnt cb ON cb.doc_id = c.id_b
+       |  WHERE CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+       |        / (ca.n + cb.n - COALESCE(i.n_inter, 0)) >= 0.7),
+       |ded AS (SELECT * FROM uniq WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+       |cur AS (SELECT * FROM ded
+       |        WHERE least(length(text), 400)::DOUBLE / 400 * 0.5
+       |              + CAST(len(list_filter(string_split_regex(text, '\\s+'),
+       |                                     x -> x = 'the' OR x = 'a')) AS DOUBLE)
+       |                / len(string_split_regex(text, '\\s+')) * 0.5 >= 0.5),
+       |tk2 AS (SELECT doc_id, source,
+       |               unnest(string_split_regex(text, '\\s+')) AS t
+       |        FROM cur),
+       |pt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c_raw,
+       |              CAST(SUM(CASE WHEN source IN ('src0','src1')
+       |                            THEN 1 ELSE 0 END) AS BIGINT) AS c_tgt
+       |       FROM tk2 GROUP BY 1),
+       |tt AS (SELECT CAST(SUM(c_raw) AS BIGINT) AS n_raw,
+       |              CAST(SUM(c_tgt) AS BIGINT) AS n_tgt FROM pt),
+       |ratio AS (SELECT t,
+       |                 CAST(floor(CAST(c_tgt * n_raw AS DOUBLE)
+       |                   / CAST(c_raw * n_tgt AS DOUBLE) * 1000000.0) AS BIGINT)
+       |                   AS r_micros
+       |          FROM pt CROSS JOIN tt),
+       |sc AS (SELECT doc_id, CAST(SUM(r_micros) AS BIGINT) AS score_micros
+       |       FROM tk2 JOIN ratio USING (t) GROUP BY 1),
+       |nn AS (SELECT COUNT(*) AS n_total FROM sc),
+       |rk AS (SELECT doc_id, score_micros,
+       |              row_number() OVER (ORDER BY score_micros DESC, doc_id) AS rk
+       |       FROM sc),
+       |keep AS (SELECT r.doc_id, c.lang, c.text FROM rk r JOIN cur c USING (doc_id)
+       |         WHERE r.rk <= (SELECT (n_total + 4) // 5 FROM nn)),
+       |cs AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_curated FROM cur GROUP BY 1),
+       |ss AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_selected,
+       |              CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT)
+       |                AS tok_selected
+       |       FROM keep GROUP BY 1)
+       |SELECT cs.lang, cs.n_curated,
+       |       COALESCE(ss.n_selected, 0) AS n_selected,
+       |       COALESCE(ss.tok_selected, 0) AS tok_selected
+       |FROM cs LEFT JOIN ss ON ss.lang = cs.lang
+       |ORDER BY cs.lang""".stripMargin
+
   // ---------------------------------------------------------------- text: tokens
   /** Token counting: whitespace tokens, BPE-ish regex tokens,
     * distinct words, mean word length. */
@@ -1461,6 +1575,7 @@ object QueryCatalogText {
       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 
   val all: Map[String, Q] = Map(
+    "q177_curation_select" -> q177CurationSelect,
     "q172_padding_waste" -> q172PaddingWaste,
     "q171_unicode_normalize" -> q171UnicodeNormalize,
     "q166_corpus_drift" -> q166CorpusDrift,
@@ -1491,6 +1606,7 @@ object QueryCatalogText {
   )
 
   val oracle: Map[String, String] = Map(
+    "q177_curation_select" -> q177Sql,
     "q172_padding_waste" -> q172Sql,
     "q171_unicode_normalize" -> q171Sql,
     "q166_corpus_drift" -> q166Sql,
