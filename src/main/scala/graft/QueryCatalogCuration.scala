@@ -1597,7 +1597,170 @@ object QueryCatalogCuration {
       |         AS partial_epoch_tokens
       |FROM a ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- quality-representative dedup
+  /** Near-dup cluster canonicalization by QUALITY, not by id — the
+    * production refinement of q101/q132's keep=min-id rule: inside
+    * every duplicate cluster the retained document should be the
+    * best-written copy (a re-crawl often captures a cleaner render
+    * of the same page), so the representative is
+    * argmax(quality, tiebreak min doc_id) via one min_by(struct)
+    * aggregate over the component frame — no window, and the
+    * component frame is corpus-sublinear (only clustered docs).
+    * Clusters come from the same LSH→jaccard→CC machinery as q101
+    * (scoped caches, localized labels). Output per cluster: the
+    * representative, its quality, and how many copies it displaced. */
+  val q178RepresentativeDedup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val recrawl = docs.unionByName(
+      docs.filter(col("doc_id") < 50).withColumn("doc_id", col("doc_id") + 1000000))
+    val shingles = Dedup.shingleSet(recrawl, "doc_id", "text", k = 3)
+    val sig = Dedup.minHash(shingles, "doc_id", n = 16)
+    val cand = Dedup.candidatePairs(
+      Dedup.lshBands(sig, "doc_id", n = 16, rowsPerBand = 4), "doc_id")
+    val edges = Dedup.jaccardScoped(cand, shingles, "doc_id") { j =>
+      graft.ops.Materialize.localize(
+        j.filter(col("jaccard") >= 0.7).select("id_a", "id_b"))
+    }
+    val comp = ConnectedComponents.minLabelLocalized(edges)
+    val qual = recrawl.select(col("doc_id"),
+      TextOps.qualityScore(col("text"),
+        graft.pipeline.CorpusCurationJob.Stopwords).as("quality"))
+    comp.join(qual, comp("id") === qual("doc_id"))
+      .groupBy("component")
+      .agg(count(lit(1)).as("cluster_size"),
+        expr("min_by(doc_id, struct(-quality, doc_id))").as("rep_doc_id"),
+        max(col("quality")).as("rep_quality"))
+      .withColumn("n_dropped", col("cluster_size") - 1)
+      .orderBy("component")
+  }
+
+  private val q178Sql =
+    s"""WITH RECURSIVE dup AS (
+       |  SELECT * FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+       |  FROM documents WHERE doc_id < 50),
+       |tok AS (SELECT doc_id,
+       |       unnest(string_split_regex(text, '\\s+')) AS tok,
+       |       generate_subscripts(string_split_regex(text, '\\s+'), 1) AS pos
+       |     FROM dup),
+       |sh0 AS (SELECT doc_id,
+       |        lag(tok, 2) OVER dw || ' ' || lag(tok, 1) OVER dw || ' ' || tok AS w
+       |        FROM tok WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+       |w AS (SELECT DISTINCT doc_id, w FROM sh0 WHERE w IS NOT NULL),
+       |sig AS (SELECT doc_id, s.seed,
+       |               MIN(${mhSqlLocal("s.seed", "w")}) AS mh
+       |        FROM w, (SELECT unnest(range(16)) AS seed) s GROUP BY 1, 2),
+       |b AS (SELECT doc_id, seed // 4 AS band,
+       |             md5(string_agg(CAST(mh AS VARCHAR), ':' ORDER BY seed)) AS band_key
+       |      FROM sig GROUP BY doc_id, seed // 4),
+       |bsz AS (SELECT band, band_key FROM b
+       |        GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 64),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+       |         FROM b a JOIN b b2 USING (band, band_key)
+       |         JOIN bsz USING (band, band_key)
+       |         WHERE a.doc_id < b2.doc_id),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY 1),
+       |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+       |          FROM cand c
+       |          JOIN w wa ON wa.doc_id = c.id_a
+       |          JOIN w wb ON wb.doc_id = c.id_b AND wb.w = wa.w
+       |          GROUP BY 1, 2),
+       |edges AS (SELECT c.id_a, c.id_b
+       |          FROM cand c
+       |          LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+       |          JOIN cnt ca ON ca.doc_id = c.id_a
+       |          JOIN cnt cb ON cb.doc_id = c.id_b
+       |          WHERE CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+       |                / (ca.n + cb.n - COALESCE(i.n_inter, 0)) >= 0.7),
+       |eu AS (SELECT id_a AS u, id_b AS wv FROM edges
+       |       UNION SELECT id_b, id_a FROM edges),
+       |reach(id, r) AS (
+       |  SELECT u, u FROM eu
+       |  UNION
+       |  SELECT eu.u, reach.r FROM eu JOIN reach ON reach.id = eu.wv),
+       |cmp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY 1),
+       |q AS (SELECT doc_id,
+       |             least(length(text), 400)::DOUBLE / 400 * 0.5
+       |             + CAST(len(list_filter(string_split_regex(text, '\\s+'),
+       |                                    x -> x = 'the' OR x = 'a')) AS DOUBLE)
+       |               / len(string_split_regex(text, '\\s+')) * 0.5 AS quality
+       |      FROM dup),
+       |j AS (SELECT cmp.component, cmp.id AS doc_id, q.quality
+       |      FROM cmp JOIN q ON q.doc_id = cmp.id),
+       |r AS (SELECT component, doc_id, quality,
+       |             row_number() OVER (PARTITION BY component
+       |               ORDER BY quality DESC, doc_id) AS rn
+       |      FROM j),
+       |sz AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM j GROUP BY 1)
+       |SELECT sz.component, sz.cluster_size,
+       |       r.doc_id AS rep_doc_id, r.quality AS rep_quality,
+       |       CAST(sz.cluster_size - 1 AS BIGINT) AS n_dropped
+       |FROM sz JOIN r ON r.component = sz.component AND r.rn = 1
+       |ORDER BY sz.component""".stripMargin
+
+  // ---------------------------------------------------------------- boilerplate mining
+  /** Site-template boilerplate mining — the domain-level counterpart
+    * of q99's corpus-wide line dedup: a 3-gram that appears in ≥ 50%
+    * of a domain's pages is template chrome (nav bars, footers,
+    * cookie banners), not content, and a curation pipeline strips or
+    * down-weights it per SITE, not globally (a phrase ubiquitous on
+    * one site can be legitimate content elsewhere). Per (source,
+    * shingle): document frequency within the domain (distinct grams
+    * per doc via the same in-row shingleSet as the dedup family —
+    * one partial-agg shuffle); domain verdicts in exact integer
+    * micros; per-domain rollup + the worst offender via one
+    * max(struct) — no window. */
+  val q179BoilerplateMine: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val nDom = docs.groupBy("source").agg(count(lit(1)).as("n_dom"))
+    // shingleSetDistinct: per-doc grams deduped IN-ROW (a doc repeating
+    // its own template twice is still ONE occurrence for df purposes)
+    val grams = Dedup.shingleSetDistinct(docs, "doc_id", "text", k = 3)
+      .join(docs.select("doc_id", "source"), "doc_id")
+    val dfDom = grams.groupBy("source", "w").agg(count(lit(1)).as("df_dom"))
+      .join(broadcast(nDom), "source")
+      .withColumn("share_micros", expr("(df_dom * 1000000) div n_dom"))
+    dfDom.groupBy("source", "n_dom")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("share_micros") >= 500000, 1L).otherwise(0L))
+          .as("n_boiler"),
+        max(struct(col("share_micros"), col("df_dom"), col("w")))
+          .as("__top"))
+      .select(col("source"), col("n_dom"), col("n_shingles"), col("n_boiler"),
+        col("__top.w").as("top_shingle"),
+        col("__top.share_micros").as("top_share_micros"))
+      .orderBy("source")
+  }
+
+  private val q179Sql =
+    """WITH tok AS (SELECT doc_id,
+      |       unnest(string_split_regex(text, '\s+')) AS tok,
+      |       generate_subscripts(string_split_regex(text, '\s+'), 1) AS pos
+      |     FROM documents),
+      |sh0 AS (SELECT doc_id,
+      |        lag(tok, 2) OVER dw || ' ' || lag(tok, 1) OVER dw || ' ' || tok AS w
+      |        FROM tok WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+      |w AS (SELECT DISTINCT doc_id, w FROM sh0 WHERE w IS NOT NULL),
+      |nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_dom
+      |       FROM documents GROUP BY 1),
+      |g AS (SELECT d.source, w.w, CAST(COUNT(*) AS BIGINT) AS df_dom
+      |      FROM w JOIN documents d USING (doc_id) GROUP BY 1, 2),
+      |sh AS (SELECT g.source, g.w, g.df_dom, nd.n_dom,
+      |              CAST((g.df_dom * 1000000) // nd.n_dom AS BIGINT) AS share_micros
+      |       FROM g JOIN nd USING (source))
+      |SELECT source, n_dom,
+      |       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      |       CAST(SUM(CASE WHEN share_micros >= 500000 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_boiler,
+      |       MAX({'sm': share_micros, 'df': df_dom, 'w': w}).w AS top_shingle,
+      |       CAST(MAX({'sm': share_micros, 'df': df_dom, 'w': w}).sm AS BIGINT)
+      |         AS top_share_micros
+      |FROM sh GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q178_representative_dedup" -> q178RepresentativeDedup,
+    "q179_boilerplate_mine" -> q179BoilerplateMine,
     "q176_mix_schedule" -> q176MixSchedule,
     "q174_l_diversity" -> q174LDiversity,
     "q173_personalized_pagerank" -> q173PersonalizedPagerank,
@@ -1629,6 +1792,8 @@ object QueryCatalogCuration {
   )
 
   val oracle: Map[String, String] = Map(
+    "q178_representative_dedup" -> q178Sql,
+    "q179_boilerplate_mine" -> q179Sql,
     "q176_mix_schedule" -> q176Sql,
     "q174_l_diversity" -> q174Sql,
     "q173_personalized_pagerank" -> q173Sql,
