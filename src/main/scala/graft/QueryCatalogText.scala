@@ -995,6 +995,98 @@ object QueryCatalogText {
        |FROM cs LEFT JOIN ss ON ss.lang = cs.lang
        |ORDER BY cs.lang""".stripMargin
 
+  // ---------------------------------------------------------------- drop audit
+  /** Per-document drop audit — the provenance table that answers
+    * "why did doc X disappear from the release?": every input
+    * document labeled with the FIRST gate that removed it
+    * (EXACT_DUP → NEAR_DUP → LOW_QUALITY) or KEPT. q91 publishes the
+    * counts; this is the row-level version a curator actually debugs
+    * with, and the disposition label is derivable by composing the
+    * already-verified stage memberships as three anti-join/when
+    * steps — no new machinery, one extra column. Counts here MUST
+    * reconcile with q91's funnel (the spec asserts it). */
+  val q180DropAudit: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val recrawl = docs.unionByName(
+      docs.filter(col("doc_id") < 50).withColumn("doc_id", col("doc_id") + 1000000))
+    val uniq = Dedup.exactKeep(recrawl, "doc_id", "text")
+    val shingles = Dedup.shingleSet(uniq, "doc_id", "text", k = 3)
+    val sig = Dedup.minHash(shingles, "doc_id", n = 16)
+    val cand = Dedup.candidatePairs(
+      Dedup.lshBands(sig, "doc_id", n = 16, rowsPerBand = 4), "doc_id")
+    val dupIds = Dedup.jaccardScoped(cand, shingles, "doc_id") { j =>
+      graft.ops.Materialize.localize(
+        j.filter(col("jaccard") >= 0.7).select(col("id_b").as("doc_id")).distinct())
+    }
+    val qualOk = TextOps.qualityScore(col("text"),
+      graft.pipeline.CorpusCurationJob.Stopwords) >= 0.5
+    recrawl
+      .join(uniq.select(col("doc_id"), lit(1).as("__uniq")), Seq("doc_id"), "left")
+      .join(dupIds.withColumn("__near", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        when(col("__uniq").isNull, lit("EXACT_DUP"))
+          .when(col("__near").isNotNull, lit("NEAR_DUP"))
+          .when(!qualOk, lit("LOW_QUALITY"))
+          .otherwise(lit("KEPT")).as("disposition"))
+      .orderBy("doc_id")
+  }
+
+  private val q180Sql =
+    s"""WITH dup AS (
+       |  SELECT * FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+       |  FROM documents WHERE doc_id < 50),
+       |g AS (SELECT md5(text) AS ch, MIN(doc_id) AS keep FROM dup GROUP BY 1),
+       |uniq AS (SELECT d.* FROM dup d JOIN g ON g.keep = d.doc_id),
+       |tok AS (SELECT doc_id,
+       |       unnest(string_split_regex(text, '\\s+')) AS tok,
+       |       generate_subscripts(string_split_regex(text, '\\s+'), 1) AS pos
+       |     FROM uniq),
+       |sh0 AS (SELECT doc_id,
+       |        lag(tok, 2) OVER dw || ' ' || lag(tok, 1) OVER dw || ' ' || tok AS w
+       |        FROM tok WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+       |w AS (SELECT DISTINCT doc_id, w FROM sh0 WHERE w IS NOT NULL),
+       |sig AS (SELECT doc_id, s.seed,
+       |               MIN(${mhSql("s.seed", "w")}) AS mh
+       |        FROM w, (SELECT unnest(range(16)) AS seed) s GROUP BY 1, 2),
+       |b AS (SELECT doc_id, seed // 4 AS band,
+       |             md5(string_agg(CAST(mh AS VARCHAR), ':' ORDER BY seed)) AS band_key
+       |      FROM sig GROUP BY doc_id, seed // 4),
+       |bsz AS (SELECT band, band_key FROM b
+       |        GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 64),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+       |         FROM b a JOIN b b2 USING (band, band_key)
+       |         JOIN bsz USING (band, band_key)
+       |         WHERE a.doc_id < b2.doc_id),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY 1),
+       |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+       |          FROM cand c
+       |          JOIN w wa ON wa.doc_id = c.id_a
+       |          JOIN w wb ON wb.doc_id = c.id_b AND wb.w = wa.w
+       |          GROUP BY 1, 2),
+       |dropped AS (
+       |  SELECT DISTINCT c.id_b AS doc_id
+       |  FROM cand c
+       |  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+       |  JOIN cnt ca ON ca.doc_id = c.id_a
+       |  JOIN cnt cb ON cb.doc_id = c.id_b
+       |  WHERE CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+       |        / (ca.n + cb.n - COALESCE(i.n_inter, 0)) >= 0.7)
+       |SELECT d.doc_id, d.lang,
+       |       CASE WHEN u.doc_id IS NULL THEN 'EXACT_DUP'
+       |            WHEN dr.doc_id IS NOT NULL THEN 'NEAR_DUP'
+       |            WHEN least(length(d.text), 400)::DOUBLE / 400 * 0.5
+       |                 + CAST(len(list_filter(string_split_regex(d.text, '\\s+'),
+       |                                        x -> x = 'the' OR x = 'a')) AS DOUBLE)
+       |                   / len(string_split_regex(d.text, '\\s+')) * 0.5 < 0.5
+       |                 THEN 'LOW_QUALITY'
+       |            ELSE 'KEPT' END AS disposition
+       |FROM dup d
+       |LEFT JOIN uniq u ON u.doc_id = d.doc_id
+       |LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- text: tokens
   /** Token counting: whitespace tokens, BPE-ish regex tokens,
     * distinct words, mean word length. */
@@ -1576,6 +1668,7 @@ object QueryCatalogText {
 
   val all: Map[String, Q] = Map(
     "q177_curation_select" -> q177CurationSelect,
+    "q180_drop_audit" -> q180DropAudit,
     "q172_padding_waste" -> q172PaddingWaste,
     "q171_unicode_normalize" -> q171UnicodeNormalize,
     "q166_corpus_drift" -> q166CorpusDrift,
@@ -1607,6 +1700,7 @@ object QueryCatalogText {
 
   val oracle: Map[String, String] = Map(
     "q177_curation_select" -> q177Sql,
+    "q180_drop_audit" -> q180Sql,
     "q172_padding_waste" -> q172Sql,
     "q171_unicode_normalize" -> q171Sql,
     "q166_corpus_drift" -> q166Sql,

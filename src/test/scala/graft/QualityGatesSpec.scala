@@ -102,6 +102,24 @@ class QualityGatesSpec extends SparkSpec {
     })
   }
 
+  test("q180 drop audit reconciles exactly with q91's funnel counts") {
+    val audit = QueryCatalogText.all("q180_drop_audit")(spark, sf).collect()
+      .groupBy(r => (r.getAs[String]("lang"), r.getAs[String]("disposition")))
+      .view.mapValues(_.length.toLong).toMap
+    val funnel = QueryCatalogText.all("q91_curation_funnel")(spark, sf).collect()
+    funnel.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      def n(d: String) = audit.getOrElse((lang, d), 0L)
+      assert(r.getAs[Long]("n_input") ==
+        n("EXACT_DUP") + n("NEAR_DUP") + n("LOW_QUALITY") + n("KEPT"),
+        s"input count mismatch for $lang")
+      assert(r.getAs[Long]("n_exact") == r.getAs[Long]("n_input") - n("EXACT_DUP"))
+      assert(r.getAs[Long]("n_neardup") == r.getAs[Long]("n_exact") - n("NEAR_DUP"))
+      assert(r.getAs[Long]("n_quality") == n("KEPT"),
+        s"kept count mismatch for $lang")
+    }
+  }
+
   test("q169 k-anonymity: every verdict is recomputable from the raw groups") {
     val out = QueryCatalogCuration.all("q169_k_anonymity")(spark, sf).collect()
     val raw = Tables.customer(spark, sf)
