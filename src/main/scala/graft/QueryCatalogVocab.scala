@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.dedup.SubstringDup
+import graft.ops.text.Bpe
+
+/** Tokenizer-induction and substring-duplication operators: the
+  * vocabulary-building leg of a training-data pipeline (learn a BPE
+  * merge table from the corpus, apply it, audit exact substring
+  * duplication à la Lee et al. 2022). The reference has no tokenizer
+  * surface (it is a farm-report ETL); these are the extension
+  * operators the builder brief asks for, hash-verified cross-engine
+  * like every other catalog entry.
+  */
+object QueryCatalogVocab {
+  import QueryCatalog.Q
+
+  private val K = 6 // merges learned by q182/q183 — enough to exercise
+                    // multi-char merges (rank 6 merges 'm'+'er')
+
+  // ---------------------------------------------------------------- q181: exact substring duplication audit
+  /** Lee et al. 2022 ExactSubstr audit: per-language duplicated-char
+    * fraction under k=20 windows (see [[graft.ops.dedup.SubstringDup]]
+    * for the coverage identity and 100 TB posture). The synthetic
+    * corpus's tiny word vocabulary makes ~44% of chars duplicated —
+    * a realistic CommonCrawl-before-dedup magnitude. */
+  val q181SubstringDup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val dup = SubstringDup.dupChars(docs, "doc_id", "text", 20)
+    val perLang = docs.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum(length(col("text"))).cast("long").as("total_chars"))
+    val dupLang = docs.join(dup, Seq("doc_id"))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs_with_dup"),
+        sum("dup_chars").cast("long").as("dup_chars"))
+    perLang.join(dupLang, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_docs_with_dup"), lit(0L)).as("n_docs_with_dup"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        col("total_chars"),
+        (coalesce(col("dup_chars"), lit(0L)).cast("double") /
+          col("total_chars").cast("double")).as("dup_frac"))
+      .orderBy("lang")
+  }
+
+  private val q181Sql =
+    """WITH wins AS (
+      |  SELECT doc_id, i, substr(text, CAST(i AS INT), 20) AS win
+      |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 19)) AS i
+      |        FROM documents WHERE text IS NOT NULL AND length(text) >= 20) u),
+      |flagged AS (
+      |  SELECT doc_id, i FROM (
+      |    SELECT doc_id, i, COUNT(*) OVER (PARTITION BY win) AS cnt FROM wins) z
+      |  WHERE cnt >= 2),
+      |per_doc AS (
+      |  SELECT doc_id, CAST(SUM(CASE WHEN prev IS NULL THEN 20
+      |                                ELSE LEAST(20, i - prev) END) AS BIGINT) AS dup_chars
+      |  FROM (SELECT doc_id, i, lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      |        FROM flagged)
+      |  GROUP BY doc_id),
+      |lang_tot AS (
+      |  SELECT lang, COUNT(*) AS n_docs, CAST(SUM(length(text)) AS BIGINT) AS total_chars
+      |  FROM documents GROUP BY lang),
+      |lang_dup AS (
+      |  SELECT d.lang, COUNT(*) AS n_docs_with_dup,
+      |         CAST(SUM(p.dup_chars) AS BIGINT) AS dup_chars
+      |  FROM documents d JOIN per_doc p USING (doc_id) GROUP BY d.lang)
+      |SELECT t.lang, t.n_docs,
+      |       CAST(COALESCE(u.n_docs_with_dup, 0) AS BIGINT) AS n_docs_with_dup,
+      |       CAST(COALESCE(u.dup_chars, 0) AS BIGINT) AS dup_chars,
+      |       t.total_chars,
+      |       CAST(COALESCE(u.dup_chars, 0) AS DOUBLE) / CAST(t.total_chars AS DOUBLE) AS dup_frac
+      |FROM lang_tot t LEFT JOIN lang_dup u USING (lang) ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- BPE oracle SQL generation
+  /** DuckDB replay of [[Bpe.applyMerge]]'s canonical left-to-right
+    * fold: `list_reduce` IS Spark's `aggregate` HOF with the first
+    * symbol as the seed, so the two engines run the same scan. */
+  private def foldSql(stateExpr: String, l: String, r: String): String =
+    s"""list_reduce(string_split($stateExpr, ' '), (acc, x) ->
+       |  CASE WHEN x = $r AND (acc = $l OR ends_with(acc, ' ' || $l))
+       |       THEN left(acc, length(acc) - length($l)) || $l || $r
+       |       ELSE acc || ' ' || x END)""".stripMargin
+
+  /** The shared train chain: vocab -> s0, then per rank i the argmax
+    * pair b_i and the re-merged vocabulary s_i. Mirrors [[Bpe.train]]
+    * CTE-for-checkpoint. */
+  private def trainCtes(k: Int): String = {
+    val head =
+      """WITH vocab AS (
+        |  SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS state,
+        |         CAST(COUNT(*) AS BIGINT) AS wc
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |        FROM documents WHERE text IS NOT NULL)
+        |  WHERE w <> '' GROUP BY 1),
+        |s0 AS (SELECT state, wc FROM vocab)""".stripMargin
+    val iters = (1 to k).map { i =>
+      s""",
+         |b$i AS (
+         |  SELECT l, r, CAST(SUM(wc) AS BIGINT) AS pair_n
+         |  FROM (SELECT sym AS l, lead(sym) OVER (PARTITION BY state ORDER BY pos) AS r, wc
+         |        FROM (SELECT state, wc, unnest(string_split(state, ' ')) AS sym,
+         |                     generate_subscripts(string_split(state, ' '), 1) AS pos
+         |              FROM s${i - 1}))
+         |  WHERE r IS NOT NULL GROUP BY l, r ORDER BY pair_n DESC, l, r LIMIT 1),
+         |s$i AS (
+         |  SELECT ${foldSql("s.state", "b.l", "b.r")} AS state, s.wc
+         |  FROM s${i - 1} AS s, b$i AS b)""".stripMargin
+    }
+    head + iters.mkString
+  }
+
+  // ---------------------------------------------------------------- q182: BPE vocabulary induction
+  /** Learn K merges from the corpus (see [[graft.ops.text.Bpe]]:
+    * corpus-scale = one word-count shuffle; merge loop =
+    * vocabulary-sized). Output is the learned merge table itself —
+    * rank order, symbols, and pair counts all hash-checked. */
+  val q182BpeTrain: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val words = docs.filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("w"))
+    Bpe.train(words, "w", K).orderBy("rank")
+  }
+
+  private val q182Sql =
+    trainCtes(K) + "\nSELECT * FROM (" +
+      (1 to K).map(i =>
+        s"SELECT $i AS rank, l AS left_sym, r AS right_sym, l || r AS merged, pair_n FROM b$i")
+        .mkString(" UNION ALL ") +
+      ") ORDER BY rank"
+
+  // ---------------------------------------------------------------- q183: tokenize with the learned merges
+  /** Apply the learned merge table corpus-wide (map-only fold chain,
+    * merge table broadcast as one map row — no driver collect) and
+    * report per-language token statistics: the compression the
+    * tokenizer actually achieves. */
+  val q183BpeTokenize: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val words = docs.filter(col("text").isNotNull)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val merges = Bpe.train(words.select("w"), "w", K)
+    words.crossJoin(broadcast(Bpe.mergesRow(merges)))
+      .select(col("lang"), col("w"),
+        Bpe.applyAll(col("w"), col("bpe_merges"), K).as("state"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).cast("long").as("n_chars"),
+        sum(Bpe.nSymbols(col("state"))).cast("long").as("bpe_tokens"))
+      .withColumn("chars_per_token",
+        col("n_chars").cast("double") / col("bpe_tokens").cast("double"))
+      .orderBy("lang")
+  }
+
+  private val q183Sql = {
+    val stages = (1 to K).map { i =>
+      s""",
+         |w$i AS (SELECT lang, w, ${foldSql("state", s"m.l", s"m.r")} AS state
+         |        FROM w${i - 1}, b$i AS m)""".stripMargin
+    }.mkString
+    trainCtes(K) +
+      s""",
+         |w0 AS (
+         |  SELECT lang, w, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS state
+         |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+         |        FROM documents WHERE text IS NOT NULL)
+         |  WHERE w <> '')$stages
+         |SELECT lang, COUNT(*) AS n_words,
+         |       CAST(SUM(length(w)) AS BIGINT) AS n_chars,
+         |       CAST(SUM(len(string_split(state, ' '))) AS BIGINT) AS bpe_tokens,
+         |       CAST(SUM(length(w)) AS DOUBLE) /
+         |         CAST(SUM(len(string_split(state, ' '))) AS DOUBLE) AS chars_per_token
+         |FROM w$K GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
+  val all: Map[String, Q] = Map(
+    "q181_substring_dup" -> q181SubstringDup,
+    "q182_bpe_train" -> q182BpeTrain,
+    "q183_bpe_tokenize" -> q183BpeTokenize)
+
+  val oracle: Map[String, String] = Map(
+    "q181_substring_dup" -> q181Sql,
+    "q182_bpe_train" -> q182Sql,
+    "q183_bpe_tokenize" -> q183Sql)
+}

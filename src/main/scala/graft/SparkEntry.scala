@@ -12,7 +12,7 @@ object SparkEntry {
     QueryCatalog.all ++ QueryCatalogAgg.all ++ QueryCatalogScalar.all ++
       QueryCatalogText.all ++ QueryCatalogSim.all ++ QueryCatalogDomain.all ++
       QueryCatalogDomain2.all ++ QueryCatalogDomain3.all ++
-      QueryCatalogCuration.all
+      QueryCatalogCuration.all ++ QueryCatalogVocab.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -20,5 +20,5 @@ object SparkEntry {
     QueryCatalog.oracle ++ QueryCatalogAgg.oracle ++ QueryCatalogScalar.oracle ++
       QueryCatalogText.oracle ++ QueryCatalogSim.oracle ++ QueryCatalogDomain.oracle ++
       QueryCatalogDomain2.oracle ++ QueryCatalogDomain3.oracle ++
-      QueryCatalogCuration.oracle
+      QueryCatalogCuration.oracle ++ QueryCatalogVocab.oracle
 }

@@ -1,0 +1,61 @@
+package graft.ops.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact substring-duplication audit (Lee et al. 2022, "Deduplicating
+  * Training Data Makes Language Models Better" — the ExactSubstr
+  * metric): for every document, the fraction of its characters lying
+  * inside a length-k window that occurs ≥2 times anywhere in the
+  * corpus (including self-repetition within one document).
+  *
+  * Lee et al. build a corpus-wide suffix array; the Spark-native
+  * equivalent is the windowed form: every k-char window becomes a row,
+  * window multiplicity is one hash exchange, and the per-document
+  * duplicated-character total collapses overlapping flagged windows
+  * with the classic coverage identity — a window at position i adds
+  * min(k, i - prev_flagged_i) covered characters (k when disjoint from
+  * the previous flagged window, the overlap-free remainder otherwise),
+  * so no interval-merge grouping pass is needed.
+  *
+  * Scale posture: the explode is map-side (O(corpus chars) rows of one
+  * k-char window each); multiplicity is a count over a window-keyed
+  * exchange (high-cardinality key — no skew funnel); the per-document
+  * pass is keyed by doc_id. At 100 TB the window text would be
+  * replaced by a 64-bit rolling hash before the exchange (8 B instead
+  * of k B per row; collision probability n²/2⁶⁴); the audit keeps the
+  * raw window so the oracle comparison is exact rather than
+  * collision-probabilistic.
+  */
+object SubstringDup {
+
+  /** Per-document duplicated-character counts.
+    *
+    * @param docs (idCol, textCol) — rows with NULL/short text yield no
+    *             windows and so report 0 duplicated chars
+    * @return (idCol, dup_chars: Long) — only documents with ≥1
+    *         duplicated window appear; absent docs are 0
+    */
+  def dupChars(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val wins = docs
+      .filter(col(textCol).isNotNull && length(col(textCol)) >= k)
+      .select(col(idCol),
+        explode(sequence(lit(1L), length(col(textCol)) - (k - 1))).as("i"),
+        col(textCol))
+      .select(col(idCol), col("i"),
+        substring(col(textCol), col("i").cast("int"), lit(k)).as("win"))
+    val flagged = wins
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("win")))
+      .filter(col("cnt") >= 2)
+      .select(col(idCol), col("i"))
+    val byDoc = Window.partitionBy(idCol).orderBy("i")
+    flagged
+      .withColumn("prev", lag("i", 1).over(byDoc))
+      .groupBy(idCol)
+      .agg(sum(
+        when(col("prev").isNull, lit(k.toLong))
+          .otherwise(least(lit(k.toLong), col("i") - col("prev"))))
+        .cast("long").as("dup_chars"))
+  }
+}
