@@ -132,23 +132,34 @@ object QueryCatalogVocab {
       ") ORDER BY rank"
 
   // ---------------------------------------------------------------- q183: tokenize with the learned merges
-  /** Apply the learned merge table corpus-wide (map-only fold chain,
-    * merge table broadcast as one map row — no driver collect) and
-    * report per-language token statistics: the compression the
-    * tokenizer actually achieves. */
+  /** Apply the learned merge table and report per-language token
+    * statistics: the compression the tokenizer actually achieves.
+    *
+    * The fold chain runs over the DISTINCT-word vocabulary (merge
+    * table broadcast as one map row — no driver collect), and the
+    * corpus leg is a pre-reduced (lang, word) count joined back to
+    * the tokenized vocabulary by broadcast. Token totals are then
+    * count×len integer products — the fold executes |vocab| times,
+    * never once per corpus occurrence (`aggregate` HOFs are
+    * CodegenFallback, so keeping them off the corpus-sized path
+    * matters twice at 100 TB). */
   val q183BpeTokenize: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val words = docs.filter(col("text").isNotNull)
       .select(col("lang"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
+    val byLangWord = words.groupBy("lang", "w")
+      .agg(count(lit(1)).cast("long").as("n_occ"))
     val merges = Bpe.train(words.select("w"), "w", K)
-    words.crossJoin(broadcast(Bpe.mergesRow(merges)))
-      .select(col("lang"), col("w"),
-        Bpe.applyAll(col("w"), col("bpe_merges"), K).as("state"))
+    val vocabToks = byLangWord.select("w").distinct()
+      .crossJoin(broadcast(Bpe.mergesRow(merges)))
+      .select(col("w"),
+        Bpe.nSymbols(Bpe.applyAll(col("w"), col("bpe_merges"), K)).cast("long").as("n_sym"))
+    byLangWord.join(broadcast(vocabToks), Seq("w"))
       .groupBy("lang")
-      .agg(count(lit(1)).as("n_words"),
-        sum(length(col("w"))).cast("long").as("n_chars"),
-        sum(Bpe.nSymbols(col("state"))).cast("long").as("bpe_tokens"))
+      .agg(sum(col("n_occ")).cast("long").as("n_words"),
+        sum(col("n_occ") * length(col("w"))).cast("long").as("n_chars"),
+        sum(col("n_occ") * col("n_sym")).cast("long").as("bpe_tokens"))
       .withColumn("chars_per_token",
         col("n_chars").cast("double") / col("bpe_tokens").cast("double"))
       .orderBy("lang")
