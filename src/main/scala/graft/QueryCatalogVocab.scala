@@ -186,14 +186,89 @@ object QueryCatalogVocab {
          |FROM w$K GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q184: token-balanced shard assignment
+  /** Token-balanced output sharding: training loaders want N shards
+    * with near-equal TOKEN mass, not equal row counts. Exclusive
+    * token prefix-sum over a deterministic doc order →
+    * shard = floor(prefix·N / total), all integer math. The prefix
+    * sum is [[graft.ops.DistributedRank.prefixSum]] (range shuffle +
+    * KB offset job — no single-task global window even with no
+    * stratum), and totalCol rides the same count job. A writer would
+    * then `partitionBy("shard")` — each output file lands within one
+    * doc of the ideal token mass. */
+  val q184TokenShards: Q = (s, d) => {
+    val S = 8
+    val docs = Tables.documents(s, d)
+      .filter(col("text").isNotNull && col("text") =!= "")
+      .select(col("doc_id"),
+        graft.ops.text.TextOps.nWsTokens(col("text")).cast("long").as("n_tok"))
+    graft.ops.DistributedRank.prefixSum(docs, Seq.empty, Seq(col("doc_id")),
+        "n_tok", "cum", totalCol = "total")
+      .select(col("doc_id"), col("n_tok"),
+        least(lit(S - 1L),
+          expr(s"((cum - n_tok) * $S) DIV total")).as("shard"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").cast("long").as("tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("shard")
+  }
+
+  private val q184Sql =
+    """WITH t AS (
+      |  SELECT doc_id, CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents WHERE text IS NOT NULL AND text <> ''),
+      |c AS (
+      |  SELECT doc_id, n_tok,
+      |         CAST(SUM(n_tok) OVER (ORDER BY doc_id) AS BIGINT) AS cum,
+      |         CAST(SUM(n_tok) OVER () AS BIGINT) AS total
+      |  FROM t),
+      |s AS (
+      |  SELECT doc_id, n_tok,
+      |         CAST(LEAST(7, ((cum - n_tok) * 8) // total) AS BIGINT) AS shard
+      |  FROM c)
+      |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tokens,
+      |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM s GROUP BY shard ORDER BY shard""".stripMargin
+
+  // ---------------------------------------------------------------- q185: substring dup via rolling hash
+  /** q181's audit on the 100 TB shuffle layout: window multiplicity
+    * keyed by a codegen'd O(len) [[graft.functions.RollingHash]]
+    * (8-byte payload) instead of k-char substrings. The ORACLE is the
+    * exact-text SQL — hash equality must reproduce the string-equality
+    * result bit-for-bit on this (ASCII) corpus, which doubles as a
+    * live collision audit at every SF. */
+  val q185SubstringDupHashed: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val dup = SubstringDup.dupCharsHashed(docs, "doc_id", "text", 20)
+    val perLang = docs.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum(length(col("text"))).cast("long").as("total_chars"))
+    val dupLang = docs.join(dup, Seq("doc_id"))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs_with_dup"),
+        sum("dup_chars").cast("long").as("dup_chars"))
+    perLang.join(dupLang, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_docs_with_dup"), lit(0L)).as("n_docs_with_dup"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        col("total_chars"),
+        (coalesce(col("dup_chars"), lit(0L)).cast("double") /
+          col("total_chars").cast("double")).as("dup_frac"))
+      .orderBy("lang")
+  }
+
   // ----------------------------------------------------------------
   val all: Map[String, Q] = Map(
     "q181_substring_dup" -> q181SubstringDup,
     "q182_bpe_train" -> q182BpeTrain,
-    "q183_bpe_tokenize" -> q183BpeTokenize)
+    "q183_bpe_tokenize" -> q183BpeTokenize,
+    "q184_token_shards" -> q184TokenShards,
+    "q185_substring_dup_hashed" -> q185SubstringDupHashed)
 
   val oracle: Map[String, String] = Map(
     "q181_substring_dup" -> q181Sql,
     "q182_bpe_train" -> q182Sql,
-    "q183_bpe_tokenize" -> q183Sql)
+    "q183_bpe_tokenize" -> q183Sql,
+    "q184_token_shards" -> q184Sql,
+    "q185_substring_dup_hashed" -> q181Sql)
 }

@@ -49,6 +49,33 @@ object SubstringDup {
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy("win")))
       .filter(col("cnt") >= 2)
       .select(col(idCol), col("i"))
+    coverage(flagged, idCol, k)
+  }
+
+  /** [[dupChars]] with the 100 TB shuffle layout: window positions are
+    * hashed by [[graft.functions.RollingHash]] (one O(len) codegen'd
+    * pass, 8-byte payload on the multiplicity exchange) instead of
+    * materializing k-char substrings. Hash equality stands in for
+    * string equality — collision odds n²/2⁶⁴; byte-oriented, so on
+    * ASCII corpora the result is identical to [[dupChars]]. */
+  def dupCharsHashed(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import graft.functions.RollingHash
+    val wins = docs
+      .filter(col(textCol).isNotNull && length(col(textCol)) >= k)
+      .select(col(idCol),
+        posexplode(RollingHash.windowHashes(col(textCol), k)).as(Seq("p", "h")))
+      .select(col(idCol), (col("p") + 1).cast("long").as("i"), col("h"))
+    val flagged = wins
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("cnt") >= 2)
+      .select(col(idCol), col("i"))
+    coverage(flagged, idCol, k)
+  }
+
+  /** Shared coverage identity: flagged (idCol, i) window starts →
+    * per-doc duplicated chars, collapsing overlaps via
+    * min(k, gap-to-previous). */
+  private def coverage(flagged: DataFrame, idCol: String, k: Int): DataFrame = {
     val byDoc = Window.partitionBy(idCol).orderBy("i")
     flagged
       .withColumn("prev", lag("i", 1).over(byDoc))

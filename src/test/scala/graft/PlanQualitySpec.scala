@@ -377,6 +377,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(nEx == 1, s"expected 1 exchange (the partial-agg shuffle), got $nEx")
   }
 
+  test("q184 token shards: prefix sum via range shuffle, no Window operator") {
+    // the exclusive token prefix sum is DistributedRank.prefixSum —
+    // a global Window.orderBy would funnel the whole corpus through
+    // one task's sorter
+    val p = plan(QueryCatalogVocab.all("q184_token_shards")(
+      spark, "/root/testdata/sf0.001"))
+    val bad = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(bad.isEmpty, s"q184 prefix-sums via a Window:\n${bad.mkString("\n")}")
+  }
+
   test("custom top-k over parquet orders plans partial/exchange/final with no sort") {
     // the operator itself (q56 adds a presentation ORDER BY on top)
     val orders = graft.core.Tables.orders(spark, "/root/testdata/sf0.001")
