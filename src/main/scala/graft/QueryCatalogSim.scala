@@ -1093,8 +1093,81 @@ object QueryCatalogSim {
       |         / CAST(COUNT(*) * 1000000 AS DOUBLE) AS mrr
       |FROM pp""".stripMargin
 
+  // ---------------------------------------------------------------- q187: bitext mining (margin + mutual best)
+  /** Bitext / parallel-pair mining (the alignment pass that harvests
+    * translation pairs for multilingual training): side A = even
+    * vec_ids, side B = odd (the corpus-drift even/odd convention —
+    * in production, two language collections). For each A probe, the
+    * top-2 B candidates by cosine; margin = cos1 − cos2 (the
+    * difference form of Artetxe & Schwenk's margin scoring — ONE
+    * subtraction of two already-computed doubles, no float sums, so
+    * bit-exact cross-engine); a pair is accepted when it is the
+    * MUTUAL best (A's best B whose best A is that probe) and the
+    * margin clears the gate — the standard filter that kills hub
+    * vectors with many near-equal neighbors.
+    *
+    * Scale shape: ONE pairs frame (the documented exact-eval
+    * baseline, like q45 — at corpus scale candidate generation swaps
+    * to the IVF/LSH machinery in [[VectorOps]]) feeds both
+    * directions; per-probe top-2 and per-candidate top-1 are
+    * high-cardinality-keyed windows; the mutual check is an
+    * equi-join of the two winner sets. */
+  val q187BitextMine: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+    val a = emb.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("a_id"), col("embedding").as("av"),
+        VectorOps.norm(col("embedding")).as("an"))
+    val b = emb.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("b_id"), col("embedding").as("bv"),
+        VectorOps.norm(col("embedding")).as("bn"))
+    val pairs = a.crossJoin(b)
+      .withColumn("cos", VectorOps.cosine(col("av"), col("bv"), col("an"), col("bn")))
+      .select("a_id", "b_id", "cos")
+    val wa = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id"))
+    val top2 = pairs.withColumn("rk", row_number().over(wa)).filter(col("rk") <= 2)
+    val aBest = top2.filter(col("rk") === 1).select(col("a_id"), col("b_id"), col("cos"))
+      .join(top2.filter(col("rk") === 2).select(col("a_id"), col("cos").as("cos2")),
+        Seq("a_id"))
+      .withColumn("margin", col("cos") - col("cos2"))
+    val wb = Window.partitionBy("b_id").orderBy(col("cos").desc, col("a_id"))
+    val bBest = pairs.withColumn("rk", row_number().over(wb)).filter(col("rk") === 1)
+      .select(col("b_id"), col("a_id").as("b_best_a"))
+    aBest.join(bBest, Seq("b_id"))
+      .withColumn("mutual", when(col("b_best_a") === col("a_id"), "Y").otherwise("N"))
+      .withColumn("accept",
+        when(col("mutual") === "Y" && col("margin") >= 0.01, "Y").otherwise("N"))
+      .select("a_id", "b_id", "cos", "margin", "mutual", "accept")
+      .orderBy("a_id")
+  }
+
+  private val q187Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM e),
+      |a AS (SELECT vec_id AS a_id, v AS av, nm AS an FROM n WHERE vec_id % 2 = 0),
+      |b AS (SELECT vec_id AS b_id, v AS bv, nm AS bn FROM n WHERE vec_id % 2 = 1),
+      |pr AS (SELECT a_id, b_id, list_dot_product(av, bv) / (an * bn) AS cos
+      |       FROM a CROSS JOIN b),
+      |ra AS (SELECT *, row_number() OVER (
+      |         PARTITION BY a_id ORDER BY cos DESC, b_id) AS rk FROM pr),
+      |abest AS (
+      |  SELECT r1.a_id, r1.b_id, r1.cos, r1.cos - r2.cos AS margin
+      |  FROM ra r1 JOIN ra r2 ON r1.a_id = r2.a_id AND r2.rk = 2
+      |  WHERE r1.rk = 1),
+      |rb AS (SELECT *, row_number() OVER (
+      |         PARTITION BY b_id ORDER BY cos DESC, a_id) AS rk FROM pr),
+      |bbest AS (SELECT b_id, a_id AS b_best_a FROM rb WHERE rk = 1),
+      |j AS (
+      |  SELECT ab.a_id, ab.b_id, ab.cos, ab.margin,
+      |         CASE WHEN bb.b_best_a = ab.a_id THEN 'Y' ELSE 'N' END AS mutual
+      |  FROM abest ab JOIN bbest bb ON ab.b_id = bb.b_id)
+      |SELECT a_id, b_id, cos, margin, mutual,
+      |       CASE WHEN mutual = 'Y' AND margin >= 0.01 THEN 'Y' ELSE 'N' END AS accept
+      |FROM j ORDER BY a_id""".stripMargin
+
   // ----------------------------------------------------------------
   val all: Map[String, Q] = Map(
+    "q187_bitext_mine" -> q187BitextMine,
     "q175_ann_metrics" -> q175AnnMetrics,
     "q168_cluster_ari" -> q168ClusterAri,
     "q165_rrf_fusion" -> q165RrfFusion,
@@ -1118,6 +1191,7 @@ object QueryCatalogSim {
   )
 
   val oracle: Map[String, String] = Map(
+    "q187_bitext_mine" -> q187Sql,
     "q175_ann_metrics" -> q175Sql,
     "q168_cluster_ari" -> q168Sql,
     "q165_rrf_fusion" -> q165Sql,

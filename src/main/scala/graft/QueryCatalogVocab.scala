@@ -257,18 +257,90 @@ object QueryCatalogVocab {
       .orderBy("lang")
   }
 
+  // ---------------------------------------------------------------- q186: collocation / phrase mining
+  /** word2phrase collocation mining (Mikolov et al. 2013): per
+    * language, the top-10 bigrams by score = (c12 − δ)·N / (c1·c2)
+    * with a min-support gate — the phrase-detection pass run before
+    * tokenizer training so "new york" becomes one symbol. Determinism:
+    * every count is exact int64; the score is two IEEE double
+    * multiplies and one division in a fixed order, so it is
+    * bit-identical cross-engine (no float SUMS anywhere). Scale shape:
+    * bigram production is a map-side explode feeding ONE
+    * partially-aggregated (lang, w1, w2) shuffle; the unigram vocab
+    * and per-lang totals are vocabulary-sized broadcasts back onto it;
+    * top-10 per language is the custom TopKPerKey physical operator
+    * (per-partition heaps + final heap — never a sort of the full
+    * bigram table). */
+  val q186Collocations: Q = (s, d) => {
+    import graft.ops.text.TextOps
+    val docs = Tables.documents(s, d)
+      .filter(col("text").isNotNull && col("text") =!= "")
+    val toks = docs.select(col("lang"), TextOps.wsTokens(col("text")).as("t"))
+    val bigrams = toks
+      .select(col("lang"), explode(expr(
+        "transform(slice(t, 1, size(t) - 1), (w, i) -> struct(w AS w1, t[i + 1] AS w2))")).as("b"))
+      .select(col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= 3)
+    val unigrams = toks
+      .select(col("lang"), explode(col("t")).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("cw"))
+    val totals = unigrams.groupBy("lang").agg(sum("cw").as("n_tok"))
+    val scored = bigrams
+      .join(broadcast(unigrams.select(col("lang"), col("w").as("w1"), col("cw").as("c1"))),
+        Seq("lang", "w1"))
+      .join(broadcast(unigrams.select(col("lang"), col("w").as("w2"), col("cw").as("c2"))),
+        Seq("lang", "w2"))
+      .join(broadcast(totals), Seq("lang"))
+      .withColumn("score",
+        (col("c12") - 1).cast("double") * col("n_tok").cast("double") /
+          (col("c1").cast("double") * col("c2").cast("double")))
+    graft.plans.TopKPerKey.topK(scored,
+        Seq(col("lang")), Seq(col("score").desc, col("w1").asc, col("w2").asc), 10)
+      .select("lang", "w1", "w2", "c12", "c1", "c2", "score")
+      .orderBy(col("lang"), col("score").desc, col("w1"), col("w2"))
+  }
+
+  private val q186Sql =
+    """WITH t AS (
+      |  SELECT doc_id, lang, string_split_regex(text, '\s+') AS toks
+      |  FROM documents WHERE text IS NOT NULL AND text <> ''),
+      |u AS (
+      |  SELECT lang, unnest(toks) AS w FROM t),
+      |uni AS (SELECT lang, w, COUNT(*) AS cw FROM u GROUP BY 1, 2),
+      |tot AS (SELECT lang, CAST(SUM(cw) AS BIGINT) AS n_tok FROM uni GROUP BY 1),
+      |bg AS (
+      |  SELECT lang, toks[i] AS w1, toks[i + 1] AS w2
+      |  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i)),
+      |big AS (SELECT lang, w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2, 3
+      |        HAVING COUNT(*) >= 3),
+      |sc AS (
+      |  SELECT b.lang, w1, w2, c12, u1.cw AS c1, u2.cw AS c2,
+      |         CAST(c12 - 1 AS DOUBLE) * CAST(n_tok AS DOUBLE)
+      |           / (CAST(u1.cw AS DOUBLE) * CAST(u2.cw AS DOUBLE)) AS score
+      |  FROM big b
+      |  JOIN uni u1 ON u1.lang = b.lang AND u1.w = b.w1
+      |  JOIN uni u2 ON u2.lang = b.lang AND u2.w = b.w2
+      |  JOIN tot ON tot.lang = b.lang),
+      |r AS (SELECT *, row_number() OVER (
+      |        PARTITION BY lang ORDER BY score DESC, w1, w2) AS rk FROM sc)
+      |SELECT lang, w1, w2, c12, c1, c2, score FROM r WHERE rk <= 10
+      |ORDER BY lang, score DESC, w1, w2""".stripMargin
+
   // ----------------------------------------------------------------
   val all: Map[String, Q] = Map(
     "q181_substring_dup" -> q181SubstringDup,
     "q182_bpe_train" -> q182BpeTrain,
     "q183_bpe_tokenize" -> q183BpeTokenize,
     "q184_token_shards" -> q184TokenShards,
-    "q185_substring_dup_hashed" -> q185SubstringDupHashed)
+    "q185_substring_dup_hashed" -> q185SubstringDupHashed,
+    "q186_collocations" -> q186Collocations)
 
   val oracle: Map[String, String] = Map(
     "q181_substring_dup" -> q181Sql,
     "q182_bpe_train" -> q182Sql,
     "q183_bpe_tokenize" -> q183Sql,
     "q184_token_shards" -> q184Sql,
-    "q185_substring_dup_hashed" -> q181Sql)
+    "q185_substring_dup_hashed" -> q181Sql,
+    "q186_collocations" -> q186Sql)
 }

@@ -387,6 +387,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(bad.isEmpty, s"q184 prefix-sums via a Window:\n${bad.mkString("\n")}")
   }
 
+  test("q186 collocations: vocab joins broadcast, top-10 is TopKPerKey") {
+    // the bigram table is the only corpus-sized frame: unigram/total
+    // joins must broadcast onto it, and the per-language top-10 must
+    // be the custom heap operator, never a sort of all bigrams
+    val df = QueryCatalogVocab.all("q186_collocations")(
+      spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "vocab joins must broadcast")
+    assert(p.contains("TopKPerKey"), s"top-10 must be TopKPerKey:\n$p")
+  }
+
   test("custom top-k over parquet orders plans partial/exchange/final with no sort") {
     // the operator itself (q56 adds a presentation ORDER BY on top)
     val orders = graft.core.Tables.orders(spark, "/root/testdata/sf0.001")
