@@ -327,6 +327,129 @@ object QueryCatalogVocab {
       |SELECT lang, w1, w2, c12, c1, c2, score FROM r WHERE rk <= 10
       |ORDER BY lang, score DESC, w1, w2""".stripMargin
 
+  // ---------------------------------------------------------------- q188: source marginal vocabulary contribution
+  /** Data-acquisition analytics: what does each source ADD to the
+    * corpus vocabulary once every earlier source is already ingested?
+    * Sources are ordered by name (the deterministic stand-in for
+    * acquisition order); a token is credited to the FIRST source that
+    * contains it (min source name — one corpus-wide (token) agg).
+    * Output per source: docs, token occurrences, distinct tokens, NEW
+    * tokens, and the cumulative vocabulary — the curve whose
+    * flattening says a new crawl buys nothing (Heaps-law saturation).
+    * Scale shape: two partially-aggregated shuffles (token,
+    * source×token) over the corpus; the cumulative sum is a window
+    * over the SOURCES-sized result frame (tens of rows — bounded by
+    * construction, not corpus-sized). */
+  val q188SourceVocab: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.text.TextOps
+    val docs = Tables.documents(s, d)
+      .filter(col("text").isNotNull && col("text") =!= "")
+    val toks = docs.select(col("source"), explode(TextOps.wsTokens(col("text"))).as("tok"))
+    val perSrcTok = toks.groupBy("source", "tok").agg(count(lit(1)).as("n_occ"))
+    val firstSrc = perSrcTok.groupBy("tok").agg(min("source").as("first_source"))
+    val bySrc = perSrcTok.groupBy("source").agg(
+      sum("n_occ").cast("long").as("n_tokens"),
+      count(lit(1)).as("distinct_tokens"))
+    val newBySrc = firstSrc.groupBy(col("first_source").as("source"))
+      .agg(count(lit(1)).as("new_tokens"))
+    val nDocs = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val w = Window.orderBy("source").rowsBetween(Window.unboundedPreceding, 0)
+    nDocs.join(bySrc, "source").join(newBySrc, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("distinct_tokens"),
+        coalesce(col("new_tokens"), lit(0L)).as("new_tokens"))
+      .withColumn("cum_vocab", sum("new_tokens").over(w))
+      .orderBy("source")
+  }
+
+  private val q188Sql =
+    """WITH t AS (
+      |  SELECT doc_id, source, unnest(string_split_regex(text, '\s+')) AS tok
+      |  FROM documents WHERE text IS NOT NULL AND text <> ''),
+      |pst AS (SELECT source, tok, COUNT(*) AS n_occ FROM t GROUP BY 1, 2),
+      |fs AS (SELECT tok, MIN(source) AS first_source FROM pst GROUP BY 1),
+      |bs AS (SELECT source, CAST(SUM(n_occ) AS BIGINT) AS n_tokens,
+      |              COUNT(*) AS distinct_tokens
+      |       FROM pst GROUP BY 1),
+      |nw AS (SELECT first_source AS source, COUNT(*) AS new_tokens
+      |       FROM fs GROUP BY 1),
+      |nd AS (SELECT source, COUNT(*) AS n_docs
+      |       FROM documents WHERE text IS NOT NULL AND text <> '' GROUP BY 1)
+      |SELECT nd.source, n_docs, n_tokens, distinct_tokens,
+      |       CAST(COALESCE(new_tokens, 0) AS BIGINT) AS new_tokens,
+      |       CAST(SUM(COALESCE(new_tokens, 0))
+      |              OVER (ORDER BY nd.source) AS BIGINT) AS cum_vocab
+      |FROM nd JOIN bs USING (source) LEFT JOIN nw USING (source)
+      |ORDER BY nd.source""".stripMargin
+
+  // ---------------------------------------------------------------- q189: train→eval verbatim leakage
+  /** Decontamination audit at the substring level (Lee et al. 2022):
+    * holding out every 17th doc as the eval set, what fraction of
+    * each eval doc's chars is covered by a 20-char window that
+    * appears VERBATIM anywhere in the train split? Set-overlap
+    * decontamination (q104) sees shared n-grams; this sees the exact
+    * copied spans that inflate eval scores. Rolling-hash keys both
+    * sides ([[graft.ops.dedup.SubstringDup.leakedCharsHashed]]), the
+    * containment test is a distributed hash semi-join; the ORACLE
+    * replays it with exact substrings — a collision audit like q185. */
+  val q189EvalLeakage: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val evalDocs = docs.filter(col("doc_id") % 17 === 0)
+    val trainDocs = docs.filter(col("doc_id") % 17 =!= 0)
+    val leak = SubstringDup.leakedCharsHashed(evalDocs, trainDocs, "doc_id", "text", 20)
+      .withColumnRenamed("dup_chars", "leaked_chars")
+    val perLang = evalDocs.groupBy("lang").agg(
+      count(lit(1)).as("n_eval_docs"),
+      sum(length(col("text"))).cast("long").as("total_chars"))
+    val leakLang = evalDocs.join(leak, Seq("doc_id"))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs_leaked"),
+        sum("leaked_chars").cast("long").as("leaked_chars"))
+    perLang.join(leakLang, Seq("lang"), "left")
+      .select(col("lang"), col("n_eval_docs"),
+        coalesce(col("n_docs_leaked"), lit(0L)).as("n_docs_leaked"),
+        coalesce(col("leaked_chars"), lit(0L)).as("leaked_chars"),
+        col("total_chars"),
+        (coalesce(col("leaked_chars"), lit(0L)).cast("double") /
+          col("total_chars").cast("double")).as("leak_frac"))
+      .orderBy("lang")
+  }
+
+  private val q189Sql =
+    """WITH ev AS (SELECT * FROM documents WHERE doc_id % 17 = 0),
+      |tr AS (SELECT * FROM documents WHERE doc_id % 17 <> 0),
+      |tw AS (
+      |  SELECT DISTINCT substr(text, CAST(i AS INT), 20) AS win
+      |  FROM (SELECT text, unnest(generate_series(1, length(text) - 19)) AS i
+      |        FROM tr WHERE text IS NOT NULL AND length(text) >= 20) u),
+      |ew AS (
+      |  SELECT doc_id, i, substr(text, CAST(i AS INT), 20) AS win
+      |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 19)) AS i
+      |        FROM ev WHERE text IS NOT NULL AND length(text) >= 20) u),
+      |flagged AS (
+      |  SELECT doc_id, i FROM ew WHERE win IN (SELECT win FROM tw)),
+      |per_doc AS (
+      |  SELECT doc_id, CAST(SUM(CASE WHEN prev IS NULL THEN 20
+      |                                ELSE LEAST(20, i - prev) END) AS BIGINT) AS leaked_chars
+      |  FROM (SELECT doc_id, i, lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      |        FROM flagged)
+      |  GROUP BY doc_id),
+      |lang_tot AS (
+      |  SELECT lang, COUNT(*) AS n_eval_docs,
+      |         CAST(SUM(length(text)) AS BIGINT) AS total_chars
+      |  FROM ev GROUP BY lang),
+      |lang_leak AS (
+      |  SELECT e.lang, COUNT(*) AS n_docs_leaked,
+      |         CAST(SUM(p.leaked_chars) AS BIGINT) AS leaked_chars
+      |  FROM ev e JOIN per_doc p USING (doc_id) GROUP BY e.lang)
+      |SELECT t.lang, t.n_eval_docs,
+      |       CAST(COALESCE(u.n_docs_leaked, 0) AS BIGINT) AS n_docs_leaked,
+      |       CAST(COALESCE(u.leaked_chars, 0) AS BIGINT) AS leaked_chars,
+      |       t.total_chars,
+      |       CAST(COALESCE(u.leaked_chars, 0) AS DOUBLE)
+      |         / CAST(t.total_chars AS DOUBLE) AS leak_frac
+      |FROM lang_tot t LEFT JOIN lang_leak u USING (lang) ORDER BY lang""".stripMargin
+
   // ----------------------------------------------------------------
   val all: Map[String, Q] = Map(
     "q181_substring_dup" -> q181SubstringDup,
@@ -334,7 +457,9 @@ object QueryCatalogVocab {
     "q183_bpe_tokenize" -> q183BpeTokenize,
     "q184_token_shards" -> q184TokenShards,
     "q185_substring_dup_hashed" -> q185SubstringDupHashed,
-    "q186_collocations" -> q186Collocations)
+    "q186_collocations" -> q186Collocations,
+    "q188_source_vocab" -> q188SourceVocab,
+    "q189_eval_leakage" -> q189EvalLeakage)
 
   val oracle: Map[String, String] = Map(
     "q181_substring_dup" -> q181Sql,
@@ -342,5 +467,7 @@ object QueryCatalogVocab {
     "q183_bpe_tokenize" -> q183Sql,
     "q184_token_shards" -> q184Sql,
     "q185_substring_dup_hashed" -> q181Sql,
-    "q186_collocations" -> q186Sql)
+    "q186_collocations" -> q186Sql,
+    "q188_source_vocab" -> q188Sql,
+    "q189_eval_leakage" -> q189Sql)
 }

@@ -72,6 +72,29 @@ object SubstringDup {
     coverage(flagged, idCol, k)
   }
 
+  /** Verbatim train→eval leakage (Lee et al. 2022 decontamination):
+    * for each eval doc, the chars covered by k-windows that appear
+    * ANYWHERE in the train corpus. Rolling-hash keys on both sides
+    * (8-byte payloads); the train window set stays distributed — the
+    * containment test is a hash-keyed semi join, never a broadcast of
+    * a corpus-sized set. Same coverage identity as [[dupChars]]. */
+  def leakedCharsHashed(evalDocs: DataFrame, trainDocs: DataFrame,
+                        idCol: String, textCol: String, k: Int): DataFrame = {
+    import graft.functions.RollingHash
+    val trainH = trainDocs
+      .filter(col(textCol).isNotNull && length(col(textCol)) >= k)
+      .select(explode(RollingHash.windowHashes(col(textCol), k)).as("h"))
+      .distinct()
+    val evalW = evalDocs
+      .filter(col(textCol).isNotNull && length(col(textCol)) >= k)
+      .select(col(idCol),
+        posexplode(RollingHash.windowHashes(col(textCol), k)).as(Seq("p", "h")))
+      .select(col(idCol), (col("p") + 1).cast("long").as("i"), col("h"))
+    val flagged = evalW.join(trainH, Seq("h"), "left_semi")
+      .select(col(idCol), col("i"))
+    coverage(flagged, idCol, k)
+  }
+
   /** Shared coverage identity: flagged (idCol, i) window starts →
     * per-doc duplicated chars, collapsing overlaps via
     * min(k, gap-to-previous). */

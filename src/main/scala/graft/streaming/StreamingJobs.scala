@@ -139,6 +139,36 @@ object StreamingJobs {
         col("session_window.end").as("sess_end"),
         col("user_id"), col("n"), col("sum_value"))
 
+  /** Streaming benchmark decontamination: flag each incoming doc by
+    * how many of its k-char windows appear verbatim in a (small,
+    * static) eval benchmark — the online face of the batch q189
+    * leakage audit, run at INGEST so contaminated docs never reach
+    * the corpus. The eval set is pre-reduced batch-side to ONE bloom
+    * sketch row ([[graft.functions.BloomFilter]] over the benchmark's
+    * rolling-hash windows); the stream side is then a pure MAP —
+    * rolling hashes, a filter-HOF probe of the broadcast sketch,
+    * count. No stream state, no shuffle, no watermark needed: scales
+    * to any ingest rate, and the sketch refreshes by restarting the
+    * query with a rebuilt row (eval sets change rarely). False
+    * positives only (bloom contract) — a flagged doc is verified
+    * downstream by the exact path; never a false accept. */
+  def decontaminateStream(docs: DataFrame, evalSketch: DataFrame,
+                          k: Int, maxLeaked: Int): DataFrame =
+    docs.crossJoin(broadcast(evalSketch))
+      .withColumn("n_leaked", size(filter(
+        graft.functions.RollingHash.windowHashes(col("text"), k),
+        h => graft.functions.BloomFilter.mightContain(col("sketch"), h.cast("string")))))
+      .withColumn("accept", when(col("n_leaked") <= maxLeaked, "Y").otherwise("N"))
+      .drop("sketch")
+
+  /** The static side of [[decontaminateStream]]: the benchmark's
+    * k-char windows collapsed to one bloom-sketch row. */
+  def evalWindowSketch(evalDocs: DataFrame, textCol: String, k: Int,
+                       mBits: Int = graft.functions.BloomFilter.DefaultBits): DataFrame =
+    evalDocs.select(explode(
+        graft.functions.RollingHash.windowHashes(col(textCol), k)).as("h"))
+      .select(graft.functions.BloomFilter.bloom(col("h").cast("string"), mBits).as("sketch"))
+
   /** Streaming NEAR-dup dedup: every micro-batch of documents is
     * exact-deduped within itself, LSH-banded, probed against the
     * persistent signature store of everything accepted so far, and

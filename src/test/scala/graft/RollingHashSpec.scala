@@ -58,6 +58,30 @@ class RollingHashSpec extends SparkSpec {
     assert(plan.linesIterator.next().startsWith("*("), plan)
   }
 
+  test("leakedCharsHashed covers exactly the train-contained eval windows") {
+    val k = 5
+    // train corpus carries 'hello' and 'world' spans
+    val train = Seq((100L, "say hello there"), (101L, "the world is wide"))
+      .toDF("doc_id", "text")
+    // eval doc 1: 'hello' leaks (5 chars: windows "say h".."hello"? only
+    //   windows fully inside train text count — brute-forced below);
+    // eval doc 2: nothing shared; eval doc 3: shorter than k
+    val eval = Seq((1L, "well hello world"), (2L, "unrelated zzz"), (3L, "hi"))
+      .toDF("doc_id", "text")
+    val got = SubstringDup.leakedCharsHashed(eval, train, "doc_id", "text", k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force: train window set, eval windows in it, interval union
+    val trainTexts = Seq("say hello there", "the world is wide")
+    val tw = trainTexts.flatMap(t => (0 to t.length - k).map(p => t.substring(p, p + k))).toSet
+    val want = Seq((1L, "well hello world"), (2L, "unrelated zzz"))
+      .map { case (id, t) =>
+        val starts = (0 to t.length - k).filter(p => tw(t.substring(p, p + k)))
+        id -> starts.flatMap(p => p until p + k).toSet.size.toLong
+      }.filter(_._2 > 0).toMap
+    assert(got == want)
+    assert(got.contains(1L) && !got.contains(2L) && !got.contains(3L))
+  }
+
   test("dupCharsHashed reproduces dupChars exactly on ASCII corpora") {
     for ((k, texts) <- Seq(
       4 -> Seq("wxyzAAAA", "BBBBwxyz", "qqqqq", "uniquetextnothingrepeats", "ab"),

@@ -154,6 +154,44 @@ class SinksStreamingSpec extends SparkSpec {
       "a window that matches the reference distribution has zero drift")
   }
 
+  test("decontaminateStream flags docs containing eval windows, map-only") {
+    implicit val sqlCtx = spark.sqlContext
+    val k = 8
+    // benchmark: one eval doc; its every 8-char window goes in the sketch
+    val eval = Seq("the secret eval answer is fortytwo").toDF("text")
+    val sketch = StreamingJobs.evalWindowSketch(eval, "text", k)
+    val mem = MemoryStream[(Long, String)]
+    // doc 1 copies an eval span (> k chars -> several leaked windows),
+    // doc 2 is clean, doc 3 shorter than k (no windows -> accept)
+    mem.addData((1L, "prefix the secret eval answer suffix"),
+      (2L, "completely unrelated text with no overlap whatsoever"),
+      (3L, "tiny"))
+    val out = StreamingJobs.decontaminateStream(
+      mem.toDF().toDF("doc_id", "text"), sketch, k, maxLeaked = 0)
+    val q = out.writeStream.format("memory").queryName("decon")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("decon").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_leaked"), r.getAs[String]("accept"))).toMap
+    assert(got(1L)._1 > 0 && got(1L)._2 == "N", s"copied span must flag: $got")
+    assert(got(2L) == (0, "Y"), s"clean doc must pass: $got")
+    assert(got(3L) == (0, "Y"), s"short doc has no windows: $got")
+    // no false negatives on a full verbatim copy of the benchmark
+    val mem2 = MemoryStream[(Long, String)]
+    mem2.addData((9L, "the secret eval answer is fortytwo"))
+    val out2 = StreamingJobs.decontaminateStream(
+      mem2.toDF().toDF("doc_id", "text"), sketch, k, maxLeaked = 0)
+    val q2 = out2.writeStream.format("memory").queryName("decon2")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val full = spark.table("decon2").head()
+    // 34 chars -> 27 windows, every one in the sketch
+    assert(full.getAs[Int]("n_leaked") == 27 && full.getAs[String]("accept") == "N")
+  }
+
   test("streaming windowed aggregation with watermark (§2.9)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
