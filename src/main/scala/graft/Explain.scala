@@ -118,6 +118,23 @@ object Explain {
       "join + partial-agg exchange as q135; the seed membership test is a " +
       "pure projection, so personalization costs zero extra plan structure; " +
       "final rank via DistributedRank."),
+    "q184_token_shards" -> ("Token-balanced sharding: the exclusive token " +
+      "prefix sum is DistributedRank.prefixSum — range shuffle + KB offset " +
+      "job, NO Window operator; shard assignment is integer math in the " +
+      "same projection."),
+    "q185_substring_dup_hashed" -> ("Substring-dup audit on the 100 TB " +
+      "layout: the codegen'd graft_rolling_hash emits all k-windows in one " +
+      "O(len) pass and the multiplicity exchange carries 8-byte longs, not " +
+      "k-char substrings — 2.5x faster than the exact-text form at sf1 and " +
+      "hash-identical to its exact-text oracle."),
+    "q186_collocations" -> ("word2phrase collocations: map-side bigram " +
+      "explode into ONE partial-agg shuffle; unigram vocab + totals " +
+      "broadcast back; per-lang top-10 is the bounded TopKPerKey heap pair " +
+      "— no sort of the bigram table."),
+    "q189_eval_leakage" -> ("Train->eval verbatim leakage: both sides keyed " +
+      "by rolling hashes; containment is a hash-partitioned LeftSemi join " +
+      "(the train window set is corpus-sized — never broadcast); per-doc " +
+      "coverage via the min(k, gap) identity on doc-keyed windows."),
   )
 
   def main(args: Array[String]): Unit = {

@@ -1666,7 +1666,46 @@ object QueryCatalogText {
       |                 * 100.0 / CAST(SUM(gmax - len) AS DOUBLE) END AS saved_pct
       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q190: corpus manifest fingerprint
+  /** Corpus manifest: an order-invariant content fingerprint per
+    * (lang, source) slice — the cheap one-pass integrity check a
+    * pipeline stamps on every output so the NEXT run (or a consumer)
+    * can detect a silently changed upstream without re-reading text.
+    * Two independent commutative digests over the per-doc 60-bit
+    * content hash: XOR (catches any single-doc change, zero overflow)
+    * and a modular sum (catches the paired changes XOR cancels —
+    * e.g. the same edit applied to two identical docs), plus row and
+    * char totals. Any reordering, re-partitioning, or re-shuffle of
+    * the corpus leaves every digest bit-identical; any content change
+    * flips them. Pure map + ONE partial-agg shuffle on the tiny
+    * (lang, source) key space — at 100 TB this is scan-bound and
+    * embarrassingly parallel. */
+  val q190CorpusManifest: Q = (s, d) => {
+    import graft.ops.dedup.Dedup
+    val docs = Tables.documents(s, d)
+    docs.withColumn("h", Dedup.h60(lit(0), col("text")))
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("n_chars"),
+        expr("bit_xor(h)").as("content_xor"),
+        sum(col("h") % 1000003L).cast("long").as("content_modsum"))
+      .orderBy("lang", "source")
+  }
+
+  private val q190Sql =
+    """WITH h AS (
+      |  SELECT lang, source, length(text) AS n_chars,
+      |         ('0x' || substr(md5('0|' || text), 1, 15))::BIGINT AS h
+      |  FROM documents)
+      |SELECT lang, source, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      |       bit_xor(h) AS content_xor,
+      |       CAST(SUM(h % 1000003) AS BIGINT) AS content_modsum
+      |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q190_corpus_manifest" -> q190CorpusManifest,
     "q177_curation_select" -> q177CurationSelect,
     "q180_drop_audit" -> q180DropAudit,
     "q172_padding_waste" -> q172PaddingWaste,
@@ -1699,6 +1738,7 @@ object QueryCatalogText {
   )
 
   val oracle: Map[String, String] = Map(
+    "q190_corpus_manifest" -> q190Sql,
     "q177_curation_select" -> q177Sql,
     "q180_drop_audit" -> q180Sql,
     "q172_padding_waste" -> q172Sql,

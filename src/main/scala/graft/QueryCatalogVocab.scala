@@ -450,6 +450,64 @@ object QueryCatalogVocab {
       |         / CAST(t.total_chars AS DOUBLE) AS leak_frac
       |FROM lang_tot t LEFT JOIN lang_leak u USING (lang) ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q191: dup-structure modularity by source
+  /** Can dedup be SHARDED by source? Newman modularity of the
+    * source partition over the boilerplate-prefix duplicate graph
+    * (docs sharing their first 40 chars = one clique — the
+    * template/boilerplate signature; this corpus has no full-text
+    * exact dups, q181 shows the duplication lives in substrings). High modularity → duplicates live within
+    * sources and per-source dedup shards catch them; near zero →
+    * duplication crosses sources and dedup must stay global. The
+    * clique structure collapses the whole graph to (group, source)
+    * CELL COUNTS — no edge materialization ever: m = Σ C(g,2),
+    * within-source edges e_c = Σ C(cell,2), degree mass
+    * D_c = Σ cell·(g−1), contribution (4m·e_c − D_c²)/(4m²) — exact
+    * int64 counts into a fixed-order IEEE expression. Two pre-reduced
+    * shuffles (text-hash, then source), everything after is
+    * cell-table-sized. */
+  val q191DupModularity: Q = (s, d) => {
+    import graft.ops.dedup.Dedup
+    val docs = Tables.documents(s, d)
+    val h = docs.select(col("doc_id"), col("source"),
+      Dedup.h60(lit(0), substring(col("text"), 1, 40)).as("h"))
+    val gsz = h.groupBy("h").agg(count(lit(1)).as("g")).filter(col("g") >= 2)
+    val cells = h.join(gsz, "h")
+      .groupBy("source", "h", "g").agg(count(lit(1)).as("cell"))
+    val m = gsz.agg(sum(expr("g * (g - 1) DIV 2")).cast("long").as("m"))
+    val perSrc = cells.groupBy("source").agg(
+      sum("cell").cast("long").as("n_docs_grouped"),
+      sum(expr("cell * (g - 1)")).cast("long").as("d_c"),
+      sum(expr("cell * (cell - 1) DIV 2")).cast("long").as("e_c"))
+    perSrc.crossJoin(broadcast(m))
+      .withColumn("q_contrib",
+        (lit(4.0) * col("m").cast("double") * col("e_c").cast("double")
+          - col("d_c").cast("double") * col("d_c").cast("double"))
+          / (lit(4.0) * col("m").cast("double") * col("m").cast("double")))
+      .select("source", "n_docs_grouped", "e_c", "d_c", "m", "q_contrib")
+      .orderBy("source")
+  }
+
+  private val q191Sql =
+    """WITH h AS (
+      |  SELECT doc_id, source,
+      |         ('0x' || substr(md5('0|' || substr(text, 1, 40)), 1, 15))::BIGINT AS h
+      |  FROM documents),
+      |gsz AS (SELECT h, COUNT(*) AS g FROM h GROUP BY 1 HAVING COUNT(*) >= 2),
+      |cells AS (
+      |  SELECT source, h.h, g, COUNT(*) AS cell
+      |  FROM h JOIN gsz USING (h) GROUP BY 1, 2, 3),
+      |m AS (SELECT CAST(SUM(g * (g - 1) // 2) AS BIGINT) AS m FROM gsz),
+      |ps AS (
+      |  SELECT source, CAST(SUM(cell) AS BIGINT) AS n_docs_grouped,
+      |         CAST(SUM(cell * (g - 1)) AS BIGINT) AS d_c,
+      |         CAST(SUM(cell * (cell - 1) // 2) AS BIGINT) AS e_c
+      |  FROM cells GROUP BY 1)
+      |SELECT source, n_docs_grouped, e_c, d_c, m,
+      |       (4.0 * CAST(m AS DOUBLE) * CAST(e_c AS DOUBLE)
+      |          - CAST(d_c AS DOUBLE) * CAST(d_c AS DOUBLE))
+      |         / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)) AS q_contrib
+      |FROM ps CROSS JOIN m ORDER BY source""".stripMargin
+
   // ----------------------------------------------------------------
   val all: Map[String, Q] = Map(
     "q181_substring_dup" -> q181SubstringDup,
@@ -459,7 +517,8 @@ object QueryCatalogVocab {
     "q185_substring_dup_hashed" -> q185SubstringDupHashed,
     "q186_collocations" -> q186Collocations,
     "q188_source_vocab" -> q188SourceVocab,
-    "q189_eval_leakage" -> q189EvalLeakage)
+    "q189_eval_leakage" -> q189EvalLeakage,
+    "q191_dup_modularity" -> q191DupModularity)
 
   val oracle: Map[String, String] = Map(
     "q181_substring_dup" -> q181Sql,
@@ -469,5 +528,6 @@ object QueryCatalogVocab {
     "q185_substring_dup_hashed" -> q181Sql,
     "q186_collocations" -> q186Sql,
     "q188_source_vocab" -> q188Sql,
-    "q189_eval_leakage" -> q189Sql)
+    "q189_eval_leakage" -> q189Sql,
+    "q191_dup_modularity" -> q191Sql)
 }
