@@ -508,6 +508,74 @@ object QueryCatalogVocab {
       |         / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)) AS q_contrib
       |FROM ps CROSS JOIN m ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q192: longest duplicated span
+  /** The headline memorization statistic: per language, the longest
+    * contiguous verbatim-duplicated span (maximal union of flagged
+    * k=20 windows, [[graft.ops.dedup.SubstringDup.dupSpansHashed]])
+    * and which document carries it, plus span/doc counts. Winner
+    * selection is deterministic: longest span, then smallest
+    * span_start, then smallest doc_id — identical ORDER BY in the
+    * oracle. Rolling-hash flagging (8-byte exchange); the oracle
+    * replays with exact substrings, so this is also a collision audit
+    * over the island logic. */
+  val q192LongestSpan: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val spans = SubstringDup.dupSpansHashed(docs, "doc_id", "text", 20)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    val perDoc = spans.groupBy("lang", "doc_id")
+      .agg(count(lit(1)).as("n_spans_doc"), max("span_len").as("max_span_doc"))
+    val stats = perDoc.groupBy("lang").agg(
+      count(lit(1)).as("n_docs_with_dup"),
+      sum("n_spans_doc").cast("long").as("n_spans"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("span_len").desc, col("span_start").asc, col("doc_id").asc)
+    val winner = spans.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("lang"), col("span_len").as("longest_span"),
+        col("doc_id").as("longest_doc"), col("span_start").as("longest_start"))
+    stats.join(winner, "lang").orderBy("lang")
+  }
+
+  private val q192Sql =
+    """WITH wins AS (
+      |  SELECT doc_id, i, substr(text, CAST(i AS INT), 20) AS win
+      |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 19)) AS i
+      |        FROM documents WHERE text IS NOT NULL AND length(text) >= 20) u),
+      |flagged AS (
+      |  SELECT doc_id, i FROM (
+      |    SELECT doc_id, i, COUNT(*) OVER (PARTITION BY win) AS cnt FROM wins) z
+      |  WHERE cnt >= 2),
+      |isl AS (
+      |  SELECT doc_id, i,
+      |         CASE WHEN prev IS NULL OR i - prev > 20 THEN 1 ELSE 0 END AS brk
+      |  FROM (SELECT doc_id, i, lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      |        FROM flagged)),
+      |grp AS (
+      |  SELECT doc_id, i,
+      |         SUM(brk) OVER (PARTITION BY doc_id ORDER BY i) AS island
+      |  FROM isl),
+      |spans AS (
+      |  SELECT g.doc_id, d.lang, MIN(i) AS span_start,
+      |         MAX(i) - MIN(i) + 20 AS span_len
+      |  FROM grp g JOIN documents d USING (doc_id)
+      |  GROUP BY g.doc_id, d.lang, island),
+      |per_doc AS (
+      |  SELECT lang, doc_id, COUNT(*) AS n_spans_doc, MAX(span_len) AS max_span_doc
+      |  FROM spans GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT lang, COUNT(*) AS n_docs_with_dup,
+      |         CAST(SUM(n_spans_doc) AS BIGINT) AS n_spans
+      |  FROM per_doc GROUP BY 1),
+      |winner AS (
+      |  SELECT lang, CAST(span_len AS BIGINT) AS longest_span,
+      |         doc_id AS longest_doc, CAST(span_start AS BIGINT) AS longest_start
+      |  FROM (SELECT *, row_number() OVER (
+      |          PARTITION BY lang
+      |          ORDER BY span_len DESC, span_start, doc_id) AS rk FROM spans)
+      |  WHERE rk = 1)
+      |SELECT lang, n_docs_with_dup, n_spans, longest_span, longest_doc, longest_start
+      |FROM stats JOIN winner USING (lang) ORDER BY lang""".stripMargin
+
   // ----------------------------------------------------------------
   val all: Map[String, Q] = Map(
     "q181_substring_dup" -> q181SubstringDup,
@@ -518,7 +586,8 @@ object QueryCatalogVocab {
     "q186_collocations" -> q186Collocations,
     "q188_source_vocab" -> q188SourceVocab,
     "q189_eval_leakage" -> q189EvalLeakage,
-    "q191_dup_modularity" -> q191DupModularity)
+    "q191_dup_modularity" -> q191DupModularity,
+    "q192_longest_span" -> q192LongestSpan)
 
   val oracle: Map[String, String] = Map(
     "q181_substring_dup" -> q181Sql,
@@ -529,5 +598,6 @@ object QueryCatalogVocab {
     "q186_collocations" -> q186Sql,
     "q188_source_vocab" -> q188Sql,
     "q189_eval_leakage" -> q189Sql,
-    "q191_dup_modularity" -> q191Sql)
+    "q191_dup_modularity" -> q191Sql,
+    "q192_longest_span" -> q192Sql)
 }

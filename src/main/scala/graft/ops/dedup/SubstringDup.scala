@@ -58,18 +58,44 @@ object SubstringDup {
     * materializing k-char substrings. Hash equality stands in for
     * string equality — collision odds n²/2⁶⁴; byte-oriented, so on
     * ASCII corpora the result is identical to [[dupChars]]. */
-  def dupCharsHashed(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+  def dupCharsHashed(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    coverage(flaggedHashed(docs, idCol, textCol, k), idCol, k)
+
+  /** The shared hashed flagging pass: (idCol, i) starts of k-windows
+    * whose rolling hash occurs ≥2 times corpus-wide. */
+  private def flaggedHashed(docs: DataFrame, idCol: String, textCol: String,
+                            k: Int): DataFrame = {
     import graft.functions.RollingHash
     val wins = docs
       .filter(col(textCol).isNotNull && length(col(textCol)) >= k)
       .select(col(idCol),
         posexplode(RollingHash.windowHashes(col(textCol), k)).as(Seq("p", "h")))
       .select(col(idCol), (col("p") + 1).cast("long").as("i"), col("h"))
-    val flagged = wins
+    wins
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
       .filter(col("cnt") >= 2)
       .select(col(idCol), col("i"))
-    coverage(flagged, idCol, k)
+  }
+
+  /** Maximal duplicated SPANS per document (gaps-and-islands over the
+    * flagged window starts): starts whose gap is ≤ k chain into one
+    * contiguous covered interval; each island reports
+    * (span_start, span_len = last_i − first_i + k). The longest such
+    * span is the headline memorization statistic of the ExactSubstr
+    * papers. Same hashed flagging pass as [[dupCharsHashed]]; the
+    * island pass is doc-keyed. */
+  def dupSpansHashed(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int): DataFrame = {
+    val byDoc = Window.partitionBy(idCol).orderBy("i")
+    flaggedHashed(docs, idCol, textCol, k)
+      .withColumn("prev", lag("i", 1).over(byDoc))
+      .withColumn("brk",
+        (col("prev").isNull || (col("i") - col("prev")) > k).cast("long"))
+      .withColumn("island", sum("brk").over(byDoc))
+      .groupBy(col(idCol), col("island"))
+      .agg(min("i").as("span_start"),
+        (max("i") - min("i") + k).as("span_len"))
+      .select(col(idCol), col("span_start"), col("span_len"))
   }
 
   /** Verbatim train→eval leakage (Lee et al. 2022 decontamination):

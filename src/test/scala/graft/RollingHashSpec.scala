@@ -82,6 +82,31 @@ class RollingHashSpec extends SparkSpec {
     assert(got.contains(1L) && !got.contains(2L) && !got.contains(3L))
   }
 
+  test("dupSpansHashed merges flagged windows into maximal islands") {
+    val k = 4
+    // doc1/doc2 share 'wxyz' -> each gets one island of exactly k;
+    // doc3 'qqqqq' self-repeats: starts 1,2 chain -> one island of 5;
+    // doc4: 'wxyz' at both ends with a long unique middle -> TWO
+    //   islands (gap > k), each of span k
+    val docs = Seq(
+      (1L, "wxyzAAAA"), (2L, "BBBBwxyz"), (3L, "qqqqq"),
+      (4L, "wxyzMNOPQRSTUVwxyz")).toDF("doc_id", "text")
+    val got = SubstringDup.dupSpansHashed(docs, "doc_id", "text", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sorted.toSeq).toMap
+    assert(got(1L) == Seq((1L, 4L)))
+    assert(got(2L) == Seq((5L, 4L)))
+    assert(got(3L) == Seq((1L, 5L)))
+    assert(got(4L) == Seq((1L, 4L), (15L, 4L)), s"two disjoint islands: $got")
+    // islands' char totals equal dupChars coverage on the same corpus
+    val spanSum = SubstringDup.dupSpansHashed(docs, "doc_id", "text", k)
+      .groupBy("doc_id").agg(sum("span_len").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cov = SubstringDup.dupChars(docs, "doc_id", "text", k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(spanSum == cov, "span lengths must sum to the coverage identity")
+  }
+
   test("dupCharsHashed reproduces dupChars exactly on ASCII corpora") {
     for ((k, texts) <- Seq(
       4 -> Seq("wxyzAAAA", "BBBBwxyz", "qqqqq", "uniquetextnothingrepeats", "ab"),
