@@ -1758,7 +1758,109 @@ object QueryCatalogCuration {
       |         AS top_share_micros
       |FROM sh GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q193: LSH estimator calibration
+  /** Measure, don't guess: how accurate is the n=16 MinHash Jaccard
+    * ESTIMATE on the pairs the LSH stage actually surfaces? Per
+    * candidate pair, the signature agreement n_match/16 is compared
+    * against the exact shingle Jaccard; the absolute error lands in a
+    * 2%-wide band via pure INT64 cross-multiplication
+    * ((50·|n_match·U − 16·n_inter|) DIV (16·U), U = union size), and
+    * the τ=0.7 gate decisions (est: n_match ≥ 12; exact:
+    * 10·n_inter ≥ 7·U) are tallied for disagreement — the
+    * false-accept/false-reject rate the signature width buys. No
+    * doubles anywhere. Scale shape: the candidate list is localized
+    * ONCE and feeds both the signature join-back and the exact
+    * verifier (scoped cache release); everything downstream is
+    * pair-table-sized. */
+  val q193LshCalibration: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val shingles = Dedup.shingleSet(docs, "doc_id", "text", 3)
+    val sig = Dedup.minHash(shingles, "doc_id", n = 16)
+    val cand = graft.ops.Materialize.localize(
+      Dedup.candidatePairs(Dedup.lshBands(sig, "doc_id", 16, 4), "doc_id"))
+    val sigA = sig.toDF(sig.columns.map(c => if (c == "doc_id") "id_a" else s"a_$c"): _*)
+    val sigB = sig.toDF(sig.columns.map(c => if (c == "doc_id") "id_b" else s"b_$c"): _*)
+    val matches = cand.join(sigA, "id_a").join(sigB, "id_b")
+      .withColumn("n_match",
+        (0 until 16).map(i =>
+          (col(f"a_mh$i%02d") === col(f"b_mh$i%02d")).cast("long")).reduce(_ + _))
+      .select("id_a", "id_b", "n_match")
+    Dedup.jaccardScoped(cand, shingles, "doc_id") { j =>
+      val pairs = j
+        .select(col("id_a"), col("id_b"), col("n_inter"),
+          (col("n_a") + col("n_b") - col("n_inter")).as("u"))
+        .join(matches, Seq("id_a", "id_b"))
+        .withColumn("err_band",
+          expr("(50 * abs(n_match * u - 16 * n_inter)) DIV (16 * u)"))
+        .withColumn("est_pass", (col("n_match") >= 12).cast("long"))
+        .withColumn("exact_pass", (col("n_inter") * 10 >= col("u") * 7).cast("long"))
+      graft.ops.Materialize.localize(
+        pairs.groupBy("err_band").agg(
+          count(lit(1)).as("n_pairs"),
+          sum("est_pass").cast("long").as("n_est_pass"),
+          sum("exact_pass").cast("long").as("n_exact_pass"),
+          sum(when(col("est_pass") =!= col("exact_pass"), 1L).otherwise(0L))
+            .cast("long").as("n_disagree"))
+        .orderBy("err_band"))
+    }
+  }
+
+  private val q193Sql =
+    s"""WITH tok AS (SELECT doc_id,
+       |       unnest(string_split_regex(text, '\\s+')) AS tok,
+       |       generate_subscripts(string_split_regex(text, '\\s+'), 1) AS pos
+       |     FROM documents),
+       |sh0 AS (SELECT doc_id,
+       |        lag(tok, 2) OVER dw || ' ' || lag(tok, 1) OVER dw || ' ' || tok AS w
+       |        FROM tok WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+       |w AS (SELECT DISTINCT doc_id, w FROM sh0 WHERE w IS NOT NULL),
+       |sig AS (SELECT doc_id, s.seed,
+       |               MIN(${mhSqlLocal("s.seed", "w")}) AS mh
+       |        FROM w, (SELECT unnest(range(16)) AS seed) s GROUP BY 1, 2),
+       |b AS (SELECT doc_id, seed // 4 AS band,
+       |             md5(string_agg(CAST(mh AS VARCHAR), ':' ORDER BY seed)) AS band_key
+       |      FROM sig GROUP BY doc_id, seed // 4),
+       |bsz AS (SELECT band, band_key FROM b
+       |        GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 64),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+       |         FROM b a JOIN b b2 USING (band, band_key)
+       |         JOIN bsz USING (band, band_key)
+       |         WHERE a.doc_id < b2.doc_id),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY 1),
+       |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+       |          FROM cand c
+       |          JOIN w wa ON wa.doc_id = c.id_a
+       |          JOIN w wb ON wb.doc_id = c.id_b AND wb.w = wa.w
+       |          GROUP BY 1, 2),
+       |mm AS (SELECT c.id_a, c.id_b,
+       |              CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT)
+       |                AS n_match
+       |       FROM cand c
+       |       JOIN sig sa ON sa.doc_id = c.id_a
+       |       JOIN sig sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
+       |       GROUP BY 1, 2),
+       |pp AS (SELECT m.id_a, m.id_b, m.n_match,
+       |              CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS ni,
+       |              CAST(ca.n + cb.n - COALESCE(i.n_inter, 0) AS BIGINT) AS u
+       |       FROM mm m
+       |       LEFT JOIN inter i ON i.id_a = m.id_a AND i.id_b = m.id_b
+       |       JOIN cnt ca ON ca.doc_id = m.id_a
+       |       JOIN cnt cb ON cb.doc_id = m.id_b),
+       |e AS (SELECT *,
+       |        CAST((50 * abs(n_match * u - 16 * ni)) // (16 * u) AS BIGINT)
+       |          AS err_band,
+       |        CASE WHEN n_match >= 12 THEN 1 ELSE 0 END AS est_pass,
+       |        CASE WHEN ni * 10 >= u * 7 THEN 1 ELSE 0 END AS exact_pass
+       |      FROM pp)
+       |SELECT err_band, COUNT(*) AS n_pairs,
+       |       CAST(SUM(est_pass) AS BIGINT) AS n_est_pass,
+       |       CAST(SUM(exact_pass) AS BIGINT) AS n_exact_pass,
+       |       CAST(SUM(CASE WHEN est_pass <> exact_pass THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_disagree
+       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q193_lsh_calibration" -> q193LshCalibration,
     "q178_representative_dedup" -> q178RepresentativeDedup,
     "q179_boilerplate_mine" -> q179BoilerplateMine,
     "q176_mix_schedule" -> q176MixSchedule,
@@ -1792,6 +1894,7 @@ object QueryCatalogCuration {
   )
 
   val oracle: Map[String, String] = Map(
+    "q193_lsh_calibration" -> q193Sql,
     "q178_representative_dedup" -> q178Sql,
     "q179_boilerplate_mine" -> q179Sql,
     "q176_mix_schedule" -> q176Sql,

@@ -17,6 +17,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("rolling hash equals direct polynomial on seeded random byte strings") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 200) {
+      val len = rnd.nextInt(60)
+      val s = new String(Array.fill(len)((32 + rnd.nextInt(95)).toChar))
+      for (k <- Seq(1, 2, 5, 8)) {
+        val got = graft.functions.RollingHash(
+            org.apache.spark.sql.catalyst.expressions.Literal(UTF8String.fromString(s)), k)
+          .eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+        val b = s.getBytes("UTF-8")
+        val want = (0 to b.length - k).map { i =>
+          var h = 0L
+          for (j <- i until i + k) h = h * graft.functions.RollingHash.M + (b(j) & 0xffL)
+          h
+        }
+        assert(got == want, s"len=$len k=$k")
+      }
+    }
+  }
+
   test("pogae invariant: pogae = silsan - sdotae + yangja (farrowing.py:175-182)") {
     for (silsan <- 0 to 15; sdotae <- 0 to 5; ji <- 0 to 4; jc <- 0 to 4) {
       val yangja = ji - jc
