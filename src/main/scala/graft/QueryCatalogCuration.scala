@@ -1859,7 +1859,60 @@ object QueryCatalogCuration {
        |         AS n_disagree
        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q194: incremental CC maintenance
+  /** Incremental duplicate-cluster maintenance
+    * ([[graft.ops.dedup.ConnectedComponents.incremental]]): the base
+    * corpus's boilerplate-prefix star edges produce standing labels;
+    * the re-crawl's edges (every edge whose member is a re-crawl doc)
+    * arrive as the INCREMENT and are folded in by contracting
+    * standing components to their label nodes — CC runs over the
+    * increment-sized contracted graph only, never the full edge
+    * history. The result must equal full CC over the union graph:
+    * the oracle replays the union groups in closed form (prefix
+    * groups are disjoint → components ARE the ≥2-member groups,
+    * anchored at their min doc). Re-crawl ids sit above 10⁶, so base
+    * anchors never move — increment edges are exactly the
+    * member-is-recrawl ones. */
+  val q194IncrementalCc: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val recrawl = docs.unionByName(
+      docs.filter(col("doc_id") < 50).withColumn("doc_id", col("doc_id") + 1000000))
+    val grouped = recrawl.select(col("doc_id"),
+        Dedup.h60(lit(0), substring(col("text"), 1, 40)).as("h"))
+      .withColumn("anchor", min("doc_id").over(Window.partitionBy("h")))
+      .withColumn("gsz", count(lit(1)).over(Window.partitionBy("h")))
+    val edges = grouped
+      .filter(col("gsz") >= 2 && col("doc_id") =!= col("anchor"))
+      .select(col("anchor").as("id_a"), col("doc_id").as("id_b"))
+    val baseEdges = edges.filter(col("id_b") <= 1000000L)
+    val incEdges = edges.filter(col("id_b") > 1000000L)
+    val labels = ConnectedComponents.minLabelLocalized(baseEdges)
+    val updated = ConnectedComponents.incremental(labels, incEdges)
+    val sizes = updated.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    updated.join(sizes, "component")
+      .select(col("id").as("doc_id"), col("component"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  private val q194Sql =
+    """WITH dup AS (
+      |  SELECT * FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+      |  FROM documents WHERE doc_id < 50),
+      |g AS (
+      |  SELECT doc_id, md5('0|' || substr(text, 1, 40)) AS h FROM dup),
+      |a AS (
+      |  SELECT doc_id, h,
+      |         MIN(doc_id) OVER (PARTITION BY h) AS component,
+      |         COUNT(*) OVER (PARTITION BY h) AS cluster_size
+      |  FROM g)
+      |SELECT doc_id, component, CAST(cluster_size AS BIGINT) AS cluster_size
+      |FROM a WHERE cluster_size >= 2 ORDER BY doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q194_incremental_cc" -> q194IncrementalCc,
     "q193_lsh_calibration" -> q193LshCalibration,
     "q178_representative_dedup" -> q178RepresentativeDedup,
     "q179_boilerplate_mine" -> q179BoilerplateMine,
@@ -1894,6 +1947,7 @@ object QueryCatalogCuration {
   )
 
   val oracle: Map[String, String] = Map(
+    "q194_incremental_cc" -> q194Sql,
     "q193_lsh_calibration" -> q193Sql,
     "q178_representative_dedup" -> q178Sql,
     "q179_boilerplate_mine" -> q179Sql,

@@ -91,6 +91,52 @@ object ConnectedComponents {
     try graft.ops.Materialize.localize(comp) finally release(comp)
   }
 
+  /** INCREMENTAL maintenance: fold a batch of NEW edges into standing
+    * (id, component) labels without re-running CC over the full graph
+    * — the daily-crawl shape where yesterday's labels are a table and
+    * today's verified near-dup edges are the increment.
+    *
+    * Sound because a minLabel component's label IS its minimum member
+    * id: contract every standing component to its label node, map each
+    * new edge endpoint to its label (itself when unseen), run
+    * min-label CC on the CONTRACTED graph — increment-sized, never
+    * corpus-sized — and relabel. A contracted component's min over
+    * {standing labels ∪ new ids} equals the min id of the merged
+    * member set, so the output is bit-identical to
+    * `minLabel(oldEdges ∪ newEdges)` (spec-asserted on merge/attach/
+    * fresh/untouched cases).
+    *
+    * Work: two increment-keyed joins + CC over the contracted edges +
+    * one labels-table join for the relabel. Nothing proportional to
+    * the full edge history.
+    *
+    * @param labels   standing (id, component), component = min member
+    *                 id (any minLabel/alternatingStar output)
+    * @param newEdges (id_a, id_b); endpoints may be unseen ids
+    * @return (id, component) for standing ∪ new ids */
+  def incremental(labels: DataFrame, newEdges: DataFrame,
+                  maxIter: Int = 20): DataFrame = {
+    val la = labels.select(col("id").as("id_a"), col("component").as("__ca"))
+    val lb = labels.select(col("id").as("id_b"), col("component").as("__cb"))
+    val contractedEdges = newEdges
+      .join(la, Seq("id_a"), "left")
+      .join(lb, Seq("id_b"), "left")
+      .select(coalesce(col("__ca"), col("id_a")).as("id_a"),
+        coalesce(col("__cb"), col("id_b")).as("id_b"))
+    // affected-components-only labels; localized (increment-sublinear)
+    val contracted = minLabelLocalized(contractedEdges, maxIter)
+    val relabel = contracted
+      .select(col("id").as("component"), col("component").as("__newc"))
+    val standing = labels.join(relabel, Seq("component"), "left")
+      .select(col("id"),
+        coalesce(col("__newc"), col("component")).as("component"))
+    val newIds = newEdges.select(col("id_a").as("id"))
+      .union(newEdges.select(col("id_b").as("id"))).distinct()
+      .join(labels.select("id"), Seq("id"), "left_anti")
+    val fresh = newIds.join(contracted, Seq("id")).select("id", "component")
+    standing.unionByName(fresh)
+  }
+
   def minLabel(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     // the input edge list is referenced three times below (two union
     // directions + self-loops): cache it, or the caller's upstream

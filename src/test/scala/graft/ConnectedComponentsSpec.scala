@@ -24,6 +24,29 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(comp == Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
   }
 
+  test("incremental equals full recompute on merge/attach/fresh/untouched") {
+    // base graph: comp A = {1,2,3} (label 1), comp B = {10,11} (label
+    // 10), comp C = {20,21} (label 20, untouched by the increment)
+    val base = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val labels = ConnectedComponents.minLabel(base)
+    // increment exercises every shape at once:
+    //  (3,10)  MERGES standing A and B           -> all label 1
+    //  (11,30) ATTACHES new node 30 to the merge -> label 1
+    //  (40,41) FRESH component of new ids        -> label 40
+    //  (2,3)   intra-component edge (no-op, self-edge after contraction)
+    //  C untouched                               -> label 20 passes through
+    val inc = Seq((3L, 10L), (11L, 30L), (40L, 41L), (2L, 3L))
+      .toDF("id_a", "id_b")
+    val got = ConnectedComponents.incremental(labels, inc)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = ConnectedComponents.minLabel(base.unionByName(inc))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"incremental diverged: $got vs $want")
+    assert(got(30L) == 1L && got(40L) == 40L && got(41L) == 40L && got(20L) == 20L)
+    ConnectedComponents.release(labels)
+  }
+
   test("empty edge list yields empty labels") {
     val edges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(ConnectedComponents.minLabel(edges).count() == 0)
