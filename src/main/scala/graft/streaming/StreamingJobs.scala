@@ -283,6 +283,79 @@ object StreamingJobs {
       }
       .start()
 
+  /** Streaming duplicate-CLUSTER maintenance — the label-table face
+    * of [[nearDupStream]]: every doc is admitted and a standing
+    * (id, component) registry is updated per micro-batch with
+    * [[graft.ops.dedup.ConnectedComponents.incremental]] over the
+    * batch's VERIFIED edges (intra-batch + batch-vs-store LSH
+    * candidates, exact-Jaccard gated). nearDupStream answers "drop
+    * this?"; this answers "which cluster is it in?" — the registry
+    * representative selection (q178) and audit queries read. Per
+    * batch, CC runs over the CONTRACTED increment-sized graph only
+    * (never the full edge history), and the registry updates through
+    * the crash-safe staging-swap upsert. Docs with no verified edge
+    * carry no registry row (minLabel semantics — singletons are
+    * implicit). Store growth note: as nearDupStream — a dedup store
+    * has no eviction horizon; it grows with the admitted corpus. */
+  def clusterMaintStream(docs: DataFrame, storeDir: String, textDir: String,
+                         labelsDir: String, checkpoint: String,
+                         tau: Double = 0.7): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        import graft.ops.dedup.{ConnectedComponents, Dedup}
+        val spark = batch0.sparkSession
+        // exact dups stay IN: identical texts collide in every band,
+        // verify at jaccard 1 and become a cluster — the registry
+        // records them rather than dropping them
+        val batch = batch0.select("doc_id", "text").cache()
+        val shingles = Dedup.shingleSet(batch, "doc_id", "text", k = 3)
+        val bands = Dedup.lshBands(
+          Dedup.minHash(shingles, "doc_id", n = 16), "doc_id", 16, 4).cache()
+        val releases = scala.collection.mutable.ListBuffer.empty[() => Unit]
+        def exists(dir: String): Boolean = {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+        }
+        val intraCand = Dedup.candidatePairs(bands, "doc_id")
+        val (cand, corpus) =
+          if (!exists(storeDir)) (intraCand, shingles)
+          else {
+            val coll = bands
+              .join(spark.read.parquet(storeDir)
+                .withColumnRenamed("doc_id", "sid"), Seq("band", "band_key"))
+              .filter(col("sid") =!= col("doc_id"))
+              .select(least(col("sid"), col("doc_id")).as("id_a"),
+                greatest(col("sid"), col("doc_id")).as("id_b"))
+              .distinct().cache()
+            releases += (() => coll.unpersist(false))
+            val storeDocs = spark.read.parquet(textDir)
+              .join(coll.select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+                .distinct(), Seq("doc_id"), "left_semi")
+            val all = Dedup.shingleSet(
+              storeDocs.select("doc_id", "text")
+                .unionByName(batch.select("doc_id", "text")), "doc_id", "text", k = 3)
+            (intraCand.unionByName(coll).distinct(), all)
+          }
+        val jh = Dedup.jaccardReleasable(cand, corpus, "doc_id")
+        releases += jh.release
+        val edges = jh.df.filter(col("jaccard") >= tau).select("id_a", "id_b")
+        val labels =
+          if (exists(labelsDir)) spark.read.parquet(labelsDir)
+          else batch.select(col("doc_id").as("id"),
+            col("doc_id").as("component")).limit(0)
+        val updated = ConnectedComponents.incremental(labels, edges)
+        graft.sinks.Sinks.upsertParquet(spark, updated, labelsDir, Seq("id"))
+        batch.write.mode("append").parquet(textDir)
+        bands.write.mode("append").parquet(storeDir)
+        batch.unpersist(); bands.unpersist()
+        releases.foreach(_())
+        ()
+      }
+      .start()
+
   /** Streaming corpus-drift monitor (q166's stream face): per
     * tumbling window, the total-variation distance between the
     * window's token distribution and a STATIC reference distribution

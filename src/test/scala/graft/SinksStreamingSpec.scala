@@ -352,6 +352,35 @@ class SinksStreamingSpec extends SparkSpec {
       s"3 drops in-batch, 0/11 vs store, 12 novel — got ${ids.toSeq}")
   }
 
+  test("streaming cluster maintenance: registry tracks clusters across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val (store, texts, labels, chk) =
+      (tmp() + "/cstore", tmp() + "/ctexts", tmp() + "/clabels", tmp() + "/cchk")
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val other = "completely different words about spark query engines and shuffles in production"
+    // batch 1: docs 1+2 are exact dups (cluster 1), doc 3 unrelated
+    mem.addData((1L, base), (2L, base), (3L, other))
+    StreamingJobs.clusterMaintStream(df, store, texts, labels, chk).awaitTermination()
+    val l1 = spark.read.parquet(labels)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l1 == Map(1L -> 1L, 2L -> 1L), s"batch 1 registry: $l1")
+    // batch 2: doc 4 near-dups the standing cluster (attach), docs
+    // 5+6 form a fresh cluster, doc 7 stays a singleton (no row)
+    mem.addData((4L, base.replace("today", "tonight")),
+      (5L, other.replace("production", "development")), (6L, other),
+      (7L, "entirely novel content with no overlap at all whatsoever anywhere in sight"))
+    StreamingJobs.clusterMaintStream(df, store, texts, labels, chk).awaitTermination()
+    val l2 = spark.read.parquet(labels)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l2 == Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 3L -> 3L, 5L -> 3L, 6L -> 3L),
+      s"batch 2 registry: $l2")
+    // no cached partitions outlive the batches
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "cluster maintenance must release every cache it takes")
+  }
+
   test("streaming keyed upsert via foreachBatch (weather MERGE as a stream)") {
     implicit val sqlCtx = spark.sqlContext
     val path = tmp() + "/t"
