@@ -1911,7 +1911,69 @@ object QueryCatalogCuration {
       |SELECT doc_id, component, CAST(cluster_size AS BIGINT) AS cluster_size
       |FROM a WHERE cluster_size >= 2 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q195: snapshot profile drift
+  /** Column-profile drift between two corpus snapshots — the
+    * data-contract check a pipeline runs before TRUSTING a new
+    * delivery: profile both snapshots in one Expand pass each
+    * ([[graft.ops.Profiler.profile]]), join per column, and flag (a)
+    * non-null RATE drift by exact cross-multiplication
+    * (nn_b·rows_a ≠ nn_a·rows_b — no rate doubles) and (b) min/max
+    * boundary movement. The simulated next-day snapshot appends the
+    * re-crawl AND nulls its `source` column — the silent
+    * upstream-break shape (a feed drops a field) that row counts
+    * alone never catch; q190's manifest says THAT something changed,
+    * this says WHAT. Scale: two single-pass profiles + a
+    * columns-sized join. */
+  val q195ProfileDrift: Q = (s, d) => {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val a = Tables.documents(s, d)
+    val b = a.unionByName(
+      a.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("source", lit(null: String)))
+    val pa = graft.ops.Profiler.profile(a, cols)
+      .select(col("col_name"), col("n_rows").as("n_rows_a"),
+        col("n_nonnull").as("nn_a"), col("n_distinct").as("nd_a"),
+        col("min_value").as("mn_a"), col("max_value").as("mx_a"))
+    val pb = graft.ops.Profiler.profile(b, cols)
+      .select(col("col_name"), col("n_rows").as("n_rows_b"),
+        col("n_nonnull").as("nn_b"), col("n_distinct").as("nd_b"),
+        col("min_value").as("mn_b"), col("max_value").as("mx_b"))
+    pa.join(pb, "col_name")
+      .select(col("col_name"), col("n_rows_a"), col("n_rows_b"),
+        col("nn_a"), col("nn_b"), col("nd_a"), col("nd_b"),
+        when(col("nn_b") * col("n_rows_a") =!= col("nn_a") * col("n_rows_b"), "Y")
+          .otherwise("N").as("nonnull_rate_drift"),
+        when(col("mn_a") =!= col("mn_b") || col("mx_a") =!= col("mx_b"), "Y")
+          .otherwise("N").as("bounds_moved"))
+      .orderBy("col_name")
+  }
+
+  private val q195Sql = {
+    def prof(src: String, suf: String) =
+      Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows_$suf,
+           |       COUNT($c) AS nn_$suf, COUNT(DISTINCT $c) AS nd_$suf,
+           |       CAST(MIN($c) AS VARCHAR) AS mn_$suf,
+           |       CAST(MAX($c) AS VARCHAR) AS mx_$suf FROM $src""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    s"""WITH b0 AS (
+       |  SELECT * FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text, lang, NULL AS source, n_chars
+       |  FROM documents WHERE doc_id < 50),
+       |pa AS (${prof("documents", "a")}),
+       |pb AS (${prof("b0", "b")})
+       |SELECT col_name, n_rows_a, n_rows_b, nn_a, nn_b, nd_a, nd_b,
+       |       CASE WHEN nn_b * n_rows_a <> nn_a * n_rows_b THEN 'Y' ELSE 'N' END
+       |         AS nonnull_rate_drift,
+       |       CASE WHEN mn_a <> mn_b OR mx_a <> mx_b THEN 'Y' ELSE 'N' END
+       |         AS bounds_moved
+       |FROM pa JOIN pb USING (col_name) ORDER BY col_name""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "q195_profile_drift" -> q195ProfileDrift,
     "q194_incremental_cc" -> q194IncrementalCc,
     "q193_lsh_calibration" -> q193LshCalibration,
     "q178_representative_dedup" -> q178RepresentativeDedup,
@@ -1947,6 +2009,7 @@ object QueryCatalogCuration {
   )
 
   val oracle: Map[String, String] = Map(
+    "q195_profile_drift" -> q195Sql,
     "q194_incremental_cc" -> q194Sql,
     "q193_lsh_calibration" -> q193Sql,
     "q178_representative_dedup" -> q178Sql,
