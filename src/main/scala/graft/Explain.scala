@@ -135,6 +135,10 @@ object Explain {
       "by rolling hashes; containment is a hash-partitioned LeftSemi join " +
       "(the train window set is corpus-sized — never broadcast); per-doc " +
       "coverage via the min(k, gap) identity on doc-keyed windows."),
+    "q194_incremental_cc" -> ("Incremental CC: standing components contract " +
+      "to their label nodes via two increment-keyed joins; min-label CC runs " +
+      "over the CONTRACTED increment-sized graph (localized), then ONE " +
+      "labels-table relabel join — the full edge history is never revisited."),
   )
 
   def main(args: Array[String]): Unit = {
