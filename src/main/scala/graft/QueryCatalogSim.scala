@@ -1121,6 +1121,15 @@ object QueryCatalogSim {
     val b = emb.filter(col("vec_id") % 2 === 1)
       .select(col("vec_id").as("b_id"), col("embedding").as("bv"),
         VectorOps.norm(col("embedding")).as("bn"))
+    // evaluation trade, MEASURED at sf1: the pairs frame feeds three
+    // legs (top-2 both directions), and the b_id window's exchange
+    // re-runs the cross join (the a_id legs share one exchange). A
+    // leafCache that stores the 6.25M-row pair frame to kill that
+    // re-evaluation benched 40-60 s vs 11.5 s for the re-evaluated
+    // form — the codegen'd BNLJ + native DotProduct recompute is far
+    // cheaper than materializing and re-shuffling the stored rows.
+    // Exchange reuse is the right tool here; at corpus scale the
+    // whole query swaps to LSH/IVF candidates anyway.
     val pairs = a.crossJoin(b)
       .withColumn("cos", VectorOps.cosine(col("av"), col("bv"), col("an"), col("bn")))
       .select("a_id", "b_id", "cos")

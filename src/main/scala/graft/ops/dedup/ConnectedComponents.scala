@@ -116,24 +116,34 @@ object ConnectedComponents {
     * @return (id, component) for standing ∪ new ids */
   def incremental(labels: DataFrame, newEdges: DataFrame,
                   maxIter: Int = 20): DataFrame = {
+    // the edge increment is referenced twice (contraction + new-id
+    // detection) and its upstream is often a whole LSH/verification
+    // pipeline: evaluate it ONCE into a leaf, release after both
+    // eager consumers below have run (the q177 discipline)
+    val ne = graft.ops.Materialize.leafCache(
+      newEdges.select(col("id_a"), col("id_b")))
     val la = labels.select(col("id").as("id_a"), col("component").as("__ca"))
     val lb = labels.select(col("id").as("id_b"), col("component").as("__cb"))
-    val contractedEdges = newEdges
+    val contractedEdges = ne
       .join(la, Seq("id_a"), "left")
       .join(lb, Seq("id_b"), "left")
       .select(coalesce(col("__ca"), col("id_a")).as("id_a"),
         coalesce(col("__cb"), col("id_b")).as("id_b"))
     // affected-components-only labels; localized (increment-sublinear)
     val contracted = minLabelLocalized(contractedEdges, maxIter)
+    val newIds = ne.select(col("id_a").as("id"))
+      .union(ne.select(col("id_b").as("id"))).distinct()
+      .join(labels.select("id"), Seq("id"), "left_anti")
+    // increment-sublinear: localize so the returned frame's (possibly
+    // multi-consumer) plan never re-reads the edge pipeline
+    val fresh = graft.ops.Materialize.localize(
+      newIds.join(contracted, Seq("id")).select("id", "component"))
+    graft.ops.Materialize.release(ne)
     val relabel = contracted
       .select(col("id").as("component"), col("component").as("__newc"))
     val standing = labels.join(relabel, Seq("component"), "left")
       .select(col("id"),
         coalesce(col("__newc"), col("component")).as("component"))
-    val newIds = newEdges.select(col("id_a").as("id"))
-      .union(newEdges.select(col("id_b").as("id"))).distinct()
-      .join(labels.select("id"), Seq("id"), "left_anti")
-    val fresh = newIds.join(contracted, Seq("id")).select("id", "component")
     standing.unionByName(fresh)
   }
 

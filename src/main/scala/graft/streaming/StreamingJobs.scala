@@ -155,9 +155,13 @@ object StreamingJobs {
   def decontaminateStream(docs: DataFrame, evalSketch: DataFrame,
                           k: Int, maxLeaked: Int): DataFrame =
     docs.crossJoin(broadcast(evalSketch))
-      .withColumn("n_leaked", size(filter(
+      // null text -> null window array -> null size: coalesce to 0 so
+      // a null-text doc reports 0 leaked and ACCEPTS, matching the
+      // batch audit (q189 filters null text = 0 leaked chars)
+      .withColumn("n_leaked", coalesce(size(filter(
         graft.functions.RollingHash.windowHashes(col("text"), k),
-        h => graft.functions.BloomFilter.mightContain(col("sketch"), h.cast("string")))))
+        h => graft.functions.BloomFilter.mightContain(col("sketch"), h.cast("string")))),
+        lit(0)))
       .withColumn("accept", when(col("n_leaked") <= maxLeaked, "Y").otherwise("N"))
       .drop("sketch")
 
@@ -323,9 +327,21 @@ object StreamingJobs {
         val (cand, corpus) =
           if (!exists(storeDir)) (intraCand, shingles)
           else {
+            // store-side bucket cap (candidatePairs' 64 discipline):
+            // the registry appends EVERY admitted doc's bands, so a
+            // standing boilerplate cluster would otherwise grow one
+            // bucket without bound and make per-batch probe work
+            // linear in cluster size. Hot buckets drop from the
+            // probe; their members are already linked to each other
+            // (their edges were verified when the bucket was small).
+            val bw = org.apache.spark.sql.expressions.Window
+              .partitionBy("band", "band_key")
+            val store = spark.read.parquet(storeDir)
+              .withColumn("__bn", count(lit(1)).over(bw))
+              .filter(col("__bn") <= 64).drop("__bn")
             val coll = bands
-              .join(spark.read.parquet(storeDir)
-                .withColumnRenamed("doc_id", "sid"), Seq("band", "band_key"))
+              .join(store.withColumnRenamed("doc_id", "sid"),
+                Seq("band", "band_key"))
               .filter(col("sid") =!= col("doc_id"))
               .select(least(col("sid"), col("doc_id")).as("id_a"),
                 greatest(col("sid"), col("doc_id")).as("id_b"))
@@ -342,6 +358,11 @@ object StreamingJobs {
         val jh = Dedup.jaccardReleasable(cand, corpus, "doc_id")
         releases += jh.release
         val edges = jh.df.filter(col("jaccard") >= tau).select("id_a", "id_b")
+        // a crash inside upsertParquet's staging-swap window leaves
+        // the registry as __old only — recover BEFORE the existence
+        // read, or a replayed batch would see an empty registry and
+        // relabel while ignoring every standing cluster
+        graft.sinks.Sinks.recoverOrphan(spark, labelsDir)
         val labels =
           if (exists(labelsDir)) spark.read.parquet(labelsDir)
           else batch.select(col("doc_id").as("id"),
