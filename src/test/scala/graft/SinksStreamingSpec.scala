@@ -381,6 +381,32 @@ class SinksStreamingSpec extends SparkSpec {
       "cluster maintenance must release every cache it takes")
   }
 
+  test("cluster maintenance recovers a crashed registry swap before reading") {
+    implicit val sqlCtx = spark.sqlContext
+    val (store, texts, labels, chk) =
+      (tmp() + "/rstore", tmp() + "/rtexts", tmp() + "/rlabels", tmp() + "/rchk")
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    mem.addData((1L, base), (2L, base))
+    StreamingJobs.clusterMaintStream(df, store, texts, labels, chk).awaitTermination()
+    // simulate a crash INSIDE the staging swap: target renamed to
+    // __old, new table never landed — the registry "doesn't exist"
+    val fs = new org.apache.hadoop.fs.Path(labels)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(labels),
+      new org.apache.hadoop.fs.Path(labels + "__old")))
+    // next batch attaches to the standing cluster: without the
+    // recovery-before-read, labels would read empty and doc 4 would
+    // cluster with min id 2 instead of the standing label 1
+    mem.addData((4L, base.replace("today", "tonight")))
+    StreamingJobs.clusterMaintStream(df, store, texts, labels, chk).awaitTermination()
+    val got = spark.read.parquet(labels)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 4L -> 1L),
+      s"registry must survive the crashed swap: $got")
+  }
+
   test("streaming keyed upsert via foreachBatch (weather MERGE as a stream)") {
     implicit val sqlCtx = spark.sqlContext
     val path = tmp() + "/t"
