@@ -61,7 +61,28 @@ object Bench {
       .map(math.max(1, _)).getOrElse(3)
     def f2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // Shuffle-write accounting per query: a SparkListener sums task
+    // shuffle bytes written; the bus is drained before each read
+    // (events are async). Shuffle bytes are the quantitative face of
+    // the SCALE.md exchange audit — "one pre-reduced shuffle" is a
+    // claim, shuffle_mb is the measurement.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      })
+    def drainedShuffle(): Long = {
+      org.apache.spark.GraftMetricsBridge
+        .waitUntilListenerBusEmpty(spark.sparkContext)
+      shuffleBytes.get()
+    }
+    val shuffleMb = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val repTimes = names.map { name =>
+      val sh0 = drainedShuffle()
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try run(sfDir, name) catch { case _: Throwable => () }
@@ -69,6 +90,9 @@ object Bench {
         cleanup()
         dt
       }
+      // per-RUN shuffle write (identical across reps modulo AQE): the
+      // counter delta over all reps divided by reps
+      shuffleMb(name) = (drainedShuffle() - sh0).toDouble / reps / 1048576.0
       // Per-rep spread to STDERR (stderr keeps the FULL spread for
       // every query; the stdout JSON carries it only for the slowest —
       // see below): a loaded box shows up as max >> min, making an
@@ -77,7 +101,8 @@ object Bench {
       // manual re-run to refute.
       System.err.println(
         s"[bench] $name reps=${times.map(f2).mkString(",")} " +
-          s"min=${f2(times.min)} max=${f2(times.max)}")
+          s"min=${f2(times.min)} max=${f2(times.max)} " +
+          s"shuffle_mb=${f2(shuffleMb(name))}")
       name -> times
     }
     val repsByName = repTimes.toMap
@@ -112,7 +137,17 @@ object Bench {
         "\"" + k + "\":[" + repsByName(k).map(f2).mkString(",") + "]"
       }.mkString("{", ",", "}")
       val repsPart = if (repsK > 0) s""","reps":$repsJson""" else ""
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$repsPart,"sf":"$sfName"}"""
+      // top-5 shuffle writers only (full per-query values on stderr):
+      // the quantitative exchange audit, kept tiny for the tail budget
+      val shPart =
+        if (shuffleMb.isEmpty) ""
+        else {
+          val top = shuffleMb.toSeq.sortBy(-_._2).take(5)
+            .map { case (k, v) => "\"" + k + "\":" + f2(v) }
+            .mkString("{", ",", "}")
+          s""","shuffle_mb_total":${f2(shuffleMb.values.sum)},"shuffle_mb_top":$top"""
+        }
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$repsPart$shPart,"sf":"$sfName"}"""
     }
     val bySlowest = results.sortBy(-_._2)
     var keep = bySlowest
