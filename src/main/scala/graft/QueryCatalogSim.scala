@@ -310,6 +310,53 @@ object QueryCatalogSim {
       |  CASE WHEN doc_id % 10 = 7 THEN 'N' ELSE 'Y' END AS ok
       |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q196: audio energy / silence gate
+  /** Windowed audio energy gating (q148's curation face): per decoded
+    * clip, 32-sample windows' exact sum-of-squares, silent-window
+    * count under T²·W = 320000 (T=100 RMS, all-integer — no sqrt),
+    * total and max window energy. The fixture samples are
+    * (doc_id%100)+i, so every window's sum of squares has a closed
+    * form the oracle computes WITHOUT decoding — low-id%100 clips
+    * plant genuinely silent leading windows, corrupt payloads
+    * (%10==7) gate through as ok='N'. This is the drop-silent-clips /
+    * find-clipped-clips pass an audio corpus runs after decode. */
+  val q196AudioEnergy: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+      .withColumn("corrupt", col("doc_id") % 10 === 7)
+    MultimodalOps.decodeWavEnergy(
+      MultimodalOps.synthWavPayload(docs, "doc_id", "text", "corrupt"),
+      "doc_id", windowSamples = 32, silentMaxSumsq = 320000L)
+      .orderBy("doc_id")
+  }
+
+  private val q196Sql =
+    """WITH base AS (
+      |  SELECT doc_id, doc_id % 100 AS a,
+      |         64 + doc_id % 64 AS n,
+      |         CAST((64 + doc_id % 64) // 32 AS INT) AS n_windows
+      |  FROM documents WHERE doc_id < 200),
+      |w AS (
+      |  SELECT doc_id, a, n_windows, unnest(range(n_windows)) AS wi FROM base),
+      |ws AS (
+      |  SELECT doc_id, a, n_windows, wi,
+      |         (SELECT CAST(SUM((a + wi * 32 + j) * (a + wi * 32 + j)) AS BIGINT)
+      |          FROM unnest(range(32)) AS t(j)) AS sumsq
+      |  FROM w),
+      |agg AS (
+      |  SELECT doc_id, n_windows,
+      |         CAST(SUM(CASE WHEN sumsq < 320000 THEN 1 ELSE 0 END) AS INT)
+      |           AS n_silent,
+      |         CAST(SUM(sumsq) AS BIGINT) AS total_sumsq,
+      |         CAST(MAX(sumsq) AS BIGINT) AS max_win_sumsq
+      |  FROM ws GROUP BY 1, 2)
+      |SELECT b.doc_id,
+      |  CASE WHEN b.doc_id % 10 = 7 THEN NULL ELSE a.n_windows END AS n_windows,
+      |  CASE WHEN b.doc_id % 10 = 7 THEN NULL ELSE a.n_silent END AS n_silent,
+      |  CASE WHEN b.doc_id % 10 = 7 THEN NULL ELSE a.total_sumsq END AS total_sumsq,
+      |  CASE WHEN b.doc_id % 10 = 7 THEN NULL ELSE a.max_win_sumsq END AS max_win_sumsq,
+      |  CASE WHEN b.doc_id % 10 = 7 THEN 'N' ELSE 'Y' END AS ok
+      |FROM base b JOIN agg a USING (doc_id) ORDER BY b.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- perceptual image dedup (dHash)
   /** Image near-dup dedup via REAL perceptual hashing: PNG payloads
     * are encoded and decoded by ImageIO, average-pooled to a 9x8
@@ -1194,6 +1241,7 @@ object QueryCatalogSim {
     "q52_multimodal_decode" -> q52MultimodalDecode,
     "q142_image_decode" -> q142ImageDecode,
     "q148_audio_decode" -> q148AudioDecode,
+    "q196_audio_energy" -> q196AudioEnergy,
     "q162_image_dhash" -> q162ImageDhash,
     "q55_frame_sample" -> q55FrameSample,
     "q59_embed_quantize" -> q59EmbedQuantize,
@@ -1218,6 +1266,7 @@ object QueryCatalogSim {
     "q52_multimodal_decode" -> q52Sql,
     "q142_image_decode" -> q142Sql,
     "q148_audio_decode" -> q148Sql,
+    "q196_audio_energy" -> q196Sql,
     "q162_image_dhash" -> q162Sql,
     "q55_frame_sample" -> q55Sql,
     "q59_embed_quantize" -> q59Sql,

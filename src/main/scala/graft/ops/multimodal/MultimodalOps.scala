@@ -251,6 +251,72 @@ object MultimodalOps {
     }(Encoders.row(outSchema))
   }
 
+  /** Windowed audio ENERGY over decoded PCM — the silence/energy gate
+    * of audio-corpus curation (drop silent or clipped clips before
+    * they waste tokens): per full window of `windowSamples` samples,
+    * the exact int64 sum of squares; a window is silent when its
+    * sum-of-squares is below `silentMaxSumsq` (an RMS threshold T
+    * expressed as T²·W — all-integer, no sqrt, so the output is
+    * bit-exact cross-engine). The trailing partial window is ignored
+    * (documented: gates reason about full windows). Corrupt payloads
+    * → ok='N' with null stats, never a task failure. Batch-shaped
+    * mapPartitions like every decode boundary here. */
+  def decodeWavEnergy(df: DataFrame, idCol: String, windowSamples: Int,
+                      silentMaxSumsq: Long, batchSize: Int = 32): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("n_windows", IntegerType), StructField("n_silent", IntegerType),
+      StructField("total_sumsq", LongType), StructField("max_win_sumsq", LongType),
+      StructField("ok", StringType)))
+    val bad = (id: Long) => Row(id, null, null, null, null, "N")
+    val input = df.select(col(idCol).cast("long"), col("payload"))
+    input.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0)
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            val fmt = ais.getFormat
+            val nFrames = ais.getFrameLength
+            if (nFrames < 0 || fmt.getFrameSize <= 0 ||
+              fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+              fmt.getEncoding !=
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) bad(id)
+            else {
+              val expected = (nFrames * fmt.getFrameSize).toInt
+              val data = ais.readNBytes(expected)
+              if (data.length < expected) bad(id)
+              else {
+                val le = !fmt.isBigEndian
+                val n = data.length / 2
+                val nWin = n / windowSamples
+                var w = 0; var nSilent = 0
+                var total = 0L; var maxW = 0L
+                while (w < nWin) {
+                  var sumsq = 0L; var j = 0
+                  while (j < windowSamples) {
+                    val i = 2 * (w * windowSamples + j)
+                    val lo = data(if (le) i else i + 1) & 0xff
+                    val hi = data(if (le) i + 1 else i)
+                    val v = ((hi << 8) | lo).toLong
+                    sumsq += v * v
+                    j += 1
+                  }
+                  if (sumsq < silentMaxSumsq) nSilent += 1
+                  total += sumsq
+                  if (sumsq > maxW) maxW = sumsq
+                  w += 1
+                }
+                Row(id, nWin, nSilent, total, maxW, "Y")
+              }
+            }
+          } catch { case scala.util.control.NonFatal(_) => bad(id) }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Wrap a text column as an opaque binary payload with metadata —
     * the shape an image/audio column has in a lakehouse table. */
   def attachPayload(df: DataFrame, textCol: String): DataFrame =

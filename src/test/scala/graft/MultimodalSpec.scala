@@ -116,6 +116,28 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(_.isNullAt(1)))
   }
 
+  test("decodeWavEnergy: windowed sum-of-squares, silence gate, partial tail ignored") {
+    // id 100: a = 100%100 = 0, n = 64+100%64 = 100 samples -> 3 full
+    // 32-sample windows (tail of 4 ignored). sample i = 0+i, so
+    // window w sumsq = sum_{j=0..31} (32w+j)^2 — window 0 is genuinely
+    // quiet (10416 < 320000), windows 1-2 are louder
+    def sq(w: Int, a: Long): Long =
+      (0 until 32).map(j => { val v = a + 32L * w + j; v * v }).sum
+    val rows = MultimodalOps.decodeWavEnergy(synthWav(100L), "doc_id",
+      windowSamples = 32, silentMaxSumsq = 320000L).collect()
+    val r = rows(0)
+    assert(r.getAs[Int]("n_windows") == 3)
+    val expected = (0 until 3).map(sq(_, 0L))
+    assert(r.getAs[Long]("total_sumsq") == expected.sum)
+    assert(r.getAs[Long]("max_win_sumsq") == expected.max)
+    assert(r.getAs[Int]("n_silent") == expected.count(_ < 320000L), expected.toString)
+    assert(r.getAs[Int]("n_silent") >= 1, "window 0 must read silent")
+    // corrupt payload gates through as ok='N' with null stats
+    val bad = Seq((9L, "not audio".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val rb = MultimodalOps.decodeWavEnergy(bad, "doc_id", 32, 320000L).collect()(0)
+    assert(rb.getAs[String]("ok") == "N" && rb.isNullAt(1))
+  }
+
   test("resizeImageNN: constant-color image resizes to exact dims and color") {
     // constant color survives nearest-neighbor exactly: 4x2 gray-77
     val resized = MultimodalOps.resizeImageNN(synth(77L), "doc_id", outW = 4, outH = 2)
