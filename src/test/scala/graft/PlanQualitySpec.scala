@@ -399,6 +399,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TopKPerKey"), s"top-10 must be TopKPerKey:\n$p")
   }
 
+  test("q190 manifest: pruned scan, two exchanges (tiny-key agg + presentation sort)") {
+    // the integrity stamp must stay scan-bound: one partial-agg
+    // exchange on (lang, source) plus the ORDER BY — and the parquet
+    // scan must not read doc_id/n_chars (hash needs text only)
+    val df = QueryCatalogText.all("q190_corpus_manifest")(
+      spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    val p = df.queryExecution.executedPlan.toString
+    val nEx = "Exchange".r.findAllIn(p).length
+    assert(nEx <= 2, s"manifest must shuffle only the tiny key space, got $nEx:\n$p")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("doc_id") && !read.contains("n_chars"),
+      s"scan must prune to (text, lang, source): $read")
+  }
+
   test("custom top-k over parquet orders plans partial/exchange/final with no sort") {
     // the operator itself (q56 adds a presentation ORDER BY on top)
     val orders = graft.core.Tables.orders(spark, "/root/testdata/sf0.001")
