@@ -181,4 +181,36 @@ class CurationSpec extends SparkSpec {
       assert(train + valN + test == total)
     }
   }
+
+  test("corpus manifest is order-invariant and flips on any content edit") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    def manifest(df: org.apache.spark.sql.DataFrame) = {
+      import graft.ops.dedup.Dedup
+      df.withColumn("h", Dedup.h60(lit(0), col("text")))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("n_chars"),
+          expr("bit_xor(h)").as("content_xor"),
+          sum(col("h") % 1000003L).cast("long").as("content_modsum"))
+        .orderBy("lang", "source")
+        .collect().map(_.toSeq).toSeq
+    }
+    val docs = graft.core.Tables.documents(spark, sf)
+    val base = manifest(docs)
+    // the core claim: ANY reordering/repartitioning leaves every
+    // digest bit-identical (commutative aggregates only)
+    assert(manifest(docs.repartition(7)) == base)
+    assert(manifest(docs.orderBy(col("doc_id").desc)) == base)
+    // and a single-character edit in ONE doc flips that slice's digests
+    val edited = docs.withColumn("text",
+      when(col("doc_id") === 3, concat(col("text"), lit("!"))).otherwise(col("text")))
+    val slice = docs.filter(col("doc_id") === 3)
+      .select("lang", "source").head()
+    val (l, s) = (slice.getString(0), slice.getString(1))
+    val before = base.find(r => r.head == l && r(1) == s).get
+    val after = manifest(edited).find(r => r.head == l && r(1) == s).get
+    assert(before(4) != after(4) && before(5) != after(5),
+      s"xor AND modsum must flip: $before vs $after")
+  }
 }
