@@ -377,6 +377,27 @@ object StreamingJobs {
       }
       .start()
 
+  /** Streaming corpus manifest (q190's stream face): per tumbling
+    * window and (lang, source), the same ORDER-INVARIANT digests the
+    * batch manifest stamps — XOR + modular sum of the per-doc 60-bit
+    * content hash, row/char totals. Commutative aggregates are
+    * exactly what streaming state can hold (a few longs per open
+    * group); windows emit once on watermark close (append mode), and
+    * a window's digest equals the batch manifest of the same rows
+    * bit-for-bit — so a downstream consumer can verify an ingest
+    * window against a later batch backfill without re-reading text. */
+  def manifestStream(docs: DataFrame, tsCol: String, windowLen: String,
+                     watermark: String): DataFrame =
+    docs.withWatermark(tsCol, watermark)
+      .withColumn("h", graft.ops.dedup.Dedup.h60(lit(0), col("text")))
+      .groupBy(window(col(tsCol), windowLen), col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("n_chars"),
+        expr("bit_xor(h)").as("content_xor"),
+        sum(col("h") % 1000003L).cast("long").as("content_modsum"))
+      .select(col("window.start").as("win_start"), col("lang"), col("source"),
+        col("n_docs"), col("n_chars"), col("content_xor"), col("content_modsum"))
+
   /** Streaming corpus-drift monitor (q166's stream face): per
     * tumbling window, the total-variation distance between the
     * window's token distribution and a STATIC reference distribution

@@ -407,6 +407,36 @@ class SinksStreamingSpec extends SparkSpec {
       s"registry must survive the crashed swap: $got")
   }
 
+  test("manifestStream: a closed window's digests equal the batch manifest bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, String, String)]
+    val docs = mem.toDF().toDF("ts", "lang", "source", "text")
+    def t(m: String) = java.sql.Timestamp.valueOf(s"2024-01-01 10:$m:00")
+    // one 10-minute window with three docs across two slices; the
+    // 11:30 sentinel closes it past the watermark
+    mem.addData(
+      (t("01"), "en", "s1", "alpha beta"), (t("04"), "en", "s1", "gamma"),
+      (t("07"), "de", "s2", "delta"), (java.sql.Timestamp.valueOf("2024-01-01 11:30:00"), "zz", "zz", "x"))
+    val q = StreamingJobs.manifestStream(docs, "ts", "10 minutes", "5 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("manifest").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("manifest")
+      .filter(col("win_start") === t("00"))
+      .collect().map(r => (r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // batch replay of the identical digests over the same rows
+    import graft.ops.dedup.Dedup
+    val batch = Seq(("en", "s1", "alpha beta"), ("en", "s1", "gamma"), ("de", "s2", "delta"))
+      .toDF("lang", "source", "text")
+      .withColumn("h", Dedup.h60(lit(0), col("text")))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"), sum(length(col("text"))).cast("long").as("c"),
+        expr("bit_xor(h)").as("x"), sum(col("h") % 1000003L).cast("long").as("m"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got == batch, s"stream $got vs batch $batch")
+  }
+
   test("streaming keyed upsert via foreachBatch (weather MERGE as a stream)") {
     implicit val sqlCtx = spark.sqlContext
     val path = tmp() + "/t"
