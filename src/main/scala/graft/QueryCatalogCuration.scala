@@ -1972,7 +1972,88 @@ object QueryCatalogCuration {
        |FROM pa JOIN pb USING (col_name) ORDER BY col_name""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q197: cross-source duplication matrix
+  /** Which sources copy from each other? The verified near-dup pairs
+    * (the q42 chain: shingle→minhash→LSH→exact-Jaccard) joined back
+    * to both endpoints' source fields and aggregated into an
+    * unordered (source_lo, source_hi) matrix — the provenance
+    * analytic behind licensing reviews ("is src3 scraping src7?")
+    * and the shard-by-source decision q191 scores globally. Pure
+    * composition of verified pieces: the pair table is
+    * corpus-sublinear (localized, scoped cache release), the source
+    * join-back is two id-keyed joins, the matrix is a tiny agg. */
+  val q197SourceDupMatrix: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val shingles = Dedup.shingleSet(docs, "doc_id", "text", k = 3)
+    val cand = Dedup.candidatePairs(
+      Dedup.lshBands(Dedup.minHash(shingles, "doc_id", 16), "doc_id", 16, 4),
+      "doc_id")
+    val pairs = Dedup.jaccardScoped(cand, shingles, "doc_id") { j =>
+      graft.ops.Materialize.localize(
+        j.filter(col("jaccard") >= 0.7).select("id_a", "id_b"))
+    }
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("source", "src_a"), "id_a")
+      .join(src.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("source", "src_b"), "id_b")
+      .select(least(col("src_a"), col("src_b")).as("source_lo"),
+        greatest(col("src_a"), col("src_b")).as("source_hi"))
+      .groupBy("source_lo", "source_hi")
+      .agg(count(lit(1)).as("n_dup_pairs"))
+      .withColumn("cross_source",
+        when(col("source_lo") =!= col("source_hi"), "Y").otherwise("N"))
+      .orderBy("source_lo", "source_hi")
+  }
+
+  private val q197Sql =
+    s"""WITH tok AS (SELECT doc_id,
+       |       unnest(string_split_regex(text, '\\s+')) AS tok,
+       |       generate_subscripts(string_split_regex(text, '\\s+'), 1) AS pos
+       |     FROM documents),
+       |sh0 AS (SELECT doc_id,
+       |        lag(tok, 2) OVER dw || ' ' || lag(tok, 1) OVER dw || ' ' || tok AS w
+       |        FROM tok WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+       |w AS (SELECT DISTINCT doc_id, w FROM sh0 WHERE w IS NOT NULL),
+       |sig AS (SELECT doc_id, s.seed,
+       |               MIN(${mhSqlLocal("s.seed", "w")}) AS mh
+       |        FROM w, (SELECT unnest(range(16)) AS seed) s GROUP BY 1, 2),
+       |b AS (SELECT doc_id, seed // 4 AS band,
+       |             md5(string_agg(CAST(mh AS VARCHAR), ':' ORDER BY seed)) AS band_key
+       |      FROM sig GROUP BY doc_id, seed // 4),
+       |bsz AS (SELECT band, band_key FROM b
+       |        GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 64),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+       |         FROM b a JOIN b b2 USING (band, band_key)
+       |         JOIN bsz USING (band, band_key)
+       |         WHERE a.doc_id < b2.doc_id),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY 1),
+       |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+       |          FROM cand c
+       |          JOIN w wa ON wa.doc_id = c.id_a
+       |          JOIN w wb ON wb.doc_id = c.id_b AND wb.w = wa.w
+       |          GROUP BY 1, 2),
+       |verified AS (
+       |  SELECT c.id_a, c.id_b
+       |  FROM cand c
+       |  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+       |  JOIN cnt ca ON ca.doc_id = c.id_a
+       |  JOIN cnt cb ON cb.doc_id = c.id_b
+       |  WHERE CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+       |        / (ca.n + cb.n - COALESCE(i.n_inter, 0)) >= 0.7),
+       |m AS (
+       |  SELECT LEAST(da.source, db.source) AS source_lo,
+       |         GREATEST(da.source, db.source) AS source_hi
+       |  FROM verified v
+       |  JOIN documents da ON da.doc_id = v.id_a
+       |  JOIN documents db ON db.doc_id = v.id_b)
+       |SELECT source_lo, source_hi, COUNT(*) AS n_dup_pairs,
+       |       CASE WHEN source_lo <> source_hi THEN 'Y' ELSE 'N' END AS cross_source
+       |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q197_source_dup_matrix" -> q197SourceDupMatrix,
     "q195_profile_drift" -> q195ProfileDrift,
     "q194_incremental_cc" -> q194IncrementalCc,
     "q193_lsh_calibration" -> q193LshCalibration,
@@ -2009,6 +2090,7 @@ object QueryCatalogCuration {
   )
 
   val oracle: Map[String, String] = Map(
+    "q197_source_dup_matrix" -> q197Sql,
     "q195_profile_drift" -> q195Sql,
     "q194_incremental_cc" -> q194Sql,
     "q193_lsh_calibration" -> q193Sql,
