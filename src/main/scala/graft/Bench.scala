@@ -76,8 +76,15 @@ object Bench {
         }
       })
     def drainedShuffle(): Long = {
-      org.apache.spark.GraftMetricsBridge
+      // waitUntilEmpty() has a hard 10 s timeout and THROWS on a
+      // loaded box — a metrics read must never kill a multi-minute
+      // bench run, so degrade to the possibly-slightly-stale counter
+      try org.apache.spark.GraftMetricsBridge
         .waitUntilListenerBusEmpty(spark.sparkContext)
+      catch { case _: java.util.concurrent.TimeoutException =>
+        System.err.println("[bench] listener bus drain timed out; " +
+          "shuffle_mb may lag for this boundary")
+      }
       shuffleBytes.get()
     }
     val shuffleMb = scala.collection.mutable.LinkedHashMap.empty[String, Double]

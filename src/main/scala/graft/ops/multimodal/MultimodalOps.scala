@@ -207,6 +207,43 @@ object MultimodalOps {
     * corruption; silently summing half a file would poison the
     * features downstream). Output: (id, n_samples, sample_rate,
     * channels, sample_sum, ok). */
+  /** Shared PCM16 decode seam for [[decodeWavMeta]] and
+    * [[decodeWavEnergy]]: parse + validate a signed-16-bit PCM WAV,
+    * return (format, COMPLETE data-section bytes) — None for corrupt,
+    * truncated, non-PCM16, unknown-length, or data ≥ 2 GiB payloads
+    * (task-local decode is int-indexed by design; a clip that large
+    * is flagged unsupported rather than mis-summed through an int
+    * overflow). One place for the truncation gate, the endianness
+    * rule and the size bound — the two decoders must never diverge
+    * on them. */
+  private def readPcm16(payload: Array[Byte])
+      : Option[(javax.sound.sampled.AudioFormat, Array[Byte])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      val nFrames = ais.getFrameLength
+      val frameSize = fmt.getFrameSize
+      if (nFrames < 0 || frameSize <= 0 ||
+        fmt.getSampleSizeInBits != 16 ||
+        fmt.getEncoding !=
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+        nFrames > (Int.MaxValue / frameSize).toLong) None
+      else {
+        val expected = (nFrames * frameSize).toInt
+        val data = ais.readNBytes(expected)
+        if (data.length < expected) None // truncated data section
+        else Some((fmt, data))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Sign-extended 16-bit sample at byte offset `i` of `data`. */
+  private def sample16(data: Array[Byte], i: Int, le: Boolean): Int = {
+    val lo = data(if (le) i else i + 1) & 0xff
+    val hi = data(if (le) i + 1 else i)
+    (hi << 8) | lo // hi sign-extends: signed 16-bit
+  }
+
   def decodeWavMeta(df: DataFrame, idCol: String, batchSize: Int = 32): DataFrame = {
     val outSchema = StructType(Seq(
       StructField(idCol, LongType),
@@ -219,33 +256,18 @@ object MultimodalOps {
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           val id = r.getLong(0)
-          try {
-            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-            val fmt = ais.getFormat
-            val nFrames = ais.getFrameLength
-            val frameSize = fmt.getFrameSize
-            if (nFrames < 0 || frameSize <= 0 ||
-              fmt.getSampleSizeInBits != 16 || fmt.getEncoding !=
-                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) bad(id)
-            else {
-              val expected = (nFrames * frameSize).toInt
-              val data = ais.readNBytes(expected)
-              if (data.length < expected) bad(id) // truncated data section
-              else {
-                val le = !fmt.isBigEndian
-                var sum = 0L; var i = 0
-                while (i + 1 < data.length) {
-                  val lo = data(if (le) i else i + 1) & 0xff
-                  val hi = data(if (le) i + 1 else i)
-                  sum += (hi << 8) | lo // hi sign-extends: signed 16-bit
-                  i += 2
-                }
-                Row(id, (nFrames * fmt.getChannels).toInt,
-                  fmt.getSampleRate.toInt, fmt.getChannels, sum, "Y")
+          readPcm16(r.getAs[Array[Byte]](1)) match {
+            case None => bad(id)
+            case Some((fmt, data)) =>
+              val le = !fmt.isBigEndian
+              var sum = 0L; var i = 0
+              while (i + 1 < data.length) {
+                sum += sample16(data, i, le)
+                i += 2
               }
-            }
-          } catch { case scala.util.control.NonFatal(_) => bad(id) }
+              Row(id, (data.length / 2).toInt,
+                fmt.getSampleRate.toInt, fmt.getChannels, sum, "Y")
+          }
         }
       }
     }(Encoders.row(outSchema))
@@ -274,32 +296,32 @@ object MultimodalOps {
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           val id = r.getLong(0)
-          try {
-            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-            val fmt = ais.getFormat
-            val nFrames = ais.getFrameLength
-            if (nFrames < 0 || fmt.getFrameSize <= 0 ||
-              fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
-              fmt.getEncoding !=
-                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) bad(id)
-            else {
-              val expected = (nFrames * fmt.getFrameSize).toInt
-              val data = ais.readNBytes(expected)
-              if (data.length < expected) bad(id)
-              else {
-                val le = !fmt.isBigEndian
-                val n = data.length / 2
+          readPcm16(r.getAs[Array[Byte]](1)) match {
+            case Some((fmt, data)) if fmt.getChannels == 1 =>
+              val le = !fmt.isBigEndian
+              val n = data.length / 2
+              if (n > 0 && n < windowSamples) {
+                // a clip SHORTER than one window is one pro-rated
+                // window, not zero windows — otherwise a fully silent
+                // short clip reads n_silent=0 and sails through the
+                // gate. Length-scaled threshold, cross-multiplied:
+                // silent iff sumsq/n < T²·W/W·... i.e.
+                // sumsq·W < silentMaxSumsq·n (exact ints)
+                var sumsq = 0L; var i = 0
+                while (i + 1 < data.length) {
+                  val v = sample16(data, i, le).toLong
+                  sumsq += v * v; i += 2
+                }
+                val silent = sumsq * windowSamples < silentMaxSumsq * n
+                Row(id, 1, if (silent) 1 else 0, sumsq, sumsq, "Y")
+              } else {
                 val nWin = n / windowSamples
                 var w = 0; var nSilent = 0
                 var total = 0L; var maxW = 0L
                 while (w < nWin) {
                   var sumsq = 0L; var j = 0
                   while (j < windowSamples) {
-                    val i = 2 * (w * windowSamples + j)
-                    val lo = data(if (le) i else i + 1) & 0xff
-                    val hi = data(if (le) i + 1 else i)
-                    val v = ((hi << 8) | lo).toLong
+                    val v = sample16(data, 2 * (w * windowSamples + j), le).toLong
                     sumsq += v * v
                     j += 1
                   }
@@ -310,8 +332,8 @@ object MultimodalOps {
                 }
                 Row(id, nWin, nSilent, total, maxW, "Y")
               }
-            }
-          } catch { case scala.util.control.NonFatal(_) => bad(id) }
+            case _ => bad(id)
+          }
         }
       }
     }(Encoders.row(outSchema))

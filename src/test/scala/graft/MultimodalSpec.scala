@@ -136,6 +136,31 @@ class MultimodalSpec extends SparkSpec {
     val bad = Seq((9L, "not audio".getBytes("UTF-8"))).toDF("doc_id", "payload")
     val rb = MultimodalOps.decodeWavEnergy(bad, "doc_id", 32, 320000L).collect()(0)
     assert(rb.getAs[String]("ok") == "N" && rb.isNullAt(1))
+    // a fully silent clip SHORTER than one window must still be
+    // flagged: it reads as ONE pro-rated window, never zero windows
+    def wav(pcm: Array[Byte], n: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val silentShort = Seq((20L, wav(new Array[Byte](20 * 2), 20)))
+      .toDF("doc_id", "payload")
+    val rs = MultimodalOps.decodeWavEnergy(silentShort, "doc_id", 32, 320000L)
+      .collect()(0)
+    assert(rs.getAs[Int]("n_windows") == 1 && rs.getAs[Int]("n_silent") == 1,
+      s"silent sub-window clip must flag: $rs")
+    // a LOUD sub-window clip is one non-silent window (scaled threshold)
+    val loudPcm = new Array[Byte](20 * 2)
+    (0 until 20).foreach { i => loudPcm(2 * i) = 0x10; loudPcm(2 * i + 1) = 0x27 } // 10000
+    val rl = MultimodalOps.decodeWavEnergy(
+      Seq((21L, wav(loudPcm, 20))).toDF("doc_id", "payload"), "doc_id", 32, 320000L)
+      .collect()(0)
+    assert(rl.getAs[Int]("n_windows") == 1 && rl.getAs[Int]("n_silent") == 0,
+      s"loud sub-window clip must not flag: $rl")
   }
 
   test("resizeImageNN: constant-color image resizes to exact dims and color") {
