@@ -459,11 +459,18 @@ object QueryCatalogAgg {
         Num.decToDouble(sum(x * y)).as("sxy"))
       .select(col("l_returnflag"), col("n"),
         (col("sx") / col("n")).as("mean_qty"),
-        sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
-          / (col("n") - 1)).as("stddev_qty"),
-        ((col("n") * col("sxy") - col("sx") * col("sy"))
-          / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
-            * (col("n") * col("syy") - col("sy") * col("sy"))))
+        // n=1 groups have no sample variance; zero variance has no
+        // correlation — NULL per SQL convention, never a crash
+        when(col("n") > 1,
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+            / (col("n") - 1))).otherwise(lit(null).cast("double"))
+          .as("stddev_qty"),
+        when((col("n") * col("sxx") - col("sx") * col("sx"))
+            * (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+          (col("n") * col("sxy") - col("sx") * col("sy"))
+            / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              * (col("n") * col("syy") - col("sy") * col("sy"))))
+          .otherwise(lit(null).cast("double"))
           .as("corr_qty_price"))
       .orderBy("l_returnflag")
   }
@@ -485,9 +492,12 @@ object QueryCatalogAgg {
       |  FROM s0)
       |SELECT l_returnflag, n,
       |       sx / n AS mean_qty,
-      |       sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
-      |       (n * sxy - sx * sy)
-      |         / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price
+      |       CASE WHEN n > 1
+      |            THEN sqrt((sxx - sx * sx / n) / (n - 1)) END AS stddev_qty,
+      |       CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+      |            THEN (n * sxy - sx * sy)
+      |                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      |            END AS corr_qty_price
       |FROM m ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------- snowflake rollup

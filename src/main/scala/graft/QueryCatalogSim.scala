@@ -976,10 +976,16 @@ object QueryCatalogSim {
     sumIj.crossJoin(broadcast(aRow)).crossJoin(broadcast(bRow))
       .crossJoin(broadcast(nRow))
       .select(col("n"), col("n_cells"), col("n_labels"), col("pur_num"),
-        ((lit(2L) * (col("cn2") * col("sum_ij") - col("sum_a") * col("sum_b")))
-          .cast("double") /
-          (col("cn2") * (col("sum_a") + col("sum_b")) -
-            lit(2L) * col("sum_a") * col("sum_b")).cast("double")).as("ari"),
+        // degenerate partitions (n=1, or both partitions trivial)
+        // zero the ARI denominator: undefined -> NULL, never a crash
+        when((col("cn2") * (col("sum_a") + col("sum_b")) -
+            lit(2L) * col("sum_a") * col("sum_b")) === 0L,
+          lit(null).cast("double"))
+          .otherwise(
+            (lit(2L) * (col("cn2") * col("sum_ij") - col("sum_a") * col("sum_b")))
+              .cast("double") /
+              (col("cn2") * (col("sum_a") + col("sum_b")) -
+                lit(2L) * col("sum_a") * col("sum_b")).cast("double")).as("ari"),
         (col("pur_num").cast("double") / col("n").cast("double")).as("purity"))
   }
 
@@ -1030,9 +1036,11 @@ object QueryCatalogSim {
       |              CAST((SUM(nij) * (SUM(nij) - 1)) // 2 AS BIGINT) AS cn2
       |       FROM ct)
       |SELECT nr.n, ar.n_cells, br.n_labels, ar.pur_num,
-      |       CAST(2 * (nr.cn2 * sij.sum_ij - ar.sum_a * br.sum_b) AS DOUBLE)
-      |         / CAST(nr.cn2 * (ar.sum_a + br.sum_b)
-      |                - 2 * ar.sum_a * br.sum_b AS DOUBLE) AS ari,
+      |       CASE WHEN nr.cn2 * (ar.sum_a + br.sum_b)
+      |                 - 2 * ar.sum_a * br.sum_b = 0 THEN NULL
+      |            ELSE CAST(2 * (nr.cn2 * sij.sum_ij - ar.sum_a * br.sum_b) AS DOUBLE)
+      |                 / CAST(nr.cn2 * (ar.sum_a + br.sum_b)
+      |                        - 2 * ar.sum_a * br.sum_b AS DOUBLE) END AS ari,
       |       CAST(ar.pur_num AS DOUBLE) / CAST(nr.n AS DOUBLE) AS purity
       |FROM sij CROSS JOIN ar CROSS JOIN br CROSS JOIN nr""".stripMargin
 

@@ -1550,8 +1550,12 @@ object QueryCatalogText {
         abs(col("c_a") * col("n_b") - col("c_b") * col("n_a")))
     val tv = contrib.groupBy("lang").agg(sum("contrib").as("sum_contrib"))
       .join(broadcast(totals), Seq("lang"))
-      .select(col("lang"), (col("sum_contrib").cast("double") /
-        (lit(2.0) * col("n_a") * col("n_b"))).as("tv"))
+      .select(col("lang"),
+        // one-sided slice (a language entirely in one half): TV vs an
+        // EMPTY distribution is undefined -> NULL, never a crash
+        when(col("n_a") === 0 || col("n_b") === 0, lit(null).cast("double"))
+          .otherwise(col("sum_contrib").cast("double") /
+            (lit(2.0) * col("n_a") * col("n_b"))).as("tv"))
     val w = Window.partitionBy("lang")
       .orderBy(col("contrib").desc, col("t"))
     graft.plans.TopKPerKey.topK(contrib, Seq(col("lang")),
@@ -1578,8 +1582,9 @@ object QueryCatalogText {
       |              abs(pt.c_a * tot.n_b - pt.c_b * tot.n_a) AS contrib
       |       FROM pt JOIN tot USING (lang)),
       |tv AS (SELECT ct.lang,
-      |              CAST(SUM(ct.contrib) AS DOUBLE)
-      |                / (2.0 * tot.n_a * tot.n_b) AS tv
+      |              CASE WHEN tot.n_a = 0 OR tot.n_b = 0 THEN NULL
+      |                   ELSE CAST(SUM(ct.contrib) AS DOUBLE)
+      |                        / (2.0 * tot.n_a * tot.n_b) END AS tv
       |       FROM ct JOIN tot USING (lang) GROUP BY ct.lang, tot.n_a, tot.n_b),
       |r AS (SELECT lang, t, c_a, c_b, contrib,
       |             CAST(row_number() OVER (PARTITION BY lang

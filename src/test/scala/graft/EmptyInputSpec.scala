@@ -10,25 +10,36 @@ package graft
   * values.) */
 class EmptyInputSpec extends SparkSpec {
 
-  private lazy val emptyDir: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_sf0").toString
+  private def sliced(rows: Int): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_sf$rows").toString
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
     tables.foreach { t =>
       spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet")
-        .limit(0).coalesce(1).write.mode("overwrite")
+        .limit(rows).coalesce(1).write.mode("overwrite")
         .parquet(s"$dir/$t.parquet")
     }
     dir
   }
 
-  test("every catalog query completes on a zero-row corpus") {
+  private def sweep(dir: String, label: String): Unit = {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        try { fn(spark, emptyDir).write.format("noop").mode("overwrite").save(); None }
+        try { fn(spark, dir).write.format("noop").mode("overwrite").save(); None }
         catch { case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName} ${e.getMessage}") }
     }
-    assert(failures.isEmpty, s"${failures.size} queries crash on empty input:\n" +
+    assert(failures.isEmpty, s"${failures.size} queries crash on $label input:\n" +
       failures.mkString("\n"))
+  }
+
+  test("every catalog query completes on a zero-row corpus") {
+    sweep(sliced(0), "empty")
+  }
+
+  test("every catalog query completes on a one-row corpus") {
+    // n=1 breaks different math than n=0: sample variance (n-1),
+    // one-sided splits (TV vs an empty half), degenerate partitions
+    // (ARI denominator) — this sweep found and now guards all three
+    sweep(sliced(1), "single-row")
   }
 }
