@@ -42,4 +42,25 @@ class EmptyInputSpec extends SparkSpec {
     // (ARI denominator) — this sweep found and now guards all three
     sweep(sliced(1), "single-row")
   }
+
+  test("every catalog query completes on an all-identical-text corpus") {
+    // the adversarial dedup input: every doc is the same text, so
+    // every LSH bucket is maximally hot, every pair is a duplicate,
+    // and CC sees one giant clique — bucket caps and the hot-shingle
+    // df caps must keep this bounded, not explode quadratically
+    import org.apache.spark.sql.functions._
+    val dir = sliced(100)
+    val same = lit("the same exact text every single document carries " +
+      "in this degenerate corpus today")
+    spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("text", same).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents2.parquet")
+    // swap in place (overwrite of the read path is unsafe)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/documents.parquet"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/documents2.parquet"),
+      new org.apache.hadoop.fs.Path(s"$dir/documents.parquet"))
+    sweep(dir, "all-identical-text")
+  }
 }
