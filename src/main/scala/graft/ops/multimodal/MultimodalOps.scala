@@ -48,7 +48,10 @@ object MultimodalOps {
         batch.map { r =>
           val id = r.getLong(0)
           val bytes =
-            if (r.getBoolean(2)) r.getString(1).getBytes("UTF-8")
+            // null text on the corrupt branch -> empty payload (still
+            // decodes to ok='N'; a null-text corpus must not NPE)
+            if (r.getBoolean(2))
+              (if (r.isNullAt(1)) "" else r.getString(1)).getBytes("UTF-8")
             else {
               val w = (8 + id % 8).toInt; val h = (4 + id % 4).toInt
               val c = (id % 256).toInt
@@ -170,7 +173,10 @@ object MultimodalOps {
         batch.map { r =>
           val id = r.getLong(0)
           val bytes =
-            if (r.getBoolean(2)) r.getString(1).getBytes("UTF-8")
+            // null text on the corrupt branch -> empty payload (q148's
+            // decoder classifies it ok='N'; never an NPE)
+            if (r.getBoolean(2))
+              (if (r.isNullAt(1)) "" else r.getString(1)).getBytes("UTF-8")
             else {
               val n = (64 + id % 64).toInt
               val rate = (8000 + (id % 3) * 4000).toFloat
@@ -395,7 +401,8 @@ object MultimodalOps {
       rows.grouped(batchSize).flatMap { batch =>
         // per-batch setup would happen here (scaler/codec init)
         batch.map { r =>
-          val p = r.getAs[Array[Byte]](1)
+          val p0 = r.getAs[Array[Byte]](1)
+          val p = if (p0 == null) Array.empty[Byte] else p0
           // ??? real resize goes here; byte-stride is the stand-in
           val out = p.indices.collect { case i if i % factor == 0 => p(i) }.toArray
           Row(r.getLong(0), out, p.length, out.length)
@@ -540,8 +547,12 @@ object MultimodalOps {
       rows.grouped(batchSize).flatMap { batch =>
         // per-batch setup would happen here (codec init, model load)
         batch.map { r =>
-          val f = fakeFeatures(r.getAs[Array[Byte]](1))
-          Row(r.getLong(0), f(0), f(1), f(2), f(3))
+          val p = r.getAs[Array[Byte]](1)
+          if (p == null) Row(r.getLong(0), null, null, null, null)
+          else {
+            val f = fakeFeatures(p)
+            Row(r.getLong(0), f(0), f(1), f(2), f(3))
+          }
         }
       }
     }(Encoders.row(outSchema))

@@ -43,6 +43,25 @@ class EmptyInputSpec extends SparkSpec {
     sweep(sliced(1), "single-row")
   }
 
+  test("every catalog query completes on an all-null-text corpus") {
+    // text = NULL everywhere: every tokenizer/hash/decode path must
+    // take its null branch — this sweep found four NPEs in the
+    // multimodal fixture/decode paths (now guarded: null text on the
+    // corrupt branch -> empty payload -> ok='N'; null payload ->
+    // null features, matching DuckDB's md5(NULL))
+    import org.apache.spark.sql.functions._
+    val dir = sliced(50)
+    spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("text", lit(null).cast("string")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents2.parquet")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/documents.parquet"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/documents2.parquet"),
+      new org.apache.hadoop.fs.Path(s"$dir/documents.parquet"))
+    sweep(dir, "all-null-text")
+  }
+
   test("every catalog query completes on an all-identical-text corpus") {
     // the adversarial dedup input: every doc is the same text, so
     // every LSH bucket is maximally hot, every pair is a duplicate,
