@@ -67,14 +67,16 @@ object Bench {
     // the SCALE.md exchange audit — "one pre-reduced shuffle" is a
     // claim, shuffle_mb is the measurement.
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          val m = e.taskMetrics
-          if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-        }
-      })
+    // removed in the finally below: a second runBench in the same
+    // session must not double-count via two live listeners
+    val shuffleListener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(shuffleListener)
     def drainedShuffle(): Long = {
       // waitUntilEmpty() has a hard 10 s timeout and THROWS on a
       // loaded box — a metrics read must never kill a multi-minute
@@ -88,7 +90,7 @@ object Bench {
       shuffleBytes.get()
     }
     val shuffleMb = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val repTimes = names.map { name =>
+    val repTimes = try names.map { name =>
       val sh0 = drainedShuffle()
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -111,7 +113,36 @@ object Bench {
           s"min=${f2(times.min)} max=${f2(times.max)} " +
           s"shuffle_mb=${f2(shuffleMb(name))}")
       name -> times
-    }
+    } finally spark.sparkContext.removeSparkListener(shuffleListener)
+    // Shuffle-byte regression GATE: per-query shuffle write is plan-
+    // determined (stable across reps and rounds modulo AQE), so
+    // exchange bloat — an optimization rewrite quietly adding a
+    // shuffle, a broadcast silently degrading to an exchange — is
+    // catchable the round it happens, unlike wall-clock which drifts
+    // 15-35% with box load. dev/shuffle_baseline.json records the
+    // last accepted per-query MB; anything above ceiling = baseline
+    // * 1.25 + 1.0 MB (relative for big writers, absolute slack so
+    // kilobyte-scale queries don't flap) is flagged on stderr and in
+    // the JSON line. NEW queries (no baseline entry) are skipped —
+    // regenerate the baseline with dev/update_shuffle_baseline.py.
+    val baselinePath = java.nio.file.Paths.get("dev/shuffle_baseline.json")
+    val shuffleRegressions: Seq[String] =
+      if (!java.nio.file.Files.exists(baselinePath)) Nil
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(baselinePath), "UTF-8")
+        val entry = """"([^"]+)"\s*:\s*([0-9.]+)""".r
+        val baseline = entry.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        shuffleMb.toSeq.flatMap { case (q, mb) =>
+          baseline.get(q).collect {
+            case b if mb > b * 1.25 + 1.0 =>
+              System.err.println(
+                s"[bench] SHUFFLE REGRESSION $q: ${f2(mb)} MB vs baseline ${f2(b)} MB " +
+                  s"(ceiling ${f2(b * 1.25 + 1.0)})")
+              q
+          }
+        }
+      }
     val repsByName = repTimes.toMap
     val results = repTimes.map { case (n, ts) => n -> ts.min }
     // Keep the JSON line SHORT (2-decimal times, basename sf) and print
@@ -152,7 +183,11 @@ object Bench {
           val top = shuffleMb.toSeq.sortBy(-_._2).take(5)
             .map { case (k, v) => "\"" + k + "\":" + f2(v) }
             .mkString("{", ",", "}")
-          s""","shuffle_mb_total":${f2(shuffleMb.values.sum)},"shuffle_mb_top":$top"""
+          val regPart =
+            if (shuffleRegressions.isEmpty) ""
+            else shuffleRegressions.map("\"" + _ + "\"")
+              .mkString(""","shuffle_regressions":[""", ",", "]")
+          s""","shuffle_mb_total":${f2(shuffleMb.values.sum)},"shuffle_mb_top":$top$regPart"""
         }
       s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$repsPart$shPart,"sf":"$sfName"}"""
     }

@@ -287,8 +287,22 @@ object MultimodalOps {
     * expressed as T²·W — all-integer, no sqrt, so the output is
     * bit-exact cross-engine). The trailing partial window is ignored
     * (documented: gates reason about full windows). Corrupt payloads
-    * → ok='N' with null stats, never a task failure. Batch-shaped
+    * → ok='N' with null stats, never a task failure. MONO-ONLY
+    * contract: multi-channel PCM, like every other unsupported
+    * format, gates as ok='N' — the curation pipeline downmixes to
+    * mono upstream of this gate (the reference audio path is mono
+    * throughout), so a multi-channel clip reaching it is a pipeline
+    * error to quarantine, not silently average. Batch-shaped
     * mapPartitions like every decode boundary here. */
+  /** Compare a·b vs c·d in 128-bit arithmetic (all operands
+    * non-negative): sign of (a·b − c·d) without 64-bit wraparound. */
+  private def cmp128(a: Long, b: Long, c: Long, d: Long): Int = {
+    val hi1 = Math.multiplyHigh(a, b); val lo1 = a * b
+    val hi2 = Math.multiplyHigh(c, d); val lo2 = c * d
+    if (hi1 != hi2) java.lang.Long.compare(hi1, hi2)
+    else java.lang.Long.compareUnsigned(lo1, lo2)
+  }
+
   def decodeWavEnergy(df: DataFrame, idCol: String, windowSamples: Int,
                       silentMaxSumsq: Long, batchSize: Int = 32): DataFrame = {
     val outSchema = StructType(Seq(
@@ -312,13 +326,18 @@ object MultimodalOps {
                 // short clip reads n_silent=0 and sails through the
                 // gate. Length-scaled threshold, cross-multiplied:
                 // silent iff sumsq/n < T²·W/W·... i.e.
-                // sumsq·W < silentMaxSumsq·n (exact ints)
+                // sumsq·W < silentMaxSumsq·n. The cross products can
+                // exceed 63 bits (sumsq ≤ n·2^30, so sumsq·W
+                // overflows Long when n·W ≳ 2^33) — compare the two
+                // products in 128 bits via multiplyHigh instead of
+                // trusting the wrapped 64-bit values.
                 var sumsq = 0L; var i = 0
                 while (i + 1 < data.length) {
                   val v = sample16(data, i, le).toLong
                   sumsq += v * v; i += 2
                 }
-                val silent = sumsq * windowSamples < silentMaxSumsq * n
+                val silent = cmp128(sumsq, windowSamples.toLong,
+                  silentMaxSumsq, n.toLong) < 0
                 Row(id, 1, if (silent) 1 else 0, sumsq, sumsq, "Y")
               } else {
                 val nWin = n / windowSamples

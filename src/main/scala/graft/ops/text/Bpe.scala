@@ -70,6 +70,12 @@ object Bpe {
     * corpus; each iteration checkpoints the (tiny) vocabulary so plan
     * depth stays O(1) instead of O(k). Checkpoints are vocabulary-
     * sized (≤ distinct-word count), not corpus-sized.
+    *
+    * The merge table may be SHORTER than `k`: when the vocabulary
+    * runs out of mergeable pairs (every word fully merged to one
+    * symbol) before rank k, training stops at the last learnable
+    * merge instead of looping over an empty pair frame — the same
+    * early-exit every reference BPE trainer performs.
     */
   def train(words: DataFrame, wCol: String, k: Int): DataFrame = {
     var vocab = words
@@ -80,7 +86,10 @@ object Bpe {
       .localCheckpoint() // corpus pass runs ONCE, here
     val checkpoints = collection.mutable.Buffer(vocab)
     var out: DataFrame = null
-    for (rank <- 1 to k) {
+    var rank = 0
+    var exhausted = false
+    while (rank < k && !exhausted) {
+      rank += 1
       val arr = split(col("state"), " ")
       val n = size(arr)
       val pairs = vocab
@@ -90,6 +99,9 @@ object Bpe {
             slice(arr, lit(1), n - 1), slice(arr, lit(2), n - 1),
             (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
         .select(col("p.l").as("l"), col("p.r").as("r"), col("wc"))
+      // checkpointed so the emptiness probe and both downstream
+      // consumers (merge-table row, vocab rewrite) share one tiny
+      // materialized result instead of re-running the aggregation
       val best = pairs
         .groupBy("l", "r").agg(sum("wc").cast("long").as("pair_n"))
         .orderBy(col("pair_n").desc, col("l"), col("r"))
@@ -97,12 +109,40 @@ object Bpe {
         .select(lit(rank).as("rank"), col("l").as("left_sym"),
           col("r").as("right_sym"),
           concat(col("l"), col("r")).as("merged"), col("pair_n"))
-      out = if (out == null) best else out.unionByName(best)
-      vocab = vocab
-        .crossJoin(broadcast(best.select(col("left_sym").as("__l"), col("right_sym").as("__r"))))
-        .select(applyMerge(col("state"), col("__l"), col("__r")).as("state"), col("wc"))
         .localCheckpoint()
-      checkpoints += vocab
+      checkpoints += best
+      if (best.isEmpty) {
+        // no pair left anywhere in the vocabulary: a further crossJoin
+        // with the empty best row would silently EMPTY vocab and the
+        // caller would get k rows of nothing — stop and return the
+        // merges actually learned (possibly zero)
+        exhausted = true
+      } else {
+        out = if (out == null) best else out.unionByName(best)
+        vocab = vocab
+          .crossJoin(broadcast(best.select(col("left_sym").as("__l"), col("right_sym").as("__r"))))
+          .select(applyMerge(col("state"), col("__l"), col("__r")).as("state"), col("wc"))
+          .localCheckpoint()
+        checkpoints += vocab
+      }
+    }
+    if (out == null) {
+      // zero learnable merges (e.g. every word is a single char):
+      // an empty frame with the contract schema
+      val r = checkpoints.head
+      out = r.sparkSession.createDataFrame(
+        r.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("rank",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("left_sym",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("right_sym",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("merged",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("pair_n",
+            org.apache.spark.sql.types.LongType))))
     }
     // The merge table is what escapes this call; pin it and release
     // the per-iteration vocabulary checkpoints deterministically.

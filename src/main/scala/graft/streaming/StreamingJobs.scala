@@ -155,13 +155,15 @@ object StreamingJobs {
   def decontaminateStream(docs: DataFrame, evalSketch: DataFrame,
                           k: Int, maxLeaked: Int): DataFrame =
     docs.crossJoin(broadcast(evalSketch))
-      // null text -> null window array -> null size: coalesce to 0 so
-      // a null-text doc reports 0 leaked and ACCEPTS, matching the
-      // batch audit (q189 filters null text = 0 leaked chars)
-      .withColumn("n_leaked", coalesce(size(filter(
+      // null text -> null window array: size(null) is null under the
+      // default sizeOfNull semantics but -1 under the legacy conf, so
+      // guard BOTH ways (coalesce for null, greatest for -1) — a
+      // null-text doc reports 0 leaked and ACCEPTS in every SQL mode,
+      // matching the batch audit (q189 filters null text = 0 leaked)
+      .withColumn("n_leaked", greatest(lit(0), coalesce(size(filter(
         graft.functions.RollingHash.windowHashes(col("text"), k),
         h => graft.functions.BloomFilter.mightContain(col("sketch"), h.cast("string")))),
-        lit(0)))
+        lit(0))))
       .withColumn("accept", when(col("n_leaked") <= maxLeaked, "Y").otherwise("N"))
       .drop("sketch")
 
@@ -308,7 +310,7 @@ object StreamingJobs {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch0: DataFrame, _: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         import graft.ops.dedup.{ConnectedComponents, Dedup}
         val spark = batch0.sparkSession
         // exact dups stay IN: identical texts collide in every band,
@@ -369,8 +371,21 @@ object StreamingJobs {
             col("doc_id").as("component")).limit(0)
         val updated = ConnectedComponents.incremental(labels, edges)
         graft.sinks.Sinks.upsertParquet(spark, updated, labelsDir, Seq("id"))
-        batch.write.mode("append").parquet(textDir)
-        bands.write.mode("append").parquet(storeDir)
+        // text/bands stores are keyed by batch_id partition and written
+        // with DYNAMIC partition overwrite: foreachBatch is at-least-
+        // once, and a replayed batch (crash after the registry upsert,
+        // before these writes completed) must OVERWRITE its own
+        // partition rather than append a second copy — plain appends
+        // doubled textDir rows and inflated band buckets toward the 64
+        // cap on retry. Same idempotence posture as the registry's
+        // staging-swap upsert; on Delta all three become one txn.
+        val dyn = Map("partitionOverwriteMode" -> "dynamic")
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").options(dyn)
+          .partitionBy("batch_id").parquet(textDir)
+        bands.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").options(dyn)
+          .partitionBy("batch_id").parquet(storeDir)
         batch.unpersist(); bands.unpersist()
         releases.foreach(_())
         ()

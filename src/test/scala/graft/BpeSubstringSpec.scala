@@ -46,6 +46,24 @@ class BpeSubstringSpec extends SparkSpec {
     assert(got.toSeq == Seq((1, "a", "b", "ab", 5L), (2, "a", "ab", "aab", 3L)))
   }
 
+  test("train stops early when the vocabulary runs out of mergeable pairs") {
+    // 'ab' x2: merge 1 = (a,b), after which every word is ONE symbol —
+    // ranks 2..5 have no pairs. The loop must break, not crossJoin an
+    // empty best row (which silently emptied vocab and returned junk).
+    val words = Seq.fill(2)("ab").toDF("w")
+    val got = Bpe.train(words, "w", 5)
+      .select("rank", "left_sym", "right_sym", "pair_n")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1, "a", "b", 2L)),
+      s"one learnable merge, not 5: ${got.toSeq}")
+    // degenerate corpus of single-char words: ZERO learnable merges —
+    // an empty frame with the contract schema, not a crash
+    val none = Bpe.train(Seq("a", "b", "c").toDF("w"), "w", 3)
+    assert(none.columns.toSeq ==
+      Seq("rank", "left_sym", "right_sym", "merged", "pair_n"))
+    assert(none.isEmpty)
+  }
+
   test("train tie-break is (pair_n DESC, l ASC, r ASC)") {
     // 'ab' and 'ba' both appear twice inside 'abab': state 'a b a b'
     // has pairs (a,b)=2, (b,a)=1 per word... use two words to tie:

@@ -381,6 +381,36 @@ class SinksStreamingSpec extends SparkSpec {
       "cluster maintenance must release every cache it takes")
   }
 
+  test("cluster maintenance replayed batch overwrites its own store rows, not appends") {
+    implicit val sqlCtx = spark.sqlContext
+    val (store, texts, labels, chk) =
+      (tmp() + "/istore", tmp() + "/itexts", tmp() + "/ilabels", tmp() + "/ichk")
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    def runBatch(chkDir: String): Unit = {
+      val mem = MemoryStream[(Long, String)]
+      val df = mem.toDF().toDF("doc_id", "text")
+      mem.addData((1L, base), (2L, base))
+      StreamingJobs.clusterMaintStream(df, store, texts, labels, chkDir)
+        .awaitTermination()
+    }
+    runBatch(chk)
+    val texts1 = spark.read.parquet(texts).count()
+    val store1 = spark.read.parquet(store).count()
+    // at-least-once REPLAY of the same batch (fresh checkpoint => the
+    // same rows arrive again as batchId 0, as after a crash between
+    // the registry upsert and the text/bands writes): the batch_id-
+    // keyed dynamic partition overwrite must leave counts UNCHANGED —
+    // the plain append doubled textDir and inflated band buckets
+    runBatch(chk + "_replay")
+    assert(spark.read.parquet(texts).count() == texts1,
+      "replayed batch must overwrite its text partition, not append")
+    assert(spark.read.parquet(store).count() == store1,
+      "replayed batch must overwrite its bands partition, not append")
+    val got = spark.read.parquet(labels)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L), s"registry after replay: $got")
+  }
+
   test("cluster maintenance recovers a crashed registry swap before reading") {
     implicit val sqlCtx = spark.sqlContext
     val (store, texts, labels, chk) =
