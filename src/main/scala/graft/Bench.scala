@@ -67,6 +67,11 @@ object Bench {
     // the SCALE.md exchange audit — "one pre-reduced shuffle" is a
     // claim, shuffle_mb is the measurement.
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    // SPARK_GRAFT_NO_SHUFFLE_METRICS=1: pure-timing mode with NO
+    // listener registered and NO bus drains — the A/B control for
+    // adjudicating whether the metrics machinery itself perturbs
+    // timings (the round-9 q99 watch item)
+    val metricsOn = !sys.env.get("SPARK_GRAFT_NO_SHUFFLE_METRICS").contains("1")
     // removed in the finally below: a second runBench in the same
     // session must not double-count via two live listeners
     val shuffleListener = new org.apache.spark.scheduler.SparkListener {
@@ -76,8 +81,9 @@ object Bench {
         if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
       }
     }
-    spark.sparkContext.addSparkListener(shuffleListener)
+    if (metricsOn) spark.sparkContext.addSparkListener(shuffleListener)
     def drainedShuffle(): Long = {
+      if (!metricsOn) return 0L
       // waitUntilEmpty() has a hard 10 s timeout and THROWS on a
       // loaded box — a metrics read must never kill a multi-minute
       // bench run, so degrade to the possibly-slightly-stale counter
@@ -101,7 +107,8 @@ object Bench {
       }
       // per-RUN shuffle write (identical across reps modulo AQE): the
       // counter delta over all reps divided by reps
-      shuffleMb(name) = (drainedShuffle() - sh0).toDouble / reps / 1048576.0
+      if (metricsOn)
+        shuffleMb(name) = (drainedShuffle() - sh0).toDouble / reps / 1048576.0
       // Per-rep spread to STDERR (stderr keeps the FULL spread for
       // every query; the stdout JSON carries it only for the slowest —
       // see below): a loaded box shows up as max >> min, making an
@@ -110,10 +117,10 @@ object Bench {
       // manual re-run to refute.
       System.err.println(
         s"[bench] $name reps=${times.map(f2).mkString(",")} " +
-          s"min=${f2(times.min)} max=${f2(times.max)} " +
-          s"shuffle_mb=${f2(shuffleMb(name))}")
+          s"min=${f2(times.min)} max=${f2(times.max)}" +
+          (if (metricsOn) s" shuffle_mb=${f2(shuffleMb(name))}" else ""))
       name -> times
-    } finally spark.sparkContext.removeSparkListener(shuffleListener)
+    } finally if (metricsOn) spark.sparkContext.removeSparkListener(shuffleListener)
     // Shuffle-byte regression GATE: per-query shuffle write is plan-
     // determined (stable across reps and rounds modulo AQE), so
     // exchange bloat — an optimization rewrite quietly adding a

@@ -53,6 +53,12 @@ object Explain {
     "q116_lsh_multi_ann" -> ("Multi-table LSH: each table's bucket signature is a pure " +
       "codegen'd projection; candidates union across tables and dedup BEFORE any " +
       "cosine is computed."),
+    "q198_bitext_ann" -> ("Bitext serving form: NO cross join anywhere — candidate " +
+      "generation is 4 bucket equi-joins (one per LSH table) deduped before " +
+      "scoring; the margin+mutual filter runs on the ~2% candidate subset."),
+    "q199_knn_ann_gated" -> ("Serving kNN: the retriever leg is bucket equi-joins " +
+      "(the only cross join is the 20-probe exact AUDIT leg that stamps " +
+      "rank_true); ANN top-5 and truth join on (q_id, c_id)."),
     "q82_week_sub" -> ("Ten report sections as ONE union relation: each branch is its " +
       "own conform-projected section plan (windows/aggregates keyed by farm_no); " +
       "no cross-section shuffle — the union is append-only."),

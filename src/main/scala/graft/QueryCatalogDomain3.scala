@@ -415,6 +415,59 @@ object QueryCatalogDomain3 {
        |ORDER BY farm_no, week_no""".stripMargin
   }
 
+  // ---------------------------------------------------------------- chained multi-week history
+  /** Multi-week CHAINED pipeline (q201): the same 4-week deltas as
+    * q79, but computed by [[graft.pipeline.WeeklyReportJob
+    * .runChainedWeeks]] — week N joins week N-1's summary READ BACK
+    * from its written parquet, not an in-memory lag. The store is
+    * recreated fresh per run (the chain's semantics ARE the store
+    * round trip); the oracle computes the lag() form over the full
+    * history, so hash equality proves the written chain is faithful
+    * to the in-memory algebra across ≥3 consecutive weeks. */
+  val q201WeeklyChain: Q = (s, _) => {
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_week_chain")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(out)
+    graft.pipeline.WeeklyReportJob.runChainedWeeks(s, out.toString, Seq(
+      ("W1", "20251013", "20251019"), ("W2", "20251020", "20251026"),
+      ("W3", "20251027", "20251102"), ("W4", "20251103", "20251109")))
+  }
+
+  private lazy val q201Sql = {
+    val weekCtes = Seq(("W1", "20251013", "20251019"), ("W2", "20251020", "20251026"),
+      ("W3", "20251027", "20251102"), ("W4", "20251103", "20251109"))
+    val union = weekCtes.map { case (wn, lo, hi) =>
+      s"""SELECT farm_no, '$wn' AS week_no, COUNT(*) AS bm_cnt,
+         |       CAST(SUM(silsan) AS BIGINT) AS bm_live
+         |FROM bunman WHERE use_yn = 'Y' AND wk_dt BETWEEN '$lo' AND '$hi'
+         |GROUP BY 1""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val wkVals = weekCtes.map(w => s"('${w._1}')").mkString(",")
+    s"""WITH ${Fixtures.withClause("modon", "bunman")},
+       |pw AS (
+       |  $union),
+       |farms AS (SELECT DISTINCT farm_no FROM modon),
+       |wk(week_no) AS (VALUES $wkVals),
+       |filled AS (
+       |  SELECT f.farm_no, wk.week_no,
+       |         COALESCE(pw.bm_cnt, 0) AS bm_cnt,
+       |         COALESCE(pw.bm_live, 0) AS bm_live
+       |  FROM farms f CROSS JOIN wk
+       |  LEFT JOIN pw ON pw.farm_no = f.farm_no AND pw.week_no = wk.week_no)
+       |SELECT farm_no, week_no, bm_cnt, bm_live,
+       |  lag(bm_cnt) OVER w AS prev_bm_cnt,
+       |  lag(bm_live) OVER w AS prev_bm_live,
+       |  bm_cnt - lag(bm_cnt) OVER w AS delta_bm_cnt,
+       |  bm_live - lag(bm_live) OVER w AS delta_bm_live
+       |FROM filled
+       |WINDOW w AS (PARTITION BY farm_no ORDER BY week_no)
+       |ORDER BY farm_no, week_no""".stripMargin
+  }
+
   // ---------------------------------------------------------------- template-mode scheduler
   /** FN_MD_SCHEDULE_BSE_2020, template ("modon") mode — the SURVEY
     * §2.10 headline reconstruction: TS_INS_CONF JSON configs select
@@ -1181,6 +1234,7 @@ object QueryCatalogDomain3 {
     "q76_rearing_rate" -> q76Rearing,
     "q78_weekly_summary" -> q78WeeklySummary,
     "q79_week_deltas" -> q79WeekDeltas,
+    "q201_weekly_chain" -> q201WeeklyChain,
     "q80_schedule_modon" -> q80ScheduleModon,
     "q81_accident_asof" -> q81AccidentAsOf,
     "q82_week_sub" -> q82WeekSub,
@@ -1202,6 +1256,7 @@ object QueryCatalogDomain3 {
     "q76_rearing_rate" -> q76Sql,
     "q78_weekly_summary" -> q78Sql,
     "q79_week_deltas" -> q79Sql,
+    "q201_weekly_chain" -> q201Sql,
     "q80_schedule_modon" -> q80Sql,
     "q81_accident_asof" -> q81Sql,
     "q82_week_sub" -> q82Sql,

@@ -1162,20 +1162,16 @@ object QueryCatalogSim {
     * vectors with many near-equal neighbors.
     *
     * Scale shape: ONE pairs frame (the documented exact-eval
-    * baseline, like q45 — at corpus scale candidate generation swaps
-    * to the IVF/LSH machinery in [[VectorOps]]) feeds both
-    * directions; per-probe top-2 and per-candidate top-1 are
+    * baseline, like q45 — the ORACLE form; q198 is the serving form
+    * with [[graft.ops.similarity.Bitext.lshPairs]] candidates) feeds
+    * both directions; per-probe top-2 and per-candidate top-1 are
     * high-cardinality-keyed windows; the mutual check is an
     * equi-join of the two winner sets. */
   val q187BitextMine: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
+    import graft.ops.similarity.Bitext
     val emb = Tables.embeddings(s, d)
-    val a = emb.filter(col("vec_id") % 2 === 0)
-      .select(col("vec_id").as("a_id"), col("embedding").as("av"),
-        VectorOps.norm(col("embedding")).as("an"))
-    val b = emb.filter(col("vec_id") % 2 === 1)
-      .select(col("vec_id").as("b_id"), col("embedding").as("bv"),
-        VectorOps.norm(col("embedding")).as("bn"))
+    val a = emb.filter(col("vec_id") % 2 === 0).select("vec_id", "embedding")
+    val b = emb.filter(col("vec_id") % 2 === 1).select("vec_id", "embedding")
     // evaluation trade, MEASURED at sf1: the pairs frame feeds three
     // legs (top-2 both directions), and the b_id window's exchange
     // re-runs the cross join (the a_id legs share one exchange). A
@@ -1183,25 +1179,9 @@ object QueryCatalogSim {
     // re-evaluation benched 40-60 s vs 11.5 s for the re-evaluated
     // form — the codegen'd BNLJ + native DotProduct recompute is far
     // cheaper than materializing and re-shuffling the stored rows.
-    // Exchange reuse is the right tool here; at corpus scale the
-    // whole query swaps to LSH/IVF candidates anyway.
-    val pairs = a.crossJoin(b)
-      .withColumn("cos", VectorOps.cosine(col("av"), col("bv"), col("an"), col("bn")))
-      .select("a_id", "b_id", "cos")
-    val wa = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id"))
-    val top2 = pairs.withColumn("rk", row_number().over(wa)).filter(col("rk") <= 2)
-    val aBest = top2.filter(col("rk") === 1).select(col("a_id"), col("b_id"), col("cos"))
-      .join(top2.filter(col("rk") === 2).select(col("a_id"), col("cos").as("cos2")),
-        Seq("a_id"))
-      .withColumn("margin", col("cos") - col("cos2"))
-    val wb = Window.partitionBy("b_id").orderBy(col("cos").desc, col("a_id"))
-    val bBest = pairs.withColumn("rk", row_number().over(wb)).filter(col("rk") === 1)
-      .select(col("b_id"), col("a_id").as("b_best_a"))
-    aBest.join(bBest, Seq("b_id"))
-      .withColumn("mutual", when(col("b_best_a") === col("a_id"), "Y").otherwise("N"))
-      .withColumn("accept",
-        when(col("mutual") === "Y" && col("margin") >= 0.01, "Y").otherwise("N"))
-      .select("a_id", "b_id", "cos", "margin", "mutual", "accept")
+    // Exchange reuse is the right tool here; q198 is the serving
+    // form (LSH candidates into the identical filter).
+    Bitext.marginMutual(Bitext.exactPairs(a, b), marginMin = 0.01)
       .orderBy("a_id")
   }
 
@@ -1229,8 +1209,193 @@ object QueryCatalogSim {
       |       CASE WHEN mutual = 'Y' AND margin >= 0.01 THEN 'Y' ELSE 'N' END AS accept
       |FROM j ORDER BY a_id""".stripMargin
 
+  // ---------------------------------------------------------------- q198: ANN-backed bitext mining
+  /** Bitext mining, SERVING form — q187's exact margin + mutual-best
+    * filter fed by multi-table LSH candidates instead of the
+    * all-pairs cross join (the one remaining measured scale-killer:
+    * q187 grows 7.7x per data decade, SCALE.md). Candidates: 4
+    * tables x 8 hyperplanes, a pair is scored iff the two sides
+    * share a bucket in ANY table ([[graft.ops.similarity.Bitext
+    * .lshPairs]] — bucket equi-joins, pairs deduped before scoring).
+    *
+    * The fixture plants 20 PARALLEL PAIRS (b-side twins of the first
+    * 20 a-side vectors, ids +100001 so even sources get odd
+    * partners, component 0 zeroed — q53's perturbation): a planted
+    * partner is its source's mutual best at cosine ≈0.99 with a wide
+    * margin, so the accept set measurably recovers the planted
+    * alignment. BitextSpec gates recall vs the exact filter on the
+    * same input; the oracle replays buckets, margins and the gate
+    * bit-for-bit. */
+  val q198BitextAnn: Q = (s, d) => {
+    import graft.ops.similarity.Bitext
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val twins = emb.filter(col("vec_id") < 40 && col("vec_id") % 2 === 0)
+      .select((col("vec_id") + 100001).as("vec_id"),
+        expr("transform(embedding, (x, i) -> CASE WHEN i = 0 THEN CAST(0.0 AS FLOAT) ELSE x END)")
+          .as("embedding"))
+    val all = emb.unionByName(twins)
+    val a = all.filter(col("vec_id") % 2 === 0)
+    val b = all.filter(col("vec_id") % 2 === 1)
+    Bitext.marginMutual(Bitext.lshPairs(a, b, nPlanes = 8, nTables = 4),
+        marginMin = 0.01)
+      .orderBy("a_id")
+  }
+
+  private val q198Sql =
+    """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |twins AS (SELECT vec_id + 100001 AS vec_id, list_prepend(0.0, v[2:]) AS v
+      |          FROM base WHERE vec_id < 40 AND vec_id % 2 = 0),
+      |e AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+      |x AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS k,
+      |             CAST(round(unnest(v) * 1e6) AS BIGINT) AS xi
+      |      FROM e),
+      |pl AS (SELECT vec_id, k, xi, j.j AS j,
+      |              ((('0x' || substr(md5(CAST(j.j AS VARCHAR) || '_' || CAST(k AS VARCHAR)), 1, 1))::INT % 2) * 2 - 1) AS sgn
+      |       FROM x, (SELECT unnest(range(32)) AS j) j),
+      |votes AS (SELECT vec_id, j // 8 AS t, j, SUM(sgn * xi) AS vsum
+      |          FROM pl GROUP BY 1, 2, 3),
+      |bk AS (SELECT vec_id, t,
+      |              CAST(SUM(CASE WHEN vsum > 0 THEN CAST(pow(2, j % 8) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      |       FROM votes GROUP BY 1, 2),
+      |cand AS (SELECT DISTINCT p.vec_id AS a_id, c.vec_id AS b_id
+      |         FROM bk p JOIN bk c ON c.t = p.t AND c.bucket = p.bucket
+      |         WHERE p.vec_id % 2 = 0 AND c.vec_id % 2 = 1),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM e),
+      |pr AS (SELECT cand.a_id, cand.b_id,
+      |              list_dot_product(p.v, c.v) / (p.nm * c.nm) AS cos
+      |       FROM cand JOIN n p ON p.vec_id = cand.a_id
+      |       JOIN n c ON c.vec_id = cand.b_id),
+      |ra AS (SELECT *, row_number() OVER (
+      |         PARTITION BY a_id ORDER BY cos DESC, b_id) AS rk FROM pr),
+      |abest AS (
+      |  SELECT r1.a_id, r1.b_id, r1.cos, r1.cos - r2.cos AS margin
+      |  FROM ra r1 JOIN ra r2 ON r1.a_id = r2.a_id AND r2.rk = 2
+      |  WHERE r1.rk = 1),
+      |rb AS (SELECT *, row_number() OVER (
+      |         PARTITION BY b_id ORDER BY cos DESC, a_id) AS rk FROM pr),
+      |bbest AS (SELECT b_id, a_id AS b_best_a FROM rb WHERE rk = 1),
+      |j AS (
+      |  SELECT ab.a_id, ab.b_id, ab.cos, ab.margin,
+      |         CASE WHEN bb.b_best_a = ab.a_id THEN 'Y' ELSE 'N' END AS mutual
+      |  FROM abest ab JOIN bbest bb ON ab.b_id = bb.b_id)
+      |SELECT a_id, b_id, cos, margin, mutual,
+      |       CASE WHEN mutual = 'Y' AND margin >= 0.01 THEN 'Y' ELSE 'N' END AS accept
+      |FROM j ORDER BY a_id""".stripMargin
+
+  // ---------------------------------------------------------------- q200: MP4 container metadata walk
+  /** REAL MP4/ISO-BMFF container-metadata extraction (q200): payloads
+    * are synthesized per doc as genuine box streams — ftyp (brand
+    * list varies with parity), moov>mvhd (timescale/duration), an
+    * optional free box, and an mdat that uses the 64-bit LARGESIZE
+    * header form for id%7==3 — then parsed back by the pure-JDK box
+    * walker [[MultimodalOps.mp4ContainerMeta]]. Every extracted field
+    * has a closed form in doc_id, so the oracle verifies the
+    * synth->walk round trip WITHOUT parsing (q148's pattern applied
+    * to video containers; codec decode stays honestly out of scope).
+    * %10==7 docs carry raw text bytes and must gate ok='N' with null
+    * fields, never a task failure. */
+  val q200Mp4Meta: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+      .withColumn("corrupt", col("doc_id") % 10 === 7)
+    MultimodalOps.mp4ContainerMeta(
+      MultimodalOps.synthMp4Payload(docs, "doc_id", "text", "corrupt"),
+      "doc_id")
+      .orderBy("doc_id")
+  }
+
+  private val q200Sql =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 10 = 7 THEN NULL
+      |       ELSE CAST(3 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT)
+      |       END AS n_boxes,
+      |  CASE WHEN doc_id % 10 = 7 THEN NULL ELSE 'isom' END AS major_brand,
+      |  CASE WHEN doc_id % 10 = 7 THEN NULL
+      |       ELSE CAST(doc_id % 512 AS INT) END AS minor_version,
+      |  CASE WHEN doc_id % 10 = 7 THEN NULL
+      |       ELSE CAST(600 + (doc_id % 4) * 300 AS INT) END AS timescale,
+      |  CASE WHEN doc_id % 10 = 7 THEN NULL
+      |       ELSE CAST(1000 + doc_id % 5000 AS BIGINT) END AS duration,
+      |  CASE WHEN doc_id % 10 = 7 THEN 'N' ELSE 'Y' END AS ok
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q199: serving kNN (ANN + recall audit)
+  /** The catalog's SERVING kNN — the bucketed multi-table LSH
+    * retriever with the exact-truth audit attached, replacing q45's
+    * all-pairs cross join as the production entry (q45 stays as the
+    * oracle/ground-truth baseline ONLY). Probes are q175's planted
+    * near-twins (ids +100000, component 0 zeroed) so the audit
+    * measures whether the index finds a real neighbor, not noise
+    * ranking among near-orthogonal vectors. Output: the ANN top-5
+    * per probe, each row stamped with its EXACT rank (`rank_true`,
+    * 0 = the pair is not in the exact top-5) — the per-row form of
+    * q175's recall/MRR summary, so the hash gate covers the audit
+    * itself and BitextSpec asserts the recall floor from the same
+    * rows. The exact leg costs |probes| x N (20 probes — an audit,
+    * not a serving path); the retriever leg is bucket equi-joins. */
+  val q199KnnAnnGated: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val probes = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        expr("transform(embedding, (x, i) -> CASE WHEN i = 0 THEN CAST(0.0 AS FLOAT) ELSE x END)")
+          .as("embedding"))
+    val corpus = emb.unionByName(probes)
+    val ann = VectorOps.lshAnnMulti(probes, corpus, k = 5, nPlanes = 8, nTables = 4)
+      .withColumn("rank", col("rank").cast("int"))
+    val truth = VectorOps.bruteForceKnn(probes, corpus, k = 5)
+      .select(col("q_id"), col("c_id"), col("rank").cast("int").as("rank_true"))
+    ann.join(truth, Seq("q_id", "c_id"), "left")
+      .na.fill(0, Seq("rank_true"))
+      .select("q_id", "c_id", "rank", "cos", "rank_true")
+      .orderBy("q_id", "rank")
+  }
+
+  private val q199Sql =
+    """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |planted AS (SELECT vec_id + 100000 AS vec_id,
+      |                   list_prepend(0.0, v[2:]) AS v
+      |            FROM base WHERE vec_id < 20),
+      |e AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+      |x AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS k,
+      |             CAST(round(unnest(v) * 1e6) AS BIGINT) AS xi
+      |      FROM e),
+      |pl AS (SELECT vec_id, k, xi, j.j AS j,
+      |              ((('0x' || substr(md5(CAST(j.j AS VARCHAR) || '_' || CAST(k AS VARCHAR)), 1, 1))::INT % 2) * 2 - 1) AS sgn
+      |       FROM x, (SELECT unnest(range(32)) AS j) j),
+      |votes AS (SELECT vec_id, j // 8 AS t, j, SUM(sgn * xi) AS vsum
+      |          FROM pl GROUP BY 1, 2, 3),
+      |bk AS (SELECT vec_id, t,
+      |              CAST(SUM(CASE WHEN vsum > 0 THEN CAST(pow(2, j % 8) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      |       FROM votes GROUP BY 1, 2),
+      |cand AS (SELECT DISTINCT p.vec_id AS q_id, c.vec_id AS c_id
+      |         FROM bk p JOIN bk c ON c.t = p.t AND c.bucket = p.bucket
+      |         WHERE p.vec_id >= 100000 AND c.vec_id != p.vec_id),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM e),
+      |apr AS (SELECT cand.q_id, cand.c_id,
+      |               list_dot_product(p.v, c.v) / (p.nm * c.nm) AS cos
+      |        FROM cand JOIN n p ON p.vec_id = cand.q_id
+      |        JOIN n c ON c.vec_id = cand.c_id),
+      |ann AS (SELECT q_id, c_id, rank, cos FROM (
+      |          SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+      |            ORDER BY cos DESC, c_id) AS INT) AS rank FROM apr)
+      |        WHERE rank <= 5),
+      |px AS (SELECT * FROM n WHERE vec_id >= 100000),
+      |tpr AS (SELECT p.vec_id AS q_id, c.vec_id AS c_id,
+      |               list_dot_product(p.v, c.v) / (p.nm * c.nm) AS cos
+      |        FROM px p CROSS JOIN n c WHERE c.vec_id != p.vec_id),
+      |tru AS (SELECT q_id, c_id, rank_true FROM (
+      |          SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+      |            ORDER BY cos DESC, c_id) AS INT) AS rank_true FROM tpr)
+      |        WHERE rank_true <= 5)
+      |SELECT a.q_id, a.c_id, a.rank, a.cos,
+      |       CAST(COALESCE(t.rank_true, 0) AS INT) AS rank_true
+      |FROM ann a LEFT JOIN tru t ON t.q_id = a.q_id AND t.c_id = a.c_id
+      |ORDER BY a.q_id, a.rank""".stripMargin
+
   // ----------------------------------------------------------------
   val all: Map[String, Q] = Map(
+    "q198_bitext_ann" -> q198BitextAnn,
+    "q199_knn_ann_gated" -> q199KnnAnnGated,
+    "q200_mp4_meta" -> q200Mp4Meta,
     "q187_bitext_mine" -> q187BitextMine,
     "q175_ann_metrics" -> q175AnnMetrics,
     "q168_cluster_ari" -> q168ClusterAri,
@@ -1256,6 +1421,9 @@ object QueryCatalogSim {
   )
 
   val oracle: Map[String, String] = Map(
+    "q198_bitext_ann" -> q198Sql,
+    "q199_knn_ann_gated" -> q199Sql,
+    "q200_mp4_meta" -> q200Sql,
     "q187_bitext_mine" -> q187Sql,
     "q175_ann_metrics" -> q175Sql,
     "q168_cluster_ari" -> q168Sql,

@@ -364,6 +364,205 @@ object MultimodalOps {
     }(Encoders.row(outSchema))
   }
 
+  // ------------------------------------------------------------------
+  // MP4 / ISO-BMFF container metadata (REAL box parse, pure JDK)
+  // ------------------------------------------------------------------
+
+  private def be32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  private def be64(b: Array[Byte], off: Int): Long =
+    (be32(b, off) << 32) | be32(b, off + 4)
+
+  private def boxType(b: Array[Byte], off: Int): String = {
+    // 4 printable-ASCII chars or the box is garbage
+    var i = 0
+    while (i < 4) {
+      val c = b(off + i) & 0xff
+      if (c < 0x20 || c > 0x7e) return null
+      i += 1
+    }
+    new String(b, off, 4, "US-ASCII")
+  }
+
+  /** One parsed box header: (type, payloadOff, payloadLen, totalLen);
+    * None = structurally invalid at `off`. Handles the compact size,
+    * the 64-bit largesize (size==1) and size==0 = to-EOF forms. */
+  private def readBox(b: Array[Byte], off: Int): Option[(String, Int, Long, Long)] = {
+    if (off + 8 > b.length) return None
+    val size32 = be32(b, off)
+    val tp = boxType(b, off + 4)
+    if (tp == null) return None
+    if (size32 == 1) {
+      if (off + 16 > b.length) return None
+      val size = be64(b, off + 8)
+      if (size < 16 || off + size > b.length) None
+      else Some((tp, off + 16, size - 16, size))
+    } else if (size32 == 0) {
+      // box extends to end of file
+      Some((tp, off + 8, (b.length - off - 8).toLong, (b.length - off).toLong))
+    } else {
+      if (size32 < 8 || off + size32 > b.length) None
+      else Some((tp, off + 8, size32 - 8, size32))
+    }
+  }
+
+  /** Build a minimal ISO-BMFF (MP4) payload per row for the q200
+    * fixture — every field a closed form of the id so the oracle can
+    * verify the round trip WITHOUT parsing:
+    *   ftyp: major 'isom', minor = id % 512, brands 'isom','mp41'
+    *         (+ 'avc1' when id even);
+    *   moov > mvhd (v0): timescale 600 + (id%4)*300,
+    *         duration 1000 + id % 5000;
+    *   free: present only when id % 3 == 0 (varies the box count);
+    *   mdat: id % 32 payload bytes — written with the 64-bit
+    *         LARGESIZE header when id % 7 == 3 (exercises the
+    *         size==1 branch of the walker on valid data).
+    * Corrupt rows carry their raw text bytes (no box structure). */
+  def synthMp4Payload(df: DataFrame, idCol: String, textCol: String,
+                      corruptCol: String, batchSize: Int = 32): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("payload", BinaryType)))
+    val input = df.select(col(idCol).cast("long"),
+      col(textCol).cast("string"), col(corruptCol).cast("boolean"))
+    input.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0)
+          val bytes =
+            if (r.getBoolean(2))
+              (if (r.isNullAt(1)) "" else r.getString(1)).getBytes("UTF-8")
+            else {
+              val bos = new java.io.ByteArrayOutputStream()
+              val out = new java.io.DataOutputStream(bos)
+              def fourcc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+              // ftyp
+              val brands = if (id % 2 == 0) Seq("isom", "mp41", "avc1")
+                           else Seq("isom", "mp41")
+              out.writeInt(16 + 4 * brands.size); fourcc("ftyp")
+              fourcc("isom"); out.writeInt((id % 512).toInt)
+              brands.foreach(fourcc)
+              // moov > mvhd (version 0: 100-byte payload)
+              out.writeInt(8 + 108); fourcc("moov")
+              out.writeInt(108); fourcc("mvhd")
+              out.writeInt(0) // version + flags
+              out.writeInt(0); out.writeInt(0) // creation, modification
+              out.writeInt((600 + (id % 4) * 300).toInt) // timescale
+              out.writeInt((1000 + id % 5000).toInt) // duration
+              out.writeInt(0x00010000); out.writeShort(0x0100) // rate, volume
+              out.writeShort(0); out.writeLong(0L) // reserved
+              Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+                .foreach(out.writeInt) // unity matrix
+              (0 until 6).foreach(_ => out.writeInt(0)) // pre_defined
+              out.writeInt(2) // next_track_ID
+              // free (box-count variation)
+              if (id % 3 == 0) { out.writeInt(8); fourcc("free") }
+              // mdat, largesize-encoded for id % 7 == 3
+              val mdatLen = (id % 32).toInt
+              if (id % 7 == 3) {
+                out.writeInt(1); fourcc("mdat"); out.writeLong(16L + mdatLen)
+              } else {
+                out.writeInt(8 + mdatLen); fourcc("mdat")
+              }
+              (0 until mdatLen).foreach(i => out.writeByte((id + i).toInt & 0xff))
+              out.flush()
+              bos.toByteArray
+            }
+          Row(id, bytes)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL MP4/ISO-BMFF container-metadata walk (pure JDK, no codec):
+    * top-level boxes are walked by the size/type grammar (compact,
+    * largesize and to-EOF size forms all handled), `ftyp` yields the
+    * major brand + minor version, and `mvhd` — found by descending
+    * ONE level into `moov` — yields timescale and duration (version
+    * 0 and 1 layouts). This is the metadata a video-corpus curation
+    * pass extracts per clip WITHOUT decoding frames (codec decode is
+    * honestly out of scope in this container — see [[fakeResize]]).
+    *
+    * ok='Y' requires: every top-level box parses, the stream is
+    * consumed exactly, and both ftyp and moov/mvhd are present.
+    * Anything else — raw text, truncation mid-box, unparseable
+    * sizes, empty payloads — gates as ok='N' with null fields, never
+    * a task failure. Batch-shaped mapPartitions like every decode
+    * boundary here. */
+  def mp4ContainerMeta(df: DataFrame, idCol: String,
+                       batchSize: Int = 32): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("n_boxes", IntegerType),
+      StructField("major_brand", StringType),
+      StructField("minor_version", IntegerType),
+      StructField("timescale", IntegerType),
+      StructField("duration", LongType),
+      StructField("ok", StringType)))
+    val bad = (id: Long) => Row(id, null, null, null, null, null, "N")
+    val input = df.select(col(idCol).cast("long"), col("payload"))
+    input.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0)
+          val b = r.getAs[Array[Byte]](1)
+          if (b == null || b.length == 0) bad(id)
+          else {
+            var off = 0L
+            var nBoxes = 0
+            var major: String = null
+            var minor = -1
+            var timescale = -1
+            var duration = -1L
+            var valid = true
+            while (valid && off < b.length) {
+              readBox(b, off.toInt) match {
+                case None => valid = false
+                case Some((tp, pOff, pLen, total)) =>
+                  nBoxes += 1
+                  tp match {
+                    case "ftyp" if pLen >= 8 =>
+                      major = boxType(b, pOff)
+                      minor = be32(b, pOff + 4).toInt
+                      if (major == null) valid = false
+                    case "moov" =>
+                      // one-level descent: walk moov's children for mvhd
+                      var cOff = pOff.toLong
+                      val cEnd = pOff + pLen
+                      while (valid && cOff < cEnd) {
+                        readBox(b, cOff.toInt) match {
+                          case None => valid = false
+                          case Some(("mvhd", mOff, mLen, cTotal)) =>
+                            val version = b(mOff) & 0xff
+                            if (version == 0 && mLen >= 100) {
+                              timescale = be32(b, mOff + 12).toInt
+                              duration = be32(b, mOff + 16)
+                            } else if (version == 1 && mLen >= 112) {
+                              timescale = be32(b, mOff + 20).toInt
+                              duration = be64(b, mOff + 24)
+                            } else valid = false
+                            cOff += cTotal
+                          case Some((_, _, _, cTotal)) => cOff += cTotal
+                        }
+                      }
+                      if (cOff != cEnd) valid = false
+                    case _ => ()
+                  }
+                  off += total
+              }
+            }
+            if (valid && off == b.length && nBoxes > 0 &&
+                major != null && timescale > 0)
+              Row(id, nBoxes, major, minor, timescale, duration, "Y")
+            else bad(id)
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Wrap a text column as an opaque binary payload with metadata —
     * the shape an image/audio column has in a lakehouse table. */
   def attachPayload(df: DataFrame, textCol: String): DataFrame =
@@ -376,7 +575,8 @@ object MultimodalOps {
 
   /** STUB decode: md5(payload) -> 4 uint32 features. Deterministic,
     * engine-independent (oracle replays it in SQL as hex slices of
-    * md5). Replace with a real decoder at the marked line. */
+    * md5). Replace with a real decoder at the marked line. The REAL
+    * container-metadata path (no codec needed) is [[mp4ContainerMeta]]. */
   private def fakeFeatures(payload: Array[Byte]): Array[Long] = {
     val hex = MessageDigest.getInstance("MD5").digest(payload)
       .map("%02x".format(_)).mkString

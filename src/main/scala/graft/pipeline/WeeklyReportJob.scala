@@ -275,6 +275,68 @@ object WeeklyReportJob {
     summary(spark).write.mode("overwrite").parquet(s"$outDir/week_summary")
   }
 
+  /** ONE chained week step: compute week `wn`'s per-farm farrowing
+    * stats over [lo, hi] (q79's math — counts over the farm spine,
+    * zeros for silent farms), join the PREVIOUS week's summary read
+    * back from its WRITTEN parquet at `prevPath` (None for the first
+    * week of history), stamp prev/delta columns, and write the
+    * result to `outDir/wk_<wn>` for the next week to read. This is
+    * the store-backed form of the reference's week-over-week
+    * comparison (modon.py:267-371): week N's job never sees week
+    * N-1's in-memory frame, only what the store round-tripped. */
+  def runWeekStep(spark: SparkSession, outDir: String, wn: String,
+                  lo: String, hi: String,
+                  prevPath: Option[String]): String = {
+    import graft.domain.Fixtures
+    val b = Fixtures.bunmanDf(spark).filter(col("use_yn") === "Y")
+    val farms = Fixtures.modonDf(spark).select("farm_no").distinct()
+    val stats = farms.join(
+        b.filter(col("wk_dt").between(lo, hi))
+          .groupBy("farm_no")
+          .agg(count(lit(1)).as("bm_cnt"),
+            sum(col("silsan")).cast("long").as("bm_live")),
+        Seq("farm_no"), "left")
+      .select(col("farm_no"), lit(wn).as("week_no"),
+        coalesce(col("bm_cnt"), lit(0L)).as("bm_cnt"),
+        coalesce(col("bm_live"), lit(0L)).as("bm_live"))
+    val withPrev = prevPath match {
+      case None =>
+        stats.withColumn("prev_bm_cnt", lit(null).cast("long"))
+          .withColumn("prev_bm_live", lit(null).cast("long"))
+      case Some(p) =>
+        stats.join(
+          spark.read.parquet(p)
+            .select(col("farm_no"), col("bm_cnt").as("prev_bm_cnt"),
+              col("bm_live").as("prev_bm_live")),
+          Seq("farm_no"), "left")
+    }
+    val path = s"$outDir/wk_$wn"
+    withPrev
+      .withColumn("delta_bm_cnt", col("bm_cnt") - col("prev_bm_cnt"))
+      .withColumn("delta_bm_live", col("bm_live") - col("prev_bm_live"))
+      .write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** Chained multi-week history: run [[runWeekStep]] over consecutive
+    * report weeks — week N reading week N-1's WRITTEN summary — and
+    * return the full written history. Because each step's prev values
+    * round-trip through parquet, the result equals the lag() form
+    * over the whole history (the DuckDB oracle of q201 computes
+    * exactly that) IFF the store write/read path is faithful — which
+    * is what the hash gate proves. */
+  def runChainedWeeks(spark: SparkSession, outDir: String,
+                      weeks: Seq[(String, String, String)]): DataFrame = {
+    var prev: Option[String] = None
+    val paths = weeks.map { case (wn, lo, hi) =>
+      val p = runWeekStep(spark, outDir, wn, lo, hi, prev)
+      prev = Some(p)
+      p
+    }
+    paths.map(spark.read.parquet(_)).reduce(_ unionByName _)
+      .orderBy("farm_no", "week_no")
+  }
+
   /** TS_INS_WEEK initial records (orchestrator.py:1043-1085): one
     * READY row per target farm carrying the ETL-time SCHEDULE_GROUP
     * SNAPSHOT — downstream sends filter on the snapshot, so a config

@@ -116,6 +116,50 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(_.isNullAt(1)))
   }
 
+  test("mp4 synth->walk round trip recovers boxes, brand, timescale, duration") {
+    val docs = Seq((3L, "x", false), (6L, "y", false), (10L, "z", false),
+      (17L, "w", false)).toDF("doc_id", "text", "corrupt")
+    val rows = MultimodalOps.mp4ContainerMeta(
+      MultimodalOps.synthMp4Payload(docs, "doc_id", "text", "corrupt"), "doc_id")
+      .orderBy("doc_id").collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getAs[String]("ok") == "Y", s"id $id: $r")
+      assert(r.getAs[Int]("n_boxes") == 3 + (if (id % 3 == 0) 1 else 0), s"id $id")
+      assert(r.getAs[String]("major_brand") == "isom")
+      assert(r.getAs[Int]("minor_version") == (id % 512).toInt)
+      assert(r.getAs[Int]("timescale") == (600 + (id % 4) * 300).toInt)
+      assert(r.getAs[Long]("duration") == 1000 + id % 5000)
+    }
+    // id 3 and 17 hit the 64-bit LARGESIZE mdat branch (id%7==3)
+    assert(rows.map(_.getLong(0)).toSeq == Seq(3L, 6L, 10L, 17L))
+  }
+
+  test("mp4 walker: corrupt, truncated and structurally broken payloads gate ok='N'") {
+    val good = MultimodalOps.synthMp4Payload(
+      Seq((5L, "x", false)).toDF("doc_id", "text", "corrupt"),
+      "doc_id", "text", "corrupt").collect()(0).getAs[Array[Byte]]("payload")
+    // a box stream whose moov contains NO mvhd: structurally valid
+    // boxes but missing mandatory metadata -> 'N'
+    val noMvhd = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.writeInt(16); out.write("ftypisom".getBytes("US-ASCII")); out.writeInt(0)
+      out.writeInt(16); out.write("moov".getBytes("US-ASCII"))
+      out.writeInt(8); out.write("free".getBytes("US-ASCII"))
+      bos.toByteArray
+    }
+    val corrupt = Seq(
+      (1L, "just some text, definitely not boxes".getBytes("UTF-8")),
+      (2L, good.take(good.length - 5)), // truncated mid-mdat
+      (3L, Array.empty[Byte]),
+      (4L, noMvhd)).toDF("doc_id", "payload")
+    val rows = MultimodalOps.mp4ContainerMeta(corrupt, "doc_id")
+      .orderBy("doc_id").collect()
+    assert(rows.forall(_.getAs[String]("ok") == "N"), rows.mkString(";"))
+    assert(rows.forall(_.isNullAt(1)))
+  }
+
   test("decodeWavEnergy: windowed sum-of-squares, silence gate, partial tail ignored") {
     // id 100: a = 100%100 = 0, n = 64+100%64 = 100 samples -> 3 full
     // 32-sample windows (tail of 4 ignored). sample i = 0+i, so

@@ -381,6 +381,44 @@ class SinksStreamingSpec extends SparkSpec {
       "cluster maintenance must release every cache it takes")
   }
 
+  test("staging-swap upsert: a concurrent reader sees old-or-new, never a mix") {
+    import spark.implicits._
+    val path = tmp() + "/swap_atomic"
+    val keys = (1 to 100).toSeq
+    def table(version: Int) = keys.map(k => (k.toLong, version)).toDF("k", "v")
+    Sinks.upsertParquet(spark, table(0), path, Seq("k"))
+    // writer: 8 full-table upserts, version 1..8, each a staging+swap
+    val writer = new Thread(() => (1 to 8).foreach { v =>
+      Sinks.upsertParquet(spark, table(v), path, Seq("k"))
+    })
+    writer.start()
+    // reader: hammer the table while the swaps run. Contract under
+    // test: every SUCCESSFUL read is one consistent snapshot — all
+    // 100 keys, every row the same version. A clean failure (the
+    // sub-millisecond window between the two renames has no target
+    // dir; or a file listed pre-swap vanished) is allowed — retry is
+    // the documented posture — but a MIX of versions or a partial
+    // row set never is.
+    var mixes = 0
+    var cleanMisses = 0
+    var successes = 0
+    while (writer.isAlive) {
+      try {
+        val rows = spark.read.parquet(path).collect()
+        val versions = rows.map(_.getInt(1)).distinct
+        if (versions.length != 1 || rows.length != keys.size) mixes += 1
+        else successes += 1
+      } catch { case _: Throwable => cleanMisses += 1 }
+    }
+    writer.join()
+    info(s"reads: $successes consistent, $cleanMisses clean misses, $mixes mixed")
+    assert(mixes == 0, s"$mixes reads saw a torn table")
+    assert(successes > 0, "at least one concurrent read must succeed")
+    // final state is the last version, complete
+    val fin = spark.read.parquet(path).collect()
+    assert(fin.length == keys.size && fin.forall(_.getInt(1) == 8))
+  }
+
   test("cluster maintenance replayed batch overwrites its own store rows, not appends") {
     implicit val sqlCtx = spark.sqlContext
     val (store, texts, labels, chk) =

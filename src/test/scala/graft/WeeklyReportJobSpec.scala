@@ -30,6 +30,40 @@ class WeeklyReportJobSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/week_sub").count() == before)
   }
 
+  test("chained weeks: week N's deltas come from the WRITTEN store, not recomputation") {
+    val out = Files.createTempDirectory("graft_chain").toString
+    // honest W1, then a TAMPERED copy (farm 1's count inflated by
+    // 100). If week 2 recomputed week 1 instead of reading the store,
+    // the tamper would be invisible — so its visibility in W2's
+    // prev/delta columns proves the store read path is live.
+    val p1 = WeeklyReportJob.runWeekStep(spark, out, "W1",
+      "20251013", "20251019", None)
+    spark.read.parquet(p1)
+      .withColumn("bm_cnt", when(col("farm_no") === 1, col("bm_cnt") + 100)
+        .otherwise(col("bm_cnt")))
+      .write.mode("overwrite").parquet(s"$out/wk_W1T")
+    val p2 = WeeklyReportJob.runWeekStep(spark, out, "W2",
+      "20251020", "20251026", Some(s"$out/wk_W1T"))
+    val honest1 = spark.read.parquet(p1)
+      .filter(col("farm_no") === 1).head().getAs[Long]("bm_cnt")
+    val w2farm1 = spark.read.parquet(p2).filter(col("farm_no") === 1).head()
+    assert(w2farm1.getAs[Long]("prev_bm_cnt") == honest1 + 100,
+      "week 2 must carry the WRITTEN (tampered) week-1 value")
+    assert(w2farm1.getAs[Long]("delta_bm_cnt") ==
+      w2farm1.getAs[Long]("bm_cnt") - (honest1 + 100))
+    // and the full 4-week chain equals the in-memory lag() algebra
+    // (the q201 oracle's form): the store round trip is faithful
+    val chain = WeeklyReportJob.runChainedWeeks(spark, s"$out/full", Seq(
+      ("W1", "20251013", "20251019"), ("W2", "20251020", "20251026"),
+      ("W3", "20251027", "20251102"), ("W4", "20251103", "20251109")))
+    val lagForm = graft.QueryCatalogDomain3.q79WeekDeltas(spark, "")
+      .select("farm_no", "week_no", "bm_cnt", "prev_bm_cnt", "delta_bm_cnt")
+    val mismatches = chain
+      .select("farm_no", "week_no", "bm_cnt", "prev_bm_cnt", "delta_bm_cnt")
+      .exceptAll(lagForm).count()
+    assert(mismatches == 0, "written chain must equal the lag() history")
+  }
+
   test("re-init + rerun reproduces byte-identical week/week_sub/master frames (SURVEY §5)") {
     // the reference's core operational guarantee: a week can be
     // re-initialized (--init-week) and re-run, and the rerun is a
