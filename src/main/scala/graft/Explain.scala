@@ -59,6 +59,12 @@ object Explain {
     "q199_knn_ann_gated" -> ("Serving kNN: the retriever leg is bucket equi-joins " +
       "(the only cross join is the 20-probe exact AUDIT leg that stamps " +
       "rank_true); ANN top-5 and truth join on (q_id, c_id)."),
+    "q200_mp4_meta" -> ("MP4 container walk: synth and parse are two map-only " +
+      "mapPartitions stages — no shuffle until the presentation sort; the box " +
+      "grammar runs per row inside the task."),
+    "q201_weekly_chain" -> ("Chained weeks: each week is one aggregation + a " +
+      "broadcast-joined read-back of the PREVIOUS week's written parquet — " +
+      "the store round trip is the lineage, not a window over history."),
     "q82_week_sub" -> ("Ten report sections as ONE union relation: each branch is its " +
       "own conform-projected section plan (windows/aggregates keyed by farm_no); " +
       "no cross-section shuffle — the union is append-only."),

@@ -1,0 +1,137 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.functions._
+import graft.sources.{HttpFetch, JsonIngest}
+
+/** LIVE HTTP round-trip — the fetch execution layer proven against a
+  * real server, not replayed strings: an in-process JDK HttpServer
+  * simulates the KMA endpoints (envelope codes, auth statuses,
+  * transient failures), and the specs drive the ACTUAL key-rotation /
+  * retry / fan-out loops end-to-end into the hash-verified parsers.
+  * Closes the round-9 "no actual HTTP client exercises them" gap
+  * without network egress. */
+class HttpFetchSpec extends SparkSpec {
+
+  private def envelope(items: String, code: String = "00"): String =
+    s"""{"response":{"header":{"resultCode":"$code","resultMsg":"OK"},
+       |"body":{"items":{"item":[$items]},"totalCount":2}}}""".stripMargin
+  private def item(nx: Int, cat: String, v: String): String =
+    s"""{"baseDate":"20251013","baseTime":"0500","category":"$cat",
+       |"fcstDate":"20251013","fcstTime":"0600","fcstValue":"$v",
+       |"nx":$nx,"ny":90}""".stripMargin
+
+  private def send(x: HttpExchange, status: Int, body: String): Unit = {
+    val b = body.getBytes("UTF-8")
+    x.sendResponseHeaders(status, b.length)
+    x.getResponseBody.write(b)
+    x.close()
+  }
+  private def query(x: HttpExchange): Map[String, String] =
+    Option(x.getRequestURI.getQuery).getOrElse("").split("&")
+      .filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2); k -> v
+      }.toMap
+
+  /** One server per test, ephemeral port, torn down in finally. */
+  private def withServer(routes: (String, HttpExchange => Unit)*)
+                        (f: String => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    routes.foreach { case (path, h) =>
+      server.createContext(path, (x: HttpExchange) => h(x))
+    }
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}")
+    finally server.stop(0)
+  }
+
+  test("rotation loop settles on the working key across envelope-22, 429 and 00") {
+    // deadkey -> HTTP 200 with envelope resultCode 22 (expired key);
+    // quotakey -> HTTP 429; goodkey -> 00 with items
+    withServer("/kma" -> { x =>
+      query(x).getOrElse("serviceKey", "") match {
+        case "deadkey"  => send(x, 200, envelope("", code = "22"))
+        case "quotakey" => send(x, 429, "quota exceeded")
+        case _          => send(x, 200, envelope(item(60, "TMP", "21")))
+      }
+    }) { base =>
+      val slept = new AtomicInteger
+      val got = HttpFetch.fetchWithRotation(
+        k => s"$base/kma?serviceKey=$k",
+        Seq("deadkey", "quotakey", "goodkey"),
+        sleepMs = _ => slept.incrementAndGet())
+      val ok = got.toOption.get
+      assert(ok.keyIndex == 2, s"must settle on the third key: $got")
+      assert(ok.attempts == 3)
+      assert(slept.get() == 0, "rotation must not back off — only retries do")
+      assert(HttpFetch.resultCodeOf(ok.body).contains("00"))
+    }
+  }
+
+  test("transient 503s retry the SAME key with backoff, then succeed") {
+    val calls = new AtomicInteger
+    withServer("/kma" -> { x =>
+      if (calls.incrementAndGet() <= 2) send(x, 503, "unavailable")
+      else send(x, 200, envelope(item(60, "TMP", "21")))
+    }) { base =>
+      val sleeps = scala.collection.mutable.Buffer.empty[Long]
+      val got = HttpFetch.fetchWithRotation(
+        k => s"$base/kma?serviceKey=$k", Seq("onlykey"),
+        sleepMs = sleeps += _)
+      val ok = got.toOption.get
+      assert(ok.attempts == 3 && ok.keyIndex == 0)
+      assert(sleeps.toSeq == Seq(100L, 200L), "exponential backoff per retry")
+    }
+  }
+
+  test("all keys exhausted and permanent failures are LOUD, not half-fetched") {
+    withServer("/kma" -> { x =>
+      send(x, 200, envelope("", code = "22"))
+    }) { base =>
+      val got = HttpFetch.fetchWithRotation(
+        k => s"$base/kma?serviceKey=$k", Seq("k1", "k2"), sleepMs = _ => ())
+      assert(got.swap.toOption.get.reason == "all API keys exhausted")
+    }
+    withServer("/kma" -> { x => send(x, 404, "no such route") }) { base =>
+      val got = HttpFetch.fetchWithRotation(
+        k => s"$base/kma?serviceKey=$k", Seq("k1"), sleepMs = _ => ())
+      val err = got.swap.toOption.get
+      assert(err.reason.contains("permanent") && err.attempts == 1)
+    }
+  }
+
+  test("executor fan-out feeds the hash-verified KMA parser end-to-end") {
+    import spark.implicits._
+    // grid 61 returns a second category; grid 99 always 500s — its
+    // row must carry a null body (bounded retry, no task failure)
+    withServer("/kma" -> { x =>
+      query(x).getOrElse("nx", "0") match {
+        case "99" => send(x, 500, "boom")
+        case nx => send(x, 200,
+          envelope(item(nx.toInt, "TMP", "21") + "," + item(nx.toInt, "REH", "60")))
+      }
+    }) { base =>
+      val reqs = Seq(60, 61, 99).toDF("nx")
+        .withColumn("url", concat(lit(s"$base/kma?serviceKey=goodkey&nx="), col("nx")))
+      val fetched = HttpFetch.fetchPartitioned(reqs, "url", maxRetries = 1)
+      val rows = fetched.collect()
+      assert(rows.count(_.getInt(2) == 200) == 2)
+      val dead = rows.find(_.getInt(0) == 99).get
+      assert(dead.getInt(2) == 500 && dead.isNullAt(3),
+        "a permanently-500 grid must surface status 500 with null body")
+      // the SAME parser the hash gate verifies (q72/q93 machinery)
+      val parsed = JsonIngest.parseKma(fetched.filter(col("body").isNotNull), "body")
+      val got = parsed.select("nx", "category", "fcstValue").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+      assert(got == Set((60, "TMP", "21"), (60, "REH", "60"),
+        (61, "TMP", "21"), (61, "REH", "60")))
+      // completeness gate: 2 of 3 grids answered -> the batch does
+      // NOT stand (all-or-nothing, weather.py:1460-1478)
+      assert(!JsonIngest.isComplete(parsed, Seq("nx"), expected = 3))
+      assert(JsonIngest.isComplete(parsed, Seq("nx"), expected = 2))
+    }
+  }
+}
