@@ -62,6 +62,19 @@ object Explain {
     "q200_mp4_meta" -> ("MP4 container walk: synth and parse are two map-only " +
       "mapPartitions stages — no shuffle until the presentation sort; the box " +
       "grammar runs per row inside the task."),
+    "q202_mp4_samples" -> ("MP4 sample tables: map-only synth + walk like q200; " +
+      "the stts/stss/stsz run-length and prefix-sum math runs per row inside " +
+      "the task — container-level keyframe seeking, zero shuffles before the " +
+      "presentation sort."),
+    "q203_audio_fingerprint" -> ("Audio fingerprint dedup: decode+fingerprint are " +
+      "map-only; exact clusters are ONE hash groupBy(fp); the band join runs " +
+      "over DISTINCT fingerprints (pattern space, corpus-independent) so the " +
+      "only doc-sized exchanges are the groupBy and the final fp join-back."),
+    "q204_profile_classifier" -> ("Trainable classifier: train is ONE " +
+      "map-side-combined (label, tok) count shuffle; apply joins the " +
+      "vocab-sized model BROADCAST onto exploded doc tokens, aggregates " +
+      "per (doc, class), and ranks by exact cross-products in a " +
+      "class-constant self-join keyed by doc — no windows, no all-pairs."),
     "q201_weekly_chain" -> ("Chained weeks: each week is one aggregation + a " +
       "broadcast-joined read-back of the PREVIOUS week's written parquet — " +
       "the store round trip is the lineage, not a window over history."),

@@ -1318,6 +1318,147 @@ object QueryCatalogSim {
       |  CASE WHEN doc_id % 10 = 7 THEN 'N' ELSE 'Y' END AS ok
       |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q202: MP4 sample tables (keyframe math)
+  /** REAL sample-table parse (q202) — the container-level frame
+    * sampler: payloads carry a full `moov>trak>mdia>minf>stbl`
+    * subtree (stts with TWO run-length entries, stss sync samples,
+    * variant-form stsz, stco — plus a tkhd leaf the walker must
+    * skip), and [[MultimodalOps.mp4SampleTable]] re-derives per clip
+    * the sample count (cross-checked stsz vs Σstts), media
+    * timescale, duration in ticks, keyframe count, the LAST
+    * keyframe's presentation tick (a prefix sum over the run-length
+    * table — the seek math a keyframe sampler runs instead of a
+    * decoder), and total sample bytes. Every value has a closed form
+    * in doc_id that the oracle computes WITHOUT parsing. Corrupt
+    * rows (%10==7, raw text) and index-less containers (%13==11,
+    * trak without stbl) both gate ok='N' with null fields. */
+  val q202Mp4Samples: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+      .withColumn("corrupt", col("doc_id") % 10 === 7)
+    MultimodalOps.mp4SampleTable(
+      MultimodalOps.synthMp4TrackPayload(docs, "doc_id", "text", "corrupt"),
+      "doc_id")
+      .orderBy("doc_id")
+  }
+
+  private val q202Sql =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    2 + doc_id % 5 AS n1, 100 + doc_id % 50 AS d1,
+      |    1 + doc_id % 4 AS n2, 200 + doc_id % 30 AS d2,
+      |    1 + doc_id % 3 AS k,
+      |    (doc_id % 10 = 7 OR doc_id % 13 = 11) AS bad
+      |  FROM documents WHERE doc_id < 200),
+      |q AS (
+      |  SELECT *, n1 + n2 AS n,
+      |    1 + k * ((n1 + n2 - 1) // k) AS last_kf
+      |  FROM p)
+      |SELECT doc_id,
+      |  CASE WHEN bad THEN NULL ELSE CAST(n AS INT) END AS n_samples,
+      |  CASE WHEN bad THEN NULL
+      |       ELSE CAST(1000 * (1 + doc_id % 3) AS INT) END AS media_timescale,
+      |  CASE WHEN bad THEN NULL
+      |       ELSE CAST(n1 * d1 + n2 * d2 AS BIGINT) END AS duration_ticks,
+      |  CASE WHEN bad THEN NULL
+      |       ELSE CAST(1 + (n - 1) // k AS INT) END AS n_keyframes,
+      |  CASE WHEN bad THEN NULL
+      |       WHEN last_kf - 1 <= n1 THEN CAST((last_kf - 1) * d1 AS BIGINT)
+      |       ELSE CAST(n1 * d1 + (last_kf - 1 - n1) * d2 AS BIGINT)
+      |       END AS kf_last_tick,
+      |  CASE WHEN bad THEN NULL
+      |       ELSE (SELECT CAST(SUM(50 + (doc_id + i) % 20) AS BIGINT)
+      |             FROM unnest(range(n)) t(i)) END AS bytes_total,
+      |  CASE WHEN bad THEN 'N' ELSE 'Y' END AS ok
+      |FROM q ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q203: audio fingerprint near-dup
+  /** Acoustic near-dup dedup via REAL fingerprinting (q203) — the
+    * audio leg of the multimodal dedup triangle (text MinHash q40-44,
+    * image dHash q162, audio here): tone-shaped WAV clips are
+    * encoded and DECODED through javax.sound, windowed into exact
+    * int64 energies, and fingerprinted by the sign of consecutive
+    * energy deltas ([[MultimodalOps.wavFingerprint]] — the
+    * Haitsma-Kalker shape, volume-invariant by construction). Dedup
+    * then runs at the HASH level exactly like the image path: exact
+    * clusters = groupBy(fp) (same class+variant → bit-identical
+    * fingerprint), near-dup partners = 8-bit-band LSH over the
+    * DISTINCT fingerprints + Hamming ≤ 6 verify (pigeonhole: ≤3
+    * differing bits always share one of 4 bands — the planted
+    * variants differ in ≤2 bits, guaranteed recall). Banding is over
+    * pattern space (distinct fps), never docs; every doc-level stage
+    * is one hash groupBy — corpus-scale clean. The oracle rebuilds
+    * every fingerprint arithmetically from the planted amplitudes
+    * (energy order = amplitude order, no decode) and replays
+    * band+Hamming verbatim; corrupt payloads (%10==7) gate ok='N'. */
+  val q203AudioFingerprint: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"), (col("doc_id") % 17).as("cls"),
+        (col("doc_id") % 5 === 4).as("variant"),
+        (col("doc_id") % 10 === 7).as("corrupt"))
+    val fps = MultimodalOps.wavFingerprint(
+      MultimodalOps.synthToneWavPayload(
+        docs, "doc_id", "cls", "variant", "corrupt"),
+      "doc_id", windowSamples = 32)
+    val reps = graft.ops.Materialize.localize(
+      fps.filter(col("ok") === "Y").groupBy("fp")
+        .agg(min("doc_id").as("cluster_rep"), count(lit(1)).as("cluster_sz")))
+    val bands = reps.select(col("fp"), col("cluster_sz"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+          shiftright(col("fp"), 8 * b).bitwiseAND(lit(0xFFL)).as("bv"))): _*))
+          .as("e"))
+      .select(col("fp"), col("cluster_sz"),
+        col("e.band").as("band"), col("e.bv").as("bv"))
+    val cand = bands.select(col("fp"), col("band"), col("bv"))
+      .join(bands.select(col("fp").as("other"), col("cluster_sz").as("osz"),
+        col("band"), col("bv")), Seq("band", "bv"))
+      .filter(col("fp") =!= col("other"))
+      .select("fp", "other", "osz").distinct()
+    val near = cand
+      .filter(bit_count(col("fp").bitwiseXOR(col("other"))).between(1, 6))
+      .groupBy("fp").agg(sum("osz").as("near_ct"))
+    fps.join(reps, Seq("fp"), "left").join(near, Seq("fp"), "left")
+      .select(col("doc_id"), col("fp"), col("ok"),
+        col("cluster_rep"), col("cluster_sz"),
+        when(col("ok") === "Y", coalesce(col("near_ct"), lit(0L))).as("near_ct"))
+      .orderBy("doc_id")
+  }
+
+  private val q203Sql =
+    """WITH w AS (SELECT i FROM generate_series(0, 32) t(i)),
+      |b AS (SELECT doc_id, CAST(doc_id % 17 AS BIGINT) AS c, (doc_id % 5 = 4) AS v
+      |      FROM documents WHERE doc_id < 200 AND doc_id % 10 <> 7),
+      |e AS (SELECT doc_id, i,
+      |        (CASE WHEN v AND i = 3 THEN 50 ELSE 10 END)
+      |          + ((c*7 + i*i) % 23) AS a
+      |      FROM b CROSS JOIN w),
+      |h AS MATERIALIZED (
+      |  SELECT e1.doc_id,
+      |    COALESCE(bit_or(1::BIGINT << e1.i) FILTER (WHERE e2.a > e1.a), 0) AS fp
+      |  FROM e e1 JOIN e e2 ON e2.doc_id = e1.doc_id AND e2.i = e1.i + 1
+      |  GROUP BY 1),
+      |reps AS MATERIALIZED (SELECT fp, MIN(doc_id) AS cluster_rep,
+      |                             COUNT(*) AS cluster_sz
+      |                      FROM h GROUP BY 1),
+      |bands AS MATERIALIZED (SELECT fp, cluster_sz, band,
+      |                              (fp >> (8*band)) & 255 AS bv
+      |  FROM reps CROSS JOIN generate_series(0, 3) s(band)),
+      |cand AS (SELECT DISTINCT a.fp AS fp, b2.fp AS other,
+      |                b2.cluster_sz AS osz
+      |  FROM bands a JOIN bands b2 USING (band, bv) WHERE a.fp <> b2.fp),
+      |near AS (SELECT fp, CAST(SUM(osz) AS BIGINT) AS near_ct FROM cand
+      |  WHERE bit_count(xor(fp, other)) BETWEEN 1 AND 6 GROUP BY 1)
+      |SELECT d.doc_id, h.fp,
+      |  CASE WHEN d.doc_id % 10 = 7 THEN 'N' ELSE 'Y' END AS ok,
+      |  r.cluster_rep, r.cluster_sz,
+      |  CASE WHEN d.doc_id % 10 = 7 THEN NULL
+      |       ELSE COALESCE(n.near_ct, 0) END AS near_ct
+      |FROM documents d
+      |LEFT JOIN h ON h.doc_id = d.doc_id
+      |LEFT JOIN reps r ON r.fp = h.fp
+      |LEFT JOIN near n ON n.fp = h.fp
+      |WHERE d.doc_id < 200
+      |ORDER BY d.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q199: serving kNN (ANN + recall audit)
   /** The catalog's SERVING kNN — the bucketed multi-table LSH
     * retriever with the exact-truth audit attached, replacing q45's
@@ -1396,6 +1537,8 @@ object QueryCatalogSim {
     "q198_bitext_ann" -> q198BitextAnn,
     "q199_knn_ann_gated" -> q199KnnAnnGated,
     "q200_mp4_meta" -> q200Mp4Meta,
+    "q202_mp4_samples" -> q202Mp4Samples,
+    "q203_audio_fingerprint" -> q203AudioFingerprint,
     "q187_bitext_mine" -> q187BitextMine,
     "q175_ann_metrics" -> q175AnnMetrics,
     "q168_cluster_ari" -> q168ClusterAri,
@@ -1424,6 +1567,8 @@ object QueryCatalogSim {
     "q198_bitext_ann" -> q198Sql,
     "q199_knn_ann_gated" -> q199Sql,
     "q200_mp4_meta" -> q200Sql,
+    "q202_mp4_samples" -> q202Sql,
+    "q203_audio_fingerprint" -> q203Sql,
     "q187_bitext_mine" -> q187Sql,
     "q175_ann_metrics" -> q175Sql,
     "q168_cluster_ari" -> q168Sql,

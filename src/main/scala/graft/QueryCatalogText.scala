@@ -1101,6 +1101,91 @@ object QueryCatalogText {
        |LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q204: trainable class-profile classifier
+  /** TRAINED quality-tier classifier (q204) — the counting core of
+    * the fastText/NB family as a two-stage train→apply pipeline. The
+    * fixture plants the real-world signal a quality classifier keys
+    * on: tier-marker tokens ('clickbait' / 'survey' / 'theorem' for
+    * tiers low/mid/high = doc_id % 3, repeated 1 + doc_id % 4 times)
+    * prepended onto the SHARED 31-word background vocabulary, so the
+    * tiers differ only in marker-phrase density — exactly how
+    * boilerplate/spam markers separate crawl tiers (the corpus's
+    * `lang` tag deliberately is NOT used: the synthetic text is
+    * drawn from one shared wordlist regardless of lang, so language
+    * is unlearnable from it and any "lang classifier" here would be
+    * dishonest). The model is the per-tier token profile
+    * N(tok, tier) counted on the 80% train split
+    * ([[graft.ops.text.ProfileClassifier.train]] — one map-side-
+    * combined shuffle), and the 20% held-out split is classified by
+    * the length-normalized affinity argmax computed with exact Long
+    * cross-products (A_c·T_c' vs A_c'·T_c — no float log-prob fold,
+    * so train AND apply replay bit-exactly in the oracle). Output
+    * per held-out doc: true tier, prediction, hit flag, winning raw
+    * affinity — the hash gate covers the model, the normalization
+    * and the argmax at once, and ClassifierSpec asserts the planted
+    * signal is actually LEARNED (accuracy floor well above the 1/3
+    * chance rate). */
+  val q204ProfileClassifier: Q = (s, d) => {
+    val tierName = (id: Column) => element_at(
+      array(lit("low"), lit("mid"), lit("high")), (id % 3).cast("int") + 1)
+    val marker = (id: Column) => element_at(
+      array(lit("clickbait"), lit("survey"), lit("theorem")),
+      (id % 3).cast("int") + 1)
+    val docs = Tables.documents(s, d)
+      .withColumn("tier", tierName(col("doc_id")))
+      .withColumn("marked_text", concat_ws(" ",
+        array_join(array_repeat(marker(col("doc_id")),
+          (col("doc_id") % 4 + 1).cast("int")), " "),
+        col("text")))
+    val model = graft.ops.text.ProfileClassifier.train(
+      docs.filter(col("doc_id") % 10 < 8), "marked_text", "tier")
+    val test = docs.filter(col("doc_id") % 10 >= 8)
+    graft.ops.text.ProfileClassifier.classify(
+        test, "doc_id", "marked_text", model)
+      .join(test.select(col("doc_id"), col("tier")), Seq("doc_id"))
+      .select(col("doc_id"), col("tier"), col("pred"),
+        when(col("tier") === col("pred"), "Y").otherwise("N").as("hit"),
+        col("a_pred"))
+      .orderBy("doc_id")
+  }
+
+  private val q204Sql =
+    """WITH m AS (SELECT doc_id,
+      |             CASE doc_id % 3 WHEN 0 THEN 'low' WHEN 1 THEN 'mid'
+      |                  ELSE 'high' END AS tier,
+      |             repeat(CASE doc_id % 3 WHEN 0 THEN 'clickbait '
+      |                    WHEN 1 THEN 'survey ' ELSE 'theorem ' END,
+      |                    CAST(doc_id % 4 + 1 AS INT)) || text AS text
+      |           FROM documents),
+      |tr AS (SELECT tier, unnest(string_split_regex(text, '\s+')) AS tok
+      |            FROM m WHERE doc_id % 10 < 8),
+      |model AS (SELECT tier AS label, tok, CAST(COUNT(*) AS BIGINT) AS n
+      |          FROM tr WHERE tok <> '' GROUP BY 1, 2),
+      |tot AS (SELECT label, CAST(SUM(n) AS BIGINT) AS t FROM model GROUP BY 1),
+      |tex AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+      |        FROM m WHERE doc_id % 10 >= 8),
+      |te AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS dn
+      |       FROM tex WHERE tok <> '' GROUP BY 1, 2),
+      |aff AS (SELECT te.doc_id, mo.label, CAST(SUM(te.dn * mo.n) AS BIGINT) AS a
+      |        FROM te JOIN model mo USING (tok) GROUP BY 1, 2),
+      |base AS (SELECT d.doc_id, tot.label, tot.t, COALESCE(aff.a, 0) AS a
+      |         FROM (SELECT doc_id FROM m WHERE doc_id % 10 >= 8) d
+      |         CROSS JOIN tot
+      |         LEFT JOIN aff ON aff.doc_id = d.doc_id AND aff.label = tot.label),
+      |w AS (SELECT x.doc_id, x.label, x.a,
+      |        SUM(CASE WHEN x.a * y.t > y.a * x.t
+      |                 OR (x.a * y.t = y.a * x.t AND x.label < y.label)
+      |            THEN 1 ELSE 0 END) AS wins,
+      |        COUNT(*) AS n_rivals
+      |      FROM base x JOIN base y ON y.doc_id = x.doc_id AND y.label <> x.label
+      |      GROUP BY 1, 2, 3)
+      |SELECT d.doc_id, d.tier, w.label AS pred,
+      |  CASE WHEN d.tier = w.label THEN 'Y' ELSE 'N' END AS hit,
+      |  w.a AS a_pred
+      |FROM m d JOIN w ON w.doc_id = d.doc_id AND w.wins = w.n_rivals
+      |WHERE d.doc_id % 10 >= 8
+      |ORDER BY d.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- text: tokens
   /** Token counting: whitespace tokens, BPE-ish regex tokens,
     * distinct words, mean word length. */
@@ -1750,6 +1835,7 @@ object QueryCatalogText {
     "q157_chat_render" -> q157ChatRender,
     "q159_chunking" -> q159Chunking,
     "q91_curation_funnel" -> q91CurationFunnel,
+    "q204_profile_classifier" -> q204ProfileClassifier,
     "q47_text_tokens" -> q47Tokens,
     "q48_text_quality" -> q48Quality,
     "q49_langid" -> q49LangId,
@@ -1783,6 +1869,7 @@ object QueryCatalogText {
     "q157_chat_render" -> q157Sql,
     "q159_chunking" -> q159Sql,
     "q91_curation_funnel" -> q91Sql,
+    "q204_profile_classifier" -> q204Sql,
     "q47_text_tokens" -> q47Sql,
     "q48_text_quality" -> q48Sql,
     "q49_langid" -> q49Sql,

@@ -364,6 +364,126 @@ object MultimodalOps {
     }(Encoders.row(outSchema))
   }
 
+  /** REAL tone-shaped WAV fixture for the q203 audio-fingerprint
+    * path: per row a mono 16-bit PCM clip of (nWindows ·
+    * windowSamples) samples where window w alternates ±a(w) with
+    * amplitude a(w) = 10 + ((cls·7 + w²) % 23) — so every window's
+    * energy (windowSamples · a(w)²) and therefore the whole
+    * fingerprint has a closed form the oracle computes without
+    * decoding. `variantCol` rows add +40 to window 3's amplitude
+    * only — a planted NEAR-duplicate: the energy-delta fingerprint
+    * differs from its class base in at most the two bits that
+    * compare window 3 to its neighbors. Corrupt rows carry raw text
+    * bytes. Encoded through javax.sound like [[synthWavPayload]]. */
+  def synthToneWavPayload(df: DataFrame, idCol: String, clsCol: String,
+                          variantCol: String, corruptCol: String,
+                          nWindows: Int = 33, windowSamples: Int = 32,
+                          batchSize: Int = 32): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("payload", BinaryType)))
+    val input = df.select(col(idCol).cast("long"), col(clsCol).cast("long"),
+      col(variantCol).cast("boolean"), col(corruptCol).cast("boolean"))
+    input.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0)
+          val bytes =
+            if (r.getBoolean(3)) s"corrupt-$id".getBytes("UTF-8")
+            else {
+              val cls = r.getLong(1)
+              val variant = r.getBoolean(2)
+              val n = nWindows * windowSamples
+              val pcm = new Array[Byte](n * 2)
+              var w = 0
+              while (w < nWindows) {
+                var a = (10 + ((cls * 7 + w.toLong * w) % 23)).toInt
+                if (variant && w == 3) a += 40
+                var j = 0
+                while (j < windowSamples) {
+                  val v = if (j % 2 == 0) a else -a
+                  val i = w * windowSamples + j
+                  pcm(2 * i) = (v & 0xff).toByte
+                  pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+                  j += 1
+                }
+                w += 1
+              }
+              val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+                true, false)
+              val ais = new javax.sound.sampled.AudioInputStream(
+                new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.sound.sampled.AudioSystem.write(ais,
+                javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+              bos.toByteArray
+            }
+          Row(id, bytes)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Acoustic FINGERPRINT over decoded PCM — the Haitsma-Kalker shape
+    * on time-domain energy: the clip is cut into full windows of
+    * `windowSamples`, each window's exact int64 sum-of-squares is its
+    * energy, and bit w of the fingerprint is the SIGN of the energy
+    * delta between consecutive windows (set iff E(w+1) > E(w)) —
+    * robust to volume scaling (energies scale together, the signs
+    * survive) which is exactly why the sign-of-delta family is the
+    * standard audio fingerprint. Up to 64 bits are packed
+    * little-endian into a Long (bit w = window-pair w; clips longer
+    * than 65 windows fingerprint their first 65 — the HK granule).
+    * All-integer, so bit-exact cross-engine. Clips with fewer than
+    * two full windows cannot produce a single delta bit and gate as
+    * ok='N' (nothing to fingerprint), as do corrupt and non-mono
+    * payloads — the [[decodeWavEnergy]] contract. Output: (id,
+    * n_windows, fp, ok). Map-only; the dedup stage downstream is a
+    * hash groupBy + banded Hamming join, never all-pairs. */
+  def wavFingerprint(df: DataFrame, idCol: String, windowSamples: Int,
+                     batchSize: Int = 32): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("n_windows", IntegerType),
+      StructField("fp", LongType),
+      StructField("ok", StringType)))
+    val bad = (id: Long) => Row(id, null, null, "N")
+    val input = df.select(col(idCol).cast("long"), col("payload"))
+    input.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0)
+          readPcm16(r.getAs[Array[Byte]](1)) match {
+            case Some((fmt, data)) if fmt.getChannels == 1 &&
+                data.length / 2 / windowSamples >= 2 =>
+              val le = !fmt.isBigEndian
+              val nWin = math.min(data.length / 2 / windowSamples, 65)
+              val energies = new Array[Long](nWin)
+              var w = 0
+              while (w < nWin) {
+                var sumsq = 0L; var j = 0
+                while (j < windowSamples) {
+                  val v = sample16(data, 2 * (w * windowSamples + j), le).toLong
+                  sumsq += v * v
+                  j += 1
+                }
+                energies(w) = sumsq
+                w += 1
+              }
+              var fp = 0L
+              var i = 0
+              while (i < nWin - 1) {
+                if (energies(i + 1) > energies(i)) fp |= (1L << i)
+                i += 1
+              }
+              Row(id, nWin, fp, "Y")
+            case _ => bad(id)
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   // ------------------------------------------------------------------
   // MP4 / ISO-BMFF container metadata (REAL box parse, pure JDK)
   // ------------------------------------------------------------------
@@ -558,6 +678,233 @@ object MultimodalOps {
               Row(id, nBoxes, major, minor, timescale, duration, "Y")
             else bad(id)
           }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Build an ISO-BMFF payload WITH a full sample-table track for the
+    * q202 fixture: `moov > trak > mdia > (mdhd, minf > stbl >
+    * (stts, stss, stsz, stco))` — the four tables a frame sampler
+    * reads to pick keyframes without touching a codec. Every field is
+    * a closed form of the id so the oracle replays the run-length
+    * math arithmetically:
+    *   mdhd: media timescale 1000 * (1 + id%3);
+    *   stts: TWO runs — (2 + id%5 samples, delta 100 + id%50) then
+    *         (1 + id%4 samples, delta 200 + id%30) — so
+    *         sample-number→time needs a real prefix sum over the
+    *         run-length table, not a constant multiply;
+    *   stss: keyframes at 1, 1+k, 1+2k … (k = 1 + id%3, 1-based);
+    *   stsz: per-sample sizes 50 + (id + i) % 20 (variant form,
+    *         sample_size == 0);
+    *   stco: one chunk at offset 100 + id%64.
+    * A `tkhd` sibling is present so the walker must SKIP an unknown
+    * leaf inside trak. Rows with id % 13 == 11 write the trak WITHOUT
+    * its stbl (a container missing its index — the parser must gate
+    * it ok='N', not guess); `corruptCol` rows carry raw text bytes. */
+  def synthMp4TrackPayload(df: DataFrame, idCol: String, textCol: String,
+                           corruptCol: String, batchSize: Int = 32): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("payload", BinaryType)))
+    val input = df.select(col(idCol).cast("long"),
+      col(textCol).cast("string"), col(corruptCol).cast("boolean"))
+    input.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0)
+          val bytes =
+            if (r.getBoolean(2))
+              (if (r.isNullAt(1)) "" else r.getString(1)).getBytes("UTF-8")
+            else {
+              // leaf boxes are built innermost-first so every
+              // container's size field is exact
+              def box(tp: String, payload: Array[Byte]): Array[Byte] = {
+                val bos = new java.io.ByteArrayOutputStream()
+                val out = new java.io.DataOutputStream(bos)
+                out.writeInt(8 + payload.length)
+                out.write(tp.getBytes("US-ASCII"))
+                out.write(payload)
+                out.flush(); bos.toByteArray
+              }
+              def full(ints: Seq[Int]): Array[Byte] = {
+                val bos = new java.io.ByteArrayOutputStream()
+                val out = new java.io.DataOutputStream(bos)
+                ints.foreach(out.writeInt)
+                out.flush(); bos.toByteArray
+              }
+              val ts = (1000 * (1 + id % 3)).toInt
+              val n1 = (2 + id % 5).toInt; val d1 = (100 + id % 50).toInt
+              val n2 = (1 + id % 4).toInt; val d2 = (200 + id % 30).toInt
+              val n = n1 + n2
+              val k = (1 + id % 3).toInt
+              val kf = (1 to n by k).toSeq
+              val sizes = (0 until n).map(i => (50 + (id + i) % 20).toInt)
+              val mdhd = box("mdhd", full(Seq(
+                0, 0, 0, ts, n1 * d1 + n2 * d2, 0x55C40000))) // ver/flags, times, ts, dur, lang+pre_def
+              val stts = box("stts", full(Seq(0, 2, n1, d1, n2, d2)))
+              val stss = box("stss", full(Seq(0, kf.size) ++ kf))
+              val stsz = box("stsz", full(Seq(0, 0, n) ++ sizes))
+              val stco = box("stco", full(Seq(0, 1, (100 + id % 64).toInt)))
+              val stbl = box("stbl", stts ++ stss ++ stsz ++ stco)
+              val minf = box("minf",
+                if (id % 13 == 11) Array.emptyByteArray else stbl)
+              val tkhd = box("tkhd", full(Seq.fill(21)(0))) // v0: 84-byte opaque leaf
+              val trak = box("trak", tkhd ++ box("mdia", mdhd ++ minf))
+              val mvhd = box("mvhd", full(
+                Seq(0, 0, 0, 600, 1000, 0x00010000, 0x01000000) ++
+                  Seq(0, 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000) ++
+                  Seq.fill(6)(0) ++ Seq(2)))
+              val ftyp = box("ftyp", full(Seq(0x69736F6D, (id % 512).toInt,
+                0x69736F6D, 0x6D703431))) // 'isom', minor, brands
+              ftyp ++ box("moov", mvhd ++ trak)
+            }
+          Row(id, bytes)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL sample-table walk (pure JDK, no codec): descend
+    * `moov > trak > mdia > (mdhd, minf > stbl)`, parse the four
+    * index tables, and emit the quantities a video-corpus curation
+    * pass computes per clip from container metadata alone —
+    *   n_samples       stsz sample count, CROSS-CHECKED against the
+    *                   Σcount of the stts runs (mismatch → ok='N':
+    *                   a clip whose index tables disagree is corrupt,
+    *                   not a judgement call);
+    *   media_timescale mdhd;
+    *   duration_ticks  Σ(count·delta) over the stts runs;
+    *   n_keyframes     stss entry count;
+    *   kf_last_tick    presentation time of the LAST sync sample —
+    *                   a prefix sum over the stts run-length table
+    *                   (the exact math a keyframe sampler does to
+    *                   seek without decoding);
+    *   bytes_total     Σ stsz sizes (variant and constant forms).
+    * ok='Y' requires all four tables present, sizes consistent and
+    * every stss sample number in [1, n_samples]. Missing stbl,
+    * truncated tables, raw text, empty payloads → ok='N' with null
+    * fields, never a task failure. Batch-shaped mapPartitions like
+    * every decode boundary here. */
+  def mp4SampleTable(df: DataFrame, idCol: String,
+                     batchSize: Int = 32): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("n_samples", IntegerType),
+      StructField("media_timescale", IntegerType),
+      StructField("duration_ticks", LongType),
+      StructField("n_keyframes", IntegerType),
+      StructField("kf_last_tick", LongType),
+      StructField("bytes_total", LongType),
+      StructField("ok", StringType)))
+    val bad = (id: Long) => Row(id, null, null, null, null, null, null, "N")
+    val input = df.select(col(idCol).cast("long"), col("payload"))
+    input.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0)
+          val b = r.getAs[Array[Byte]](1)
+          // locate a direct child box by type inside [from, to)
+          def child(tp: String, from: Long, to: Long): Option[(Int, Long)] = {
+            var off = from
+            while (off < to) {
+              readBox(b, off.toInt) match {
+                case None => return None
+                case Some((t, pOff, pLen, total)) =>
+                  if (t == tp) return Some((pOff, pLen))
+                  off += total
+              }
+            }
+            None
+          }
+          def parsed: Option[Row] = for {
+            (moovOff, moovLen) <- child("moov", 0, b.length)
+            (trakOff, trakLen) <- child("trak", moovOff, moovOff + moovLen)
+            (mdiaOff, mdiaLen) <- child("mdia", trakOff, trakOff + trakLen)
+            (mdhdOff, mdhdLen) <- child("mdhd", mdiaOff, mdiaOff + mdiaLen)
+            // v0 (32-bit times, timescale at +12) and v1 (64-bit
+            // times, timescale at +20) layouts, like mvhd above
+            tsOff <- (b(mdhdOff) & 0xff) match {
+              case 0 if mdhdLen >= 24 => Some(mdhdOff + 12)
+              case 1 if mdhdLen >= 32 => Some(mdhdOff + 20)
+              case _ => None
+            }
+            (minfOff, minfLen) <- child("minf", mdiaOff, mdiaOff + mdiaLen)
+            (stblOff, stblLen) <- child("stbl", minfOff, minfOff + minfLen)
+            (sttsOff, sttsLen) <- child("stts", stblOff, stblOff + stblLen)
+            (stssOff, stssLen) <- child("stss", stblOff, stblOff + stblLen)
+            (stszOff, stszLen) <- child("stsz", stblOff, stblOff + stblLen)
+            row <- {
+              val timescale = be32(b, tsOff).toInt
+              // stts: run-length (count, delta) pairs
+              val nRuns = be32(b, sttsOff + 4).toInt
+              if (timescale <= 0 || nRuns < 0 ||
+                  sttsLen < 8 + 8L * nRuns) None
+              else {
+                val runCounts = new Array[Long](nRuns)
+                val runDeltas = new Array[Long](nRuns)
+                var i = 0
+                var sttsSamples = 0L
+                var durTicks = 0L
+                while (i < nRuns) {
+                  runCounts(i) = be32(b, sttsOff + 8 + 8 * i)
+                  runDeltas(i) = be32(b, sttsOff + 12 + 8 * i)
+                  sttsSamples += runCounts(i)
+                  durTicks += runCounts(i) * runDeltas(i)
+                  i += 1
+                }
+                // stsz: constant form (sample_size != 0) or per-sample
+                val constSize = be32(b, stszOff + 4)
+                val nSamples = be32(b, stszOff + 8)
+                val sizesOk = constSize != 0 ||
+                  stszLen >= 12 + 4L * nSamples
+                var bytesTotal = 0L
+                if (sizesOk) {
+                  if (constSize != 0) bytesTotal = constSize * nSamples
+                  else {
+                    var j = 0L
+                    while (j < nSamples) {
+                      bytesTotal += be32(b, (stszOff + 12 + 4 * j).toInt)
+                      j += 1
+                    }
+                  }
+                }
+                // stss: 1-based sync sample numbers, each in range
+                val nKf = be32(b, stssOff + 4).toInt
+                val kfOk = nKf >= 0 && stssLen >= 8 + 4L * nKf
+                var lastKf = 0L
+                var kfInRange = kfOk
+                if (kfOk) {
+                  var j = 0
+                  while (j < nKf) {
+                    val s = be32(b, stssOff + 8 + 4 * j)
+                    if (s < 1 || s > nSamples) kfInRange = false
+                    if (s > lastKf) lastKf = s
+                    j += 1
+                  }
+                }
+                // presentation tick of sample `lastKf` (1-based):
+                // prefix sum over the run-length table
+                var kfLastTick = 0L
+                if (kfInRange && nKf > 0) {
+                  var remaining = lastKf - 1
+                  var ri = 0
+                  while (remaining > 0 && ri < nRuns) {
+                    val take = math.min(remaining, runCounts(ri))
+                    kfLastTick += take * runDeltas(ri)
+                    remaining -= take
+                    ri += 1
+                  }
+                }
+                if (sizesOk && kfInRange && sttsSamples == nSamples)
+                  Some(Row(id, nSamples.toInt, timescale, durTicks,
+                    nKf, kfLastTick, bytesTotal, "Y"))
+                else None
+              }
+            }
+          } yield row
+          if (b == null || b.length == 0) bad(id)
+          else parsed.getOrElse(bad(id))
         }
       }
     }(Encoders.row(outSchema))

@@ -221,6 +221,80 @@ class MultimodalSpec extends SparkSpec {
     assert(again.getAs[String]("ok") == "Y")
   }
 
+  test("mp4SampleTable: run-length keyframe math matches the closed form") {
+    // id=2: n1=4,d1=102, n2=3,d2=202, k=3 -> n=7, kf at 1,4,7
+    val docs = Seq((2L, "t", false), (11L, "t", false), (7L, "raw text", true))
+      .toDF("doc_id", "text", "corrupt")
+    val got = MultimodalOps.mp4SampleTable(
+        MultimodalOps.synthMp4TrackPayload(docs, "doc_id", "text", "corrupt"),
+        "doc_id").collect().map(r => r.getLong(0) -> r).toMap
+    val r2 = got(2L)
+    assert(r2.getAs[Int]("n_samples") == 7)
+    assert(r2.getAs[Int]("media_timescale") == 3000) // 1000*(1+2%3)
+    assert(r2.getAs[Long]("duration_ticks") == 4L * 102 + 3L * 202)
+    assert(r2.getAs[Int]("n_keyframes") == 3)
+    // last kf = sample 7 (1-based): 4 samples of d1 + 2 of d2 before it
+    assert(r2.getAs[Long]("kf_last_tick") == 4L * 102 + 2L * 202)
+    assert(r2.getAs[Long]("bytes_total") == (0 until 7).map(i => 50L + (2 + i) % 20).sum)
+    assert(r2.getAs[String]("ok") == "Y")
+    // id=11: trak without stbl (index-less container) must gate, not guess
+    assert(got(11L).getAs[String]("ok") == "N" && got(11L).isNullAt(1))
+    // corrupt raw text gates
+    assert(got(7L).getAs[String]("ok") == "N")
+  }
+
+  test("mp4SampleTable: truncated sample tables gate as N, never throw") {
+    val full = MultimodalOps.synthMp4TrackPayload(
+      Seq((5L, "t", false)).toDF("doc_id", "text", "corrupt"),
+      "doc_id", "text", "corrupt").collect()(0).getAs[Array[Byte]]("payload")
+    // chop mid-stbl: the moov box length now overruns the buffer
+    val truncated = full.take(full.length - 10)
+    val r = MultimodalOps.mp4SampleTable(
+      Seq((5L, truncated)).toDF("doc_id", "payload"), "doc_id").collect()(0)
+    assert(r.getAs[String]("ok") == "N")
+  }
+
+  test("wavFingerprint: closed-form bits; variant is a near-dup of its base") {
+    val docs = Seq(
+      (0L, 4L, false, false), (1L, 4L, true, false),
+      (2L, 12L, false, false), (3L, 0L, false, true))
+      .toDF("doc_id", "cls", "variant", "corrupt")
+    val got = MultimodalOps.wavFingerprint(
+        MultimodalOps.synthToneWavPayload(
+          docs, "doc_id", "cls", "variant", "corrupt"),
+        "doc_id", windowSamples = 32)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getString(3)))).toMap
+    // closed form: amplitude a(w) = 10 + ((c*7 + w*w) % 23) (+40 on w=3
+    // for variants); energy order = amplitude order
+    def closed(c: Long, v: Boolean): Long = {
+      def a(w: Int) = 10 + ((c * 7 + w.toLong * w) % 23) +
+        (if (v && w == 3) 40 else 0)
+      (0 until 32).foldLeft(0L)((fp, w) =>
+        if (a(w + 1) > a(w)) fp | (1L << w) else fp)
+    }
+    assert(got(0L) == ((Some(closed(4, false)), "Y")))
+    assert(got(1L) == ((Some(closed(4, true)), "Y")))
+    assert(got(2L) == ((Some(closed(12, false)), "Y")))
+    assert(got(3L) == ((None, "N")), "corrupt payload must gate, not fail")
+    val ham = java.lang.Long.bitCount(closed(4, false) ^ closed(4, true))
+    assert(ham >= 1 && ham <= 2, s"planted variant hamming $ham")
+  }
+
+  test("wavFingerprint: clips with fewer than two full windows gate as N") {
+    // q148's synth: id=0 -> 64 samples; window of 64 -> one window only
+    val wav = MultimodalOps.synthWavPayload(
+      Seq((0L, "t", false)).toDF("doc_id", "text", "corrupt"),
+      "doc_id", "text", "corrupt")
+    val r = MultimodalOps.wavFingerprint(wav, "doc_id", windowSamples = 64)
+      .collect()(0)
+    assert(r.getAs[String]("ok") == "N" && r.isNullAt(2))
+    // but two 32-sample windows fingerprint fine
+    val r2 = MultimodalOps.wavFingerprint(wav, "doc_id", windowSamples = 32)
+      .collect()(0)
+    assert(r2.getAs[String]("ok") == "Y" && r2.getAs[Int]("n_windows") == 2)
+  }
+
   test("dHash64: decode round trip matches the closed form; variants are near") {
     // base and variant of the same class, two classes, one corrupt row
     val docs = Seq(

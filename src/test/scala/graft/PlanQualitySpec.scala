@@ -414,6 +414,31 @@ class PlanQualitySpec extends SparkSpec {
       s"scan must prune to (text, lang, source): $read")
   }
 
+  test("q204 classifier: model joins broadcast, no window, no cartesian") {
+    val p = finalPlan(QueryCatalogText.all("q204_profile_classifier")(
+      spark, "/root/testdata/sf0.001"))
+    // the vocab-sized model and the k-row class totals must broadcast
+    // onto the token stream; the argmax is a doc-keyed self-join plus
+    // aggregations — never a Window, never an unkeyed cartesian over
+    // corpus-sized relations (the only nested-loop join allowed is the
+    // k-row totals cross join, which must be the broadcast side)
+    assert(p.contains("BroadcastHashJoin"), s"model must broadcast:\n${p.take(800)}")
+    assert(!p.contains("Window"), s"no Window allowed:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product allowed:\n${p.take(800)}")
+  }
+
+  test("q203 fingerprint dedup: band join runs over grouped fingerprints, not docs") {
+    val p = finalPlan(QueryCatalogSim.all("q203_audio_fingerprint")(
+      spark, "/root/testdata/sf0.001"))
+    // decode+fingerprint are mapPartitions (no exchange below the
+    // groupBy); the localized reps frame makes the band join a
+    // local-relation join — no corpus-sized self-join survives
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product allowed:\n${p.take(800)}")
+    assert(!p.contains("Window"), s"no Window allowed:\n${p.take(800)}")
+  }
+
   test("custom top-k over parquet orders plans partial/exchange/final with no sort") {
     // the operator itself (q56 adds a presentation ORDER BY on top)
     val orders = graft.core.Tables.orders(spark, "/root/testdata/sf0.001")
