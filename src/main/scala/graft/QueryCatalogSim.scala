@@ -1100,7 +1100,7 @@ object QueryCatalogSim {
       |            FROM base WHERE vec_id < 20),
       |e AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
       |nrm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM e),
-      |px AS (SELECT * FROM nrm WHERE vec_id >= 100000),
+      |px AS (SELECT * FROM nrm WHERE vec_id BETWEEN 100000 AND 100019),
       |tpr AS (SELECT p.vec_id AS q_id, c.vec_id AS c_id,
       |               list_dot_product(p.v, c.v) / (p.nm * c.nm) AS cos
       |        FROM px p CROSS JOIN nrm c WHERE c.vec_id != p.vec_id),
@@ -1120,7 +1120,7 @@ object QueryCatalogSim {
       |       FROM votes GROUP BY 1),
       |nb AS (SELECT e.vec_id, v, sqrt(list_dot_product(v, v)) AS nm, bucket
       |       FROM e JOIN bk ON bk.vec_id = e.vec_id),
-      |pb AS (SELECT * FROM nb WHERE vec_id >= 100000),
+      |pb AS (SELECT * FROM nb WHERE vec_id BETWEEN 100000 AND 100019),
       |apr AS (SELECT p.vec_id AS q_id, c.vec_id AS c_id,
       |               list_dot_product(p.v, c.v) / (p.nm * c.nm) AS cos
       |        FROM pb p JOIN nb c ON c.bucket = p.bucket AND c.vec_id != p.vec_id),
@@ -1509,7 +1509,7 @@ object QueryCatalogSim {
       |       FROM votes GROUP BY 1, 2),
       |cand AS (SELECT DISTINCT p.vec_id AS q_id, c.vec_id AS c_id
       |         FROM bk p JOIN bk c ON c.t = p.t AND c.bucket = p.bucket
-      |         WHERE p.vec_id >= 100000 AND c.vec_id != p.vec_id),
+      |         WHERE p.vec_id BETWEEN 100000 AND 100019 AND c.vec_id != p.vec_id),
       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM e),
       |apr AS (SELECT cand.q_id, cand.c_id,
       |               list_dot_product(p.v, c.v) / (p.nm * c.nm) AS cos
@@ -1519,7 +1519,7 @@ object QueryCatalogSim {
       |          SELECT *, CAST(row_number() OVER (PARTITION BY q_id
       |            ORDER BY cos DESC, c_id) AS INT) AS rank FROM apr)
       |        WHERE rank <= 5),
-      |px AS (SELECT * FROM n WHERE vec_id >= 100000),
+      |px AS (SELECT * FROM n WHERE vec_id BETWEEN 100000 AND 100019),
       |tpr AS (SELECT p.vec_id AS q_id, c.vec_id AS c_id,
       |               list_dot_product(p.v, c.v) / (p.nm * c.nm) AS cos
       |        FROM px p CROSS JOIN n c WHERE c.vec_id != p.vec_id),

@@ -43,6 +43,29 @@ object ProfileClassifier {
       .filter(length(col("tok")) > 0)
       .groupBy("label", "tok").agg(count(lit(1)).as("n"))
 
+  /** Collapse a [[train]]ed model to ONE broadcast-able row — the
+    * shape the STREAMING scorer consumes (a pure map over the ingest,
+    * zero stream state; the [[graft.streaming.StreamingJobs]]
+    * decontaminate/BPE pattern): `labels` (sorted), `totals` (class
+    * token totals, same order) and `model_map` (tok → per-class count
+    * array, same order). The row is vocab-sized; the only driver
+    * materialization is the k-row label list. */
+  def modelRow(model: DataFrame): DataFrame = {
+    val labels = model.select("label").distinct().orderBy("label")
+      .collect().map(_.getString(0)).toSeq
+    val totals = model.groupBy("label").agg(sum("n").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perTok = model.groupBy("tok").agg(
+      map_from_entries(collect_list(struct(col("label"), col("n")))).as("m"))
+      .select(col("tok"), array(labels.map(l =>
+        coalesce(element_at(col("m"), lit(l)), lit(0L))): _*).as("ns"))
+    perTok
+      .agg(map_from_entries(collect_list(struct(col("tok"), col("ns"))))
+        .as("model_map"))
+      .withColumn("labels", array(labels.map(lit): _*))
+      .withColumn("totals", array(labels.map(l => lit(totals(l))): _*))
+  }
+
   /** Classify `docs` against a [[train]]ed model. Output: one row per
     * input doc — (idCol, pred, a_pred) where `pred` is the winning
     * label and `a_pred` its RAW (unnormalized) affinity A_pred; a doc

@@ -175,6 +175,52 @@ object StreamingJobs {
         graft.functions.RollingHash.windowHashes(col(textCol), k)).as("h"))
       .select(graft.functions.BloomFilter.bloom(col("h").cast("string"), mBits).as("sketch"))
 
+  /** Streaming classifier scoring — the ingest face of the q204
+    * class-profile classifier: every incoming doc is scored against
+    * the trained model collapsed to ONE broadcast row
+    * ([[graft.ops.text.ProfileClassifier.modelRow]]), entirely with
+    * HOFs per row — tokens fold through the tok→counts map (an
+    * occurrence-sum equals the count-weighted affinity, so no per-doc
+    * aggregation state is needed), and the length-normalized argmax
+    * replays the batch scorer's exact Long cross-products inside a
+    * fold over the k class indices. No stream state, no shuffle, no
+    * watermark: a pure map that scales to any ingest rate, refreshed
+    * by restarting with a re-trained row. Bit-identical to the batch
+    * [[graft.ops.text.ProfileClassifier.classify]] on the same docs
+    * (the batch=stream parity property, asserted in the spec). */
+  def classifyStream(docs: DataFrame, textCol: String,
+                     modelRow: DataFrame): DataFrame = {
+    val toks = coalesce(
+      filter(split(col(textCol), "\\s+"), t => length(t) > 0),
+      array().cast("array<string>"))
+    val aff = transform(
+      sequence(lit(0), size(col("labels")) - 1),
+      c => aggregate(col("__toks"), lit(0L), (acc, t) =>
+        acc + coalesce(
+          element_at(element_at(col("model_map"), t), c + 1), lit(0L))))
+    // argmax of aff[i]/totals[i] by cross-products, ties to the
+    // smaller label — the batch scorer's comparator, folded
+    val best = aggregate(
+      sequence(lit(1), size(col("labels")) - 1), lit(0),
+      (b, i) => {
+        val ai = element_at(col("__aff"), i + 1)
+        val ab = element_at(col("__aff"), b + 1)
+        val ti = element_at(col("totals"), i + 1)
+        val tb = element_at(col("totals"), b + 1)
+        val li = element_at(col("labels"), i + 1)
+        val lb = element_at(col("labels"), b + 1)
+        when(ai * tb > ab * ti || (ai * tb === ab * ti && li < lb), i)
+          .otherwise(b)
+      })
+    docs.crossJoin(broadcast(modelRow))
+      .withColumn("__toks", toks)
+      .withColumn("__aff", aff)
+      .withColumn("__best", best)
+      .withColumn("pred", element_at(col("labels"), col("__best") + 1))
+      .withColumn("a_pred", element_at(col("__aff"), col("__best") + 1))
+      .drop("__toks", "__aff", "__best", "model_map", "labels", "totals")
+  }
+
   /** Streaming NEAR-dup dedup: every micro-batch of documents is
     * exact-deduped within itself, LSH-banded, probed against the
     * persistent signature store of everything accepted so far, and

@@ -282,6 +282,43 @@ class SinksStreamingSpec extends SparkSpec {
     assert(keys.toSeq == Seq("a", "b", "c"), "duplicate 'a' must be dropped")
   }
 
+  test("streaming classifier scoring is bit-identical to the batch scorer") {
+    import graft.ops.text.ProfileClassifier
+    implicit val sqlCtx = spark.sqlContext
+    val labeled = Seq(
+      ("low", "clickbait clickbait spam now"), ("low", "clickbait free spam"),
+      ("mid", "survey results survey data"), ("mid", "survey of methods"),
+      ("high", "theorem proof lemma"), ("high", "theorem theorem holds"))
+      .toDF("label", "text")
+    val model = ProfileClassifier.train(labeled, "text", "label")
+    val row = ProfileClassifier.modelRow(model)
+    val incoming = Seq(
+      (1L, "clickbait spam spam"), (2L, "a survey of data"),
+      (3L, "proof of the theorem"), (4L, "nothing in vocabulary"),
+      (5L, null.asInstanceOf[String]))
+    // batch answer (null text handled: zero overlap -> smallest label)
+    val batch = ProfileClassifier.classify(
+        incoming.toDF("doc_id", "text"), "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // stream answer over two micro-batches
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingJobs.classifyStream(
+        mem.toDF().toDF("doc_id", "text"), "text", row)
+      .select("doc_id", "pred", "a_pred")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("classify_stream").start()
+    mem.addData(incoming.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(incoming.drop(2): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("classify_stream")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    q.stop()
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    assert(batch(1L)._1 == "low" && batch(2L)._1 == "mid" &&
+      batch(3L)._1 == "high", s"planted classes must score right: $batch")
+  }
+
   test("streaming decontamination: static bloom sketch prefilters every micro-batch") {
     import graft.functions.BloomFilter
     implicit val sqlCtx = spark.sqlContext
