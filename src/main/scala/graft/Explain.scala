@@ -66,6 +66,10 @@ object Explain {
       "the stts/stss/stsz run-length and prefix-sum math runs per row inside " +
       "the task — container-level keyframe seeking, zero shuffles before the " +
       "presentation sort."),
+    "q205_video_frames" -> ("Video frame decode: synth and decode are two map-only " +
+      "mapPartitions stages (RIFF walk + per-frame BMP codec + NN thumbnail all " +
+      "inside the task); one output row per frame, no shuffle before the " +
+      "presentation sort — the shape of a 100 TB decode pass."),
     "q203_audio_fingerprint" -> ("Audio fingerprint dedup: decode+fingerprint are " +
       "map-only; exact clusters are ONE hash groupBy(fp); the band join runs " +
       "over DISTINCT fingerprints (pattern space, corpus-independent) so the " +

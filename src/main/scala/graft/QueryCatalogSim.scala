@@ -1459,6 +1459,64 @@ object QueryCatalogSim {
       |WHERE d.doc_id < 200
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q205: video frame decode (RIFF-AVI + real codec)
+  /** REAL video frame decode (q205) — the frame leg video was
+    * missing: clips are synthesized as canonical RIFF-AVI containers
+    * (hdrl/avih timing, strl stream header, movi frame chunks, idx1
+    * keyframe flags) whose frames are complete BMP streams — AVI's
+    * native uncompressed-DIB form, LOSSLESS so every decoded pixel
+    * has a closed form — and [[MultimodalOps.aviDecodeFrames]] walks
+    * the RIFF grammar and decodes EVERY frame through ImageIO's real
+    * BMP codec, emitting per frame the exact red-channel sum, a real
+    * nearest-neighbor 4x2 thumbnail's red sum, the idx1 keyframe
+    * flag and the avih-derived presentation time. Three planted
+    * failure modes, each gated differently: raw-text payloads
+    * (%10==7) and an idx1 whose entry count lies about the movi
+    * chunk count (%13==11) are CLIP-level corruption (one null row,
+    * ok='N'); a garbled frame-0 chunk inside a well-formed container
+    * (%9==5) gates only that FRAME (container-derived is_key/pts_us
+    * survive, decode fields null). The oracle replays dims, sums,
+    * keyframe cadence and timing arithmetically from doc_id WITHOUT
+    * decoding. Map-only end to end — the scale shape of a 100 TB
+    * video-curation decode pass. */
+  val q205VideoFrames: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+      .withColumn("corrupt", col("doc_id") % 10 === 7)
+    MultimodalOps.aviDecodeFrames(
+      MultimodalOps.synthAviPayload(docs, "doc_id", "text", "corrupt"),
+      "doc_id", outW = 4, outH = 2)
+      .orderBy(col("doc_id"), col("frame_no"))
+  }
+
+  private val q205Sql =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    2 + doc_id % 4 AS n, 8 + doc_id % 6 AS w, 4 + doc_id % 4 AS h,
+      |    1 + doc_id % 3 AS k, 33333 + doc_id % 1000 AS uspf,
+      |    (doc_id % 10 = 7) AS corrupt,
+      |    (doc_id % 10 <> 7 AND doc_id % 13 = 11) AS badidx,
+      |    (doc_id % 10 <> 7 AND doc_id % 13 <> 11 AND doc_id % 9 = 5) AS badframe
+      |  FROM documents WHERE doc_id < 200),
+      |f AS (
+      |  SELECT doc_id, CAST(i AS INT) AS frame_no, w, h, k, uspf,
+      |    (badframe AND i = 0) AS bad,
+      |    (doc_id * 37 + i * 11) % 256 AS c
+      |  FROM p, unnest(range(n)) t(i)
+      |  WHERE NOT corrupt AND NOT badidx)
+      |SELECT doc_id, frame_no,
+      |  CASE WHEN bad THEN NULL ELSE CAST(w AS INT) END AS width,
+      |  CASE WHEN bad THEN NULL ELSE CAST(h AS INT) END AS height,
+      |  CASE WHEN bad THEN NULL ELSE CAST(w * h * c AS BIGINT) END AS red_sum,
+      |  CASE WHEN bad THEN NULL ELSE CAST(8 * c AS BIGINT) END AS resized_red_sum,
+      |  (frame_no % k = 0) AS is_key,
+      |  CAST(frame_no * uspf AS BIGINT) AS pts_us,
+      |  CASE WHEN bad THEN 'N' ELSE 'Y' END AS ok
+      |FROM f
+      |UNION ALL
+      |SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL, 'N'
+      |FROM p WHERE corrupt OR badidx
+      |ORDER BY doc_id, frame_no""".stripMargin
+
   // ---------------------------------------------------------------- q199: serving kNN (ANN + recall audit)
   /** The catalog's SERVING kNN — the bucketed multi-table LSH
     * retriever with the exact-truth audit attached, replacing q45's
@@ -1539,6 +1597,7 @@ object QueryCatalogSim {
     "q200_mp4_meta" -> q200Mp4Meta,
     "q202_mp4_samples" -> q202Mp4Samples,
     "q203_audio_fingerprint" -> q203AudioFingerprint,
+    "q205_video_frames" -> q205VideoFrames,
     "q187_bitext_mine" -> q187BitextMine,
     "q175_ann_metrics" -> q175AnnMetrics,
     "q168_cluster_ari" -> q168ClusterAri,
@@ -1569,6 +1628,7 @@ object QueryCatalogSim {
     "q200_mp4_meta" -> q200Sql,
     "q202_mp4_samples" -> q202Sql,
     "q203_audio_fingerprint" -> q203Sql,
+    "q205_video_frames" -> q205Sql,
     "q187_bitext_mine" -> q187Sql,
     "q175_ann_metrics" -> q175Sql,
     "q168_cluster_ari" -> q168Sql,

@@ -14,9 +14,14 @@ import java.security.MessageDigest
   * [[synthImagePayload]]). AUDIO decode is REAL for PCM WAV: the
   * JDK's `javax.sound.sampled` parses RIFF/WAVE with zero external
   * deps ([[decodeWavMeta]], fixture generator [[synthWavPayload]]).
-  * Video codecs are absent in this environment, so
-  * `fakeDecodeFeatures` remains a clearly-marked deterministic
-  * stand-in (md5-derived features) for that modality.
+  * VIDEO frame decode is REAL for the uncompressed-DIB AVI form:
+  * [[aviDecodeFrames]] walks the RIFF container grammar and decodes
+  * every frame chunk through ImageIO (fixture generator
+  * [[synthAviPayload]]); MP4 container metadata is parsed without a
+  * codec ([[mp4ContainerMeta]], [[mp4SampleTable]]). Compressed
+  * video codecs (H.264 etc.) are absent in this environment, so
+  * `fakeFeatures` remains a clearly-marked deterministic stand-in
+  * (md5-derived features) for that one path.
   * What is load-bearing for 100 TB either way: the schema (binary
   * payload + metadata struct), the mapPartitions batch shape
   * (decoders amortize codec/model setup per batch, exactly like a
@@ -910,6 +915,281 @@ object MultimodalOps {
     }(Encoders.row(outSchema))
   }
 
+  // ---- RIFF/AVI: little-endian container (unlike ISO-BMFF's BE) ----
+  private def le32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL)) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  /** Read a RIFF chunk header at `off`: (fourcc, payloadOff,
+    * payloadLen, totalAdvance incl. the word-alignment pad byte).
+    * None when the header or the declared payload overruns the
+    * buffer, or the fourcc isn't printable ASCII. */
+  private def readRiffChunk(b: Array[Byte], off: Int): Option[(String, Int, Int, Int)] = {
+    if (off < 0 || off + 8 > b.length) return None
+    val tp = boxType(b, off)
+    if (tp == null) return None
+    val len = le32(b, off + 4)
+    if (len < 0 || len > Int.MaxValue - 16) return None
+    val pOff = off + 8
+    if (pOff + len > b.length) return None
+    val pad = len & 1L // RIFF chunks are word-aligned
+    Some((tp, pOff, len.toInt, (8 + len + pad).toInt))
+  }
+
+  /** REAL AVI fixture generator (pure JDK): a canonical RIFF-AVI per
+    * row — `LIST hdrl (avih, LIST strl (strh 'vids'/'DIB ', strf
+    * BITMAPINFOHEADER))`, a `LIST movi` of per-frame `00db` chunks,
+    * and an `idx1` index carrying AVIIF_KEYFRAME flags. Frames are
+    * stored as complete BMP streams and encoded with ImageIO's real
+    * BMP codec — AVI's native uncompressed-DIB form, chosen over
+    * MJPEG deliberately: BMP is LOSSLESS, so every decoded pixel has
+    * a closed form in (id, frame_no) and a SQL oracle can verify the
+    * full container+codec round trip without itself decoding.
+    * Closed forms: n_frames = 2 + id%4; frame dims (8 + id%6) x
+    * (4 + id%4); frame f is constant gray (id*37 + f*11) % 256;
+    * keyframes every 1 + id%3 frames (idx1 flags); µs/frame =
+    * 33333 + id%1000 (avih). Odd-length BMP payloads exercise the
+    * RIFF pad-byte rule. Planted corruption: `corruptCol` rows carry
+    * raw text bytes (no RIFF header); id%13==11 rows write an idx1
+    * whose entry count disagrees with avih/movi (a clip whose index
+    * lies — structurally corrupt); id%9==5 rows garble frame 0's
+    * chunk BYTES while the container stays well-formed (the
+    * mid-stream decode failure a crawl actually produces). */
+  def synthAviPayload(df: DataFrame, idCol: String, textCol: String,
+                      corruptCol: String, batchSize: Int = 32): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("payload", BinaryType)))
+    val input = df.select(col(idCol).cast("long"),
+      col(textCol).cast("string"), col(corruptCol).cast("boolean"))
+    input.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0)
+          val bytes =
+            if (r.getBoolean(2))
+              (if (r.isNullAt(1)) "" else r.getString(1)).getBytes("UTF-8")
+            else {
+              def le(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+                out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+                out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+              }
+              def chunk(tp: String, payload: Array[Byte]): Array[Byte] = {
+                val bos = new java.io.ByteArrayOutputStream()
+                bos.write(tp.getBytes("US-ASCII"), 0, 4)
+                le(bos, payload.length.toLong)
+                bos.write(payload, 0, payload.length)
+                if ((payload.length & 1) == 1) bos.write(0) // pad byte
+                bos.toByteArray
+              }
+              def list(tp: String, children: Array[Byte]): Array[Byte] =
+                chunk("LIST", tp.getBytes("US-ASCII") ++ children)
+              def ints(vs: Seq[Long]): Array[Byte] = {
+                val bos = new java.io.ByteArrayOutputStream()
+                vs.foreach(le(bos, _)); bos.toByteArray
+              }
+              val n = (2 + id % 4).toInt
+              val w = (8 + id % 6).toInt; val h = (4 + id % 4).toInt
+              val k = (1 + id % 3).toInt
+              val uspf = (33333 + id % 1000).toLong
+              val frames = (0 until n).map { f =>
+                if (id % 9 == 5 && f == 0)
+                  "not a bmp frame".getBytes("UTF-8") // garbled bytes, valid chunk
+                else {
+                  val c = ((id * 37 + f * 11) % 256).toInt
+                  val img = new java.awt.image.BufferedImage(
+                    w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                  val rgb = (c << 16) | (c << 8) | c
+                  var y = 0
+                  while (y < h) {
+                    var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1
+                  }
+                  val bos = new java.io.ByteArrayOutputStream()
+                  javax.imageio.ImageIO.write(img, "bmp", bos)
+                  bos.toByteArray
+                }
+              }
+              val avih = chunk("avih", ints(Seq(
+                uspf, 0, 0, 0x10L, n.toLong, 0, 1, 0, w.toLong, h.toLong,
+                0, 0, 0, 0)))
+              val strh = chunk("strh",
+                "vids".getBytes("US-ASCII") ++ "DIB ".getBytes("US-ASCII") ++
+                  ints(Seq(0, 0, 0, 1, 30, 0, n.toLong, 0, 0xFFFFFFFFL, 0)) ++
+                  ints(Seq(0, (h.toLong << 16) | w))) // rcFrame (0,0,w,h) as 4 LE16s
+              val strf = chunk("strf", ints(Seq(
+                40, w.toLong, h.toLong, (24L << 16) | 1, 0,
+                (w.toLong * h * 3), 0, 0, 0, 0)))
+              val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+              val moviChunks = frames.map(fb => chunk("00db", fb))
+              val movi = list("movi", moviChunks.flatMap(a => a).toArray)
+              // idx1 offsets are relative to the 'movi' fourcc, per convention
+              val offsets = moviChunks.scanLeft(4L)((acc, c) => acc + c.length)
+              val nIdx = if (id % 13 == 11) n - 1 else n // planted lying index
+              val idx1 = chunk("idx1", ints((0 until nIdx).flatMap { f =>
+                Seq(le32("00db".getBytes("US-ASCII"), 0),
+                  if (f % k == 0) 0x10L else 0L,
+                  offsets(f), frames(f).length.toLong)
+              }))
+              val form = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi ++ idx1
+              val bos = new java.io.ByteArrayOutputStream()
+              bos.write("RIFF".getBytes("US-ASCII"), 0, 4)
+              le(bos, form.length.toLong)
+              bos.write(form, 0, form.length)
+              bos.toByteArray
+            }
+          Row(id, bytes)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL video frame decode (pure JDK, zero external deps): walk the
+    * RIFF-AVI container grammar (LIST recursion, word-aligned
+    * chunks), read timing from `avih` and keyframe flags from
+    * `idx1`, then DECODE every `00db`/`00dc` frame chunk through
+    * ImageIO — a true codec decode per frame (BMP here; the same
+    * call decodes MJPEG's JPEG frames when a JPEG stream is in the
+    * chunk). Per frame: dims, the exact red-channel sum, and a
+    * nearest-neighbor resample to (outW, outH) whose red sum is
+    * recomputed from the REAL resize loop (the thumbnail leg of a
+    * video-curation pass) — [[fakeResize]] is retired for video.
+    *
+    * Emits one row per frame: (id, frame_no, width, height, red_sum,
+    * resized_red_sum, is_key from idx1, pts_us = frame_no · µs/frame
+    * from avih, ok). Gating discipline, strictest first: a payload
+    * that fails the container grammar — no RIFF/AVI header, a chunk
+    * overrunning the buffer, missing avih/movi, or an idx1 whose
+    * entry count disagrees with avih's dwTotalFrames or the movi
+    * chunk count (an index that lies marks the whole clip corrupt) —
+    * yields ONE clip-level row (null frame_no, ok='N'). A clip whose
+    * container parses but where an individual frame's bytes don't
+    * decode keeps its good frames and gates only that frame's row
+    * ok='N' (null decode fields; is_key/pts_us survive — they come
+    * from the container, not the codec). Batch-shaped mapPartitions
+    * like every decode boundary here. */
+  def aviDecodeFrames(df: DataFrame, idCol: String, outW: Int = 4,
+                      outH: Int = 2, batchSize: Int = 32): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("frame_no", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("red_sum", LongType),
+      StructField("resized_red_sum", LongType),
+      StructField("is_key", BooleanType),
+      StructField("pts_us", LongType),
+      StructField("ok", StringType)))
+    val clipBad = (id: Long) =>
+      Seq(Row(id, null, null, null, null, null, null, null, "N"))
+    val input = df.select(col(idCol).cast("long"), col("payload"))
+    input.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          val id = r.getLong(0)
+          val b = r.getAs[Array[Byte]](1)
+          def parsed: Option[Seq[Row]] = {
+            if (b == null || b.length < 12) return None
+            readRiffChunk(b, 0) match {
+              case Some(("RIFF", pOff, pLen, total))
+                  if total == b.length && pLen >= 4 &&
+                    boxType(b, pOff) == "AVI " =>
+                var off = pOff + 4
+                val end = pOff + pLen
+                var usPerFrame = -1L
+                var totalFrames = -1L
+                val frameChunks = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+                val keyFlags = scala.collection.mutable.ArrayBuffer[Boolean]()
+                var sawMovi = false
+                var sawIdx = false
+                while (off < end) {
+                  readRiffChunk(b, off) match {
+                    case None => return None
+                    case Some((tp, cOff, cLen, cTotal)) =>
+                      tp match {
+                        case "LIST" if cLen >= 4 =>
+                          val listType = boxType(b, cOff)
+                          if (listType == "hdrl") {
+                            // avih is hdrl's first child, fixed 56-byte layout
+                            readRiffChunk(b, cOff + 4) match {
+                              case Some(("avih", aOff, aLen, _)) if aLen >= 40 =>
+                                usPerFrame = le32(b, aOff)
+                                totalFrames = le32(b, aOff + 16)
+                                if (le32(b, aOff + 24) != 1) return None // one stream
+                              case _ => return None
+                            }
+                          } else if (listType == "movi") {
+                            sawMovi = true
+                            var mOff = cOff + 4
+                            val mEnd = cOff + cLen
+                            while (mOff < mEnd) {
+                              readRiffChunk(b, mOff) match {
+                                case None => return None
+                                case Some((ct, fOff, fLen, fTotal)) =>
+                                  if (ct.endsWith("db") || ct.endsWith("dc"))
+                                    frameChunks += ((fOff, fLen))
+                                  mOff += fTotal
+                              }
+                            }
+                            if (mOff != mEnd) return None
+                          }
+                        case "idx1" =>
+                          sawIdx = true
+                          if (cLen % 16 != 0) return None
+                          val nIdx = cLen / 16
+                          var j = 0
+                          while (j < nIdx) {
+                            keyFlags += (le32(b, cOff + 16 * j + 4) & 0x10L) != 0
+                            j += 1
+                          }
+                        case _ => () // unknown top-level chunk: skip
+                      }
+                      off += cTotal
+                  }
+                }
+                if (off != end || !sawMovi || !sawIdx || usPerFrame <= 0 ||
+                    totalFrames != frameChunks.length ||
+                    keyFlags.length != frameChunks.length) None
+                else Some(frameChunks.zipWithIndex.map { case ((fOff, fLen), f) =>
+                  val img =
+                    try javax.imageio.ImageIO.read(
+                      new java.io.ByteArrayInputStream(
+                        java.util.Arrays.copyOfRange(b, fOff, fOff + fLen)))
+                    catch { case scala.util.control.NonFatal(_) => null }
+                  if (img == null)
+                    Row(id, f, null, null, null, null,
+                      keyFlags(f), f * usPerFrame, "N")
+                  else {
+                    val w = img.getWidth; val h = img.getHeight
+                    var sum = 0L; var y = 0
+                    while (y < h) {
+                      var x = 0
+                      while (x < w) { sum += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }
+                      y += 1
+                    }
+                    // real NN resample, same loop as resizeImageNN
+                    var rsum = 0L; y = 0
+                    while (y < outH) {
+                      var x = 0
+                      while (x < outW) {
+                        rsum += (img.getRGB(x * w / outW, y * h / outH) >> 16) & 0xff
+                        x += 1
+                      }
+                      y += 1
+                    }
+                    Row(id, f, w, h, sum, rsum, keyFlags(f), f * usPerFrame, "Y")
+                  }
+                }.toSeq)
+              case _ => None
+            }
+          }
+          parsed.getOrElse(clipBad(id))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Wrap a text column as an opaque binary payload with metadata —
     * the shape an image/audio column has in a lakehouse table. */
   def attachPayload(df: DataFrame, textCol: String): DataFrame =
@@ -949,12 +1229,13 @@ object MultimodalOps {
       .withColumn("frame_len", octet_length(col("frame")))
       .drop("n_frames")
 
-  /** STUB resize for VIDEO (codecs absent here): byte-stride
-    * downsampling of the payload (every `factor`-th byte) with the
-    * SAME batch-shaped plumbing as decode. The image case is real
-    * ([[resizeImageNN]]) and WAV audio decode is real
-    * ([[decodeWavMeta]]). Output: id, resized payload,
-    * original/resized lengths. */
+  /** STUB resize for opaque payloads whose codec is absent here
+    * (compressed video): byte-stride downsampling (every `factor`-th
+    * byte) with the SAME batch-shaped plumbing as decode. The image
+    * case is real ([[resizeImageNN]]), WAV audio decode is real
+    * ([[decodeWavMeta]]), and uncompressed-AVI video frame decode +
+    * per-frame resize is real ([[aviDecodeFrames]]). Output: id,
+    * resized payload, original/resized lengths. */
   def fakeResize(df: DataFrame, idCol: String, factor: Int,
                  batchSize: Int = 32): DataFrame = {
     val outSchema = StructType(Seq(

@@ -324,4 +324,53 @@ class MultimodalSpec extends SparkSpec {
     // different classes are far apart
     assert(java.lang.Long.bitCount(closed(5, false) ^ closed(9, false)) > 6)
   }
+
+  private def synthAvi(ids: Long*) = MultimodalOps.synthAviPayload(
+    ids.map(i => (i, s"text $i", false)).toDF("doc_id", "text", "corrupt"),
+    "doc_id", "text", "corrupt")
+
+  test("aviDecodeFrames: container walk + real BMP decode matches the closed form") {
+    // id=3: 5 frames, 11x7, keyframe cadence k=1, 33336 us/frame
+    val rows = MultimodalOps.aviDecodeFrames(synthAvi(3L), "doc_id")
+      .orderBy("frame_no").collect()
+    assert(rows.length == 5)
+    rows.zipWithIndex.foreach { case (r, f) =>
+      val c = (3 * 37 + f * 11) % 256
+      assert(r.getAs[Int]("width") == 11 && r.getAs[Int]("height") == 7)
+      assert(r.getAs[Long]("red_sum") == 77L * c)
+      assert(r.getAs[Long]("resized_red_sum") == 8L * c) // 4x2 NN of a constant image
+      assert(r.getAs[Boolean]("is_key")) // k=1: every frame is a keyframe
+      assert(r.getAs[Long]("pts_us") == f * 33336L)
+      assert(r.getAs[String]("ok") == "Y")
+    }
+  }
+
+  test("aviDecodeFrames: a garbled frame gates only that frame; container fields survive") {
+    // id=14: %9==5 plants garbage bytes in frame 0's chunk; 4 frames, k=3
+    val rows = MultimodalOps.aviDecodeFrames(synthAvi(14L), "doc_id")
+      .orderBy("frame_no").collect()
+    assert(rows.length == 4)
+    val f0 = rows(0)
+    assert(f0.getAs[String]("ok") == "N" && f0.isNullAt(f0.fieldIndex("red_sum")))
+    // is_key and pts_us come from idx1/avih, not the codec — they survive
+    assert(f0.getAs[Boolean]("is_key") && f0.getAs[Long]("pts_us") == 0L)
+    assert(rows.drop(1).forall(_.getAs[String]("ok") == "Y"))
+    assert(rows.map(_.getAs[Boolean]("is_key")).toSeq == Seq(true, false, false, true))
+  }
+
+  test("aviDecodeFrames: clip-level corruption yields one null row, never a failure") {
+    // id=24: %13==11 writes an idx1 that lies about the frame count;
+    // raw text and truncated containers are the crawl's other two modes
+    val goodBytes = synthAvi(3L).collect()(0).getAs[Array[Byte]]("payload")
+    val bad = Seq(
+      (24L, synthAvi(24L).collect()(0).getAs[Array[Byte]]("payload")),
+      (30L, "not a riff container".getBytes("UTF-8")),
+      (31L, goodBytes.take(goodBytes.length / 2)),
+      (32L, Array.empty[Byte])).toDF("doc_id", "payload")
+    val rows = MultimodalOps.aviDecodeFrames(bad, "doc_id")
+      .orderBy("doc_id").collect()
+    assert(rows.length == 4, "exactly one clip-level row per corrupt payload")
+    assert(rows.forall(r => r.getAs[String]("ok") == "N" &&
+      r.isNullAt(r.fieldIndex("frame_no"))))
+  }
 }
