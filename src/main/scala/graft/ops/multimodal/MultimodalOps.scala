@@ -954,9 +954,19 @@ object MultimodalOps {
     * whose entry count disagrees with avih/movi (a clip whose index
     * lies — structurally corrupt); id%9==5 rows garble frame 0's
     * chunk BYTES while the container stays well-formed (the
-    * mid-stream decode failure a crawl actually produces). */
+    * mid-stream decode failure a crawl actually produces).
+    *
+    * `codec` selects the frame encoding: "bmp" (default — AVI's
+    * uncompressed-DIB form, `00db` chunks, stream fourcc 'DIB ') or
+    * "jpeg" (MJPEG — `00dc` chunks, fourcc 'MJPG', frames written by
+    * ImageIO's real JPEG encoder). The hash-gated query q205 uses BMP
+    * because lossless decode has a closed form the SQL oracle can
+    * verify; the MJPEG leg is spec-verified instead (lossy DC
+    * quantization has no closed form, but a uniform-color frame must
+    * decode back within a small per-pixel tolerance). */
   def synthAviPayload(df: DataFrame, idCol: String, textCol: String,
-                      corruptCol: String, batchSize: Int = 32): DataFrame = {
+                      corruptCol: String, batchSize: Int = 32,
+                      codec: String = "bmp"): DataFrame = {
     val outSchema = StructType(Seq(
       StructField(idCol, LongType),
       StructField("payload", BinaryType)))
@@ -1006,28 +1016,30 @@ object MultimodalOps {
                     var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1
                   }
                   val bos = new java.io.ByteArrayOutputStream()
-                  javax.imageio.ImageIO.write(img, "bmp", bos)
+                  javax.imageio.ImageIO.write(img, codec, bos)
                   bos.toByteArray
                 }
               }
+              val fcc = if (codec == "bmp") "00db" else "00dc"
+              val strFourcc = if (codec == "bmp") "DIB " else "MJPG"
               val avih = chunk("avih", ints(Seq(
                 uspf, 0, 0, 0x10L, n.toLong, 0, 1, 0, w.toLong, h.toLong,
                 0, 0, 0, 0)))
               val strh = chunk("strh",
-                "vids".getBytes("US-ASCII") ++ "DIB ".getBytes("US-ASCII") ++
+                "vids".getBytes("US-ASCII") ++ strFourcc.getBytes("US-ASCII") ++
                   ints(Seq(0, 0, 0, 1, 30, 0, n.toLong, 0, 0xFFFFFFFFL, 0)) ++
                   ints(Seq(0, (h.toLong << 16) | w))) // rcFrame (0,0,w,h) as 4 LE16s
               val strf = chunk("strf", ints(Seq(
                 40, w.toLong, h.toLong, (24L << 16) | 1, 0,
                 (w.toLong * h * 3), 0, 0, 0, 0)))
               val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
-              val moviChunks = frames.map(fb => chunk("00db", fb))
+              val moviChunks = frames.map(fb => chunk(fcc, fb))
               val movi = list("movi", moviChunks.flatMap(a => a).toArray)
               // idx1 offsets are relative to the 'movi' fourcc, per convention
               val offsets = moviChunks.scanLeft(4L)((acc, c) => acc + c.length)
               val nIdx = if (id % 13 == 11) n - 1 else n // planted lying index
               val idx1 = chunk("idx1", ints((0 until nIdx).flatMap { f =>
-                Seq(le32("00db".getBytes("US-ASCII"), 0),
+                Seq(le32(fcc.getBytes("US-ASCII"), 0),
                   if (f % k == 0) 0x10L else 0L,
                   offsets(f), frames(f).length.toLong)
               }))

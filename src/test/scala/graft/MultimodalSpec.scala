@@ -373,4 +373,30 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[String]("ok") == "N" &&
       r.isNullAt(r.fieldIndex("frame_no"))))
   }
+
+  test("aviDecodeFrames: MJPEG frames decode through the real JPEG codec") {
+    // Same container grammar, frames written by ImageIO's real JPEG
+    // encoder ('00dc' chunks, stream fourcc MJPG). JPEG is lossy so
+    // there is no closed form, but a uniform-gray frame must decode
+    // back within a small per-pixel tolerance of the encoded level —
+    // DC quantization at ImageIO's default quality stays well under
+    // ±8 on a constant image.
+    val df = MultimodalOps.synthAviPayload(
+      Seq((3L, "text 3", false)).toDF("doc_id", "text", "corrupt"),
+      "doc_id", "text", "corrupt", codec = "jpeg")
+    val rows = MultimodalOps.aviDecodeFrames(df, "doc_id")
+      .orderBy("frame_no").collect()
+    assert(rows.length == 5)
+    rows.zipWithIndex.foreach { case (r, f) =>
+      val c = (3 * 37 + f * 11) % 256
+      assert(r.getAs[String]("ok") == "Y", s"frame $f must decode")
+      assert(r.getAs[Int]("width") == 11 && r.getAs[Int]("height") == 7)
+      val sum = r.getAs[Long]("red_sum")
+      assert(math.abs(sum - 77L * c) <= 77L * 8,
+        s"frame $f: JPEG round trip of uniform gray $c drifted: $sum vs ${77L * c}")
+      assert(math.abs(r.getAs[Long]("resized_red_sum") - 8L * c) <= 8L * 8)
+      assert(r.getAs[Long]("pts_us") == f * 33336L) // container timing survives codecs
+      assert(r.getAs[Boolean]("is_key"))
+    }
+  }
 }
