@@ -904,7 +904,10 @@ object QueryCatalogCuration {
     * Jacobi iterations of PageRank over a deterministic synthetic
     * host graph (source -> 'src'||(doc_id^2 mod 16) — the quadratic
     * map concentrates in-links on the 4 residue hubs, a real
-    * authority hierarchy; self-loops dropped, distinct): every update is EXACT int64 arithmetic — rank mass
+    * authority hierarchy; self-loops dropped, distinct; computed as
+    * ((id%16)*(id%16))%16, the modular identity — a direct id*id
+    * overflows int64 once ids carry a corpus-partition prefix, the
+    * sf1 sweep's catch): every update is EXACT int64 arithmetic — rank mass
     * scaled to 1e12, damping 0.85 as (*17 div 20), teleport 0.15 as
     * (3e12 div (20n)) — so both engines agree bit-for-bit after any
     * number of iterations (float PageRank diverges in the last ulp
@@ -917,7 +920,7 @@ object QueryCatalogCuration {
     val SCALE = 1000000000000L
     val docs = Tables.documents(s, d)
     val dst = concat(lit("src"),
-      ((col("doc_id") * col("doc_id")) % 16).cast("string"))
+      (((col("doc_id") % 16) * (col("doc_id") % 16)) % 16).cast("string"))
     val edges = docs.select(col("source").as("src"), dst.as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
     val nodes = edges.select(col("src").as("node"))
@@ -951,9 +954,9 @@ object QueryCatalogCuration {
 
   private val q135Sql =
     """WITH e AS (SELECT DISTINCT source AS src,
-      |                  'src' || CAST((doc_id * doc_id) % 16 AS VARCHAR) AS dst
+      |                  'src' || CAST(((doc_id % 16) * (doc_id % 16)) % 16 AS VARCHAR) AS dst
       |           FROM documents
-      |           WHERE source <> 'src' || CAST((doc_id * doc_id) % 16 AS VARCHAR)),
+      |           WHERE source <> 'src' || CAST(((doc_id % 16) * (doc_id % 16)) % 16 AS VARCHAR)),
       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
       |nn AS (SELECT COUNT(*) AS n FROM nodes),
       |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
@@ -1133,14 +1136,14 @@ object QueryCatalogCuration {
   val q155Triangles: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val dst = concat(lit("src"),
-      ((col("doc_id") * col("doc_id")) % 16).cast("string"))
+      (((col("doc_id") % 16) * (col("doc_id") % 16)) % 16).cast("string"))
     val edges = docs.select(col("source").as("u"), dst.as("v"))
     graft.ops.Graphs.triangleCounts(edges).orderBy("node")
   }
 
   private val q155Sql =
     """WITH raw AS (SELECT source AS s,
-      |                    'src' || CAST((doc_id * doc_id) % 16 AS VARCHAR) AS t
+      |                    'src' || CAST(((doc_id % 16) * (doc_id % 16)) % 16 AS VARCHAR) AS t
       |             FROM documents),
       |e0 AS (SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v
       |       FROM raw WHERE s <> t),
@@ -1432,7 +1435,7 @@ object QueryCatalogCuration {
     val seeds = Seq("src0", "src1")
     val docs = Tables.documents(s, d)
     val dst = concat(lit("src"),
-      ((col("doc_id") * col("doc_id")) % 16).cast("string"))
+      (((col("doc_id") % 16) * (col("doc_id") % 16)) % 16).cast("string"))
     val edges = docs.select(col("source").as("src"), dst.as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
     val nodes = edges.select(col("src").as("node"))
@@ -1462,9 +1465,9 @@ object QueryCatalogCuration {
 
   private val q173Sql =
     """WITH e AS (SELECT DISTINCT source AS src,
-      |                  'src' || CAST((doc_id * doc_id) % 16 AS VARCHAR) AS dst
+      |                  'src' || CAST(((doc_id % 16) * (doc_id % 16)) % 16 AS VARCHAR) AS dst
       |           FROM documents
-      |           WHERE source <> 'src' || CAST((doc_id * doc_id) % 16 AS VARCHAR)),
+      |           WHERE source <> 'src' || CAST(((doc_id % 16) * (doc_id % 16)) % 16 AS VARCHAR)),
       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
       |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
       |r0 AS (SELECT node, CASE WHEN node IN ('src0','src1')
