@@ -38,6 +38,15 @@ object Profile {
     val sig = Dedup.minHash(sh, "doc_id", n = 16)
     time("minHash.count")(sig.count())
     time("minHash.count (again)")(sig.count())
+    // map-only formulation, cold from the parquet scan (no shingle
+    // cache to lean on — that IS the point)
+    val sigMap = Dedup.minHashText(docs, "doc_id", "text", k = 3, n = 16)
+    time("minHashText.count (cold)")(sigMap.count())
+    time("minHashText.count (2nd)")(sigMap.count())
+    // aggregate formulation cold (uncached shingles) for the fair A/B
+    val sigCold = Dedup.minHash(
+      Dedup.shingleSet(docs, "doc_id", "text", k = 3), "doc_id", n = 16)
+    time("minHash cold (agg form)")(sigCold.count())
     val bands = Dedup.lshBands(sig, "doc_id", n = 16, rowsPerBand = 4)
     time("bands.count")(bands.count())
     val grouped0 = bands.groupBy(col("band"), col("band_key"))
@@ -87,7 +96,8 @@ object Profile {
         docs.filter(col("doc_id") < 50).withColumn("doc_id", col("doc_id") + 1000000))
       val sh2 = Dedup.shingleSet(recrawl, "doc_id", "text", k = 3)
       val cand = Dedup.candidatePairs(
-        Dedup.lshBands(Dedup.minHash(sh2, "doc_id", 16), "doc_id", 16, 4), "doc_id")
+        Dedup.lshBands(Dedup.minHashText(recrawl, "doc_id", "text", 3, 16),
+          "doc_id", 16, 4), "doc_id")
       val edges = Dedup.jaccard(cand, sh2, "doc_id")
         .filter(col("jaccard") >= 0.7).select("id_a", "id_b").cache()
       time("q101 edges.count")(println("  edges=" + edges.count()))

@@ -210,7 +210,9 @@ object QueryCatalogCuration {
     val recrawl = docs.unionByName(
       docs.filter(col("doc_id") < 50).withColumn("doc_id", col("doc_id") + 1000000))
     val shingles = Dedup.shingleSet(recrawl, "doc_id", "text", k = 3)
-    val sig = Dedup.minHash(shingles, "doc_id", n = 16)
+    // map-only signature branch (MinHashSig): the shingle relation is
+    // derived only where jaccard needs the rows
+    val sig = Dedup.minHashText(recrawl, "doc_id", "text", 3, 16)
     val cand = Dedup.candidatePairs(
       Dedup.lshBands(sig, "doc_id", n = 16, rowsPerBand = 4), "doc_id")
     // scoped: jaccard's caches are released before CC starts; the
@@ -1617,7 +1619,7 @@ object QueryCatalogCuration {
     val recrawl = docs.unionByName(
       docs.filter(col("doc_id") < 50).withColumn("doc_id", col("doc_id") + 1000000))
     val shingles = Dedup.shingleSet(recrawl, "doc_id", "text", k = 3)
-    val sig = Dedup.minHash(shingles, "doc_id", n = 16)
+    val sig = Dedup.minHashText(recrawl, "doc_id", "text", 3, 16)
     val cand = Dedup.candidatePairs(
       Dedup.lshBands(sig, "doc_id", n = 16, rowsPerBand = 4), "doc_id")
     val edges = Dedup.jaccardScoped(cand, shingles, "doc_id") { j =>
@@ -1778,7 +1780,7 @@ object QueryCatalogCuration {
   val q193LshCalibration: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val shingles = Dedup.shingleSet(docs, "doc_id", "text", 3)
-    val sig = Dedup.minHash(shingles, "doc_id", n = 16)
+    val sig = Dedup.minHashText(docs, "doc_id", "text", 3, 16)
     val cand = graft.ops.Materialize.localize(
       Dedup.candidatePairs(Dedup.lshBands(sig, "doc_id", 16, 4), "doc_id"))
     val sigA = sig.toDF(sig.columns.map(c => if (c == "doc_id") "id_a" else s"a_$c"): _*)
@@ -1989,7 +1991,8 @@ object QueryCatalogCuration {
     val docs = Tables.documents(s, d)
     val shingles = Dedup.shingleSet(docs, "doc_id", "text", k = 3)
     val cand = Dedup.candidatePairs(
-      Dedup.lshBands(Dedup.minHash(shingles, "doc_id", 16), "doc_id", 16, 4),
+      Dedup.lshBands(Dedup.minHashText(docs, "doc_id", "text", 3, 16),
+        "doc_id", 16, 4),
       "doc_id")
     val pairs = Dedup.jaccardScoped(cand, shingles, "doc_id") { j =>
       graft.ops.Materialize.localize(

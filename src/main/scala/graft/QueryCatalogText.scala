@@ -91,8 +91,11 @@ object QueryCatalogText {
     // minHash is duplicate-blind, jaccard dedups on its candidate-
     // restricted (id, w) relation) — each consumer re-derives it
     // inside its own stage; nothing corpus-wide is materialized.
-    val shingles = Dedup.shingleSet(Tables.documents(s, d), "doc_id", "text", k = 3)
-    val sig = Dedup.minHash(shingles, "doc_id", n = 16)
+    val docs = Tables.documents(s, d)
+    val shingles = Dedup.shingleSet(docs, "doc_id", "text", k = 3)
+    // signature branch is map-only (MinHashSig expression) — the
+    // shingle rows above exist solely for the jaccard verifier
+    val sig = Dedup.minHashText(docs, "doc_id", "text", 3, 16)
     val bands = Dedup.lshBands(sig, "doc_id", n = 16, rowsPerBand = 4)
     val cand = Dedup.candidatePairs(bands, "doc_id")
     // scoped verification: jaccard's internal caches (pairs, candidate
@@ -1025,7 +1028,7 @@ object QueryCatalogText {
       docs.filter(col("doc_id") < 50).withColumn("doc_id", col("doc_id") + 1000000))
     val uniq = Dedup.exactKeep(recrawl, "doc_id", "text")
     val shingles = Dedup.shingleSet(uniq, "doc_id", "text", k = 3)
-    val sig = Dedup.minHash(shingles, "doc_id", n = 16)
+    val sig = Dedup.minHashText(uniq, "doc_id", "text", 3, 16)
     val cand = Dedup.candidatePairs(
       Dedup.lshBands(sig, "doc_id", n = 16, rowsPerBand = 4), "doc_id")
     val dupIds = Dedup.jaccardScoped(cand, shingles, "doc_id") { j =>

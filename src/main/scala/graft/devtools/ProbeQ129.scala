@@ -31,7 +31,8 @@ object ProbeQ129 {
       val sh = Dedup.shingleSet(u, "uid", "__t", 3)
       val t0 = System.nanoTime()
       val cand = Dedup.candidatePairs(
-        Dedup.lshBands(Dedup.minHash(sh, "uid", 16), "uid", 16, 4), "uid", 64)
+        Dedup.lshBands(Dedup.minHashText(u, "uid", "__t", 3, 16), "uid", 16, 4),
+        "uid", 64)
         .filter(col("id_a") % 2 =!= col("id_b") % 2)
       val nCand = cand.count()
       val t1 = System.nanoTime()

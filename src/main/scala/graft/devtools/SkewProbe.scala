@@ -46,8 +46,8 @@ object SkewProbe {
     }
 
     timed(s"all-identical n=$n: pairs") {
-      val sh = Dedup.shingleSet(docs, "doc_id", "text", k = 3)
-      val bands = Dedup.lshBands(Dedup.minHash(sh, "doc_id", 16), "doc_id", 16, 4)
+      val bands = Dedup.lshBands(
+        Dedup.minHashText(docs, "doc_id", "text", 3, 16), "doc_id", 16, 4)
       Dedup.candidatePairs(bands, "doc_id").count()
     }
 
@@ -57,8 +57,8 @@ object SkewProbe {
       concat_ws(" ", (0 until 12).map(i =>
         concat(lit(s"w$i"), ((col("id") + i * 7919) % 1000))): _*).as("text"))
     timed(s"natural n=$n: pairs") {
-      val sh = Dedup.shingleSet(natural, "doc_id", "text", k = 3)
-      val bands = Dedup.lshBands(Dedup.minHash(sh, "doc_id", 16), "doc_id", 16, 4)
+      val bands = Dedup.lshBands(
+        Dedup.minHashText(natural, "doc_id", "text", 3, 16), "doc_id", 16, 4)
       Dedup.candidatePairs(bands, "doc_id").count()
     }
     spark.stop()

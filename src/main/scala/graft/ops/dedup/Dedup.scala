@@ -125,6 +125,30 @@ object Dedup {
     words.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** MinHash signatures straight from the document frame, ZERO
+    * shuffle: [[graft.functions.MinHashSig]] computes the n minima
+    * in one codegen'd pass over each row's text — the explode +
+    * hash-aggregate of `minHash(shingleSet(df))` never happens.
+    * Bit-identical output and dropped-row set (documents with < k
+    * tokens vanish in both forms), proven by `MinHashSigSpec`
+    * against the aggregate form on the real corpus.
+    *
+    * This is the formulation the LSH chain should start from at
+    * 100 TB: the signature branch becomes map-only and the first
+    * exchange of the whole dedup pipeline is the band-bucket
+    * shuffle (n/r rows of 16-byte keys per doc). The shingle
+    * RELATION is still derived separately where a consumer needs
+    * the rows (jaccard posting lists — candidate-restricted by
+    * then), so nothing pays for it twice. */
+  def minHashText(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 3, n: Int = 16): DataFrame = {
+    val sig = graft.functions.MinHashSig.signature(col(textCol), k, n)
+    df.select(col(idCol), sig.as("__sig"))
+      .filter(col("__sig").isNotNull)
+      .select(col(idCol) +:
+        (0 until n).map(i => col("__sig").getItem(i).as(f"mh$i%02d")): _*)
+  }
+
   /** LSH banding over the wide signature: band key = md5 of
     * ':'-joined minhash values in seed order. Output (id, band,
     * band_key) — ONE pass: all band structs built in a single select
@@ -223,7 +247,8 @@ object Dedup {
         .select((col(idCol) * 2 + 1).as("uid"), col(textCol).as("__t")))
     val sh = shingleSet(u, "uid", "__t", k)
     val cand = candidatePairs(
-        lshBands(minHash(sh, "uid", n), "uid", n, rowsPerBand), "uid", maxBucket)
+        lshBands(minHashText(u, "uid", "__t", k, n), "uid", n, rowsPerBand),
+        "uid", maxBucket)
       .filter(col("id_a") % 2 =!= col("id_b") % 2)
     (cand, sh)
   }

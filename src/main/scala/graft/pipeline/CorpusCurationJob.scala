@@ -49,7 +49,8 @@ object CorpusCurationJob {
     val uniq = maybeCache(Dedup.exactKeep(docs, "doc_id", "text"))
     // near-dup: drop the larger id of every >= tau candidate pair
     val shingles = Dedup.shingleSet(uniq, "doc_id", "text", k = 3)
-    val sig = Dedup.minHash(shingles, "doc_id", n = 16)
+    // signature branch is map-only (MinHashSig); shingles feed jaccard only
+    val sig = Dedup.minHashText(uniq, "doc_id", "text", 3, 16)
     val cand = Dedup.candidatePairs(
       Dedup.lshBands(sig, "doc_id", n = 16, rowsPerBand = 4), "doc_id")
     // releasable handle: jaccard's internal pair/candidate-shingle caches are

@@ -264,7 +264,7 @@ object StreamingJobs {
         val batch = Dedup.exactKeep(batch0, "doc_id", "text").cache()
         val shingles = Dedup.shingleSet(batch, "doc_id", "text", k = 3)
         val bands = Dedup.lshBands(
-          Dedup.minHash(shingles, "doc_id", n = 16), "doc_id", 16, 4).cache()
+          Dedup.minHashText(batch, "doc_id", "text", 3, 16), "doc_id", 16, 4).cache()
         // 2. probe the store: batch docs colliding with an ACCEPTED
         // doc. Existence-checked, not Try-swallowed: a FAILING store
         // read must abort the batch (treating it as empty would
@@ -365,7 +365,7 @@ object StreamingJobs {
         val batch = batch0.select("doc_id", "text").cache()
         val shingles = Dedup.shingleSet(batch, "doc_id", "text", k = 3)
         val bands = Dedup.lshBands(
-          Dedup.minHash(shingles, "doc_id", n = 16), "doc_id", 16, 4).cache()
+          Dedup.minHashText(batch, "doc_id", "text", 3, 16), "doc_id", 16, 4).cache()
         val releases = scala.collection.mutable.ListBuffer.empty[() => Unit]
         def exists(dir: String): Boolean = {
           val p = new org.apache.hadoop.fs.Path(dir)
