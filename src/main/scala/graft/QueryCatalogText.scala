@@ -60,9 +60,12 @@ object QueryCatalogText {
   /** MinHash signature matrix (16 md5-derived hash functions over the
     * word set), pivoted wide. */
   val q41MinHashSig: Q = (s, d) => {
-    val words = Dedup.wordSet(Tables.documents(s, d).filter(col("doc_id") < 50),
-      "doc_id", "text")
-    Dedup.minHash(words, "doc_id", n = 16).orderBy("doc_id")
+    // map-only form: k=1 shingles ARE the tokens, and min-aggregation
+    // is duplicate-blind, so this equals minHash(wordSet(...)) without
+    // wordSet's corpus-wide distinct or the signature aggregation
+    // (MinHashSigSpec proves the equality)
+    Dedup.minHashText(Tables.documents(s, d).filter(col("doc_id") < 50),
+      "doc_id", "text", k = 1, n = 16).orderBy("doc_id")
   }
 
   private val q41Sql = {
@@ -237,9 +240,10 @@ object QueryCatalogText {
   /** 64-bit SimHash per doc (as two 32-bit halves), md5 bit votes
     * over the word set. */
   val q43SimHash: Q = (s, d) => {
-    val words = Dedup.wordSet(Tables.documents(s, d).filter(col("doc_id") < 100),
-      "doc_id", "text")
-    Dedup.simHash(words, "doc_id").orderBy("doc_id")
+    // map-only form (SimHashSig expression): no wordSet distinct, no
+    // vote aggregation — bit-identical to simHash(wordSet(...))
+    Dedup.simHashText(Tables.documents(s, d).filter(col("doc_id") < 100),
+      "doc_id", "text").orderBy("doc_id")
   }
 
   private val q43Sql =

@@ -480,4 +480,21 @@ object Dedup {
     // old layout: lo packs bits j=0..31 as b<<j, hi packs j=32..63 as b<<(j-32)
     voted.select(col(idCol), packed(32).as("simhash_hi"), packed(0).as("simhash_lo"))
   }
+
+  /** SimHash straight from the document frame, ZERO shuffle:
+    * [[graft.functions.SimHashSig]] folds the distinct-word ±1 votes
+    * in one codegen'd pass over each row's text — neither `wordSet`'s
+    * corpus-wide distinct nor the 64-column vote aggregation ever
+    * happens. Bit-identical output and dropped-row set (null-text
+    * docs vanish in both forms), proven by `SimHashSigSpec` against
+    * the aggregate form on the real corpus. The map-only front end
+    * the simhash dedup chain should start from at 100 TB. */
+  def simHashText(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sig = graft.functions.SimHashSig.signature(col(textCol))
+    df.select(col(idCol), sig.as("__sh"))
+      .filter(col("__sh").isNotNull)
+      .select(col(idCol),
+        col("__sh").getItem(0).as("simhash_hi"),
+        col("__sh").getItem(1).as("simhash_lo"))
+  }
 }

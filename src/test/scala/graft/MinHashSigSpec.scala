@@ -46,6 +46,14 @@ class MinHashSigSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("k=1 equals minHash over the distinct word set (min is duplicate-blind)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val want = Dedup.minHash(Dedup.wordSet(docs, "doc_id", "text"), "doc_id", 16)
+    val got = Dedup.minHashText(docs, "doc_id", "text", k = 1, n = 16)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("repeated shingles are duplicate-blind, matching the agg min") {
     val docs = Seq((1L, "a b a b a b a b"), (2L, "x x x x x")).toDF("doc_id", "text")
     val want = aggForm(docs, 3, 16)
