@@ -19,10 +19,11 @@ object Explain {
     "q21_topn" -> "Global top-k plans as TakeOrderedAndProject (per-partition heads).",
     "q56_topk_per_key" -> ("Custom operator: TopKPerKeyPartial (bounded heaps, map-side) " +
       "under the exchange, TopKPerKeyFinal above; NO sort anywhere."),
-    "q42_lsh_pairs" -> ("MinHash = ONE partial-agg shuffle of pre-reduced rows; bands " +
-      "exploded in-row; bucket sizes capped by a window count BEFORE collect_list " +
-      "(same hash distribution — still one exchange); jaccard's candidate ids " +
-      "broadcast only under the count gate."),
+    "q42_lsh_pairs" -> ("MinHash signature = ZERO-shuffle codegen'd projection " +
+      "(graft.functions.MinHashSig) straight off the scan; bands exploded in-row; " +
+      "the FIRST exchange is the band-bucket shuffle, bucket sizes capped by a " +
+      "window count BEFORE collect_list; jaccard's candidate ids broadcast only " +
+      "under the count gate."),
     "q46_embed_lsh_ann" -> ("Bucket signature is a single codegen'd projection " +
       "(graft_lsh_bucket) — zero exchanges before the bucket equi-join."),
     "q54_hll_distinct" -> ("HyperLogLog TypedImperativeAggregate: ObjectHashAggregate " +
