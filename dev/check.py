@@ -24,15 +24,33 @@ def main():
             path = f"{path}/*.parquet"
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    # the names Verify ATTEMPTED this run (absent file = legacy dump,
+    # assume everything was requested): a requested query with no
+    # output dir FAILED spark-side or silently wrote nothing — that
+    # must fail the gate. Unrequested names (dev subset runs) are
+    # skipped BEFORE executing the oracle — running all the oracle
+    # SQLs at sf1 to then report "missing" burns hours for nothing.
+    req_path = f"{outdir}/requested.json"
+    if os.path.exists(req_path):
+        req = json.load(open(req_path))
+        requested, full_run = set(req["names"]), req["full"]
+    else:
+        requested, full_run = set(oracle), True
     ok = fail = 0
     skipped = 0
     for name in sorted(oracle):
-        # subset runs (Verify invoked with query names) leave most
-        # outputs absent: skip BEFORE executing the oracle — running
-        # all 191 oracle SQLs at sf1 to then report "missing spark
-        # output" burns hours of DuckDB time for nothing
+        if full_run and name not in requested:
+            # an oracle entry with no catalog query is a wiring bug —
+            # on a full run nothing can legitimately be unrequested
+            print(f"FAIL {name}: oracle entry has no catalog query")
+            fail += 1
+            continue
         if not os.path.isdir(f"{outdir}/{name}"):
-            skipped += 1
+            if name in requested:
+                print(f"FAIL {name}: requested but no spark output written")
+                fail += 1
+            else:
+                skipped += 1
             continue
         try:
             exp = con.sql(oracle[name]).df()

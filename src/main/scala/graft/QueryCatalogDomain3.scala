@@ -425,13 +425,12 @@ object QueryCatalogDomain3 {
     * history, so hash equality proves the written chain is faithful
     * to the in-memory algebra across ≥3 consecutive weeks. */
   val q201WeeklyChain: Q = (s, _) => {
-    val out = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_week_chain")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-      f.delete()
-    }
-    rm(out)
+    // per-run unique store: a fixed shared path would let two
+    // concurrent graft processes (bench + verify on one box) delete
+    // each other's mid-chain weeks
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_week_chain_").toFile
+    out.deleteOnExit()
     graft.pipeline.WeeklyReportJob.runChainedWeeks(s, out.toString, Seq(
       ("W1", "20251013", "20251019"), ("W2", "20251020", "20251026"),
       ("W3", "20251027", "20251102"), ("W4", "20251103", "20251109")))

@@ -50,6 +50,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the names this run ATTEMPTED: check.py fails a requested query
+    // whose output dir is absent (the query crashed or silently wrote
+    // nothing) but skips unrequested ones (dev subset runs) — without
+    // this, a full run could no longer distinguish "not requested"
+    // from "should have been written and wasn't"
+    val requested = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only(n))
+    Files.writeString(Paths.get(s"$outDir/requested.json"),
+      s"""{"full": ${only.isEmpty}, "names": ${requested.map(q).mkString("[", ",", "]")}}""")
     spark.stop()
   }
 }

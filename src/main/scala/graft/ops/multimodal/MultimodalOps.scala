@@ -660,7 +660,10 @@ object MultimodalOps {
                         readBox(b, cOff.toInt) match {
                           case None => valid = false
                           case Some(("mvhd", mOff, mLen, cTotal)) =>
-                            val version = b(mOff) & 0xff
+                            // length-check BEFORE the version read: a
+                            // zero-payload mvhd at buffer end must gate
+                            // ok='N', not throw out-of-bounds
+                            val version = if (mLen >= 1) b(mOff) & 0xff else -1
                             if (version == 0 && mLen >= 100) {
                               timescale = be32(b, mOff + 12).toInt
                               duration = be32(b, mOff + 16)
@@ -829,7 +832,7 @@ object MultimodalOps {
             (mdhdOff, mdhdLen) <- child("mdhd", mdiaOff, mdiaOff + mdiaLen)
             // v0 (32-bit times, timescale at +12) and v1 (64-bit
             // times, timescale at +20) layouts, like mvhd above
-            tsOff <- (b(mdhdOff) & 0xff) match {
+            tsOff <- (if (mdhdLen >= 1) b(mdhdOff) & 0xff else -1) match {
               case 0 if mdhdLen >= 24 => Some(mdhdOff + 12)
               case 1 if mdhdLen >= 32 => Some(mdhdOff + 20)
               case _ => None
@@ -839,6 +842,13 @@ object MultimodalOps {
             (sttsOff, sttsLen) <- child("stts", stblOff, stblOff + stblLen)
             (stssOff, stssLen) <- child("stss", stblOff, stblOff + stblLen)
             (stszOff, stszLen) <- child("stsz", stblOff, stblOff + stblLen)
+            // truncated leaf HEADERS gate ok='N' before any field read:
+            // readBox bounds each box within the buffer, so pLen is the
+            // only guard needed for in-box reads — but a header read on
+            // a too-short payload would spill into the NEXT box's bytes
+            // (silent garbage) or past buffer end (task crash)
+            _ <- if (sttsLen >= 8 && stszLen >= 12 && stssLen >= 8)
+              Some(()) else None
             row <- {
               val timescale = be32(b, tsOff).toInt
               // stts: run-length (count, delta) pairs

@@ -91,14 +91,17 @@ object ProfileClassifier {
     val x = base.select(col(idCol), col("label"), col("a"), col("t"))
     val y = x.select(col(idCol), col("label").as("ylabel"),
       col("a").as("ya"), col("t").as("yt"))
+    // the SELF pair stays in (it scores 0 wins: equal cross-products,
+    // equal label), so a single-class model still forms one group per
+    // doc and predicts its only class — filtering self rows out first
+    // would silently emit ZERO rows at k=1
     x.join(y, Seq(idCol))
-      .filter(col("label") =!= col("ylabel"))
       .groupBy(col(idCol), col("label"), col("a"))
       .agg(sum(when(col("a") * col("yt") > col("ya") * col("t") ||
         (col("a") * col("yt") === col("ya") * col("t") &&
           col("label") < col("ylabel")), 1).otherwise(0)).as("wins"),
         count(lit(1)).as("n_rivals"))
-      .filter(col("wins") === col("n_rivals"))
+      .filter(col("wins") === col("n_rivals") - 1)
       .select(col(idCol), col("label").as("pred"), col("a").as("a_pred"))
   }
 }

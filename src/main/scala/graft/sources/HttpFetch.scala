@@ -86,8 +86,13 @@ object HttpFetch {
 
   /** Executor-side fan-out: fetch every row's `urlCol` with bounded
     * same-request retry (5xx/408, exponential backoff), appending
-    * (http_status, body) — null body for rows that exhaust their
-    * retry budget, never a task failure (the per-farm try/except of
+    * (http_status, body) — body is the LAST response body the server
+    * sent (a 404/400 diagnostic envelope is data: the KMA result
+    * codes ride in non-2xx bodies, and downstream must be able to
+    * tell "server answered not-found" from "connection never
+    * succeeded"); body is null only for rows that exhaust their
+    * retry budget or never connect (status -1), never a task
+    * failure (the per-farm try/except of
     * productivity.py:99-146; the completeness gate downstream decides
     * whether the batch stands). One HttpClient per PARTITION (socket
     * reuse), `politenessMs` between requests inside a partition so a
@@ -124,7 +129,7 @@ object HttpFetch {
           attempt += 1
         }
         if (politenessMs > 0) Thread.sleep(politenessMs)
-        Row.fromSeq(r.toSeq :+ status :+ (if (status / 100 == 2) body else null))
+        Row.fromSeq(r.toSeq :+ status :+ body)
       }
     }(Encoders.row(outSchema))
   }

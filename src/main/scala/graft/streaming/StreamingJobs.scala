@@ -199,9 +199,14 @@ object StreamingJobs {
         acc + coalesce(
           element_at(element_at(col("model_map"), t), c + 1), lit(0L))))
     // argmax of aff[i]/totals[i] by cross-products, ties to the
-    // smaller label — the batch scorer's comparator, folded
+    // smaller label — the batch scorer's comparator, folded. The
+    // rival index list must be EMPTY at k=1: sequence(1, 0) is a
+    // DESCENDING [1, 0] in Spark, whose i=1 step reads __aff[2] out
+    // of bounds (null under non-ANSI, an error under ANSI mode).
     val best = aggregate(
-      sequence(lit(1), size(col("labels")) - 1), lit(0),
+      when(size(col("labels")) > 1,
+        sequence(lit(1), size(col("labels")) - 1))
+        .otherwise(array().cast("array<int>")), lit(0),
       (b, i) => {
         val ai = element_at(col("__aff"), i + 1)
         val ab = element_at(col("__aff"), b + 1)

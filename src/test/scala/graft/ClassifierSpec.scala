@@ -52,6 +52,23 @@ class ClassifierSpec extends SparkSpec {
     assert(got.getString(1) == "small", s"must normalize by class size: $got")
   }
 
+  test("single-class model: every doc predicts the only class, batch == stream") {
+    // k=1 used to emit ZERO batch rows (the rival self-join filtered
+    // everything) while the stream scorer emitted rows via an
+    // out-of-bounds fold read — both sides now agree
+    val model = Seq(("only", "spam", 3L), ("only", "ham", 1L))
+      .toDF("label", "tok", "n")
+    val docs = Seq((1L, "spam ham"), (2L, "unseen")).toDF("doc_id", "text")
+    val batch = ProfileClassifier.classify(docs, "doc_id", "text", model)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(batch == Set((1L, "only", 4L), (2L, "only", 0L)))
+    val mrow = ProfileClassifier.modelRow(model)
+    val stream = graft.streaming.StreamingJobs.classifyStream(docs, "text", mrow)
+      .select("doc_id", "pred", "a_pred")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(stream == batch, s"batch=$batch stream=$stream")
+  }
+
   test("q204 fixture: the planted tier signal is actually learned") {
     val res = QueryCatalogText.q204ProfileClassifier(
       spark, "/root/testdata/sf0.001")

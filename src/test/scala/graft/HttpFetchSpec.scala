@@ -110,11 +110,12 @@ class HttpFetchSpec extends SparkSpec {
     withServer("/kma" -> { x =>
       query(x).getOrElse("nx", "0") match {
         case "99" => send(x, 500, "boom")
+        case "98" => send(x, 404, """{"err":"NO_DATA"}""")
         case nx => send(x, 200,
           envelope(item(nx.toInt, "TMP", "21") + "," + item(nx.toInt, "REH", "60")))
       }
     }) { base =>
-      val reqs = Seq(60, 61, 99).toDF("nx")
+      val reqs = Seq(60, 61, 99, 98).toDF("nx")
         .withColumn("url", concat(lit(s"$base/kma?serviceKey=goodkey&nx="), col("nx")))
       val fetched = HttpFetch.fetchPartitioned(reqs, "url", maxRetries = 1)
       val rows = fetched.collect()
@@ -122,6 +123,12 @@ class HttpFetchSpec extends SparkSpec {
       val dead = rows.find(_.getInt(0) == 99).get
       assert(dead.getInt(2) == 500 && dead.isNullAt(3),
         "a permanently-500 grid must surface status 500 with null body")
+      // a terminal non-2xx WITH a body keeps it: the diagnostic
+      // envelope (the KMA result codes ride in non-2xx bodies) is
+      // data downstream must be able to read — null means "never
+      // got a response", not "server said no"
+      val nf = rows.find(_.getInt(0) == 98).get
+      assert(nf.getInt(2) == 404 && nf.getString(3) == """{"err":"NO_DATA"}""")
       // the SAME parser the hash gate verifies (q72/q93 machinery)
       val parsed = JsonIngest.parseKma(fetched.filter(col("body").isNotNull), "body")
       val got = parsed.select("nx", "category", "fcstValue").collect()

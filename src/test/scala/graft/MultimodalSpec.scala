@@ -254,6 +254,38 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[String]("ok") == "N")
   }
 
+  test("mp4 parsers: truncated LEAF HEADERS gate as N, never throw or read garbage") {
+    // boxes are well-formed (readBox succeeds; totals fit the buffer)
+    // but the leaf payloads are too short for their own headers — the
+    // old parsers read past pLen into the NEXT box's bytes (silent
+    // garbage) or past buffer end (task crash)
+    def box(tp: String, payload: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.writeInt(8 + payload.length); out.write(tp.getBytes("US-ASCII"))
+      out.write(payload); bos.toByteArray
+    }
+    // (a) zero-payload mvhd as the LAST bytes of the buffer: the
+    // version read must not index past the end
+    val emptyMvhdAtEof = box("ftyp", "isom".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, 0)) ++ box("moov", box("mvhd", Array.empty))
+    val r1 = MultimodalOps.mp4ContainerMeta(
+      Seq((1L, emptyMvhdAtEof)).toDF("doc_id", "payload"), "doc_id").collect()(0)
+    assert(r1.getAs[String]("ok") == "N")
+    // (b) stts/stss/stsz leaves whose payloads are shorter than their
+    // fixed headers, followed by sibling bytes the old reads consumed
+    val mdhd = { val p = new Array[Byte](24); p(14) = 0x03; p(15) = 0xe8.toByte; p } // v0, timescale 1000
+    val stbl = box("stts", Array.empty) ++ box("stss", Array.empty) ++
+      box("stsz", Array[Byte](0, 0, 0, 0)) // 4-byte payload: n field missing
+    val trak = box("trak", box("mdia",
+      box("mdhd", mdhd) ++ box("minf", box("stbl", stbl))))
+    val payload = box("ftyp", "isom".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, 0)) ++ box("moov", trak)
+    val r2 = MultimodalOps.mp4SampleTable(
+      Seq((2L, payload)).toDF("doc_id", "payload"), "doc_id").collect()(0)
+    assert(r2.getAs[String]("ok") == "N", r2.toString)
+  }
+
   test("wavFingerprint: closed-form bits; variant is a near-dup of its base") {
     val docs = Seq(
       (0L, 4L, false, false), (1L, 4L, true, false),
