@@ -250,19 +250,22 @@ object StreamingJobs {
     * `Sinks.compact` as the periodic maintenance job (S10), exactly
     * as for any micro-batch append target.
     *
-    * Retry behavior: the dual append (curated + store) is not
-    * transactional, but a replayed batch is self-healing — the store
-    * already holds the batch's bands, every doc collides with its own
-    * accepted copy (equal ids count as duplicates by definition), and
-    * nothing is re-appended. On Delta both appends become one
-    * transactional commit. */
+    * Retry behavior: both sinks are keyed by batch_id partition and
+    * written with DYNAMIC partition overwrite (the clusterMaintStream
+    * posture): foreachBatch is at-least-once, and a crash BETWEEN the
+    * two writes would otherwise leave a doc in the curated corpus
+    * whose bands never reached the store — the replay then sees no
+    * same-id collision, re-classifies the doc as novel, and appends a
+    * SECOND curated copy. Overwriting the batch's own partition makes
+    * any replay idempotent regardless of where the first attempt
+    * died. On Delta both writes become one transactional commit. */
   def nearDupStream(docs: DataFrame, storeDir: String, curatedDir: String,
                     checkpoint: String, tau: Double = 0.7): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch0: DataFrame, _: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         import graft.ops.dedup.Dedup
         val spark = batch0.sparkSession
         // 1. within-batch exact dedup (keep min doc_id per content)
@@ -327,13 +330,20 @@ object StreamingJobs {
         val intra = ih.df
           .filter(col("jaccard") >= tau)
           .select(col("id_b").as("doc_id")).distinct()
-        // 4. novel docs -> curated corpus; their bands -> store
+        // 4. novel docs -> curated corpus; their bands -> store.
+        // batch_id-partitioned dynamic overwrite = replay idempotence
+        // (see the scaladoc retry note)
         val novel = batch
           .join(dupIds.unionByName(intra).distinct(), Seq("doc_id"), "left_anti")
           .cache()
-        novel.write.mode("append").parquet(curatedDir)
+        val dyn = Map("partitionOverwriteMode" -> "dynamic")
+        novel.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").options(dyn)
+          .partitionBy("batch_id").parquet(curatedDir)
         bands.join(novel.select("doc_id"), Seq("doc_id"), "left_semi")
-          .write.mode("append").parquet(storeDir)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").options(dyn)
+          .partitionBy("batch_id").parquet(storeDir)
         batch.unpersist(); bands.unpersist(); novel.unpersist()
         releases.foreach(_())
         ()

@@ -389,6 +389,31 @@ class SinksStreamingSpec extends SparkSpec {
       s"3 drops in-batch, 0/11 vs store, 12 novel — got ${ids.toSeq}")
   }
 
+  test("near-dup replay after a crash BETWEEN the two writes does not duplicate curated rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val (store, curated, chk) = (tmp() + "/nstore", tmp() + "/ncur", tmp() + "/nchk")
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    def runBatch(chkDir: String): Unit = {
+      val mem = MemoryStream[(Long, String)]
+      val df = mem.toDF().toDF("doc_id", "text")
+      mem.addData((1L, base), (2L, "completely different words about engines"))
+      StreamingJobs.nearDupStream(df, store, curated, chkDir).awaitTermination()
+    }
+    runBatch(chk)
+    // simulate the worst crash point: curated was written, the BANDS
+    // write never happened — the replay then finds no same-id
+    // collision in the store, re-classifies both docs as novel, and
+    // (with plain appends) would write a SECOND curated copy
+    val storePath = new org.apache.hadoop.fs.Path(store)
+    storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(storePath, true)
+    runBatch(tmp() + "/nchk2") // fresh checkpoint => same rows, batchId 0
+    val ids = spark.read.parquet(curated)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L),
+      s"batch_id-keyed overwrite must replace, not append: $ids")
+  }
+
   test("streaming cluster maintenance: registry tracks clusters across batches") {
     implicit val sqlCtx = spark.sqlContext
     val (store, texts, labels, chk) =
