@@ -24,6 +24,9 @@ object Explain {
       "the FIRST exchange is the band-bucket shuffle, bucket sizes capped by a " +
       "window count BEFORE collect_list; jaccard's candidate ids broadcast only " +
       "under the count gate."),
+    "q43_simhash" -> ("SimHash = ONE codegen'd map-side projection " +
+      "(graft.functions.SimHashSig): scan -> project -> sort; zero exchanges " +
+      "besides the presentation sort — the whole signature never leaves its row."),
     "q46_embed_lsh_ann" -> ("Bucket signature is a single codegen'd projection " +
       "(graft_lsh_bucket) — zero exchanges before the bucket equi-join."),
     "q54_hll_distinct" -> ("HyperLogLog TypedImperativeAggregate: ObjectHashAggregate " +
