@@ -209,16 +209,15 @@ object QueryCatalogCuration {
     val docs = Tables.documents(s, d)
     val recrawl = docs.unionByName(
       docs.filter(col("doc_id") < 50).withColumn("doc_id", col("doc_id") + 1000000))
-    val shingles = Dedup.shingleSet(recrawl, "doc_id", "text", k = 3)
-    // map-only signature branch (MinHashSig): the shingle relation is
-    // derived only where jaccard needs the rows
+    // map-only signature branch (MinHashSig); the jaccard verifier
+    // derives shingles AFTER the candidate restriction (jaccardText)
     val sig = Dedup.minHashText(recrawl, "doc_id", "text", 3, 16)
     val cand = Dedup.candidatePairs(
       Dedup.lshBands(sig, "doc_id", n = 16, rowsPerBand = 4), "doc_id")
     // scoped: jaccard's caches are released before CC starts; the
     // verified edge list (corpus-sublinear) localizes, so the CC
     // supersteps never re-plan the whole LSH pipeline either
-    val edges = Dedup.jaccardScoped(cand, shingles, "doc_id") { j =>
+    val edges = Dedup.jaccardTextScoped(cand, recrawl, "doc_id", "text", 3) { j =>
       graft.ops.Materialize.localize(
         j.filter(col("jaccard") >= 0.7).select("id_a", "id_b"))
     }
@@ -1618,11 +1617,10 @@ object QueryCatalogCuration {
     val docs = Tables.documents(s, d)
     val recrawl = docs.unionByName(
       docs.filter(col("doc_id") < 50).withColumn("doc_id", col("doc_id") + 1000000))
-    val shingles = Dedup.shingleSet(recrawl, "doc_id", "text", k = 3)
     val sig = Dedup.minHashText(recrawl, "doc_id", "text", 3, 16)
     val cand = Dedup.candidatePairs(
       Dedup.lshBands(sig, "doc_id", n = 16, rowsPerBand = 4), "doc_id")
-    val edges = Dedup.jaccardScoped(cand, shingles, "doc_id") { j =>
+    val edges = Dedup.jaccardTextScoped(cand, recrawl, "doc_id", "text", 3) { j =>
       graft.ops.Materialize.localize(
         j.filter(col("jaccard") >= 0.7).select("id_a", "id_b"))
     }
@@ -1779,7 +1777,6 @@ object QueryCatalogCuration {
     * pair-table-sized. */
   val q193LshCalibration: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val shingles = Dedup.shingleSet(docs, "doc_id", "text", 3)
     val sig = Dedup.minHashText(docs, "doc_id", "text", 3, 16)
     val cand = graft.ops.Materialize.localize(
       Dedup.candidatePairs(Dedup.lshBands(sig, "doc_id", 16, 4), "doc_id"))
@@ -1790,7 +1787,7 @@ object QueryCatalogCuration {
         (0 until 16).map(i =>
           (col(f"a_mh$i%02d") === col(f"b_mh$i%02d")).cast("long")).reduce(_ + _))
       .select("id_a", "id_b", "n_match")
-    Dedup.jaccardScoped(cand, shingles, "doc_id") { j =>
+    Dedup.jaccardTextScoped(cand, docs, "doc_id", "text", 3) { j =>
       val pairs = j
         .select(col("id_a"), col("id_b"), col("n_inter"),
           (col("n_a") + col("n_b") - col("n_inter")).as("u"))
@@ -1989,12 +1986,11 @@ object QueryCatalogCuration {
     * join-back is two id-keyed joins, the matrix is a tiny agg. */
   val q197SourceDupMatrix: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val shingles = Dedup.shingleSet(docs, "doc_id", "text", k = 3)
     val cand = Dedup.candidatePairs(
       Dedup.lshBands(Dedup.minHashText(docs, "doc_id", "text", 3, 16),
         "doc_id", 16, 4),
       "doc_id")
-    val pairs = Dedup.jaccardScoped(cand, shingles, "doc_id") { j =>
+    val pairs = Dedup.jaccardTextScoped(cand, docs, "doc_id", "text", 3) { j =>
       graft.ops.Materialize.localize(
         j.filter(col("jaccard") >= 0.7).select("id_a", "id_b"))
     }

@@ -90,14 +90,11 @@ object QueryCatalogText {
     * candidate set selective on a small shared vocabulary, and the
     * verification cost is bounded by bucket collisions, never N^2. */
   val q42LshPairs: Q = (s, d) => {
-    // shingleSet is a pure map-side projection (no distinct shuffle:
-    // minHash is duplicate-blind, jaccard dedups on its candidate-
-    // restricted (id, w) relation) — each consumer re-derives it
-    // inside its own stage; nothing corpus-wide is materialized.
+    // the whole chain never explodes a corpus-wide shingle: the
+    // signature branch is the map-only MinHashSig expression, and the
+    // jaccard verifier derives its shingles AFTER the candidate
+    // restriction (jaccardTextScoped) — only colliding docs explode
     val docs = Tables.documents(s, d)
-    val shingles = Dedup.shingleSet(docs, "doc_id", "text", k = 3)
-    // signature branch is map-only (MinHashSig expression) — the
-    // shingle rows above exist solely for the jaccard verifier
     val sig = Dedup.minHashText(docs, "doc_id", "text", 3, 16)
     val bands = Dedup.lshBands(sig, "doc_id", n = 16, rowsPerBand = 4)
     val cand = Dedup.candidatePairs(bands, "doc_id")
@@ -106,7 +103,7 @@ object QueryCatalogText {
     // pairs (corpus-sublinear) come back as a self-contained local
     // relation — the minLabelLocalized discipline, no reliance on a
     // harness clearCache between queries
-    Dedup.jaccardScoped(cand, shingles, "doc_id") { j =>
+    Dedup.jaccardTextScoped(cand, docs, "doc_id", "text", 3) { j =>
       graft.ops.Materialize.localize(j.filter(col("jaccard") >= 0.7)
         .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard"))
     }.orderBy("id_a", "id_b")
@@ -1031,11 +1028,12 @@ object QueryCatalogText {
     val recrawl = docs.unionByName(
       docs.filter(col("doc_id") < 50).withColumn("doc_id", col("doc_id") + 1000000))
     val uniq = Dedup.exactKeep(recrawl, "doc_id", "text")
-    val shingles = Dedup.shingleSet(uniq, "doc_id", "text", k = 3)
     val sig = Dedup.minHashText(uniq, "doc_id", "text", 3, 16)
     val cand = Dedup.candidatePairs(
       Dedup.lshBands(sig, "doc_id", n = 16, rowsPerBand = 4), "doc_id")
-    val dupIds = Dedup.jaccardScoped(cand, shingles, "doc_id") { j =>
+    // shingles derive AFTER the candidate restriction (jaccardText):
+    // nothing corpus-wide ever explodes
+    val dupIds = Dedup.jaccardTextScoped(cand, uniq, "doc_id", "text", 3) { j =>
       graft.ops.Materialize.localize(
         j.filter(col("jaccard") >= 0.7).select(col("id_b").as("doc_id")).distinct())
     }

@@ -34,11 +34,10 @@ object CrossCheckCC {
     val docs = Tables.documents(spark, sfDir)
     val recrawl = docs.unionByName(
       docs.filter(col("doc_id") < 50).withColumn("doc_id", col("doc_id") + 1000000))
-    val shingles = Dedup.shingleSet(recrawl, "doc_id", "text", k = 3)
     val sig = Dedup.minHashText(recrawl, "doc_id", "text", 3, 16)
     val cand = Dedup.candidatePairs(
       Dedup.lshBands(sig, "doc_id", n = 16, rowsPerBand = 4), "doc_id")
-    val edges = Dedup.jaccardScoped(cand, shingles, "doc_id") { j =>
+    val edges = Dedup.jaccardTextScoped(cand, recrawl, "doc_id", "text", 3) { j =>
       graft.ops.Materialize.localize(
         j.filter(col("jaccard") >= 0.7).select("id_a", "id_b"))
     }

@@ -136,10 +136,10 @@ object Dedup {
     * This is the formulation the LSH chain should start from at
     * 100 TB: the signature branch becomes map-only and the first
     * exchange of the whole dedup pipeline is the band-bucket
-    * shuffle (n/r rows of 16-byte keys per doc). The shingle
-    * RELATION is still derived separately where a consumer needs
-    * the rows (jaccard posting lists — candidate-restricted by
-    * then), so nothing pays for it twice. */
+    * shuffle (n/r rows of 16-byte keys per doc). Shingle rows then
+    * exist only inside the verifier, derived from candidate docs
+    * AFTER the restriction ([[jaccardTextReleasable]]) — nothing
+    * ever explodes the corpus's n-grams. */
   def minHashText(df: DataFrame, idCol: String, textCol: String,
                   k: Int = 3, n: Int = 16): DataFrame = {
     val sig = graft.functions.MinHashSig.signature(col(textCol), k, n)
@@ -219,9 +219,9 @@ object Dedup {
   def dedupAgainst(reference: DataFrame, batch: DataFrame, idCol: String,
                    textCol: String, k: Int = 3, n: Int = 16,
                    rowsPerBand: Int = 4, maxBucket: Int = 64): DataFrame = {
-    val (cand, sh) = dedupAgainstStages(reference, batch, idCol, textCol,
+    val (cand, u) = dedupAgainstStages(reference, batch, idCol, textCol,
       k, n, rowsPerBand, maxBucket)
-    jaccard(cand, sh, "uid")
+    jaccardTextReleasable(cand, u, "uid", "__t", k).df
   }
 
   /** [[dedupAgainst]] with the [[jaccardScoped]] discipline: `use`
@@ -232,11 +232,15 @@ object Dedup {
                             idCol: String, textCol: String, k: Int = 3,
                             n: Int = 16, rowsPerBand: Int = 4,
                             maxBucket: Int = 64)(use: DataFrame => A): A = {
-    val (cand, sh) = dedupAgainstStages(reference, batch, idCol, textCol,
+    val (cand, u) = dedupAgainstStages(reference, batch, idCol, textCol,
       k, n, rowsPerBand, maxBucket)
-    jaccardScoped(cand, sh, "uid")(use)
+    jaccardTextScoped(cand, u, "uid", "__t", k)(use)
   }
 
+  /** Returns (parity-filtered candidate pairs, the tagged union doc
+    * frame) — the verifier derives shingles from the union AFTER the
+    * candidate restriction ([[jaccardTextReleasable]]), so neither
+    * corpus is ever exploded whole. */
   private def dedupAgainstStages(reference: DataFrame, batch: DataFrame,
                                  idCol: String, textCol: String, k: Int,
                                  n: Int, rowsPerBand: Int,
@@ -245,12 +249,11 @@ object Dedup {
       .select((col(idCol) * 2).as("uid"), col(textCol).as("__t"))
       .unionByName(batch
         .select((col(idCol) * 2 + 1).as("uid"), col(textCol).as("__t")))
-    val sh = shingleSet(u, "uid", "__t", k)
     val cand = candidatePairs(
         lshBands(minHashText(u, "uid", "__t", k, n), "uid", n, rowsPerBand),
         "uid", maxBucket)
       .filter(col("id_a") % 2 =!= col("id_b") % 2)
-    (cand, sh)
+    (cand, u)
   }
 
   /** Exact shingle-set Jaccard for given candidate pairs, with NO
@@ -327,17 +330,7 @@ object Dedup {
     // pipeline re-evaluated per consumer). At cluster scale this is a
     // checkpoint between the candidate and verification stages.
     val p = pairs.cache()
-    val candIds = p
-      .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
-    // The candidate semi-join is broadcast ONLY while the id set is
-    // provably small. Per-bucket caps bound pairs per bucket, not the
-    // global candidate count: a heavily duplicated corpus makes the
-    // distinct candidate ids corpus-order, and a forced broadcast of a
-    // corpus-order set is a driver OOM. The count is one cheap job over
-    // the already-cached pair frame; over the budget, the hint is
-    // dropped and the planner/AQE picks the join (shuffle at scale).
-    val nCand = candCount.getOrElse(candIds.count())
-    val candSide = if (nCand <= broadcastCandMax) broadcast(candIds) else candIds
+    val candSide = candidateSide(p, idCol, broadcastCandMax, candCount)
     // candidate-restricted DISTINCT (id, w): the set semantics
     // Jaccard needs (the corpus-wide relation may arrive as a
     // multiset — shingleSet is map-only, no corpus-wide distinct
@@ -345,6 +338,69 @@ object Dedup {
     // only. Cached: it feeds the per-doc sizes and BOTH membership
     // probes of the intersection join (released via the handle).
     val cw = words.join(candSide, idCol).distinct().cache()
+    Releasable(jaccardCore(p, cw, idCol),
+      () => { p.unpersist(false); cw.unpersist(false) })
+  }
+
+  /** [[jaccardReleasable]] fed DOCUMENTS instead of a pre-exploded
+    * shingle relation: the candidate semi-join restricts the DOC
+    * frame first, and the shingle explode runs over the survivors
+    * only. Since the signature branch went map-only
+    * ([[minHashText]]), jaccard is the ONLY consumer of shingle rows
+    * in the LSH chain — so nothing should ever explode the full
+    * corpus's n-grams again: at 100 TB this is the difference
+    * between shingling the corpus and shingling the ~% of docs that
+    * collided in a bucket. Identical output to
+    * `jaccardReleasable(pairs, shingleSet(docs, ...), ...)` —
+    * restriction and explode commute on an id-keyed relation. */
+  def jaccardTextReleasable(pairs: DataFrame, docs: DataFrame, idCol: String,
+                            textCol: String, k: Int = 3,
+                            broadcastCandMax: Long = 4000000L,
+                            candCount: Option[Long] = None): Releasable = {
+    val p = pairs.cache()
+    val candSide = candidateSide(p, idCol, broadcastCandMax, candCount)
+    val candDocs = docs.select(col(idCol), col(textCol))
+      .join(candSide, Seq(idCol), "left_semi")
+    val cw = shingleSet(candDocs, idCol, textCol, k).distinct().cache()
+    Releasable(jaccardCore(p, cw, idCol),
+      () => { p.unpersist(false); cw.unpersist(false) })
+  }
+
+  /** Scoped [[jaccardTextReleasable]]: hand the verified frame to
+    * `use` (which must run its actions), then release the internal
+    * caches in a finally. */
+  def jaccardTextScoped[A](pairs: DataFrame, docs: DataFrame, idCol: String,
+                           textCol: String, k: Int = 3,
+                           broadcastCandMax: Long = 4000000L,
+                           candCount: Option[Long] = None)
+                          (use: DataFrame => A): A = {
+    val h = jaccardTextReleasable(pairs, docs, idCol, textCol, k,
+      broadcastCandMax, candCount)
+    try use(h.df) finally h.release()
+  }
+
+  /** The candidate id set of a cached pair frame, broadcast ONLY
+    * while provably small. Per-bucket caps bound pairs per bucket,
+    * not the global candidate count: a heavily duplicated corpus
+    * makes the distinct candidate ids corpus-order, and a forced
+    * broadcast of a corpus-order set is a driver OOM. The count is
+    * one cheap job over the already-cached pair frame; over the
+    * budget, the hint is dropped and the planner/AQE picks the join
+    * (shuffle at scale). */
+  private def candidateSide(p: DataFrame, idCol: String,
+                            broadcastCandMax: Long,
+                            candCount: Option[Long]): DataFrame = {
+    val candIds = p
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
+    val nCand = candCount.getOrElse(candIds.count())
+    if (nCand <= broadcastCandMax) broadcast(candIds) else candIds
+  }
+
+  /** The pair-anchored verifier over a cached candidate-restricted
+    * DISTINCT (id, w) relation — shared by the words- and docs-fed
+    * entry points. */
+  private def jaccardCore(p: DataFrame, cw: DataFrame,
+                          idCol: String): DataFrame = {
     val counts = cw.groupBy(idCol).agg(count(lit(1)).as("n"))
     // pair-anchored intersection: fan each pair by doc a's shingles,
     // probe doc b's membership — |pairs| x shingles-per-doc rows,
@@ -353,7 +409,7 @@ object Dedup {
       .join(cw.select(col(idCol).as("id_a"), col("w")), "id_a")
       .join(cw.select(col(idCol).as("id_b"), col("w")), Seq("id_b", "w"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-    val out = p
+    p
       .join(inter, Seq("id_a", "id_b"), "left")
       .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
       .join(counts.withColumnRenamed("n", "n_a")
@@ -362,7 +418,6 @@ object Dedup {
         .withColumnRenamed(idCol, "id_b"), "id_b")
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
-    Releasable(out, () => { p.unpersist(false); cw.unpersist(false) })
   }
 
   /** Scoped [[jaccard]]: hand the verified frame to `use` (which must

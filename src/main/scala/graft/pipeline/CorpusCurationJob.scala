@@ -47,16 +47,17 @@ object CorpusCurationJob {
     // agg+join-back — the keep-set is corpus-sized at scale, that
     // join could never broadcast)
     val uniq = maybeCache(Dedup.exactKeep(docs, "doc_id", "text"))
-    // near-dup: drop the larger id of every >= tau candidate pair
-    val shingles = Dedup.shingleSet(uniq, "doc_id", "text", k = 3)
-    // signature branch is map-only (MinHashSig); shingles feed jaccard only
+    // near-dup: drop the larger id of every >= tau candidate pair.
+    // signature branch is map-only (MinHashSig); the verifier derives
+    // shingles AFTER the candidate restriction (jaccardText) — no
+    // stage of the funnel explodes a corpus-wide n-gram relation
     val sig = Dedup.minHashText(uniq, "doc_id", "text", 3, 16)
     val cand = Dedup.candidatePairs(
       Dedup.lshBands(sig, "doc_id", n = 16, rowsPerBand = 4), "doc_id")
     // releasable handle: jaccard's internal pair/candidate-shingle caches are
     // freed by Stages.unpersist together with the stage frames — no
     // cached partitions outlive a funnel()/run() call
-    val jh = Dedup.jaccardReleasable(cand, shingles, "doc_id")
+    val jh = Dedup.jaccardTextReleasable(cand, uniq, "doc_id", "text", 3)
     val dupIds = jh.df
       .filter(col("jaccard") >= jaccardTau)
       .select(col("id_b").as("doc_id")).distinct()

@@ -270,7 +270,6 @@ object StreamingJobs {
         val spark = batch0.sparkSession
         // 1. within-batch exact dedup (keep min doc_id per content)
         val batch = Dedup.exactKeep(batch0, "doc_id", "text").cache()
-        val shingles = Dedup.shingleSet(batch, "doc_id", "text", k = 3)
         val bands = Dedup.lshBands(
           Dedup.minHashText(batch, "doc_id", "text", 3, 16), "doc_id", 16, 4).cache()
         // 2. probe the store: batch docs colliding with an ACCEPTED
@@ -308,14 +307,14 @@ object StreamingJobs {
                 col("bid"))
               .distinct()
             // verify candidates with exact shingle Jaccard: batch text
-            // + ONLY the collided store docs' text (semi-join readback)
+            // + ONLY the collided store docs' text (semi-join
+            // readback); shingles derive AFTER the candidate
+            // restriction inside jaccardText
             val storeDocs = spark.read.parquet(curatedDir)
               .join(coll.select(col("sid").as("doc_id")).distinct(), "doc_id", "left_semi")
-            val corpus = Dedup.shingleSet(
-              storeDocs.select("doc_id", "text")
-                .unionByName(batch.select("doc_id", "text")),
-              "doc_id", "text", k = 3)
-            val jh = Dedup.jaccardReleasable(cand, corpus, "doc_id")
+            val corpusDocs = storeDocs.select("doc_id", "text")
+              .unionByName(batch.select("doc_id", "text"))
+            val jh = Dedup.jaccardTextReleasable(cand, corpusDocs, "doc_id", "text", 3)
             releases += jh.release
             jh.df
               .filter(col("jaccard") >= tau)
@@ -324,8 +323,8 @@ object StreamingJobs {
         }
         // 3. intra-batch near-dups (non-identical): the batch
         // pipeline's own candidate stage, drop the larger id
-        val ih = Dedup.jaccardReleasable(
-          Dedup.candidatePairs(bands, "doc_id"), shingles, "doc_id")
+        val ih = Dedup.jaccardTextReleasable(
+          Dedup.candidatePairs(bands, "doc_id"), batch, "doc_id", "text", 3)
         releases += ih.release
         val intra = ih.df
           .filter(col("jaccard") >= tau)
@@ -378,7 +377,6 @@ object StreamingJobs {
         // verify at jaccard 1 and become a cluster — the registry
         // records them rather than dropping them
         val batch = batch0.select("doc_id", "text").cache()
-        val shingles = Dedup.shingleSet(batch, "doc_id", "text", k = 3)
         val bands = Dedup.lshBands(
           Dedup.minHashText(batch, "doc_id", "text", 3, 16), "doc_id", 16, 4).cache()
         val releases = scala.collection.mutable.ListBuffer.empty[() => Unit]
@@ -387,8 +385,8 @@ object StreamingJobs {
           p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
         }
         val intraCand = Dedup.candidatePairs(bands, "doc_id")
-        val (cand, corpus) =
-          if (!exists(storeDir)) (intraCand, shingles)
+        val (cand, corpusDocs) =
+          if (!exists(storeDir)) (intraCand, batch.select("doc_id", "text"))
           else {
             // store-side bucket cap (candidatePairs' 64 discipline):
             // the registry appends EVERY admitted doc's bands, so a
@@ -413,12 +411,12 @@ object StreamingJobs {
             val storeDocs = spark.read.parquet(textDir)
               .join(coll.select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
                 .distinct(), Seq("doc_id"), "left_semi")
-            val all = Dedup.shingleSet(
-              storeDocs.select("doc_id", "text")
-                .unionByName(batch.select("doc_id", "text")), "doc_id", "text", k = 3)
+            val all = storeDocs.select("doc_id", "text")
+              .unionByName(batch.select("doc_id", "text"))
             (intraCand.unionByName(coll).distinct(), all)
           }
-        val jh = Dedup.jaccardReleasable(cand, corpus, "doc_id")
+        // shingles derive AFTER the candidate restriction (jaccardText)
+        val jh = Dedup.jaccardTextReleasable(cand, corpusDocs, "doc_id", "text", 3)
         releases += jh.release
         val edges = jh.df.filter(col("jaccard") >= tau).select("id_a", "id_b")
         // a crash inside upsertParquet's staging-swap window leaves

@@ -58,6 +58,28 @@ class DedupSpec extends SparkSpec {
       "jaccardScoped must unpersist its internal caches on exit")
   }
 
+  test("jaccardText (docs-fed, candidate-first shingles) == jaccard over corpus shingles") {
+    // restriction and explode must commute: the docs-fed form shingles
+    // ONLY colliding docs, but the verified relation must be
+    // bit-identical to shingling the whole corpus first — on the real
+    // fixture corpus, not just the tiny inline frame
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val cand = Dedup.candidatePairs(
+      Dedup.lshBands(Dedup.minHashText(corpus, "doc_id", "text", 3, 16),
+        "doc_id", 16, 4), "doc_id")
+    val want = Dedup.jaccardScoped(
+      cand, Dedup.shingleSet(corpus, "doc_id", "text", 3), "doc_id") { j =>
+      j.collect().toSet
+    }
+    val got = Dedup.jaccardTextScoped(cand, corpus, "doc_id", "text", 3) { j =>
+      j.collect().toSet
+    }
+    assert(got.nonEmpty && got == want)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "jaccardTextScoped must unpersist its internal caches on exit")
+  }
+
   test("candidatePairs: degenerate bucket is dropped by the size cap") {
     // 5 identical docs + 1 pair: every band bucket of the identical
     // docs has 5 members; cap 4 drops them, the pair (6,7) survives
