@@ -69,7 +69,20 @@ def main():
             ok += 1
         else:
             fail += 1
+    # requested queries WITHOUT an oracle entry (the documented
+    # "non-SQL-expressible" class) still get a PRESENCE check: a
+    # crashed query writes nothing and Verify swallows the throw, so
+    # without this loop it would vanish from the gate entirely
+    rows_only = 0
+    for name in sorted(requested - set(oracle)):
+        if os.path.isdir(f"{outdir}/{name}"):
+            rows_only += 1
+        else:
+            print(f"FAIL {name}: requested (no oracle) but no spark output written")
+            fail += 1
     extra = f" ({skipped} absent outputs skipped)" if skipped else ""
+    if rows_only:
+        extra += f" ({rows_only} oracle-less outputs present, rows-only)"
     print(f"\n{ok} ok, {fail} fail{extra}")
     sys.exit(1 if fail else 0)
 

@@ -427,13 +427,26 @@ object QueryCatalogDomain3 {
   val q201WeeklyChain: Q = (s, _) => {
     // per-run unique store: a fixed shared path would let two
     // concurrent graft processes (bench + verify on one box) delete
-    // each other's mid-chain weeks
+    // each other's mid-chain weeks. The result (farms x 4 weeks —
+    // tiny) is LOCALIZED so the chain tree can be deleted eagerly:
+    // the raw frame reads the written parquet lazily, and
+    // deleteOnExit alone never removes a non-empty directory — each
+    // run would leak a full chain tree in tmpdir.
     val out = java.nio.file.Files
       .createTempDirectory("graft_week_chain_").toFile
-    out.deleteOnExit()
-    graft.pipeline.WeeklyReportJob.runChainedWeeks(s, out.toString, Seq(
-      ("W1", "20251013", "20251019"), ("W2", "20251020", "20251026"),
-      ("W3", "20251027", "20251102"), ("W4", "20251103", "20251109")))
+    try {
+      graft.ops.Materialize.localize(
+        graft.pipeline.WeeklyReportJob.runChainedWeeks(s, out.toString, Seq(
+          ("W1", "20251013", "20251019"), ("W2", "20251020", "20251026"),
+          ("W3", "20251027", "20251102"), ("W4", "20251103", "20251109"))))
+        .orderBy("farm_no", "week_no")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(out)
+    }
   }
 
   private lazy val q201Sql = {

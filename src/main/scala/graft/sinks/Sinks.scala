@@ -75,6 +75,36 @@ object Sinks {
     if (!fs.exists(target) && fs.exists(backup)) fs.rename(backup, target)
   }
 
+  /** One-time layout migration for the streaming stores that moved
+    * from plain `mode("append")` to batch_id-partitioned dynamic
+    * overwrite (nearDupStream / clusterMaintStream): a directory
+    * written by the old layout has parquet leaves at the ROOT, and
+    * mixing those with `batch_id=N/` partition dirs makes parquet
+    * partition discovery throw "Conflicting directory structures".
+    * Root-level files are read (materialized via localCheckpoint —
+    * the delete below would otherwise pull the rug), removed, and
+    * rewritten into the reserved `batch_id=-1` partition. No-op on
+    * empty, absent, or already-partitioned dirs; idempotent (a crash
+    * mid-migration leaves either root files to re-migrate or the
+    * finished partition). */
+  def migrateToBatchLayout(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val rootFiles = fs.listStatus(p)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (rootFiles.isEmpty) return
+    val old = spark.read
+      .parquet(rootFiles.map(_.getPath.toString).toIndexedSeq: _*)
+      .localCheckpoint()
+    rootFiles.foreach(s => fs.delete(s.getPath, false))
+    old.withColumn("batch_id", org.apache.spark.sql.functions.lit(-1L))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(path)
+  }
+
   /** Bucketed + sorted managed table: co-locates future joins on
     * `bucketCols` (no exchange under the SortMergeJoin, bucket-aware
     * scan pruning — asserted live in PlanQualitySpec). Both sides of

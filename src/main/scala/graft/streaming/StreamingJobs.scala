@@ -268,6 +268,11 @@ object StreamingJobs {
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         import graft.ops.dedup.Dedup
         val spark = batch0.sparkSession
+        // a store written by the pre-batch_id append layout must be
+        // rewritten into the batch_id=-1 partition BEFORE any read or
+        // write touches it (mixed depths break partition discovery)
+        Sinks.migrateToBatchLayout(spark, storeDir)
+        Sinks.migrateToBatchLayout(spark, curatedDir)
         // 1. within-batch exact dedup (keep min doc_id per content)
         val batch = Dedup.exactKeep(batch0, "doc_id", "text").cache()
         val bands = Dedup.lshBands(
@@ -373,6 +378,10 @@ object StreamingJobs {
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         import graft.ops.dedup.{ConnectedComponents, Dedup}
         val spark = batch0.sparkSession
+        // pre-batch_id append-layout stores migrate first (see
+        // nearDupStream / Sinks.migrateToBatchLayout)
+        Sinks.migrateToBatchLayout(spark, storeDir)
+        Sinks.migrateToBatchLayout(spark, textDir)
         // exact dups stay IN: identical texts collide in every band,
         // verify at jaccard 1 and become a cluster — the registry
         // records them rather than dropping them

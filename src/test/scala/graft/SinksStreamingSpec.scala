@@ -414,6 +414,35 @@ class SinksStreamingSpec extends SparkSpec {
       s"batch_id-keyed overwrite must replace, not append: $ids")
   }
 
+  test("near-dup stream resumes over a store written by the old append layout") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.dedup.Dedup
+    val (store, curated, chk) = (tmp() + "/mstore", tmp() + "/mcur", tmp() + "/mchk")
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    // simulate a pre-upgrade deployment: doc 1 accepted with ROOT-level
+    // parquet files (plain append, no batch_id partition dirs)
+    val oldDoc = Seq((1L, base)).toDF("doc_id", "text")
+    oldDoc.write.mode("append").parquet(curated)
+    Dedup.lshBands(Dedup.minHashText(oldDoc, "doc_id", "text", 3, 16),
+      "doc_id", 16, 4).write.mode("append").parquet(store)
+    // post-upgrade batch: a near-dup of the stored doc + a novel doc.
+    // Without migration, the first partitioned write alongside the
+    // root files makes partition discovery throw.
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((2L, base.replace("today", "tonight")),
+      (3L, "entirely novel content with no overlap at all whatsoever anywhere in sight"))
+    StreamingJobs.nearDupStream(mem.toDF().toDF("doc_id", "text"),
+      store, curated, chk).awaitTermination()
+    val ids = spark.read.parquet(curated)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 3L),
+      s"old-layout doc 1 must survive AND still dedup doc 2: $ids")
+    // migrated rows live in the reserved batch_id=-1 partition
+    val migrated = spark.read.parquet(curated)
+      .filter(col("batch_id") === -1L).count()
+    assert(migrated == 1L)
+  }
+
   test("streaming cluster maintenance: registry tracks clusters across batches") {
     implicit val sqlCtx = spark.sqlContext
     val (store, texts, labels, chk) =
