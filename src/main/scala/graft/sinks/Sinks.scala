@@ -75,34 +75,68 @@ object Sinks {
     if (!fs.exists(target) && fs.exists(backup)) fs.rename(backup, target)
   }
 
+  /** Marker file for [[migrateToBatchLayout]]'s delete leg: its
+    * presence means the batch_id=-1 partition was written from the
+    * FULL root-file set and only root deletion remains. */
+  private[graft] val MigratedMarker = "_graft_migrated"
+
   /** One-time layout migration for the streaming stores that moved
     * from plain `mode("append")` to batch_id-partitioned dynamic
     * overwrite (nearDupStream / clusterMaintStream): a directory
     * written by the old layout has parquet leaves at the ROOT, and
     * mixing those with `batch_id=N/` partition dirs makes parquet
     * partition discovery throw "Conflicting directory structures".
-    * Root-level files are read (materialized via localCheckpoint —
-    * the delete below would otherwise pull the rug), removed, and
-    * rewritten into the reserved `batch_id=-1` partition. No-op on
-    * empty, absent, or already-partitioned dirs; idempotent (a crash
-    * mid-migration leaves either root files to re-migrate or the
-    * finished partition). */
+    * Root-level files are rewritten into the reserved `batch_id=-1`
+    * partition and only THEN removed — the root files stay the
+    * durable copy until the partition write has committed (write
+    * first, delete last; the reverse order had a window where the
+    * only copy lived in non-replicated localCheckpoint blocks).
+    *
+    * Crash protocol, every window replay-safe:
+    *  - crash before/during the partition write: roots intact, no
+    *    marker — the replay re-reads the FULL root set and dynamic
+    *    overwrite replaces the (possibly partial) partition wholesale;
+    *  - crash after the write but before the [[MigratedMarker]] is
+    *    created: same as above (the rewrite is idempotent);
+    *  - crash mid-delete: the marker says the partition already holds
+    *    the full root set, so the replay must NOT rewrite from the
+    *    now-partial roots (that would shrink the partition to the
+    *    surviving files) — it only finishes deleting and drops the
+    *    marker.
+    * No-op on empty, absent, or already-partitioned dirs. Not safe
+    * against CONCURRENT readers of the same dir mid-migration (mixed
+    * root+partition layouts confuse partition discovery); callers run
+    * it at stream (re)start before any read, as the foreachBatch
+    * sinks do. */
   def migrateToBatchLayout(spark: SparkSession, path: String): Unit = {
     import org.apache.hadoop.fs.Path
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return
-    val rootFiles = fs.listStatus(p)
+    val marker = new Path(p, MigratedMarker)
+    def rootFiles() = fs.listStatus(p)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    if (rootFiles.isEmpty) return
+    if (fs.exists(marker)) { // delete leg of a crashed prior run
+      rootFiles().foreach(s => fs.delete(s.getPath, false))
+      fs.delete(marker, false)
+      return
+    }
+    val roots = rootFiles()
+    if (roots.isEmpty) return
+    // materialized read (localCheckpoint) only to decouple the write
+    // from a concurrent scan of the same dir — durability does NOT
+    // depend on it: the root files survive until after the write
     val old = spark.read
-      .parquet(rootFiles.map(_.getPath.toString).toIndexedSeq: _*)
+      .parquet(roots.map(_.getPath.toString).toIndexedSeq: _*)
       .localCheckpoint()
-    rootFiles.foreach(s => fs.delete(s.getPath, false))
     old.withColumn("batch_id", org.apache.spark.sql.functions.lit(-1L))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(path)
+    graft.ops.Materialize.release(old)
+    fs.create(marker, true).close()
+    roots.foreach(s => fs.delete(s.getPath, false))
+    fs.delete(marker, false)
   }
 
   /** Bucketed + sorted managed table: co-locates future joins on

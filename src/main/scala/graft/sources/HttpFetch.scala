@@ -87,11 +87,12 @@ object HttpFetch {
   /** Executor-side fan-out: fetch every row's `urlCol` with bounded
     * same-request retry (5xx/408, exponential backoff), appending
     * (http_status, body) — body is the LAST response body the server
-    * sent (a 404/400 diagnostic envelope is data: the KMA result
-    * codes ride in non-2xx bodies, and downstream must be able to
-    * tell "server answered not-found" from "connection never
-    * succeeded"); body is null only for rows that exhaust their
-    * retry budget or never connect (status -1), never a task
+    * sent, INCLUDING a final-attempt 5xx page (a 404/400/500
+    * diagnostic envelope is data: the KMA result codes ride in
+    * non-2xx bodies, and downstream must be able to tell "server
+    * answered with an error" from "connection never succeeded");
+    * body is null only for rows that never received any response
+    * (status -1), never a task
     * failure (the per-farm try/except of
     * productivity.py:99-146; the completeness gate downstream decides
     * whether the batch stands). One HttpClient per PARTITION (socket
@@ -122,7 +123,8 @@ object HttpFetch {
           try {
             val (s, b) = get(client, url)
             status = s
-            if (!(s >= 500 || s == 408)) { body = b; done = true }
+            body = b // every received body is kept; retry may replace it
+            if (!(s >= 500 || s == 408)) done = true
           } catch {
             case _: java.io.IOException => status = -1 // connect/read failure
           }

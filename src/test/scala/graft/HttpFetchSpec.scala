@@ -106,7 +106,7 @@ class HttpFetchSpec extends SparkSpec {
   test("executor fan-out feeds the hash-verified KMA parser end-to-end") {
     import spark.implicits._
     // grid 61 returns a second category; grid 99 always 500s — its
-    // row must carry a null body (bounded retry, no task failure)
+    // row keeps the final 500 body (bounded retry, no task failure)
     withServer("/kma" -> { x =>
       query(x).getOrElse("nx", "0") match {
         case "99" => send(x, 500, "boom")
@@ -121,8 +121,8 @@ class HttpFetchSpec extends SparkSpec {
       val rows = fetched.collect()
       assert(rows.count(_.getInt(2) == 200) == 2)
       val dead = rows.find(_.getInt(0) == 99).get
-      assert(dead.getInt(2) == 500 && dead.isNullAt(3),
-        "a permanently-500 grid must surface status 500 with null body")
+      assert(dead.getInt(2) == 500 && dead.getString(3) == "boom",
+        "a permanently-500 grid must surface status 500 WITH its final body")
       // a terminal non-2xx WITH a body keeps it: the diagnostic
       // envelope (the KMA result codes ride in non-2xx bodies) is
       // data downstream must be able to read — null means "never

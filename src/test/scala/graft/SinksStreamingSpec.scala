@@ -443,6 +443,64 @@ class SinksStreamingSpec extends SparkSpec {
     assert(migrated == 1L)
   }
 
+  test("layout migration crashed before the partition write keeps roots as the durable copy") {
+    // crash window A: the partition write started (a partial/garbage
+    // batch_id=-1 exists) but never committed a marker, and the root
+    // files are still present. The replay must rebuild the partition
+    // from the FULL root set — dynamic overwrite replaces the partial
+    // partition wholesale, so nothing is lost and nothing duplicates.
+    val dir = tmp() + "/mig_a"
+    val rows = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    rows.write.mode("append").parquet(dir) // old root layout
+    // simulate the crashed first attempt: a partition holding only a
+    // SUBSET (what a mid-write crash can leave behind after its own
+    // partial commit)
+    Seq((1L, "a")).toDF("doc_id", "text")
+      .withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(dir)
+    Sinks.migrateToBatchLayout(spark, dir)
+    val got = spark.read.parquet(dir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L),
+      s"replay must rebuild the partition from the full root set: $got")
+    assert(spark.read.parquet(dir).filter(col("batch_id") =!= -1L).count() == 0)
+  }
+
+  test("layout migration crashed mid-delete finishes the delete leg without shrinking the store") {
+    // crash window B: the partition was fully written and the marker
+    // created, then the crash hit mid-delete — SOME root files are
+    // gone. A replay that rewrote from the surviving roots would
+    // SHRINK the partition to that subset; the marker tells it to
+    // only finish deleting.
+    val dir = tmp() + "/mig_b"
+    val rows = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    rows.write.mode("append").parquet(dir)
+    Sinks.migrateToBatchLayout(spark, dir) // completes: partition holds 1,2,3
+    // reconstruct the mid-delete state: ONE root file back (as if its
+    // delete never ran) + the marker present
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootDir = tmp() + "/mig_b_root"
+    Seq((1L, "a")).toDF("doc_id", "text").write.mode("append").parquet(rootDir)
+    val leftover = new org.apache.hadoop.fs.Path(rootDir)
+    fs.listStatus(leftover).filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach(s => fs.rename(s.getPath, new org.apache.hadoop.fs.Path(p, s.getPath.getName)))
+    fs.create(new org.apache.hadoop.fs.Path(p, Sinks.MigratedMarker), true).close()
+    Sinks.migrateToBatchLayout(spark, dir)
+    val got = spark.read.parquet(dir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L),
+      s"marker replay must keep the full partition (no shrink, no dup): $got")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p, Sinks.MigratedMarker)),
+      "marker must be cleared once the delete leg finishes")
+    // and the store is clean for normal partitioned reads + writes
+    Seq((4L, "d")).toDF("doc_id", "text").withColumn("batch_id", lit(0L))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(dir)
+    assert(spark.read.parquet(dir).count() == 4L)
+  }
+
   test("streaming cluster maintenance: registry tracks clusters across batches") {
     implicit val sqlCtx = spark.sqlContext
     val (store, texts, labels, chk) =
