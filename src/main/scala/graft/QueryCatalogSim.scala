@@ -10,6 +10,22 @@ import graft.ops.similarity.VectorOps
 object QueryCatalogSim {
   import QueryCatalog.Q
 
+  /** Clip-corpus cap for the multimodal fixture family (q51/q52/q142/
+    * q148/q196/q200/q202/q203/q205). The synthesized payloads are
+    * derived from `documents` rows with doc_id below this cap, so the
+    * family's input is CONSTANT across SF by default (200 clips) and
+    * the sf1 hash sweep proves nothing for it. GRAFT_CLIP_CAP scales
+    * the clip corpus (e.g. 20000 against a 50k-doc table) for the
+    * SCALE.md closure runs — the SAME closed-form oracles hold at any
+    * cap because every expectation is arithmetic in doc_id. Read once
+    * at class load so `queries` and `oracleSql` always agree. */
+  private[graft] val clipCap: Int = sys.env.get("GRAFT_CLIP_CAP")
+    .flatMap(s => scala.util.Try(s.toInt).toOption)
+    .filter(_ > 0).getOrElse(200)
+  /** q52's tri-modal split keeps its historical 100-doc default and
+    * scales at half the family cap. */
+  private[graft] val clipCapHalf: Int = clipCap / 2
+
   // ---------------------------------------------------------------- knn brute force
   /** Brute-force cosine top-5 (the correctness baseline for ANN). */
   val q45Knn: Q = (s, d) => {
@@ -209,7 +225,7 @@ object QueryCatalogSim {
   /** Opaque binary payload + typed metadata columns (decode-free
     * plumbing: sizes, chunk counts, head bytes). */
   val q51MultimodalMeta: Q = (s, d) =>
-    MultimodalOps.attachPayload(Tables.documents(s, d).filter(col("doc_id") < 200), "text")
+    MultimodalOps.attachPayload(Tables.documents(s, d).filter(col("doc_id") < clipCap), "text")
       .select(col("doc_id"),
         col("payload_len"),
         col("meta.n_chunks").as("n_chunks"),
@@ -218,29 +234,102 @@ object QueryCatalogSim {
       .orderBy("doc_id")
 
   private val q51Sql =
-    """SELECT doc_id,
+    s"""SELECT doc_id,
       |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS payload_len,
       |  CAST(ceil(octet_length(CAST(text AS BLOB)) / 256.0) AS BIGINT) AS n_chunks,
       |  'text/fake' AS mime,
       |  to_base64(CAST(substring(text, 1, 12) AS BLOB)) AS head_b64
-      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+      |FROM documents WHERE doc_id < $clipCap ORDER BY doc_id""".stripMargin
 
-  // ---------------------------------------------------------------- multimodal decode
-  /** Batch-shaped (mapPartitions) stub decode: md5-derived features —
-    * the oracle replays the same features from SQL hex slices. */
-  val q52MultimodalDecode: Q = (s, d) =>
-    MultimodalOps.fakeDecodeFeatures(
-      MultimodalOps.attachPayload(Tables.documents(s, d).filter(col("doc_id") < 100), "text"),
+  // ---------------------------------------------------------------- multimodal decode (REAL, tri-modal)
+  /** REAL unified multimodal decode — one row per asset with a
+    * modality-normalized (n_units, signal_sum, ok) triple, every leg
+    * on a REAL codec (the former md5-stub decode is deleted):
+    * doc_id%3 routes each doc to image (PNG encode→ImageIO decode,
+    * units = pixels, signal = exact red-channel sum), audio (PCM WAV
+    * encode→javax.sound decode, units = samples, signal = exact
+    * sample sum), or video (RIFF-AVI container walk + per-frame BMP
+    * decode through [[MultimodalOps.aviDecodeFrames]], units = frames
+    * decoded, signal = sum of per-frame red sums). Corrupt payloads
+    * (%10==7, raw text bytes) gate ok='N' with null decode fields on
+    * every leg; the video leg additionally inherits q205's planted
+    * container failures (lying idx1 %13==11 → clip-level 'N';
+    * garbled frame 0 %9==5 → that frame drops from units/signal and
+    * the clip gates 'N'). The oracle replays all three legs
+    * arithmetically from doc_id WITHOUT decoding — the closed-form
+    * fixture discipline of q142/q148/q205 under one schema. Each leg
+    * is map-only (synth → decode in one pass); the video leg adds one
+    * partial-aggregated groupBy over its own frames. */
+  val q52MultimodalDecode: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < clipCapHalf)
+      .withColumn("corrupt", col("doc_id") % 10 === 7)
+    val img = MultimodalOps.decodeImageMeta(
+      MultimodalOps.synthImagePayload(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", "corrupt"),
       "doc_id")
-      .orderBy("doc_id")
+      .select(col("doc_id"), lit("image").as("modality"),
+        (col("width").cast("long") * col("height")).as("n_units"),
+        col("red_sum").as("signal_sum"), col("ok"))
+    val aud = MultimodalOps.decodeWavMeta(
+      MultimodalOps.synthWavPayload(
+        docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", "corrupt"),
+      "doc_id")
+      .select(col("doc_id"), lit("audio").as("modality"),
+        col("n_samples").cast("long").as("n_units"),
+        col("sample_sum").as("signal_sum"), col("ok"))
+    val vid = MultimodalOps.aviDecodeFrames(
+      MultimodalOps.synthAviPayload(
+        docs.filter(col("doc_id") % 3 === 2), "doc_id", "text", "corrupt"),
+      "doc_id")
+      .groupBy("doc_id")
+      .agg(count(col("red_sum")).as("n_units"),
+        sum(col("red_sum")).as("signal_sum"),
+        min(col("ok")).as("ok")) // any 'N' frame/clip row gates the clip
+      .select(col("doc_id"), lit("video").as("modality"),
+        col("n_units"), col("signal_sum"), col("ok"))
+    img.unionByName(aud).unionByName(vid).orderBy("doc_id")
+  }
 
   private val q52Sql =
-    """SELECT doc_id,
-      |  ('0x' || substr(md5(text), 1, 8))::BIGINT AS f0,
-      |  ('0x' || substr(md5(text), 9, 8))::BIGINT AS f1,
-      |  ('0x' || substr(md5(text), 17, 8))::BIGINT AS f2,
-      |  ('0x' || substr(md5(text), 25, 8))::BIGINT AS f3
-      |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+    s"""WITH d AS (SELECT doc_id FROM documents WHERE doc_id < $clipCapHalf),
+      |img AS (
+      |  SELECT doc_id, 'image' AS modality,
+      |    CASE WHEN doc_id % 10 = 7 THEN NULL
+      |         ELSE CAST((8 + doc_id % 8) * (4 + doc_id % 4) AS BIGINT) END AS n_units,
+      |    CASE WHEN doc_id % 10 = 7 THEN NULL
+      |         ELSE CAST((8 + doc_id % 8) * (4 + doc_id % 4) * (doc_id % 256) AS BIGINT)
+      |         END AS signal_sum,
+      |    CASE WHEN doc_id % 10 = 7 THEN 'N' ELSE 'Y' END AS ok
+      |  FROM d WHERE doc_id % 3 = 0),
+      |aud AS (
+      |  SELECT doc_id, 'audio' AS modality,
+      |    CASE WHEN doc_id % 10 = 7 THEN NULL
+      |         ELSE CAST(64 + doc_id % 64 AS BIGINT) END AS n_units,
+      |    CASE WHEN doc_id % 10 = 7 THEN NULL
+      |         ELSE CAST((64 + doc_id % 64) * (doc_id % 100)
+      |              + ((64 + doc_id % 64) * (64 + doc_id % 64 - 1)) // 2 AS BIGINT)
+      |         END AS signal_sum,
+      |    CASE WHEN doc_id % 10 = 7 THEN 'N' ELSE 'Y' END AS ok
+      |  FROM d WHERE doc_id % 3 = 1),
+      |vf AS (
+      |  SELECT doc_id,
+      |    (8 + doc_id % 6) * (4 + doc_id % 4) * ((doc_id * 37 + i * 11) % 256) AS red,
+      |    (doc_id % 9 = 5 AND i = 0) AS bad
+      |  FROM d, unnest(range(2 + doc_id % 4)) t(i)
+      |  WHERE doc_id % 3 = 2 AND doc_id % 10 <> 7 AND doc_id % 13 <> 11),
+      |vid AS (
+      |  SELECT doc_id, 'video' AS modality,
+      |    CAST(count(CASE WHEN bad THEN NULL ELSE 1 END) AS BIGINT) AS n_units,
+      |    CAST(sum(CASE WHEN bad THEN NULL ELSE red END) AS BIGINT) AS signal_sum,
+      |    CASE WHEN bool_or(bad) THEN 'N' ELSE 'Y' END AS ok
+      |  FROM vf GROUP BY doc_id),
+      |vbad AS (
+      |  SELECT doc_id, 'video' AS modality, CAST(0 AS BIGINT) AS n_units,
+      |    CAST(NULL AS BIGINT) AS signal_sum, 'N' AS ok
+      |  FROM d WHERE doc_id % 3 = 2 AND (doc_id % 10 = 7 OR doc_id % 13 = 11))
+      |SELECT * FROM img UNION ALL SELECT * FROM aud
+      |UNION ALL SELECT * FROM vid UNION ALL SELECT * FROM vbad
+      |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- real image decode
   /** REAL image decode (q142): PNG payloads are ENCODED and DECODED by
@@ -254,7 +343,7 @@ object QueryCatalogSim {
     * crawl file): those must decode to ok='N' with null dims, not
     * fail the task. Both stages are batch-shaped mapPartitions. */
   val q142ImageDecode: Q = (s, d) => {
-    val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+    val docs = Tables.documents(s, d).filter(col("doc_id") < clipCap)
       .withColumn("corrupt", col("doc_id") % 10 === 7)
     MultimodalOps.decodeImageMeta(
       MultimodalOps.synthImagePayload(docs, "doc_id", "text", "corrupt"),
@@ -263,7 +352,7 @@ object QueryCatalogSim {
   }
 
   private val q142Sql =
-    """SELECT doc_id,
+    s"""SELECT doc_id,
       |  CASE WHEN doc_id % 10 = 7 THEN NULL
       |       ELSE CAST(8 + doc_id % 8 AS INT) END AS width,
       |  CASE WHEN doc_id % 10 = 7 THEN NULL
@@ -272,7 +361,7 @@ object QueryCatalogSim {
       |       ELSE (8 + doc_id % 8) * (4 + doc_id % 4) * (doc_id % 256)
       |       END AS red_sum,
       |  CASE WHEN doc_id % 10 = 7 THEN 'N' ELSE 'Y' END AS ok
-      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+      |FROM documents WHERE doc_id < $clipCap ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- real audio (WAV) decode
   /** REAL audio decode (q148): PCM WAV payloads are ENCODED and
@@ -287,7 +376,7 @@ object QueryCatalogSim {
     * those must decode to ok='N' with null fields, never fail the
     * task. Both stages are batch-shaped mapPartitions. */
   val q148AudioDecode: Q = (s, d) => {
-    val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+    val docs = Tables.documents(s, d).filter(col("doc_id") < clipCap)
       .withColumn("corrupt", col("doc_id") % 10 === 7)
     MultimodalOps.decodeWavMeta(
       MultimodalOps.synthWavPayload(docs, "doc_id", "text", "corrupt"),
@@ -296,7 +385,7 @@ object QueryCatalogSim {
   }
 
   private val q148Sql =
-    """SELECT doc_id,
+    s"""SELECT doc_id,
       |  CASE WHEN doc_id % 10 = 7 THEN NULL
       |       ELSE CAST(64 + doc_id % 64 AS INT) END AS n_samples,
       |  CASE WHEN doc_id % 10 = 7 THEN NULL
@@ -308,7 +397,7 @@ object QueryCatalogSim {
       |            + ((64 + doc_id % 64) * (64 + doc_id % 64 - 1)) // 2
       |       END AS sample_sum,
       |  CASE WHEN doc_id % 10 = 7 THEN 'N' ELSE 'Y' END AS ok
-      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+      |FROM documents WHERE doc_id < $clipCap ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q196: audio energy / silence gate
   /** Windowed audio energy gating (q148's curation face): per decoded
@@ -321,7 +410,7 @@ object QueryCatalogSim {
     * (%10==7) gate through as ok='N'. This is the drop-silent-clips /
     * find-clipped-clips pass an audio corpus runs after decode. */
   val q196AudioEnergy: Q = (s, d) => {
-    val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+    val docs = Tables.documents(s, d).filter(col("doc_id") < clipCap)
       .withColumn("corrupt", col("doc_id") % 10 === 7)
     MultimodalOps.decodeWavEnergy(
       MultimodalOps.synthWavPayload(docs, "doc_id", "text", "corrupt"),
@@ -330,11 +419,11 @@ object QueryCatalogSim {
   }
 
   private val q196Sql =
-    """WITH base AS (
+    s"""WITH base AS (
       |  SELECT doc_id, doc_id % 100 AS a,
       |         64 + doc_id % 64 AS n,
       |         CAST((64 + doc_id % 64) // 32 AS INT) AS n_windows
-      |  FROM documents WHERE doc_id < 200),
+      |  FROM documents WHERE doc_id < $clipCap),
       |w AS (
       |  SELECT doc_id, a, n_windows, unnest(range(n_windows)) AS wi FROM base),
       |ws AS (
@@ -1295,7 +1384,7 @@ object QueryCatalogSim {
     * %10==7 docs carry raw text bytes and must gate ok='N' with null
     * fields, never a task failure. */
   val q200Mp4Meta: Q = (s, d) => {
-    val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+    val docs = Tables.documents(s, d).filter(col("doc_id") < clipCap)
       .withColumn("corrupt", col("doc_id") % 10 === 7)
     MultimodalOps.mp4ContainerMeta(
       MultimodalOps.synthMp4Payload(docs, "doc_id", "text", "corrupt"),
@@ -1304,7 +1393,7 @@ object QueryCatalogSim {
   }
 
   private val q200Sql =
-    """SELECT doc_id,
+    s"""SELECT doc_id,
       |  CASE WHEN doc_id % 10 = 7 THEN NULL
       |       ELSE CAST(3 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT)
       |       END AS n_boxes,
@@ -1316,7 +1405,7 @@ object QueryCatalogSim {
       |  CASE WHEN doc_id % 10 = 7 THEN NULL
       |       ELSE CAST(1000 + doc_id % 5000 AS BIGINT) END AS duration,
       |  CASE WHEN doc_id % 10 = 7 THEN 'N' ELSE 'Y' END AS ok
-      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+      |FROM documents WHERE doc_id < $clipCap ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q202: MP4 sample tables (keyframe math)
   /** REAL sample-table parse (q202) — the container-level frame
@@ -1333,7 +1422,7 @@ object QueryCatalogSim {
     * rows (%10==7, raw text) and index-less containers (%13==11,
     * trak without stbl) both gate ok='N' with null fields. */
   val q202Mp4Samples: Q = (s, d) => {
-    val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+    val docs = Tables.documents(s, d).filter(col("doc_id") < clipCap)
       .withColumn("corrupt", col("doc_id") % 10 === 7)
     MultimodalOps.mp4SampleTable(
       MultimodalOps.synthMp4TrackPayload(docs, "doc_id", "text", "corrupt"),
@@ -1342,13 +1431,13 @@ object QueryCatalogSim {
   }
 
   private val q202Sql =
-    """WITH p AS (
+    s"""WITH p AS (
       |  SELECT doc_id,
       |    2 + doc_id % 5 AS n1, 100 + doc_id % 50 AS d1,
       |    1 + doc_id % 4 AS n2, 200 + doc_id % 30 AS d2,
       |    1 + doc_id % 3 AS k,
       |    (doc_id % 10 = 7 OR doc_id % 13 = 11) AS bad
-      |  FROM documents WHERE doc_id < 200),
+      |  FROM documents WHERE doc_id < $clipCap),
       |q AS (
       |  SELECT *, n1 + n2 AS n,
       |    1 + k * ((n1 + n2 - 1) // k) AS last_kf
@@ -1391,7 +1480,7 @@ object QueryCatalogSim {
     * (energy order = amplitude order, no decode) and replays
     * band+Hamming verbatim; corrupt payloads (%10==7) gate ok='N'. */
   val q203AudioFingerprint: Q = (s, d) => {
-    val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+    val docs = Tables.documents(s, d).filter(col("doc_id") < clipCap)
       .select(col("doc_id"), (col("doc_id") % 17).as("cls"),
         (col("doc_id") % 5 === 4).as("variant"),
         (col("doc_id") % 10 === 7).as("corrupt"))
@@ -1424,9 +1513,9 @@ object QueryCatalogSim {
   }
 
   private val q203Sql =
-    """WITH w AS (SELECT i FROM generate_series(0, 32) t(i)),
+    s"""WITH w AS (SELECT i FROM generate_series(0, 32) t(i)),
       |b AS (SELECT doc_id, CAST(doc_id % 17 AS BIGINT) AS c, (doc_id % 5 = 4) AS v
-      |      FROM documents WHERE doc_id < 200 AND doc_id % 10 <> 7),
+      |      FROM documents WHERE doc_id < $clipCap AND doc_id % 10 <> 7),
       |e AS (SELECT doc_id, i,
       |        (CASE WHEN v AND i = 3 THEN 50 ELSE 10 END)
       |          + ((c*7 + i*i) % 23) AS a
@@ -1456,7 +1545,7 @@ object QueryCatalogSim {
       |LEFT JOIN h ON h.doc_id = d.doc_id
       |LEFT JOIN reps r ON r.fp = h.fp
       |LEFT JOIN near n ON n.fp = h.fp
-      |WHERE d.doc_id < 200
+      |WHERE d.doc_id < $clipCap
       |ORDER BY d.doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q205: video frame decode (RIFF-AVI + real codec)
@@ -1480,7 +1569,7 @@ object QueryCatalogSim {
     * decoding. Map-only end to end — the scale shape of a 100 TB
     * video-curation decode pass. */
   val q205VideoFrames: Q = (s, d) => {
-    val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+    val docs = Tables.documents(s, d).filter(col("doc_id") < clipCap)
       .withColumn("corrupt", col("doc_id") % 10 === 7)
     MultimodalOps.aviDecodeFrames(
       MultimodalOps.synthAviPayload(docs, "doc_id", "text", "corrupt"),
@@ -1489,14 +1578,14 @@ object QueryCatalogSim {
   }
 
   private val q205Sql =
-    """WITH p AS (
+    s"""WITH p AS (
       |  SELECT doc_id,
       |    2 + doc_id % 4 AS n, 8 + doc_id % 6 AS w, 4 + doc_id % 4 AS h,
       |    1 + doc_id % 3 AS k, 33333 + doc_id % 1000 AS uspf,
       |    (doc_id % 10 = 7) AS corrupt,
       |    (doc_id % 10 <> 7 AND doc_id % 13 = 11) AS badidx,
       |    (doc_id % 10 <> 7 AND doc_id % 13 <> 11 AND doc_id % 9 = 5) AS badframe
-      |  FROM documents WHERE doc_id < 200),
+      |  FROM documents WHERE doc_id < $clipCap),
       |f AS (
       |  SELECT doc_id, CAST(i AS INT) AS frame_no, w, h, k, uspf,
       |    (badframe AND i = 0) AS bad,

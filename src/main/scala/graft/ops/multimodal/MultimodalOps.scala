@@ -19,9 +19,11 @@ import java.security.MessageDigest
   * every frame chunk through ImageIO (fixture generator
   * [[synthAviPayload]]); MP4 container metadata is parsed without a
   * codec ([[mp4ContainerMeta]], [[mp4SampleTable]]). Compressed
-  * video codecs (H.264 etc.) are absent in this environment, so
-  * `fakeFeatures` remains a clearly-marked deterministic stand-in
-  * (md5-derived features) for that one path.
+  * video codecs (H.264 etc.) are absent in this environment and NO
+  * stand-in is kept for them: every decode path that exists here is
+  * a real codec, and compressed-codec frame decode is simply out of
+  * scope (a deployment with FFmpeg/JNI swaps the mapPartitions body,
+  * nothing else).
   * What is load-bearing for 100 TB either way: the schema (binary
   * payload + metadata struct), the mapPartitions batch shape
   * (decoders amortize codec/model setup per batch, exactly like a
@@ -607,8 +609,10 @@ object MultimodalOps {
     * major brand + minor version, and `mvhd` — found by descending
     * ONE level into `moov` — yields timescale and duration (version
     * 0 and 1 layouts). This is the metadata a video-corpus curation
-    * pass extracts per clip WITHOUT decoding frames (codec decode is
-    * honestly out of scope in this container — see [[fakeResize]]).
+    * pass extracts per clip WITHOUT decoding frames (compressed-codec
+    * decode is honestly out of scope in this container; the REAL
+    * frame-decode path for uncompressed/MJPEG AVI is
+    * [[aviDecodeFrames]]).
     *
     * ok='Y' requires: every top-level box parses, the stream is
     * consumed exactly, and both ftyp and moov/mvhd are present.
@@ -1075,7 +1079,7 @@ object MultimodalOps {
     * chunk). Per frame: dims, the exact red-channel sum, and a
     * nearest-neighbor resample to (outW, outH) whose red sum is
     * recomputed from the REAL resize loop (the thumbnail leg of a
-    * video-curation pass) — [[fakeResize]] is retired for video.
+    * video-curation pass) — no stand-in remains in any video path.
     *
     * Emits one row per frame: (id, frame_no, width, height, red_sum,
     * resized_red_sum, is_key from idx1, pts_us = frame_no · µs/frame
@@ -1222,18 +1226,6 @@ object MultimodalOps {
         lit("text/fake").as("mime"),
         ceil(col("payload_len") / 256.0).cast("long").as("n_chunks")))
 
-  /** STUB decode: md5(payload) -> 4 uint32 features. Deterministic,
-    * engine-independent (oracle replays it in SQL as hex slices of
-    * md5). Replace with a real decoder at the marked line. The REAL
-    * container-metadata path (no codec needed) is [[mp4ContainerMeta]]. */
-  private def fakeFeatures(payload: Array[Byte]): Array[Long] = {
-    val hex = MessageDigest.getInstance("MD5").digest(payload)
-      .map("%02x".format(_)).mkString
-    // ??? real decode goes here (image resize / audio frame-sample);
-    // the md5 slices below are the deterministic stand-in.
-    (0 until 4).map(i => java.lang.Long.parseLong(hex.substring(i * 8, i * 8 + 8), 16)).toArray
-  }
-
   /** Frame sampling: slice the payload into fixed `frameLen`-byte
     * frames and keep every `stride`-th one (a video keyframe / audio
     * window sampler over the opaque payload). Pure column ops —
@@ -1250,35 +1242,6 @@ object MultimodalOps {
         expr(s"substring(payload, frame_no * $frameLen + 1, $frameLen)"))
       .withColumn("frame_len", octet_length(col("frame")))
       .drop("n_frames")
-
-  /** STUB resize for opaque payloads whose codec is absent here
-    * (compressed video): byte-stride downsampling (every `factor`-th
-    * byte) with the SAME batch-shaped plumbing as decode. The image
-    * case is real ([[resizeImageNN]]), WAV audio decode is real
-    * ([[decodeWavMeta]]), and uncompressed-AVI video frame decode +
-    * per-frame resize is real ([[aviDecodeFrames]]). Output: id,
-    * resized payload, original/resized lengths. */
-  def fakeResize(df: DataFrame, idCol: String, factor: Int,
-                 batchSize: Int = 32): DataFrame = {
-    val outSchema = StructType(Seq(
-      StructField(idCol, LongType),
-      StructField("resized", BinaryType),
-      StructField("orig_len", IntegerType),
-      StructField("resized_len", IntegerType)))
-    val input = df.select(col(idCol).cast("long"), col("payload"))
-    input.mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap { batch =>
-        // per-batch setup would happen here (scaler/codec init)
-        batch.map { r =>
-          val p0 = r.getAs[Array[Byte]](1)
-          val p = if (p0 == null) Array.empty[Byte] else p0
-          // ??? real resize goes here; byte-stride is the stand-in
-          val out = p.indices.collect { case i if i % factor == 0 => p(i) }.toArray
-          Row(r.getLong(0), out, p.length, out.length)
-        }
-      }
-    }(Encoders.row(outSchema))
-  }
 
   /** The synthetic 9x8 block pattern behind [[synthPatternImagePayload]]
     * — a pure integer predicate so a SQL oracle can reproduce the
@@ -1403,27 +1366,4 @@ object MultimodalOps {
     }(Encoders.row(outSchema))
   }
 
-  /** Batch-shaped feature extraction over (id, payload) rows:
-    * mapPartitions, batches of `batchSize` rows — the decoder
-    * amortization boundary. Output (id, f0..f3). */
-  def fakeDecodeFeatures(df: DataFrame, idCol: String, batchSize: Int = 32): DataFrame = {
-    val outSchema = StructType(Seq(
-      StructField(idCol, LongType),
-      StructField("f0", LongType), StructField("f1", LongType),
-      StructField("f2", LongType), StructField("f3", LongType)))
-    val input = df.select(col(idCol).cast("long"), col("payload"))
-    input.mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap { batch =>
-        // per-batch setup would happen here (codec init, model load)
-        batch.map { r =>
-          val p = r.getAs[Array[Byte]](1)
-          if (p == null) Row(r.getLong(0), null, null, null, null)
-          else {
-            val f = fakeFeatures(p)
-            Row(r.getLong(0), f(0), f(1), f(2), f(3))
-          }
-        }
-      }
-    }(Encoders.row(outSchema))
-  }
 }

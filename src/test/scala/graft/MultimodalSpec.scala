@@ -39,13 +39,6 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(new String(_, "UTF-8")).mkString == text)
   }
 
-  test("fakeResize downsamples payload bytes with the batch shape intact") {
-    val df = payloads((7L, "abcdefghij"))
-    val r = MultimodalOps.fakeResize(df, "doc_id", factor = 3).collect()(0)
-    assert(new String(r.getAs[Array[Byte]]("resized"), "UTF-8") == "adgj")
-    assert(r.getAs[Int]("orig_len") == 10 && r.getAs[Int]("resized_len") == 4)
-  }
-
   test("frameSample payload shorter than one frame yields a single short frame") {
     val rows = MultimodalOps.frameSample(payloads((1L, "tiny")), 64, 2)
       .select("frame_no", "frame_len")
