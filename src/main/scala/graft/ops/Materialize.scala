@@ -25,19 +25,43 @@ object Materialize {
   def leafCache(df: DataFrame): DataFrame =
     df.localCheckpoint(true)
 
-  /** Collect `df` into a self-contained LOCAL relation: the returned
-    * frame pins nothing — no cached/checkpointed blocks, no upstream
-    * lineage — so query-shaped callers that cannot release() after
-    * their consumer's action get deterministic cleanup anyway (the
+  /** Session conf key selecting [[localize]]'s cluster-scale path:
+    * when set (non-empty), localize writes a staging parquet table
+    * under this directory instead of collecting to the driver. */
+  val StagingDirKey = "graft.localize.stagingDir"
+
+  /** Materialize `df` into a self-contained relation that pins
+    * nothing — no cached/checkpointed blocks, no upstream lineage —
+    * so query-shaped callers that cannot release() after their
+    * consumer's action get deterministic cleanup anyway (the
     * minLabelLocalized discipline). ONLY for corpus-SUBLINEAR results
-    * (verified near-dup pairs, component labels, per-group reports);
-    * at cluster scale the localize step becomes a staging-table
-    * write + release instead of a driver materialization, and the
-    * local relation broadcast-joins downstream for free. */
+    * (verified near-dup pairs, component labels, per-group reports).
+    *
+    * Two bit-equal paths (MaterializeSpec proves the equivalence):
+    *  - default: driver collect into a LocalRelation — right when the
+    *    result is small enough to live on the driver (the local[32]
+    *    test posture);
+    *  - [[StagingDirKey]] set: a staging-table write + fresh scan
+    *    (names/types/data identical; nullability flags widen — Spark
+    *    marks every file-source column nullable by design) —
+    *    the cluster posture: the result never visits the driver, the
+    *    returned frame is an ordinary parquet leaf whose (sublinear)
+    *    size lets Spark broadcast it downstream, and durability comes
+    *    from the filesystem instead of executor memory. Staging files
+    *    live until the caller clears the directory (a session-scoped
+    *    temp dir on a real cluster). */
   def localize(df: DataFrame): DataFrame = {
-    val rows = df.collect()
-    df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(rows: _*), df.schema)
+    val spark = df.sparkSession
+    spark.conf.getOption(StagingDirKey).filter(_.nonEmpty) match {
+      case Some(dir) =>
+        val path = dir.stripSuffix("/") + "/localize_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        df.write.mode("overwrite").parquet(path)
+        spark.read.schema(df.schema).parquet(path)
+      case None =>
+        val rows = df.collect()
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+    }
   }
 
   /** Free a leafCache'd frame's stored blocks NOW. Only safe once the

@@ -83,9 +83,11 @@ object ConnectedComponents {
     * cached/checkpointed blocks outlive this call — so query-shaped
     * callers (q132 SemDeDup) that cannot call release() after their
     * consumer's action get deterministic cleanup anyway. At cluster
-    * scale the localize step becomes a staging-table write + release
-    * instead of a driver materialization; the frame also
-    * broadcast-joins downstream for free (LocalRelation). */
+    * scale set [[graft.ops.Materialize.StagingDirKey]] and the
+    * localize step becomes a staging-table write (bit-equal to the
+    * collect path — OpsSpec proves it) instead of a driver
+    * materialization; either way the sublinear frame broadcast-joins
+    * downstream for free. */
   def minLabelLocalized(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val comp = minLabel(edges, maxIter)
     try graft.ops.Materialize.localize(comp) finally release(comp)

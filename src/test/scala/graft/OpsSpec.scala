@@ -261,6 +261,42 @@ class OpsSpec extends SparkSpec {
       Seq((0L, "a", Some("b")), (1L, "c", Some("d")), (2L, "e", None)))
   }
 
+  test("Materialize.localize: staged path is bit-equal to the collect path and pins nothing") {
+    import graft.ops.Materialize
+    // query-shaped input: aggregation with nulls, longs, doubles, strings
+    val src = Seq((1L, "a", Some(1.5)), (1L, "a", None), (2L, "b", Some(2.0)),
+        (3L, null.asInstanceOf[String], Some(0.25)))
+      .toDF("k", "s", "v")
+      .groupBy("k", "s").agg(sum("v").as("sv"), count(lit(1)).as("n"))
+    val local = Materialize.localize(src) // default: driver collect
+    assert(local.queryExecution.analyzed.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    val dir = java.nio.file.Files.createTempDirectory("graft_localize").toString
+    spark.conf.set(Materialize.StagingDirKey, dir)
+    try {
+      val staged = Materialize.localize(src)
+      // same names + types (nullability WIDENS on the staged path —
+      // Spark marks every file-source column nullable by design) and
+      // bit-equal data both ways
+      assert(staged.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        local.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+        s"${staged.schema} vs ${local.schema}")
+      assert(staged.exceptAll(local).isEmpty && local.exceptAll(staged).isEmpty,
+        "staged and collect paths must be bit-equal")
+      // the staged frame is an ordinary parquet leaf: no cached or
+      // checkpointed blocks are pinned by holding it
+      assert(staged.queryExecution.executedPlan.toString.contains("parquet"),
+        "staged localize must return a parquet scan")
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+        "neither path may pin storage")
+      // empty frame round-trips with names/types intact
+      val empty = Materialize.localize(src.limit(0))
+      assert(empty.count() == 0 &&
+        empty.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+          src.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    } finally spark.conf.unset(Materialize.StagingDirKey)
+  }
+
   test("DateSpine fills missing days") {
     val daily = Seq(("2024-01-02", 5L)).toDF("d", "n")
       .select(to_date(col("d")).as("d"), col("n"))
