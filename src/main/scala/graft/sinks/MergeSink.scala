@@ -1,0 +1,80 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops.UpsertMerge
+
+/** Format-abstracted keyed MERGE sink (SURVEY S7) — ONE entry point
+  * with two physical paths:
+  *
+  *  - [[mergeIntoTable]]: a TRUE two-branch `MERGE INTO` statement
+  *    (`WHEN MATCHED THEN UPDATE` + `WHEN NOT MATCHED THEN INSERT`)
+  *    executed through `spark.sql` against any V2 table format with
+  *    row-level-operation support (Delta, Iceberg, Hudi). The
+  *    statement is exactly what the reference's daily weather MERGE
+  *    does (`weather.py:1697-1732`); `insertOnly = true` is the
+  *    mid-range variant that never updates (`weather.py:2420-2443`).
+  *    No such format ships in this sandbox, so the statement TEXT and
+  *    its semantics are contract-tested instead: MergeSinkSpec runs
+  *    an independent row-wise interpreter of the emitted statement
+  *    and the parquet path to identical tables.
+  *  - [[mergeIntoParquet]]: the plain-parquet fallback — the
+  *    crash-recovering staging-swap ([[Sinks.upsertParquet]]
+  *    machinery) with [[UpsertMerge]] supplying the same matched/
+  *    not-matched semantics as a one-shuffle partial aggregation.
+  *
+  * Both paths require the SOURCE to be key-unique: `MERGE INTO`
+  * itself throws on multiple source matches per target row (Delta's
+  * DELTA_MULTIPLE_SOURCE_ROW_MATCHING error), so the parquet path
+  * must not silently accept what the lakehouse path rejects —
+  * callers dedup first (LatestRecord) like any MERGE user would.
+  * Key equality is NULL-SAFE (`<=>`) on both paths: the parquet
+  * path's groupBy treats null keys as one group, so the emitted ON
+  * clause must too. */
+object MergeSink {
+
+  /** The canonical two-branch MERGE statement for `table`, reading
+    * from the registered view `sourceView` with columns `cols`.
+    * `insertOnly = true` drops the WHEN MATCHED branch. Backtick-
+    * quoted identifiers; key equality null-safe. A table whose key
+    * set equals its column set degenerates to insert-only (nothing
+    * to UPDATE). */
+  def mergeStatement(table: String, sourceView: String, cols: Seq[String],
+                     keys: Seq[String], insertOnly: Boolean = false): String = {
+    require(keys.nonEmpty && keys.forall(cols.contains), s"bad keys $keys for $cols")
+    val on = keys.map(k => s"t.`$k` <=> s.`$k`").mkString(" AND ")
+    val nonKeys = cols.filterNot(keys.contains)
+    val matched =
+      if (insertOnly || nonKeys.isEmpty) ""
+      else "WHEN MATCHED THEN UPDATE SET " +
+        nonKeys.map(c => s"t.`$c` = s.`$c`").mkString(", ") + "\n"
+    val ins = cols.map(c => s"`$c`").mkString(", ")
+    val vals = cols.map(c => s"s.`$c`").mkString(", ")
+    s"""MERGE INTO $table t
+       |USING $sourceView s
+       |ON $on
+       |${matched}WHEN NOT MATCHED THEN INSERT ($ins) VALUES ($vals)""".stripMargin
+  }
+
+  /** Execute the two-branch MERGE against a catalog table whose
+    * format supports row-level operations. The incoming frame is
+    * registered as a temp view for the statement's USING clause. */
+  def mergeIntoTable(spark: SparkSession, table: String, incoming: DataFrame,
+                     keys: Seq[String], insertOnly: Boolean = false): Unit = {
+    val view = "graft_merge_src_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    incoming.createOrReplaceTempView(view)
+    try spark.sql(mergeStatement(
+      table, view, incoming.columns.toSeq, keys, insertOnly))
+    finally spark.catalog.dropTempView(view)
+    ()
+  }
+
+  /** Parquet fallback: identical matched/not-matched semantics via
+    * the staging-swap (all-or-nothing promote, crash recovery and
+    * concurrent-reader old-or-new atomicity inherited from
+    * [[Sinks.upsertParquet]]'s machinery). */
+  def mergeIntoParquet(spark: SparkSession, path: String, incoming: DataFrame,
+                       keys: Seq[String], insertOnly: Boolean = false): Unit =
+    Sinks.mergeParquet(spark, incoming, path, keys,
+      if (insertOnly) UpsertMerge.insertIfAbsent else UpsertMerge.upsert)
+}

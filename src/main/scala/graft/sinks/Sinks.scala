@@ -45,13 +45,24 @@ object Sinks {
     * copy; use a transactional table format (Delta/Iceberg MERGE INTO)
     * there instead of this filesystem swap. */
   def upsertParquet(spark: SparkSession, incoming: DataFrame, path: String,
-                    keys: Seq[String]): Unit = {
+                    keys: Seq[String]): Unit =
+    mergeParquet(spark, incoming, path, keys, UpsertMerge.upsert)
+
+  /** [[upsertParquet]] generalized over the merge rule: `rule` is
+    * (old, incoming, keys) => merged — UpsertMerge.upsert (matched
+    * rows update) or UpsertMerge.insertIfAbsent (insert-only, the
+    * mid-range weather variant). Same staging-swap + crash recovery
+    * either way; the MergeSink facade picks the rule that matches
+    * its emitted MERGE statement. */
+  def mergeParquet(spark: SparkSession, incoming: DataFrame, path: String,
+                   keys: Seq[String],
+                   rule: (DataFrame, DataFrame, Seq[String]) => DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new Path(path)
     recoverOrphan(spark, path)
     val merged =
-      if (fs.exists(target)) UpsertMerge.upsert(spark.read.parquet(path), incoming, keys)
+      if (fs.exists(target)) rule(spark.read.parquet(path), incoming, keys)
       else incoming
     val staging = new Path(path + "__staging")
     fs.delete(staging, true)
