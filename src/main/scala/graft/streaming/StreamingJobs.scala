@@ -281,10 +281,21 @@ object StreamingJobs {
         // doc. Existence-checked, not Try-swallowed: a FAILING store
         // read must abort the batch (treating it as empty would
         // silently disable cross-batch dedup and pollute the corpus).
+        // The schema is EXPLICIT (the bands frame's + the batch_id
+        // partition column): a crash during the very first store
+        // write leaves the directory existing but holding no data
+        // files, and schema INFERENCE on that state throws — which
+        // would wedge the stream's restart forever. With the schema
+        // pinned, that state reads as an empty store (= first batch
+        // semantics), exactly what the replay needs.
         val storePath = new org.apache.hadoop.fs.Path(storeDir)
         val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val storeSchema = bands.schema.add("batch_id",
+          org.apache.spark.sql.types.LongType)
         val store =
-          if (fs.exists(storePath)) Some(spark.read.parquet(storeDir)) else None
+          if (fs.exists(storePath))
+            Some(spark.read.schema(storeSchema).parquet(storeDir))
+          else None
         // every cache this batch takes (incl. jaccard's internal
         // pair/candidate-shingle caches) is released when the batch's writes
         // finish — a long-lived stream must not accumulate cached
@@ -315,7 +326,13 @@ object StreamingJobs {
             // + ONLY the collided store docs' text (semi-join
             // readback); shingles derive AFTER the candidate
             // restriction inside jaccardText
-            val storeDocs = spark.read.parquet(curatedDir)
+            // schema pinned like the store read: the curated dir can
+            // be exists-but-empty after stacked crashes, and this
+            // read is analyzed even when coll is empty
+            val storeDocs = spark.read
+              .schema(batch.schema.add("batch_id",
+                org.apache.spark.sql.types.LongType))
+              .parquet(curatedDir)
               .join(coll.select(col("sid").as("doc_id")).distinct(), "doc_id", "left_semi")
             val corpusDocs = storeDocs.select("doc_id", "text")
               .unionByName(batch.select("doc_id", "text"))
@@ -406,7 +423,14 @@ object StreamingJobs {
             // (their edges were verified when the bucket was small).
             val bw = org.apache.spark.sql.expressions.Window
               .partitionBy("band", "band_key")
-            val store = spark.read.parquet(storeDir)
+            // explicit schema for the same reason as nearDupStream's
+            // store read: an exists-but-empty dir (crash during the
+            // first bands write) must read as an empty store, not
+            // throw UNABLE_TO_INFER_SCHEMA and wedge the restart
+            val store = spark.read
+              .schema(bands.schema.add("batch_id",
+                org.apache.spark.sql.types.LongType))
+              .parquet(storeDir)
               .withColumn("__bn", count(lit(1)).over(bw))
               .filter(col("__bn") <= 64).drop("__bn")
             val coll = bands
@@ -417,7 +441,13 @@ object StreamingJobs {
                 greatest(col("sid"), col("doc_id")).as("id_b"))
               .distinct().cache()
             releases += (() => coll.unpersist(false))
-            val storeDocs = spark.read.parquet(textDir)
+            // explicit schema again: with the bands store crashed
+            // empty, the texts dir can be exists-but-empty too, and
+            // this read is ANALYZED even when coll is empty
+            val storeDocs = spark.read
+              .schema(batch.schema.add("batch_id",
+                org.apache.spark.sql.types.LongType))
+              .parquet(textDir)
               .join(coll.select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
                 .distinct(), Seq("doc_id"), "left_semi")
             val all = storeDocs.select("doc_id", "text")

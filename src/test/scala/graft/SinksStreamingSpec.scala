@@ -530,6 +530,126 @@ class SinksStreamingSpec extends SparkSpec {
       "cluster maintenance must release every cache it takes")
   }
 
+  // ---- randomized crash-point replay property ----------------------
+  // The single-point replay tests above pin the two worst windows; the
+  // property below generalizes: crash at RANDOM batch boundaries and
+  // mid-batch points (seeded — reproducible) across both streaming
+  // jobs and assert the final stores equal the crash-free streaming
+  // run bit-for-bit. A crash is simulated faithfully: the partition
+  // writes that "never happened" are deleted AND the checkpoint's
+  // commit marker for that batch is removed, so the restarted query
+  // re-executes the SAME batchId over the same offsets — exactly the
+  // at-least-once replay a real crash produces. (Rolling back the
+  // cluster job's registry upsert is impossible by design — a crash
+  // after it leaves the merge applied — so that state is what the
+  // replay must tolerate, and does.)
+
+  private val crashBase =
+    "the quick brown fox jumps over the lazy dog near the river bank today"
+  private val crashAlt =
+    "completely different words about spark query engines and shuffles in production"
+  // 4 batches x 3 docs: exact dup across batches, near dups across
+  // batches, near dup within a batch, novel fillers
+  private def crashText(b: Int, j: Int): String = (b, j) match {
+    case (0, 0) => crashBase
+    case (2, 0) => crashBase                              // exact cross-batch dup
+    case (1, 1) => crashBase.replace("today", "tonight")  // near dup of batch 0
+    case (3, 2) => crashBase.replace("quick", "swift")    // near dup of batch 0
+    case (1, 2) => crashAlt
+    case (3, 0) => crashAlt.replace("production", "development") // near dup of batch 1
+    case _ => s"unique content row b$b j$j with no overlap " +
+      (s"w${b * 7 + j} " * 8)
+  }
+  private val crashBatches: Seq[Seq[(Long, String)]] =
+    (0 until 4).map(b => (0 until 3).map(j => ((b * 10 + j).toLong, crashText(b, j))))
+
+  private def delPath(p: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    ()
+  }
+
+  test("property: near-dup stream equals its crash-free run under random crash/replay points") {
+    implicit val sqlCtx = spark.sqlContext
+    // crash point per batch: 1 = after both writes, before the
+    // checkpoint commit; 2 = between the two writes (bands missing);
+    // 3 = before any write (both partitions missing)
+    def run(crashAt: Map[Int, Int]): (Set[Long], Long) = {
+      val (store, curated, chk) = (tmp() + "/ps", tmp() + "/pc", tmp() + "/pk")
+      val mem = MemoryStream[(Long, String)]
+      val df = mem.toDF().toDF("doc_id", "text")
+      crashBatches.zipWithIndex.foreach { case (b, i) =>
+        mem.addData(b: _*)
+        StreamingJobs.nearDupStream(df, store, curated, chk).awaitTermination()
+        crashAt.get(i).foreach { pt =>
+          if (pt >= 2) delPath(s"$store/batch_id=$i")
+          if (pt >= 3) delPath(s"$curated/batch_id=$i")
+          delPath(s"$chk/commits/$i")
+          StreamingJobs.nearDupStream(df, store, curated, chk).awaitTermination()
+        }
+      }
+      (spark.read.parquet(curated).select("doc_id")
+        .collect().map(_.getLong(0)).toSet,
+        spark.read.parquet(store).count())
+    }
+    val clean = run(Map.empty)
+    assert(clean._1.contains(0L) && !clean._1.contains(20L),
+      s"sanity: exact dup 20 must be dropped in the clean run: $clean")
+    val rnd = new scala.util.Random(20260815L)
+    (1 to 2).foreach { trial =>
+      val crashes = (0 until 4).flatMap(i =>
+        if (rnd.nextBoolean()) Some(i -> (1 + rnd.nextInt(3))) else None).toMap
+      val got = run(crashes)
+      assert(got == clean, s"trial $trial crashes=$crashes: $got vs $clean")
+    }
+    // adversarial: the worst point (between the two writes) at EVERY batch
+    val adv = run((0 until 4).map(_ -> 2).toMap)
+    assert(adv == clean, s"every-batch between-writes replay: $adv vs $clean")
+  }
+
+  test("property: cluster maintenance equals its crash-free run under random crash/replay points") {
+    implicit val sqlCtx = spark.sqlContext
+    // crash point: 1 = after all writes, before the checkpoint commit
+    // (labels upsert replays over itself); 2 = bands write lost;
+    // 3 = texts + bands writes lost (registry already updated — the
+    // unrollbackable prefix a real crash leaves)
+    def run(crashAt: Map[Int, Int]): (Map[Long, Long], Set[Long], Long) = {
+      val (store, texts, labels, chk) =
+        (tmp() + "/cs", tmp() + "/ct", tmp() + "/cl", tmp() + "/ck")
+      val mem = MemoryStream[(Long, String)]
+      val df = mem.toDF().toDF("doc_id", "text")
+      crashBatches.zipWithIndex.foreach { case (b, i) =>
+        mem.addData(b: _*)
+        StreamingJobs.clusterMaintStream(df, store, texts, labels, chk)
+          .awaitTermination()
+        crashAt.get(i).foreach { pt =>
+          if (pt >= 2) delPath(s"$store/batch_id=$i")
+          if (pt >= 3) delPath(s"$texts/batch_id=$i")
+          delPath(s"$chk/commits/$i")
+          StreamingJobs.clusterMaintStream(df, store, texts, labels, chk)
+            .awaitTermination()
+        }
+      }
+      (spark.read.parquet(labels).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap,
+        spark.read.parquet(texts).select("doc_id")
+          .collect().map(_.getLong(0)).toSet,
+        spark.read.parquet(store).count())
+    }
+    val clean = run(Map.empty)
+    assert(clean._1.nonEmpty && clean._2.size == 12,
+      s"sanity: all 12 docs admitted, clusters found: $clean")
+    val rnd = new scala.util.Random(20260815L)
+    (1 to 2).foreach { trial =>
+      val crashes = (0 until 4).flatMap(i =>
+        if (rnd.nextBoolean()) Some(i -> (1 + rnd.nextInt(3))) else None).toMap
+      val got = run(crashes)
+      assert(got == clean, s"trial $trial crashes=$crashes: $got vs $clean")
+    }
+    val adv = run((0 until 4).map(_ -> 3).toMap)
+    assert(adv == clean, s"every-batch full-write-loss replay: $adv vs $clean")
+  }
+
   test("staging-swap upsert: a concurrent reader sees old-or-new, never a mix") {
     import spark.implicits._
     val path = tmp() + "/swap_atomic"
