@@ -1,13 +1,22 @@
 #!/usr/bin/env python3
-"""Regenerate dev/shuffle_baseline.json from a bench stderr log.
+"""Regenerate dev/shuffle_baseline.json AND dev/time_baseline.json
+from a bench stderr log.
 
 Usage: run the bench capturing stderr, then feed the log:
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_REPS=1 \
       java ... graft.Bench 2> /tmp/bench_stderr.log
     python3 dev/update_shuffle_baseline.py /tmp/bench_stderr.log
 
-The baseline records per-query shuffle-write MB at sf0.1; Bench flags
-any query whose measured value exceeds baseline * 1.25 + 1 MB.
+The shuffle baseline records per-query shuffle-write MB at sf0.1;
+Bench flags any query whose measured value exceeds
+baseline * 1.25 + 1 MB (plan-determined, load-independent).
+
+The time baseline records per-query min seconds from the same
+accepted run; Bench self-adjudicates (isolated min-of-5 re-run) any
+query whose in-suite min exceeds baseline * 1.35 + 0.3 s
+(load-dependent counterpart). Only refresh both from a run you have
+inspected and accepted — a polluted run written as baseline would
+mask real regressions (shuffle) or adjudicate everything (time).
 """
 import json
 import re
@@ -15,18 +24,30 @@ import sys
 
 log = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench_stderr.log"
 out = sys.argv[2] if len(sys.argv) > 2 else "dev/shuffle_baseline.json"
+time_out = sys.argv[3] if len(sys.argv) > 3 else "dev/time_baseline.json"
 
-pat = re.compile(r"\[bench\] (\S+) reps=.* shuffle_mb=([0-9.]+)")
-baseline = {}
+pat = re.compile(r"\[bench\] (\S+) reps=\S+ min=([0-9.]+) max=[0-9.]+"
+                 r"(?: shuffle_mb=([0-9.]+))?")
+shuffle, times = {}, {}
 with open(log) as f:
     for line in f:
         m = pat.search(line)
         if m:
-            baseline[m.group(1)] = float(m.group(2))
+            times[m.group(1)] = float(m.group(2))
+            if m.group(3) is not None:
+                shuffle[m.group(1)] = float(m.group(3))
 
-if not baseline:
-    sys.exit(f"no [bench] shuffle_mb lines found in {log}")
+if not times:
+    sys.exit(f"no [bench] min= lines found in {log}")
 
-with open(out, "w") as f:
-    json.dump(dict(sorted(baseline.items())), f, indent=1)
-print(f"wrote {len(baseline)} entries to {out}")
+if shuffle:
+    with open(out, "w") as f:
+        json.dump(dict(sorted(shuffle.items())), f, indent=1)
+    print(f"wrote {len(shuffle)} entries to {out}")
+else:
+    print("no shuffle_mb values in log (metrics off?); "
+          f"left {out} untouched")
+
+with open(time_out, "w") as f:
+    json.dump(dict(sorted(times.items())), f, indent=1)
+print(f"wrote {len(times)} entries to {time_out}")
