@@ -63,6 +63,11 @@ object Explain {
     "q199_knn_ann_gated" -> ("Serving kNN: the retriever leg is bucket equi-joins " +
       "(the only cross join is the 20-probe exact AUDIT leg that stamps " +
       "rank_true); ANN top-5 and truth join on (q_id, c_id)."),
+    "q52_multimodal_decode" -> ("Tri-modal REAL decode: the image and audio legs " +
+      "are pure map-only synth+decode chains; the video leg adds exactly one " +
+      "partial-aggregated groupBy over its own frames (clip roll-up). Three " +
+      "codecs, zero stand-ins, one union — the shape of a mixed-modality " +
+      "100 TB curation pass."),
     "q200_mp4_meta" -> ("MP4 container walk: synth and parse are two map-only " +
       "mapPartitions stages — no shuffle until the presentation sort; the box " +
       "grammar runs per row inside the task."),

@@ -126,7 +126,10 @@ object HttpFetch {
             body = b // every received body is kept; retry may replace it
             if (!(s >= 500 || s == 408)) done = true
           } catch {
-            case _: java.io.IOException => status = -1 // connect/read failure
+            // connect/read failure: void BOTH fields — status and body
+            // must describe the same (last) attempt, so a stale 5xx
+            // body from an earlier attempt never rides with status -1
+            case _: java.io.IOException => status = -1; body = null
           }
           attempt += 1
         }
