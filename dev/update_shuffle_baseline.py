@@ -40,14 +40,36 @@ with open(log) as f:
 if not times:
     sys.exit(f"no [bench] min= lines found in {log}")
 
+
+def merge_write(path, fresh, what):
+    """MERGE-update the baseline: entries present in the log replace
+    their old values, entries absent from the log are KEPT. A subset
+    bench run (graft.Bench takes query-name args for dev iteration)
+    must never shrink the baseline — a shrunken time baseline would
+    silently disable clock adjudication for every dropped query."""
+    import os
+    old = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            old = json.load(f)
+    merged = dict(old)
+    merged.update(fresh)
+    stale = sorted(set(old) - set(fresh))
+    with open(path, "w") as f:
+        json.dump(dict(sorted(merged.items())), f, indent=1)
+    print(f"wrote {len(merged)} {what} entries to {path} "
+          f"({len(fresh)} refreshed from log, {len(stale)} kept from "
+          f"the previous baseline)")
+    if stale and len(fresh) >= len(old):
+        print(f"  note: possibly-stale entries not in this full-sized "
+              f"log (renamed/removed queries?): {', '.join(stale[:8])}"
+              + (" ..." if len(stale) > 8 else ""))
+
+
 if shuffle:
-    with open(out, "w") as f:
-        json.dump(dict(sorted(shuffle.items())), f, indent=1)
-    print(f"wrote {len(shuffle)} entries to {out}")
+    merge_write(out, shuffle, "shuffle-MB")
 else:
     print("no shuffle_mb values in log (metrics off?); "
           f"left {out} untouched")
 
-with open(time_out, "w") as f:
-    json.dump(dict(sorted(times.items())), f, indent=1)
-print(f"wrote {len(times)} entries to {time_out}")
+merge_write(time_out, times, "time")

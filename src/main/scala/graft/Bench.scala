@@ -163,8 +163,9 @@ object Bench {
     // so sub-second queries don't flap on scheduler jitter) is re-run
     // min-of-5 AFTER the whole suite with the usual cache/GC hygiene
     // between reps, and the JSON line carries the adjudicated minimum
-    // next to the in-suite one. Bounded to the 12 worst offenders by
-    // regression ratio. The shuffle-byte gate above stays the
+    // next to the in-suite one (-1 when any isolated rep THREW — a
+    // crash must never read as "fast again"). Bounded to the 12 worst
+    // offenders by regression ratio. The shuffle-byte gate above stays the
     // load-INDEPENDENT check; this is the load-DEPENDENT counterpart.
     // SPARK_GRAFT_BENCH_NO_ADJUDICATE=1 turns it off (A/B control).
     val timeBaselinePath = java.nio.file.Paths.get("dev/time_baseline.json")
@@ -185,16 +186,22 @@ object Bench {
         suspects.map { case (q, b, ratio) =>
           System.err.println(s"[bench] ADJUDICATING $q: in-suite min " +
             s"${f2(results.toMap.apply(q))}s vs baseline ${f2(b)}s (x${f2(ratio)})")
+          // a rep that THROWS must not report its time-to-crash as a
+          // clean minimum (a regression that is really an OOM/failure
+          // would read as "fast again = box drift"): failed
+          // adjudications publish -1, the investigate-me sentinel
+          var failed = false
           val ts = (1 to 5).map { _ =>
             val t0 = System.nanoTime()
-            try run(sfDir, q) catch { case _: Throwable => () }
+            try run(sfDir, q) catch { case _: Throwable => failed = true }
             val dt = (System.nanoTime() - t0) / 1e9
             cleanup()
             dt
           }
           System.err.println(s"[bench] adjudicated $q " +
-            s"reps=${ts.map(f2).mkString(",")} min=${f2(ts.min)}")
-          q -> ts.min
+            s"reps=${ts.map(f2).mkString(",")} min=${f2(ts.min)}" +
+            (if (failed) " FAILED-REPS" else ""))
+          q -> (if (failed) -1.0 else ts.min)
         }
       }
     // Keep the JSON line SHORT (2-decimal times, basename sf) and print

@@ -47,9 +47,11 @@ object Materialize {
     *    the cluster posture: the result never visits the driver, the
     *    returned frame is an ordinary parquet leaf whose (sublinear)
     *    size lets Spark broadcast it downstream, and durability comes
-    *    from the filesystem instead of executor memory. Staging files
-    *    live until the caller clears the directory (a session-scoped
-    *    temp dir on a real cluster). */
+    *    from the filesystem instead of executor memory. Staging
+    *    tables accumulate one per call (iterative callers — the
+    *    k-core loop, incremental CC — localize every round): call
+    *    [[clearStaging]] at a point where no localized frame is
+    *    still live (job boundary) to reclaim them. */
   def localize(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption(StagingDirKey).filter(_.nonEmpty) match {
@@ -63,6 +65,23 @@ object Materialize {
         spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
     }
   }
+
+  /** Reclaim every staging table [[localize]] has written under the
+    * configured [[StagingDirKey]] directory. ONLY safe when no frame
+    * returned by the staged path is still consumed (they are lazy
+    * parquet scans — deleting under a live one fails its next
+    * action): the job-boundary counterpart of [[release]] for the
+    * cluster posture. No-op when the key is unset or the dir absent. */
+  def clearStaging(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.conf.getOption(StagingDirKey).filter(_.nonEmpty).foreach { dir =>
+      import org.apache.hadoop.fs.Path
+      val p = new Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
+        fs.listStatus(p)
+          .filter(_.getPath.getName.startsWith("localize_"))
+          .foreach(s => fs.delete(s.getPath, true))
+    }
 
   /** Free a leafCache'd frame's stored blocks NOW. Only safe once the
     * frame's data is no longer needed (consumer's action finished, or

@@ -3,7 +3,6 @@ package graft.ops.multimodal
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import java.security.MessageDigest
 
 /** Multimodal column plumbing: opaque binary payloads + typed
   * metadata, with a batch-shaped decode/feature-extract stage.

@@ -13,10 +13,12 @@ import graft.ops.UpsertMerge
   *    statement is exactly what the reference's daily weather MERGE
   *    does (`weather.py:1697-1732`); `insertOnly = true` is the
   *    mid-range variant that never updates (`weather.py:2420-2443`).
-  *    No such format ships in this sandbox, so the statement TEXT and
-  *    its semantics are contract-tested instead: MergeSinkSpec runs
-  *    an independent row-wise interpreter of the emitted statement
-  *    and the parquet path to identical tables.
+  *    No Delta/Iceberg ships in this sandbox, so MergeSinkSpec
+  *    EXECUTES the emitted statement against an in-repo V2 table
+  *    implementing the public row-level-operation connector API
+  *    (graft.v2.GraftMemCatalog, group-based — Spark's own MERGE
+  *    rewrite plans the ReplaceData) and additionally holds both
+  *    paths to an independent row-wise interpreter of the statement.
   *  - [[mergeIntoParquet]]: the plain-parquet fallback — the
   *    crash-recovering staging-swap ([[Sinks.upsertParquet]]
   *    machinery) with [[UpsertMerge]] supplying the same matched/
@@ -72,9 +74,24 @@ object MergeSink {
   /** Parquet fallback: identical matched/not-matched semantics via
     * the staging-swap (all-or-nothing promote, crash recovery and
     * concurrent-reader old-or-new atomicity inherited from
-    * [[Sinks.upsertParquet]]'s machinery). */
+    * [[Sinks.upsertParquet]]'s machinery). Enforces the facade's
+    * key-unique-source contract EXPLICITLY: `MERGE INTO` throws on
+    * multiple source matches per target row, and the parquet path
+    * must not silently accept (and arbitrarily resolve) what the
+    * lakehouse path rejects — a dup-keyed source fails loudly here
+    * too, BEFORE any write. One aggregation over the (small-by-
+    * contract) incoming side. */
   def mergeIntoParquet(spark: SparkSession, path: String, incoming: DataFrame,
-                       keys: Seq[String], insertOnly: Boolean = false): Unit =
+                       keys: Seq[String], insertOnly: Boolean = false): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val dup = incoming.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"MERGE source has multiple rows for key ${dup.headOption.orNull} — " +
+        "MERGE INTO would reject this (multiple source rows match a " +
+        "target row); dedup the source first (LatestRecord)")
     Sinks.mergeParquet(spark, incoming, path, keys,
       if (insertOnly) UpsertMerge.insertIfAbsent else UpsertMerge.upsert)
+  }
 }

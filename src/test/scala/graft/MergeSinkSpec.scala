@@ -3,16 +3,18 @@ package graft
 import java.nio.file.Files
 import graft.sinks.MergeSink
 
-/** Contract spec for the format-abstracted MERGE sink: the emitted
-  * two-branch MERGE INTO statement defines the semantics; an
-  * INDEPENDENT row-wise interpreter of that statement (a per-key
-  * mutable map — nothing shared with UpsertMerge's one-shuffle
-  * aggregation) and the parquet staging-swap path must produce
-  * identical tables on the same inputs, for both the update and the
-  * insert-only branch shapes. No MERGE-capable table format ships in
-  * this sandbox, so statement EXECUTION against Delta/Iceberg is the
-  * one leg that stays environment-bound (mergeIntoTable wires it);
-  * the statement text itself is asserted exactly. */
+/** Contract spec for the format-abstracted MERGE sink, THREE legs
+  * held to one semantics: (1) an INDEPENDENT row-wise interpreter of
+  * the emitted statement (a per-key mutable map — nothing shared with
+  * UpsertMerge's one-shuffle aggregation); (2) the parquet
+  * staging-swap path; (3) the statement EXECUTED for real — no
+  * Delta/Iceberg ships in this sandbox, so [[graft.v2.
+  * GraftMemCatalog]] implements the public row-level-operation
+  * connector API and Spark's own MERGE rewrite (ReplaceData over a
+  * full-outer MergeRows) runs the emitted SQL end to end. All three
+  * must agree on the same inputs, for both the update and the
+  * insert-only branch shapes; the statement text is also asserted
+  * exactly, and a dup-keyed source is rejected on every path. */
 class MergeSinkSpec extends SparkSpec {
   import spark.implicits._
 
@@ -69,6 +71,20 @@ class MergeSinkSpec extends SparkSpec {
     runBoth(insertOnly = true)
   }
 
+  test("parquet path rejects a duplicate-key source exactly like MERGE INTO would") {
+    val path = tmp() + "/t_dup"
+    MergeSink.mergeIntoParquet(spark, path, df(target), Seq("k"))
+    val before = spark.read.parquet(path).count()
+    val dupSource = df(Seq((Option(2L), "TWO", 22), (Option(2L), "two2", 23)))
+    val e = intercept[IllegalArgumentException] {
+      MergeSink.mergeIntoParquet(spark, path, dupSource, Seq("k"))
+    }
+    assert(e.getMessage.contains("multiple rows"), e.getMessage)
+    // the loud failure happened BEFORE any write touched the target
+    assert(spark.read.parquet(path).count() == before,
+      "a rejected merge must leave the target untouched")
+  }
+
   test("emitted statement is the canonical two-branch MERGE INTO") {
     val got = MergeSink.mergeStatement(
       "lake.weather", "src_v", Seq("k", "name", "v"), Seq("k"))
@@ -89,12 +105,73 @@ class MergeSinkSpec extends SparkSpec {
     assert(!allKeys.contains("WHEN MATCHED"), allKeys)
   }
 
-  test("mergeIntoTable emits SQL the session parser accepts (no MERGE-capable format here)") {
-    // the statement must be syntactically valid MERGE SQL: against a
-    // plain parquet session-catalog table Spark parses + analyzes it
-    // and rejects it only at the table-capability check, proving the
-    // emitted text is executable exactly where the format supports
-    // row-level operations
+  // ---- REAL executed MERGE INTO: third leg of the contract --------
+  // graft.v2.GraftMemCatalog implements the public row-level-
+  // operation connector API (group-based, the Delta/Iceberg
+  // copy-on-write posture), so mergeIntoTable's emitted statement
+  // EXECUTES here through Spark's own MERGE rewrite (ReplaceData) —
+  // update and insert-only branches both checked against the same
+  // row-wise interpreter the parquet path is held to.
+  private def memTable(name: String,
+                       rows: Seq[(Option[Long], String, Int)]): String = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.v2.GraftMemCatalog].getName)
+    val cat = spark.sessionState.catalogManager.catalog("graftmem")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("ns"), name)
+    if (cat.tableExists(ident)) cat.dropTable(ident)
+    cat.createTable(ident, df(rows).schema,
+      Array.empty[org.apache.spark.sql.connector.expressions.Transform],
+      new java.util.HashMap[String, String]())
+    val t = s"graftmem.ns.$name"
+    df(rows).writeTo(t).append()
+    t
+  }
+
+  private def readBack(t: String): Seq[(Option[Long], String, Int)] =
+    spark.table(t).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getString(1), r.getInt(2)))
+      .sortBy(r => (r._1.getOrElse(Long.MinValue), r._2)).toSeq
+
+  test("the emitted MERGE INTO EXECUTES against a row-level-capable V2 table (update branch)") {
+    val t = memTable("m_up", target)
+    MergeSink.mergeIntoTable(spark, t, df(source), Seq("k"))
+    val want = interpret(target, source, insertOnly = false)
+      .sortBy(r => (r._1.getOrElse(Long.MinValue), r._2))
+    assert(readBack(t) == want,
+      s"executed MERGE ${readBack(t)} vs statement semantics $want")
+  }
+
+  test("the emitted MERGE INTO EXECUTES against a row-level-capable V2 table (insert-only)") {
+    val t = memTable("m_ins", target)
+    MergeSink.mergeIntoTable(spark, t, df(source), Seq("k"), insertOnly = true)
+    val want = interpret(target, source, insertOnly = true)
+      .sortBy(r => (r._1.getOrElse(Long.MinValue), r._2))
+    assert(readBack(t) == want,
+      s"executed insert-only MERGE ${readBack(t)} vs statement semantics $want")
+  }
+
+  test("all three paths agree: executed MERGE == parquet staging-swap == interpreter") {
+    val t = memTable("m_tri", target)
+    MergeSink.mergeIntoTable(spark, t, df(source), Seq("k"))
+    val path = tmp() + "/t_tri"
+    MergeSink.mergeIntoParquet(spark, path, df(target), Seq("k"))
+    MergeSink.mergeIntoParquet(spark, path, df(source), Seq("k"))
+    val viaParquet = spark.read.parquet(path).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getString(1), r.getInt(2)))
+      .sortBy(r => (r._1.getOrElse(Long.MinValue), r._2)).toSeq
+    assert(readBack(t) == viaParquet,
+      s"executed MERGE ${readBack(t)} vs parquet path $viaParquet")
+  }
+
+  test("against a NON-row-level v1 table the statement fails only at the capability check") {
+    // the negative leg: against a plain parquet session-catalog table
+    // Spark parses + analyzes the emitted statement and rejects it
+    // only at the table-capability check — the same SQL that executes
+    // against the row-level-capable catalog above
     spark.sql("DROP TABLE IF EXISTS graft_merge_contract")
     Seq((1L, "a")).toDF("k", "s").write.saveAsTable("graft_merge_contract")
     val e = intercept[Exception] {

@@ -294,6 +294,14 @@ class OpsSpec extends SparkSpec {
       assert(empty.count() == 0 &&
         empty.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
           src.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+      // clearStaging reclaims every per-call staging table (the
+      // job-boundary cleanup for iterative callers)
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.listStatus(p).count(_.getPath.getName.startsWith("localize_")) == 2)
+      Materialize.clearStaging(spark)
+      assert(fs.listStatus(p).count(_.getPath.getName.startsWith("localize_")) == 0,
+        "clearStaging must delete all localize_* staging tables")
     } finally spark.conf.unset(Materialize.StagingDirKey)
   }
 
