@@ -85,6 +85,17 @@ class MergeSinkSpec extends SparkSpec {
       "a rejected merge must leave the target untouched")
   }
 
+  test("empty source and empty target degenerate cleanly on the parquet path") {
+    val path = tmp() + "/t_empty"
+    // empty source into an ABSENT target: creates the (empty) table
+    MergeSink.mergeIntoParquet(spark, path, df(Nil), Seq("k"))
+    assert(spark.read.parquet(path).count() == 0)
+    // real rows into the empty table, then an empty source = no-op
+    MergeSink.mergeIntoParquet(spark, path, df(target), Seq("k"))
+    MergeSink.mergeIntoParquet(spark, path, df(Nil), Seq("k"))
+    assert(spark.read.parquet(path).count() == target.size.toLong)
+  }
+
   test("emitted statement is the canonical two-branch MERGE INTO") {
     val got = MergeSink.mergeStatement(
       "lake.weather", "src_v", Seq("k", "name", "v"), Seq("k"))
