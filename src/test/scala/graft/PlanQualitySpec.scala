@@ -35,6 +35,17 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q52 tri-modal decode: exactly one data exchange (the video clip roll-up)") {
+    // image and audio legs are pure map-only synth+decode chains; the
+    // video leg's per-clip aggregation is the ONLY hash exchange —
+    // more would mean a decode leg quietly grew a shuffle, fewer
+    // would mean the roll-up lost its partial-aggregate shape
+    val df = QueryCatalogSim.all("q52_multimodal_decode")(spark, "/root/testdata/sf0.001")
+    val p = finalPlan(df)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected exactly 1 hash exchange (video roll-up), got $hashEx:\n${p.take(1200)}")
+  }
+
   test("q103/q106 plans contain no lang-partitioned Window (the round-8 weaks)") {
     // the per-language running token sums are DistributedRank.prefixSum
     // (range shuffle + broadcast offsets) — a partitionBy(lang) window
