@@ -29,13 +29,22 @@ time_out = sys.argv[3] if len(sys.argv) > 3 else "dev/time_baseline.json"
 pat = re.compile(r"\[bench\] (\S+) reps=\S+ min=([0-9.]+) max=[0-9.]+"
                  r"(?: shuffle_mb=([0-9.]+))?")
 shuffle, times = {}, {}
+skipped_failed = []
 with open(log) as f:
     for line in f:
         m = pat.search(line)
         if m:
+            # a FAILED-REPS line's min is time-to-crash, not cost —
+            # never bake it into either accepted baseline
+            if "FAILED-REPS" in line:
+                skipped_failed.append(m.group(1))
+                continue
             times[m.group(1)] = float(m.group(2))
             if m.group(3) is not None:
                 shuffle[m.group(1)] = float(m.group(3))
+if skipped_failed:
+    print(f"skipped {len(skipped_failed)} FAILED-REPS queries: "
+          + ", ".join(skipped_failed[:8]))
 
 if not times:
     sys.exit(f"no [bench] min= lines found in {log}")

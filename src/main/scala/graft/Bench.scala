@@ -96,11 +96,17 @@ object Bench {
       shuffleBytes.get()
     }
     val shuffleMb = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // queries whose timed reps THREW: their clock is time-to-crash,
+    // not cost — marked on the stderr line (the baseline updater
+    // skips marked lines so a crash time is never baked into the
+    // accepted baseline), listed in the JSON, and excluded from
+    // clock adjudication (a crash is a verify-gate problem, not drift)
+    val failedQueries = scala.collection.mutable.LinkedHashSet.empty[String]
     val repTimes = try names.map { name =>
       val sh0 = drainedShuffle()
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try run(sfDir, name) catch { case _: Throwable => () }
+        try run(sfDir, name) catch { case _: Throwable => failedQueries += name }
         val dt = (System.nanoTime() - t0) / 1e9
         cleanup()
         dt
@@ -118,7 +124,8 @@ object Bench {
       System.err.println(
         s"[bench] $name reps=${times.map(f2).mkString(",")} " +
           s"min=${f2(times.min)} max=${f2(times.max)}" +
-          (if (metricsOn) s" shuffle_mb=${f2(shuffleMb(name))}" else ""))
+          (if (metricsOn) s" shuffle_mb=${f2(shuffleMb(name))}" else "") +
+          (if (failedQueries.contains(name)) " FAILED-REPS" else ""))
       name -> times
     } finally if (metricsOn) spark.sparkContext.removeSparkListener(shuffleListener)
     // Shuffle-byte regression GATE: per-query shuffle write is plan-
@@ -180,12 +187,13 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
         val suspects = results.flatMap { case (q, sec) =>
           base.get(q).collect {
-            case b if sec > b * 1.35 + 0.3 => (q, b, sec / math.max(b, 1e-9))
+            case b if sec > b * 1.35 + 0.3 && !failedQueries.contains(q) =>
+              (q, sec, b, sec / math.max(b, 1e-9))
           }
-        }.sortBy(-_._3).take(12)
-        suspects.map { case (q, b, ratio) =>
+        }.sortBy(-_._4).take(12)
+        suspects.map { case (q, sec, b, ratio) =>
           System.err.println(s"[bench] ADJUDICATING $q: in-suite min " +
-            s"${f2(results.toMap.apply(q))}s vs baseline ${f2(b)}s (x${f2(ratio)})")
+            s"${f2(sec)}s vs baseline ${f2(b)}s (x${f2(ratio)})")
           // a rep that THROWS must not report its time-to-crash as a
           // clean minimum (a regression that is really an OOM/failure
           // would read as "fast again = box drift"): failed
@@ -242,6 +250,11 @@ object Bench {
         if (adjudicated.isEmpty) ""
         else adjudicated.map { case (k, v) => "\"" + k + "\":" + f2(v) }
           .mkString(""","adjudicated":{""", ",", "}")
+      // queries whose timed reps threw: their clocks are invalid
+      val failPart =
+        if (failedQueries.isEmpty) ""
+        else failedQueries.map("\"" + _ + "\"")
+          .mkString(""","failed_queries":[""", ",", "]")
       // top-5 shuffle writers only (full per-query values on stderr):
       // the quantitative exchange audit, kept tiny for the tail budget
       val shPart =
@@ -256,7 +269,7 @@ object Bench {
               .mkString(""","shuffle_regressions":[""", ",", "]")
           s""","shuffle_mb_total":${f2(shuffleMb.values.sum)},"shuffle_mb_top":$top$regPart"""
         }
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$repsPart$adjPart$shPart,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$repsPart$adjPart$failPart$shPart,"sf":"$sfName"}"""
     }
     val bySlowest = results.sortBy(-_._2)
     var keep = bySlowest

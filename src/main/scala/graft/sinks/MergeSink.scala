@@ -24,14 +24,20 @@ import graft.ops.UpsertMerge
   *    machinery) with [[UpsertMerge]] supplying the same matched/
   *    not-matched semantics as a one-shuffle partial aggregation.
   *
-  * Both paths require the SOURCE to be key-unique: `MERGE INTO`
-  * itself throws on multiple source matches per target row (Delta's
-  * DELTA_MULTIPLE_SOURCE_ROW_MATCHING error), so the parquet path
-  * must not silently accept what the lakehouse path rejects —
-  * callers dedup first (LatestRecord) like any MERGE user would.
-  * Key equality is NULL-SAFE (`<=>`) on both paths: the parquet
-  * path's groupBy treats null keys as one group, so the emitted ON
-  * clause must too. */
+  * BOTH paths enforce a key-unique SOURCE eagerly, before touching
+  * the target. This is deliberately STRICTER than raw MERGE INTO
+  * (which throws only when dup source rows match an existing target
+  * row, and on a not-matched-only dup silently inserts the key
+  * twice): the facade's contract is keyed-upsert into a key-unique
+  * table, and the parquet path's aggregation would otherwise
+  * arbitrarily resolve what the executed statement duplicates — one
+  * facade must not have two behaviors. Callers dedup first
+  * (LatestRecord) like any MERGE user would. The incoming frame is
+  * cached around the check-then-merge pair so a non-deterministic
+  * source cannot pass the gate with one set of rows and merge with
+  * another. Key equality is NULL-SAFE (`<=>`) on both paths: the
+  * parquet path's groupBy treats null keys as one group, so the
+  * emitted ON clause must too. */
 object MergeSink {
 
   /** The canonical two-branch MERGE statement for `table`, reading
@@ -57,41 +63,53 @@ object MergeSink {
        |${matched}WHEN NOT MATCHED THEN INSERT ($ins) VALUES ($vals)""".stripMargin
   }
 
-  /** Execute the two-branch MERGE against a catalog table whose
-    * format supports row-level operations. The incoming frame is
-    * registered as a temp view for the statement's USING clause. */
-  def mergeIntoTable(spark: SparkSession, table: String, incoming: DataFrame,
-                     keys: Seq[String], insertOnly: Boolean = false): Unit = {
-    val view = "graft_merge_src_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    incoming.createOrReplaceTempView(view)
-    try spark.sql(mergeStatement(
-      table, view, incoming.columns.toSeq, keys, insertOnly))
-    finally spark.catalog.dropTempView(view)
-    ()
-  }
-
-  /** Parquet fallback: identical matched/not-matched semantics via
-    * the staging-swap (all-or-nothing promote, crash recovery and
-    * concurrent-reader old-or-new atomicity inherited from
-    * [[Sinks.upsertParquet]]'s machinery). Enforces the facade's
-    * key-unique-source contract EXPLICITLY: `MERGE INTO` throws on
-    * multiple source matches per target row, and the parquet path
-    * must not silently accept (and arbitrarily resolve) what the
-    * lakehouse path rejects — a dup-keyed source fails loudly here
-    * too, BEFORE any write. One aggregation over the (small-by-
-    * contract) incoming side. */
-  def mergeIntoParquet(spark: SparkSession, path: String, incoming: DataFrame,
-                       keys: Seq[String], insertOnly: Boolean = false): Unit = {
+  /** The shared key-unique-source gate (see the object scaladoc):
+    * one aggregation over the small-by-contract incoming side,
+    * BEFORE any write. Callers pass an already-cached frame so the
+    * gate and the merge read the same materialization. */
+  private def requireKeyUnique(incoming: DataFrame, keys: Seq[String]): Unit = {
     import org.apache.spark.sql.functions.{col, count, lit}
     val dup = incoming.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
       .limit(1).collect()
     require(dup.isEmpty,
       s"MERGE source has multiple rows for key ${dup.headOption.orNull} — " +
-        "MERGE INTO would reject this (multiple source rows match a " +
-        "target row); dedup the source first (LatestRecord)")
-    Sinks.mergeParquet(spark, incoming, path, keys,
-      if (insertOnly) UpsertMerge.insertIfAbsent else UpsertMerge.upsert)
+        "a keyed merge must not arbitrarily resolve (parquet path) or " +
+        "duplicate (MERGE INTO not-matched dups) them; dedup the source " +
+        "first (LatestRecord)")
+  }
+
+  /** Execute the two-branch MERGE against a catalog table whose
+    * format supports row-level operations. The incoming frame is
+    * registered as a temp view for the statement's USING clause;
+    * the key-unique gate runs first on the same cached frame. */
+  def mergeIntoTable(spark: SparkSession, table: String, incoming: DataFrame,
+                     keys: Seq[String], insertOnly: Boolean = false): Unit = {
+    val inc = incoming.cache()
+    try {
+      requireKeyUnique(inc, keys)
+      val view = "graft_merge_src_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      inc.createOrReplaceTempView(view)
+      try spark.sql(mergeStatement(
+        table, view, inc.columns.toSeq, keys, insertOnly))
+      finally spark.catalog.dropTempView(view)
+      ()
+    } finally inc.unpersist()
+  }
+
+  /** Parquet fallback: identical matched/not-matched semantics via
+    * the staging-swap (all-or-nothing promote, crash recovery and
+    * concurrent-reader old-or-new atomicity inherited from
+    * [[Sinks.upsertParquet]]'s machinery). The shared key-unique
+    * gate runs first, on the same cached frame the merge reads. */
+  def mergeIntoParquet(spark: SparkSession, path: String, incoming: DataFrame,
+                       keys: Seq[String], insertOnly: Boolean = false): Unit = {
+    val inc = incoming.cache()
+    try {
+      requireKeyUnique(inc, keys)
+      Sinks.mergeParquet(spark, inc, path, keys,
+        if (insertOnly) UpsertMerge.insertIfAbsent else UpsertMerge.upsert)
+    } finally inc.unpersist()
   }
 }

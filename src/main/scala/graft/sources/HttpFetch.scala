@@ -86,13 +86,14 @@ object HttpFetch {
 
   /** Executor-side fan-out: fetch every row's `urlCol` with bounded
     * same-request retry (5xx/408, exponential backoff), appending
-    * (http_status, body) — body is the LAST response body the server
-    * sent, INCLUDING a final-attempt 5xx page (a 404/400/500
-    * diagnostic envelope is data: the KMA result codes ride in
-    * non-2xx bodies, and downstream must be able to tell "server
-    * answered with an error" from "connection never succeeded");
-    * body is null only for rows that never received any response
-    * (status -1), never a task
+    * (http_status, body) — status and body always describe the same
+    * LAST attempt: a received response keeps its body, INCLUDING a
+    * final-attempt 5xx page (a 404/400/500 diagnostic envelope is
+    * data: the KMA result codes ride in non-2xx bodies, and
+    * downstream must be able to tell "server answered with an error"
+    * from "connection never succeeded"); a connect/read failure
+    * yields (-1, null) even when an EARLIER attempt had answered —
+    * a stale body must never ride with status -1. Never a task
     * failure (the per-farm try/except of
     * productivity.py:99-146; the completeness gate downstream decides
     * whether the batch stands). One HttpClient per PARTITION (socket

@@ -164,6 +164,21 @@ class MergeSinkSpec extends SparkSpec {
       s"executed insert-only MERGE ${readBack(t)} vs statement semantics $want")
   }
 
+  test("the executed-MERGE leg rejects a duplicate-key source like the parquet leg") {
+    // raw MERGE INTO would silently insert a not-matched dup key
+    // TWICE — the facade is deliberately stricter and gates BOTH
+    // paths identically, so one pipeline cannot behave differently
+    // per sink format
+    val t = memTable("m_dup", target)
+    val dupSource = df(Seq((Option(9L), "nine", 90), (Option(9L), "NINE", 91)))
+    val e = intercept[IllegalArgumentException] {
+      MergeSink.mergeIntoTable(spark, t, dupSource, Seq("k"))
+    }
+    assert(e.getMessage.contains("multiple rows"), e.getMessage)
+    assert(readBack(t) == target.sortBy(r => (r._1.getOrElse(Long.MinValue), r._2)),
+      "a rejected merge must leave the V2 table untouched")
+  }
+
   test("all three paths agree: executed MERGE == parquet staging-swap == interpreter") {
     val t = memTable("m_tri", target)
     MergeSink.mergeIntoTable(spark, t, df(source), Seq("k"))

@@ -188,16 +188,17 @@ class GraftMemWriterFactory(schema: StructType) extends DataWriterFactory {
             op == org.apache.spark.sql.catalyst.util.RowDeltaUtils.WRITE_WITH_METADATA_OPERATION
         }), s"unexpected write row shape: ${row.numFields} fields for " +
           s"${types.length} data columns")
-        // copy OUT of the reused row into serializable catalyst values
+        // copy the WHOLE row out of the writer's reused buffer first
+        // (row.copy() gives the extracted values — UTF8String, array,
+        // struct, binary views — a private backing buffer), THEN
+        // extract: per-type copies would miss every buffer-backed
+        // type except the one remembered
+        val stable = row.copy()
         val vals = new Array[Any](types.length)
         var i = 0
         while (i < types.length) {
-          vals(i) = if (row.isNullAt(i + off)) null else {
-            row.get(i + off, types(i)) match {
-              case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
-              case v => v
-            }
-          }
+          vals(i) = if (stable.isNullAt(i + off)) null
+            else stable.get(i + off, types(i))
           i += 1
         }
         buf += vals
