@@ -37,7 +37,8 @@ object Materialize {
     * minLabelLocalized discipline). ONLY for corpus-SUBLINEAR results
     * (verified near-dup pairs, component labels, per-group reports).
     *
-    * Two bit-equal paths (MaterializeSpec proves the equivalence):
+    * Two bit-equal paths (OpsSpec's "localize staging path" case
+    * proves the equivalence):
     *  - default: driver collect into a LocalRelation — right when the
     *    result is small enough to live on the driver (the local[32]
     *    test posture);
@@ -51,12 +52,19 @@ object Materialize {
     *    tables accumulate one per call (iterative callers — the
     *    k-core loop, incremental CC — localize every round): call
     *    [[clearStaging]] at a point where no localized frame is
-    *    still live (job boundary) to reclaim them. */
+    *    still live (job boundary) to reclaim them.
+    *
+    * Staging tables are namespaced PER APPLICATION
+    * (`dir/<applicationId>/localize_<uuid>`): two Spark processes
+    * sharing one staging dir (bench + verify on one box) must not be
+    * able to delete each other's live lazy staging scans via
+    * [[clearStaging]] — each application reclaims only its own
+    * namespace. */
   def localize(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption(StagingDirKey).filter(_.nonEmpty) match {
       case Some(dir) =>
-        val path = dir.stripSuffix("/") + "/localize_" +
+        val path = appStagingDir(spark, dir) + "/localize_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
         df.write.mode("overwrite").parquet(path)
         spark.read.schema(df.schema).parquet(path)
@@ -66,21 +74,27 @@ object Materialize {
     }
   }
 
-  /** Reclaim every staging table [[localize]] has written under the
-    * configured [[StagingDirKey]] directory. ONLY safe when no frame
-    * returned by the staged path is still consumed (they are lazy
-    * parquet scans — deleting under a live one fails its next
-    * action): the job-boundary counterpart of [[release]] for the
-    * cluster posture. No-op when the key is unset or the dir absent. */
+  /** This application's staging namespace under `dir` — the unit
+    * [[clearStaging]] reclaims. */
+  private def appStagingDir(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): String =
+    dir.stripSuffix("/") + "/" + spark.sparkContext.applicationId
+
+  /** Reclaim every staging table THIS application's [[localize]]
+    * calls have written under the configured [[StagingDirKey]]
+    * directory (the per-application namespace only — another
+    * process's live staging scans under the same shared dir are
+    * never touched). ONLY safe when no frame returned by the staged
+    * path is still consumed (they are lazy parquet scans — deleting
+    * under a live one fails its next action): the job-boundary
+    * counterpart of [[release]] for the cluster posture. No-op when
+    * the key is unset or the dir absent. */
   def clearStaging(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.conf.getOption(StagingDirKey).filter(_.nonEmpty).foreach { dir =>
       import org.apache.hadoop.fs.Path
-      val p = new Path(dir)
+      val p = new Path(appStagingDir(spark, dir))
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p))
-        fs.listStatus(p)
-          .filter(_.getPath.getName.startsWith("localize_"))
-          .foreach(s => fs.delete(s.getPath, true))
+      if (fs.exists(p)) fs.delete(p, true)
     }
 
   /** Free a leafCache'd frame's stored blocks NOW. Only safe once the

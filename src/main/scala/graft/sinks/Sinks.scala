@@ -91,6 +91,27 @@ object Sinks {
     * FULL root-file set and only root deletion remains. */
   private[graft] val MigratedMarker = "_graft_migrated"
 
+  /** Manifest of the root file names a [[migrateToBatchLayout]] run
+    * is migrating, written BEFORE the partition write. Two jobs:
+    * (a) its presence tells a replay that any batch_id=-1 content is
+    * a crashed DERIVED copy of the still-present roots (rewrite
+    * wholesale), not previously-migrated data that must be preserved;
+    * (b) the delete leg removes only LISTED files, so a root file
+    * appended by an old-binary writer inside the crash window is
+    * never deleted unmigrated (it migrates on the next call). */
+  private[graft] val MigratingManifest = "_graft_migrating"
+
+  /** Backup dir holding a PRE-EXISTING batch_id=-1 partition's files
+    * while [[migrateToBatchLayout]] folds reappeared root files into
+    * it: the previously-migrated rows stay durable on disk until the
+    * union write has committed and the delete leg removes the backup.
+    * Underscore-prefixed, so partition discovery ignores it. */
+  private[graft] val PremigrateBackup = "_graft_premigrate_backup"
+
+  /** Lock file serializing [[migrateToBatchLayout]] invocations on
+    * one dir. */
+  private[graft] val MigrateLock = "_graft_migrate_lock"
+
   /** One-time layout migration for the streaming stores that moved
     * from plain `mode("append")` to batch_id-partitioned dynamic
     * overwrite (nearDupStream / clusterMaintStream): a directory
@@ -104,50 +125,172 @@ object Sinks {
     * only copy lived in non-replicated localCheckpoint blocks).
     *
     * Crash protocol, every window replay-safe:
-    *  - crash before/during the partition write: roots intact, no
-    *    marker — the replay re-reads the FULL root set and dynamic
-    *    overwrite replaces the (possibly partial) partition wholesale;
+    *  - crash before/during the partition write: roots intact, the
+    *    [[MigratingManifest]] present, no marker — the replay
+    *    re-reads the FULL root set (plus the [[PremigrateBackup]] if
+    *    one was taken) and dynamic overwrite replaces the (possibly
+    *    partial) partition wholesale;
     *  - crash after the write but before the [[MigratedMarker]] is
     *    created: same as above (the rewrite is idempotent);
     *  - crash mid-delete: the marker says the partition already holds
     *    the full root set, so the replay must NOT rewrite from the
     *    now-partial roots (that would shrink the partition to the
-    *    surviving files) — it only finishes deleting and drops the
-    *    marker.
-    * No-op on empty, absent, or already-partitioned dirs. Not safe
-    * against CONCURRENT readers of the same dir mid-migration (mixed
-    * root+partition layouts confuse partition discovery); callers run
-    * it at stream (re)start before any read, as the foreachBatch
-    * sinks do. */
-  def migrateToBatchLayout(spark: SparkSession, path: String): Unit = {
+    *    surviving files) — it only finishes deleting the
+    *    manifest-LISTED files and drops backup, marker and manifest.
+    *
+    * Reappeared roots: if batch_id=-1 already holds data and no
+    * manifest is present, a PRIOR migration completed and new root
+    * files appeared afterwards (an old-binary writer during a mixed
+    * deployment). Rewriting the partition from those roots alone
+    * would silently drop every previously-migrated row — instead the
+    * existing partition files are first RENAMED into
+    * [[PremigrateBackup]] (so they stay the durable copy, outside
+    * partition discovery) and the rewrite unions backup + roots.
+    * Cross-version caveat: a partition left PARTIAL by a crash of the
+    * pre-manifest binary is indistinguishable from completed data and
+    * will be unioned too (possible duplicates) — run the same binary
+    * version for migration replays.
+    *
+    * No-op on empty, absent, or already-partitioned dirs. CONCURRENT
+    * invocation on one dir is rejected mechanically: a [[MigrateLock]]
+    * file is created on entry and any second caller that finds a lock
+    * younger than `staleLockMs` throws; an older lock is treated as
+    * the residue of a crashed run (this function is replay-safe by
+    * construction), broken, and re-acquired. Concurrent READERS of
+    * the same dir mid-migration remain unsafe (mixed root+partition
+    * layouts confuse partition discovery); callers run it at stream
+    * (re)start before any read, as the foreachBatch sinks do. */
+  def migrateToBatchLayout(spark: SparkSession, path: String,
+                           staleLockMs: Long = 10 * 60 * 1000L): Unit = {
     import org.apache.hadoop.fs.Path
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return
     val marker = new Path(p, MigratedMarker)
+    val manifest = new Path(p, MigratingManifest)
+    val backup = new Path(p, PremigrateBackup)
     def rootFiles() = fs.listStatus(p)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    // fast path: a fully-migrated (or never-old-layout) dir takes no
+    // lock — this is every steady-state micro-batch
+    if (rootFiles().isEmpty && !fs.exists(marker) && !fs.exists(manifest) &&
+        !fs.exists(backup)) return
+    withMigrateLock(fs, p, staleLockMs) {
+      migrateLocked(spark, fs, p, marker, manifest, backup, () => rootFiles())
+    }
+  }
+
+  private def migrateLocked(spark: SparkSession,
+                            fs: org.apache.hadoop.fs.FileSystem,
+                            p: org.apache.hadoop.fs.Path,
+                            marker: org.apache.hadoop.fs.Path,
+                            manifest: org.apache.hadoop.fs.Path,
+                            backup: org.apache.hadoop.fs.Path,
+                            rootFiles: () => Array[org.apache.hadoop.fs.FileStatus]): Unit = {
+    import org.apache.hadoop.fs.Path
+    def readManifest(): Option[Set[String]] =
+      if (!fs.exists(manifest)) None
+      else {
+        val in = fs.open(manifest)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty).toSet)
+        finally in.close()
+      }
     if (fs.exists(marker)) { // delete leg of a crashed prior run
-      rootFiles().foreach(s => fs.delete(s.getPath, false))
+      // only manifest-LISTED files: a root appended by an old-binary
+      // writer inside the crash window was never migrated and must
+      // survive for the next call (no manifest = pre-manifest binary
+      // wrote the marker; fall back to deleting all current roots,
+      // the old contract)
+      val listed = readManifest()
+      rootFiles()
+        .filter(s => listed.forall(_.contains(s.getPath.getName)))
+        .foreach(s => fs.delete(s.getPath, false))
+      fs.delete(backup, true)
       fs.delete(marker, false)
+      fs.delete(manifest, false)
       return
     }
     val roots = rootFiles()
-    if (roots.isEmpty) return
+    if (roots.isEmpty) {
+      // stale manifest without marker: the crashed run never reached
+      // its delete leg, so nothing was removed — with no roots left
+      // there is nothing to migrate. A backup without roots cannot
+      // arise from this protocol (roots outlive the backup until the
+      // marker exists); restore it defensively rather than lose data.
+      if (fs.exists(backup)) {
+        val part = new Path(p, "batch_id=-1")
+        fs.mkdirs(part)
+        fs.listStatus(backup).foreach(s =>
+          fs.rename(s.getPath, new Path(part, s.getPath.getName)))
+        fs.delete(backup, true)
+      }
+      fs.delete(manifest, false)
+      return
+    }
+    val part = new Path(p, "batch_id=-1")
+    def partHasData = fs.exists(part) &&
+      fs.listStatus(part).exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    // reappeared-roots detection (see scaladoc): data in the partition
+    // with NO manifest means a prior migration committed — preserve it
+    // via the backup rename before the rewrite
+    if (!fs.exists(manifest) && !fs.exists(backup) && partHasData) {
+      fs.mkdirs(backup)
+      fs.listStatus(part).filter(_.isFile).foreach(s =>
+        fs.rename(s.getPath, new Path(backup, s.getPath.getName)))
+    }
+    // manifest BEFORE the partition write: the replay's evidence that
+    // partition content is a derived copy, and the delete leg's list
+    val out = fs.create(manifest, true)
+    try out.write(roots.map(_.getPath.getName).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
     // materialized read (localCheckpoint) only to decouple the write
     // from a concurrent scan of the same dir — durability does NOT
-    // depend on it: the root files survive until after the write
-    val old = spark.read
+    // depend on it: root files and backup survive until after the write
+    val rootsDf = spark.read
       .parquet(roots.map(_.getPath.toString).toIndexedSeq: _*)
-      .localCheckpoint()
+    val old = (if (fs.exists(backup) &&
+        fs.listStatus(backup).exists(_.getPath.getName.endsWith(".parquet")))
+      rootsDf.unionByName(
+        spark.read.schema(rootsDf.schema).parquet(backup.toString))
+    else rootsDf).localCheckpoint()
     old.withColumn("batch_id", org.apache.spark.sql.functions.lit(-1L))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(path)
+      .partitionBy("batch_id").parquet(p.toString)
     graft.ops.Materialize.release(old)
     fs.create(marker, true).close()
     roots.foreach(s => fs.delete(s.getPath, false))
+    fs.delete(backup, true)
     fs.delete(marker, false)
+    fs.delete(manifest, false)
+  }
+
+  /** Acquire [[MigrateLock]] under `dir`, run `body`, release. A lock
+    * younger than `staleMs` means another invocation is live — throw
+    * (the mechanical concurrency guard); an older one is a crashed
+    * run's residue (migration itself is replay-safe) — break it. */
+  private def withMigrateLock[A](fs: org.apache.hadoop.fs.FileSystem,
+                                 dir: org.apache.hadoop.fs.Path,
+                                 staleMs: Long)(body: => A): A = {
+    val lock = new org.apache.hadoop.fs.Path(dir, MigrateLock)
+    def tryAcquire(): Boolean =
+      try { fs.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!tryAcquire()) {
+      val age =
+        try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
+        catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+      if (age < staleMs)
+        throw new IllegalStateException(
+          s"migrateToBatchLayout already running on $dir (lock ${age}ms old); " +
+            "concurrent migration of one store is not allowed")
+      fs.delete(lock, false)
+      if (!tryAcquire())
+        throw new IllegalStateException(
+          s"migrateToBatchLayout lost the lock race on $dir after breaking a stale lock")
+    }
+    try body finally fs.delete(lock, false)
   }
 
   /** Bucketed + sorted managed table: co-locates future joins on

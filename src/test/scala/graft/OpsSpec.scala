@@ -295,13 +295,24 @@ class OpsSpec extends SparkSpec {
         empty.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
           src.schema.fields.map(f => (f.name, f.dataType)).toSeq)
       // clearStaging reclaims every per-call staging table (the
-      // job-boundary cleanup for iterative callers)
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      assert(fs.listStatus(p).count(_.getPath.getName.startsWith("localize_")) == 2)
+      // job-boundary cleanup for iterative callers) — but ONLY this
+      // application's namespace: a sibling process's staging tables
+      // under the same shared dir survive (the bench+verify-on-one-
+      // box hazard)
+      val appDir = new org.apache.hadoop.fs.Path(
+        dir, spark.sparkContext.applicationId)
+      val fs = appDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.listStatus(appDir)
+        .count(_.getPath.getName.startsWith("localize_")) == 2,
+        "localize must namespace staging tables under the application id")
+      val foreign = new org.apache.hadoop.fs.Path(
+        dir, "app-other/localize_foreign")
+      fs.mkdirs(foreign)
       Materialize.clearStaging(spark)
-      assert(fs.listStatus(p).count(_.getPath.getName.startsWith("localize_")) == 0,
-        "clearStaging must delete all localize_* staging tables")
+      assert(!fs.exists(appDir),
+        "clearStaging must delete this application's staging namespace")
+      assert(fs.exists(foreign),
+        "clearStaging must NOT touch another application's namespace")
     } finally spark.conf.unset(Materialize.StagingDirKey)
   }
 

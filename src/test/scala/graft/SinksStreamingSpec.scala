@@ -454,11 +454,22 @@ class SinksStreamingSpec extends SparkSpec {
     rows.write.mode("append").parquet(dir) // old root layout
     // simulate the crashed first attempt: a partition holding only a
     // SUBSET (what a mid-write crash can leave behind after its own
-    // partial commit)
+    // partial commit), plus the MANIFEST the crashed run wrote before
+    // its partition write (the replay's evidence that this partition
+    // content is a derived copy of the still-present roots, not
+    // previously-migrated data)
     Seq((1L, "a")).toDF("doc_id", "text")
       .withColumn("batch_id", lit(-1L))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(dir)
+    val pA = new org.apache.hadoop.fs.Path(dir)
+    val fsA = pA.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifestTxt = fsA.listStatus(pA)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).mkString("\n")
+    val mOut = fsA.create(
+      new org.apache.hadoop.fs.Path(pA, Sinks.MigratingManifest), true)
+    mOut.write(manifestTxt.getBytes("UTF-8")); mOut.close()
     Sinks.migrateToBatchLayout(spark, dir)
     val got = spark.read.parquet(dir)
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
@@ -499,6 +510,59 @@ class SinksStreamingSpec extends SparkSpec {
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(dir)
     assert(spark.read.parquet(dir).count() == 4L)
+  }
+
+  test("layout migration folds REAPPEARED root files into the migrated partition without dropping it") {
+    // mixed-deployment window: a migration completed (batch_id=-1
+    // holds the old corpus, no marker/manifest), then an old-binary
+    // writer appended new ROOT files. The next migration must union
+    // them in — rewriting from the new roots alone would silently
+    // drop every previously migrated row (the round-11 advice item).
+    val dir = tmp() + "/mig_c"
+    Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+      .write.mode("append").parquet(dir)
+    Sinks.migrateToBatchLayout(spark, dir) // completes: partition holds 1,2
+    // the old binary appends two new root files after the fact
+    val rootSrc = tmp() + "/mig_c_root"
+    Seq((3L, "c"), (4L, "d")).toDF("doc_id", "text")
+      .write.mode("append").parquet(rootSrc)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(rootSrc))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach(s => fs.rename(s.getPath,
+        new org.apache.hadoop.fs.Path(p, s.getPath.getName)))
+    Sinks.migrateToBatchLayout(spark, dir)
+    val got = spark.read.parquet(dir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L, 4L),
+      s"reappeared roots must UNION with the migrated partition: $got")
+    assert(spark.read.parquet(dir).filter(col("batch_id") =!= -1L).count() == 0)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p, Sinks.PremigrateBackup)),
+      "the backup must be reclaimed once the union write committed")
+    // idempotent when called again with nothing to do
+    Sinks.migrateToBatchLayout(spark, dir)
+    assert(spark.read.parquet(dir).count() == 4L)
+  }
+
+  test("layout migration rejects a concurrent invocation via the lock file") {
+    val dir = tmp() + "/mig_lock"
+    Seq((1L, "a")).toDF("doc_id", "text").write.mode("append").parquet(dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a FRESH lock (another live migration) must be rejected...
+    fs.create(new org.apache.hadoop.fs.Path(p, Sinks.MigrateLock), true).close()
+    val e = intercept[IllegalStateException] {
+      Sinks.migrateToBatchLayout(spark, dir)
+    }
+    assert(e.getMessage.contains("already running"), e.getMessage)
+    // ...while a STALE lock (crashed run's residue) is broken and the
+    // migration proceeds, releasing the lock afterwards
+    Sinks.migrateToBatchLayout(spark, dir, staleLockMs = 0L)
+    assert(spark.read.parquet(dir)
+      .filter(col("batch_id") === -1L).count() == 1L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p, Sinks.MigrateLock)),
+      "the lock must be released on completion")
   }
 
   test("streaming cluster maintenance: registry tracks clusters across batches") {
