@@ -19,3 +19,9 @@ java $ADD_OPENS -Xmx8g \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
   graft.Verify "$SF" "$OUT"
 python3 dev/check.py "$SF" "$OUT"
+# doc-drift gate: only meaningful on a FULL dump (subset runs dump a
+# subset of query dirs, which would read as missing references)
+if [ ! -f "$OUT/requested.json" ] || \
+   grep -q '"full": true' "$OUT/requested.json"; then
+  python3 dev/check_coverage.py "$OUT"
+fi
