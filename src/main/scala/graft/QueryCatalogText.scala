@@ -233,6 +233,94 @@ object QueryCatalogText {
        |       n_inter, jaccard
        |FROM j WHERE jaccard >= 0.5 ORDER BY new_id, ref_id""".stripMargin
 
+  // ---------------------------------------------------------------- bucketed-store dedup
+  /** q129's incremental-dedup shape against a PERSISTED BUCKETED band
+    * store ([[graft.ops.dedup.BandStore]]): the standing corpus's
+    * bands are written once, bucketed + sorted on (band, band_key),
+    * and the batch probes them with NO store-side exchange — the
+    * physical layout that stops every increment from re-shuffling the
+    * standing corpus (at 100 TB the store is the dominant side and
+    * its exchange is the whole batch cost; PersistentStoresSpec
+    * asserts the plan property). Same fixture as q129 (even half =
+    * standing, odd half + planted re-crawls = batch) so the planted
+    * near-dup pairs must surface identically; ids here are RAW
+    * doc_ids on both sides (no uid parity encode — the store carries
+    * the corpus tag structurally). Cap semantics: the hot-bucket cap
+    * counts STORE rows per bucket (the unbounded side), replayed
+    * verbatim by the oracle. */
+  val q206StoreDedup: Q = (s, d) => {
+    import graft.ops.dedup.BandStore
+    val docs = Tables.documents(s, d)
+    val ref = docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("text"))
+    val fresh = docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("text"))
+    val recrawl = docs.filter(col("doc_id") % 2 === 0 && col("n_chars") >= 300)
+      .select((col("doc_id") + (1L << 60)).as("doc_id"),
+        concat_ws(" ",
+          expr("slice(split(text, '\\\\s+'), 1, 3)"),
+          expr("slice(split(text, '\\\\s+'), 5, 1000000)")).as("text"))
+    val table = "graft_q206_bands"
+    BandStore.reset(s, table)
+    BandStore.write(
+      Dedup.lshBands(Dedup.minHashText(ref, "doc_id", "text"), "doc_id"), table)
+    val out = BandStore.dedupAgainstStoreScoped(
+      s, table, ref, fresh.unionByName(recrawl), "doc_id", "text") { j =>
+      // localize (corpus-sublinear flags) so the returned frame no
+      // longer reads the store table — it is dropped right after
+      graft.ops.Materialize.localize(j
+        .filter(col("jaccard") >= 0.5)
+        .select(col("bid").as("new_id"), col("sid").as("ref_id"),
+          col("n_inter"), col("jaccard")))
+    }
+    BandStore.reset(s, table)
+    out.orderBy("new_id", "ref_id")
+  }
+
+  private lazy val q206Sql =
+    s"""WITH base AS (SELECT doc_id, text, n_chars FROM documents),
+       |toks0 AS (SELECT doc_id, string_split_regex(text, '\\s+') AS tk
+       |          FROM base WHERE doc_id % 2 = 0 AND n_chars >= 300),
+       |d0 AS (
+       |  SELECT doc_id AS id, text FROM base
+       |  UNION ALL SELECT doc_id + 1152921504606846976,
+       |         array_to_string(tk[1:3], ' ') || ' ' || array_to_string(tk[5:], ' ')
+       |         FROM toks0),
+       |tok AS (SELECT id, unnest(string_split_regex(text, '\\s+')) AS tok,
+       |               generate_subscripts(string_split_regex(text, '\\s+'), 1) AS pos
+       |        FROM d0),
+       |sh0 AS (SELECT id,
+       |        lag(tok, 2) OVER dw || ' ' || lag(tok, 1) OVER dw || ' ' || tok AS w
+       |        FROM tok WINDOW dw AS (PARTITION BY id ORDER BY pos)),
+       |w AS (SELECT DISTINCT id, w FROM sh0 WHERE w IS NOT NULL),
+       |sig AS (SELECT id, s.seed,
+       |               MIN(${mhSql("s.seed", "w")}) AS mh
+       |        FROM w, (SELECT unnest(range(16)) AS seed) s GROUP BY 1, 2),
+       |b AS (SELECT id, seed // 4 AS band,
+       |             md5(string_agg(CAST(mh AS VARCHAR), ':' ORDER BY seed)) AS band_key
+       |      FROM sig GROUP BY id, seed // 4),
+       |bsz AS (SELECT band, band_key FROM b
+       |        WHERE id % 2 = 0 AND id < 1152921504606846976
+       |        GROUP BY 1, 2 HAVING COUNT(*) <= 64),
+       |cand AS (SELECT DISTINCT r.id AS sid, p.id AS bid
+       |         FROM b r JOIN b p USING (band, band_key)
+       |         JOIN bsz USING (band, band_key)
+       |         WHERE (r.id % 2 = 0 AND r.id < 1152921504606846976)
+       |           AND NOT (p.id % 2 = 0 AND p.id < 1152921504606846976)),
+       |cnt AS (SELECT id, COUNT(*) AS n FROM w GROUP BY 1),
+       |inter AS (SELECT c.sid, c.bid, COUNT(*) AS n_inter
+       |          FROM cand c
+       |          JOIN w wa ON wa.id = c.sid
+       |          JOIN w wb ON wb.id = c.bid AND wb.w = wa.w
+       |          GROUP BY 1, 2),
+       |j AS (SELECT c.sid, c.bid, COALESCE(i.n_inter, 0) AS n_inter,
+       |             CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+       |               / (ca.n + cb.n - COALESCE(i.n_inter, 0)) AS jaccard
+       |      FROM cand c
+       |      LEFT JOIN inter i ON i.sid = c.sid AND i.bid = c.bid
+       |      JOIN cnt ca ON ca.id = c.sid
+       |      JOIN cnt cb ON cb.id = c.bid)
+       |SELECT bid AS new_id, sid AS ref_id, n_inter, jaccard
+       |FROM j WHERE jaccard >= 0.5 ORDER BY new_id, ref_id""".stripMargin
+
   // ---------------------------------------------------------------- dedup: simhash
   /** 64-bit SimHash per doc (as two 32-bit halves), md5 bit votes
     * over the word set. */
@@ -1828,6 +1916,7 @@ object QueryCatalogText {
     "q41_minhash_sig" -> q41MinHashSig,
     "q42_lsh_pairs" -> q42LshPairs,
     "q129_incremental_dedup" -> q129IncrementalDedup,
+    "q206_store_dedup" -> q206StoreDedup,
     "q43_simhash" -> q43SimHash,
     "q44_ngram_jaccard" -> q44NgramJaccard,
     "q163_containment" -> q163Containment,
@@ -1862,6 +1951,7 @@ object QueryCatalogText {
     "q41_minhash_sig" -> q41Sql,
     "q42_lsh_pairs" -> q42Sql,
     "q129_incremental_dedup" -> q129Sql,
+    "q206_store_dedup" -> q206Sql,
     "q43_simhash" -> q43Sql,
     "q44_ngram_jaccard" -> q44Sql,
     "q163_containment" -> q163Sql,

@@ -141,8 +141,12 @@ object ConnectedComponents {
     val fresh = graft.ops.Materialize.localize(
       newIds.join(contracted, Seq("id")).select("id", "component"))
     graft.ops.Materialize.release(ne)
-    val relabel = contracted
-      .select(col("id").as("component"), col("component").as("__newc"))
+    // relabel is increment-sublinear and already localized — broadcast
+    // it EXPLICITLY so the standing labels table (the corpus-sized
+    // side; bucketed via LabelStore at scale) never shuffles here
+    // regardless of stats
+    val relabel = broadcast(contracted
+      .select(col("id").as("component"), col("component").as("__newc")))
     val standing = labels.join(relabel, Seq("component"), "left")
       .select(col("id"),
         coalesce(col("__newc"), col("component")).as("component"))

@@ -1,0 +1,197 @@
+package graft.ops.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Bucketed PERSISTENT stores for the incremental dedup family — the
+  * physical layout that stops every increment from re-shuffling the
+  * standing corpus.
+  *
+  * The incremental shapes ([[Dedup.dedupAgainst]], [[BandStore.probe]]
+  * inside the streaming sinks, [[ConnectedComponents.incremental]])
+  * all join an increment-sized frame against a standing table that
+  * GROWS with the corpus: the band/signature store on
+  * (band, band_key), the label registry on (id). Stored as plain
+  * parquet, that standing side crosses the wire on EVERY increment —
+  * at 100 TB the store is the dominant side and the probe's exchange
+  * of it is the whole batch cost. Stored bucketed on the join key
+  * (`bucketBy(n, keys).sortBy(keys).saveAsTable`), the scan itself
+  * reports `hashpartitioning(keys, n)`, the planner co-locates the
+  * join, and ONLY the increment shuffles (to n partitions) — the
+  * store side plans with no ExchangeExec at any size
+  * (PlanQualitySpec asserts this against the executed plan).
+  *
+  * Even the store-side hot-bucket CAP (the window count over
+  * (band, band_key) that drops degenerate boilerplate buckets) rides
+  * the bucketed distribution exchange-free: the window's partition
+  * keys equal the bucket keys, so only a within-partition sort is
+  * inserted.
+  *
+  * Catalog caveat: table + bucket metadata live in the session
+  * catalog. On a real cluster that is a persistent metastore (or the
+  * layout is a Delta/Iceberg table with a bucket/cluster spec); on
+  * `local` with the in-memory catalog the metadata lasts one session
+  * — re-register with [[BandStore.write]] on restart. The DATA files
+  * persist either way under `spark.sql.warehouse.dir`.
+  */
+object BandStore {
+
+  /** Default bucket count: sized so one bucket of a large store
+    * stays a reasonable scan unit; at 100 TB this is a table-level
+    * layout decision (hundreds-thousands). */
+  val DefaultBuckets = 32
+
+  /** Persist a band frame (`idCol`, band, band_key, ...) bucketed +
+    * sorted on the probe key. `mode` "overwrite" creates/replaces;
+    * "append" adds files per bucket (the micro-batch posture —
+    * hash-partitioning survives multi-file buckets; the within-file
+    * sort order is per-append). */
+  def write(bands: DataFrame, table: String,
+            nBuckets: Int = DefaultBuckets, mode: String = "overwrite"): Unit =
+    bands.write.format("parquet")
+      .bucketBy(nBuckets, "band", "band_key")
+      .sortBy("band", "band_key")
+      .mode(mode).saveAsTable(table)
+
+  /** Drop `table` AND its default managed location (a previous JVM's
+    * managed-table dirs survive the in-memory catalog, and saveAsTable
+    * refuses a leftover location) — the local-session reset before a
+    * fresh [[write]]. */
+  def reset(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+  }
+
+  /** The standing store with hot buckets dropped: buckets holding
+    * more than `maxBucket` STORE rows carry no pairwise signal (the
+    * [[Dedup.candidatePairs]] discipline) and would make probe work
+    * linear in cluster size. Exchange-free on the bucketed layout —
+    * the window keys are the bucket keys. */
+  def capped(spark: SparkSession, table: String, maxBucket: Int): DataFrame = {
+    val bw = Window.partitionBy(col("band"), col("band_key"))
+    spark.table(table)
+      .withColumn("__bn", count(lit(1)).over(bw))
+      .filter(col("__bn") <= maxBucket).drop("__bn")
+  }
+
+  /** Probe the standing store with an increment's bands: distinct
+    * (sid = store id, bid = probe id) collisions sharing a
+    * (band, band_key) bucket, with the store-side hot-bucket cap.
+    * The store side plans with NO exchange (bucketed scan); the
+    * probe side shuffles to the bucket count — increment-sized by
+    * construction. Same-id collisions are kept (a probe doc re-using
+    * a stored id is a duplicate by definition); callers that verify
+    * by content filter them out first. */
+  def probe(spark: SparkSession, table: String, probeBands: DataFrame,
+            idCol: String, maxBucket: Int = 64): DataFrame =
+    probeBands
+      .join(capped(spark, table, maxBucket)
+        .withColumnRenamed(idCol, "__sid"), Seq("band", "band_key"))
+      .select(col("__sid").as("sid"), col(idCol).as("bid"))
+      .distinct()
+
+  /** Incremental near-dup against a PERSISTED standing corpus — the
+    * [[Dedup.dedupAgainst]] shape with the reference side read from
+    * its bucketed band store instead of re-signed and re-shuffled
+    * per increment:
+    *
+    *   1. the batch signs map-only ([[Dedup.minHashText]]) and probes
+    *      the store ([[probe]]: no store-side exchange);
+    *   2. verification reads ONLY the collided standing docs' text
+    *      back from `storeDocs` (candidate semi-join — sublinear),
+    *      unions the batch text, and runs the exact shingle-Jaccard
+    *      gate with shingles derived AFTER the restriction.
+    *
+    * Ids must identify docs across store ∪ batch (same-id = same
+    * doc: such collisions verify at jaccard 1 through the text path
+    * when the text is identical, exactly like any exact re-crawl).
+    * Output: the [[Dedup.jaccard]] columns over (id_a, id_b) =
+    * (min, max) of each (store, batch) pair, plus `sid`/`bid`.
+    * Cap-semantics note vs [[Dedup.dedupAgainst]]: the hot-bucket cap
+    * counts STORE rows per bucket here (the store is the unbounded
+    * side) where the union form counts ref+batch rows — outputs can
+    * differ only for buckets within batch-size of the cap.
+    *
+    * `use` runs its actions over the verified frame; internal caches
+    * release in a finally (the scoped discipline). */
+  def dedupAgainstStoreScoped[A](spark: SparkSession, bandTable: String,
+                                 storeDocs: DataFrame, batch: DataFrame,
+                                 idCol: String, textCol: String,
+                                 k: Int = 3, n: Int = 16, rowsPerBand: Int = 4,
+                                 maxBucket: Int = 64)(use: DataFrame => A): A = {
+    val batchBands = Dedup.lshBands(
+      Dedup.minHashText(batch, idCol, textCol, k, n), idCol, n, rowsPerBand)
+    val coll = probe(spark, bandTable, batchBands, idCol, maxBucket)
+      .filter(col("sid") =!= col("bid"))
+    val cand = coll.select(
+      least(col("sid"), col("bid")).as("id_a"),
+      greatest(col("sid"), col("bid")).as("id_b"),
+      col("sid"), col("bid")).distinct()
+    val corpus = storeDocs.select(col(idCol), col(textCol))
+      .unionByName(batch.select(col(idCol), col(textCol)))
+    Dedup.jaccardTextScoped(cand, corpus, idCol, textCol, k)(use)
+  }
+}
+
+/** Bucketed persistent (id, component) label registry — the standing
+  * side of [[ConnectedComponents.incremental]]. Bucketed on `id`, the
+  * two contraction joins (increment edges → standing labels) and the
+  * final relabel read the registry with no exchange; only the
+  * increment shuffles. See [[BandStore]] for the layout rationale and
+  * the session-catalog caveat. */
+object LabelStore {
+
+  /** Persist (id, component) labels bucketed + sorted on id. */
+  def write(labels: DataFrame, table: String,
+            nBuckets: Int = BandStore.DefaultBuckets): Unit =
+    labels.write.format("parquet")
+      .bucketBy(nBuckets, "id").sortBy("id")
+      .mode("overwrite").saveAsTable(table)
+
+  /** Fold a batch of verified near-dup edges into the persisted
+    * registry: [[ConnectedComponents.incremental]] over the bucketed
+    * table, then an all-or-nothing swap write-back. Returns the
+    * updated label count. */
+  def incremental(spark: SparkSession, table: String, newEdges: DataFrame,
+                  nBuckets: Int = BandStore.DefaultBuckets,
+                  maxIter: Int = 20): Long = {
+    recover(spark, table)
+    val updated =
+      ConnectedComponents.incremental(spark.table(table), newEdges, maxIter)
+    swapWrite(spark, table, updated, nBuckets)
+    spark.table(table).count()
+  }
+
+  /** Replace `table` with `labels` even though `labels` READS from
+    * `table` (the incremental update's shape — Spark rejects a direct
+    * self-overwrite): write to a staging table first, then drop +
+    * rename. The rename is a catalog metadata operation; a crash
+    * between the drop and the rename leaves the staging table as the
+    * durable copy, healed by [[recover]] on the next call (the
+    * [[graft.sinks.Sinks.recoverOrphan]] protocol, catalog-side). On
+    * a transactional format (Delta/Iceberg) this whole method is one
+    * MERGE/REPLACE commit. */
+  def swapWrite(spark: SparkSession, table: String, labels: DataFrame,
+                nBuckets: Int = BandStore.DefaultBuckets): Unit = {
+    val staging = table + "_staging"
+    spark.sql(s"DROP TABLE IF EXISTS `$staging`")
+    labels.write.format("parquet")
+      .bucketBy(nBuckets, "id").sortBy("id")
+      .saveAsTable(staging)
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+  }
+
+  /** Heal [[swapWrite]]'s drop-then-rename window: if the live table
+    * is missing but its staging twin exists, the staging copy is the
+    * committed state — promote it. */
+  def recover(spark: SparkSession, table: String): Unit = {
+    val staging = table + "_staging"
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(staging))
+      spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+  }
+}

@@ -1,0 +1,233 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+import graft.ops.dedup.{BandStore, ConnectedComponents, Dedup, LabelStore}
+
+/** The bucketed persistent band/label stores: semantic equivalence to
+  * the in-memory shapes, layout invariance (bucketed vs plain table →
+  * identical rows), crash recovery of the label swap, and the
+  * NO-store-side-exchange plan property that is the stores' whole
+  * point at 100 TB. */
+class PersistentStoresSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Exchanges that move RAW store rows: a ShuffleExchange whose
+    * subtree contains the store's scan but no join below it means the
+    * standing rows themselves crossed the wire before being probed —
+    * the exact cost the bucketed layout exists to remove. Exchanges
+    * ABOVE the probe join (the pair-output distinct etc.) move
+    * increment-sized results and are fine. */
+  private def rawStoreExchanges(plan: org.apache.spark.sql.execution.SparkPlan,
+                                table: String): Seq[ShuffleExchangeLike] =
+    plan.collect {
+      case e: ShuffleExchangeLike
+        if e.treeString.contains(table) &&
+          e.collectFirst {
+            case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+              if j ne e => j
+          }.isEmpty => e
+    }
+
+  private def dropTable(t: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$t`")
+    // a previous JVM's managed-table dirs survive the in-memory
+    // catalog — clear them or saveAsTable refuses the location
+    val p = new org.apache.hadoop.fs.Path(s"/tmp/graft_warehouse/$t")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  private def docs(n: Int): DataFrame = {
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    (0 until n).map { i =>
+      val toks = (0 until 12).map(j => words((i * 7 + j * 3) % words.length))
+      (i.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  test("BandStore.probe finds exactly the bucket collisions of the in-memory join") {
+    val standing = docs(40)
+    // batch: 3 near-copies of standing docs (one token appended) + 2
+    // disjoint docs
+    val batch = standing.filter(col("doc_id").isin(3L, 11L, 27L))
+      .select((col("doc_id") + 1000L).as("doc_id"),
+        concat(col("text"), lit(" omega")).as("text"))
+      .unionByName(Seq((2000L, "totally different words here nothing shared"),
+        (2001L, "another unrelated string of fresh tokens")).toDF("doc_id", "text"))
+    val standBands = Dedup.lshBands(
+      Dedup.minHashText(standing, "doc_id", "text"), "doc_id")
+    val batchBands = Dedup.lshBands(
+      Dedup.minHashText(batch, "doc_id", "text"), "doc_id")
+    dropTable("ps_bands")
+    BandStore.write(standBands, "ps_bands")
+    val got = BandStore.probe(spark, "ps_bands", batchBands, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference: the same join computed wholly in memory
+    val want = batchBands
+      .join(standBands.withColumnRenamed("doc_id", "sid"), Seq("band", "band_key"))
+      .select(col("sid"), col("doc_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"probe=$got vs in-memory=$want")
+    assert(got.exists(_._2 >= 1000L), "planted near-copies must collide")
+  }
+
+  test("BandStore.probe: the standing store plans with NO exchange; hot-bucket cap included") {
+    val standing = docs(60)
+    val standBands = Dedup.lshBands(
+      Dedup.minHashText(standing, "doc_id", "text"), "doc_id")
+    dropTable("ps_bands_plan")
+    BandStore.write(standBands, "ps_bands_plan")
+    val batchBands = Dedup.lshBands(
+      Dedup.minHashText(docs(8).select((col("doc_id") + 500L).as("doc_id"),
+        col("text")), "doc_id", "text"), "doc_id")
+    // scale posture: the probe side too big to broadcast (threshold
+    // off) and no AQE re-wrapping, so the plan shape is exactly what
+    // EnsureRequirements derives from the bucketed scan's partitioning
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val probed = BandStore.probe(spark, "ps_bands_plan", batchBands, "doc_id")
+      probed.collect()
+      val plan = probed.queryExecution.executedPlan
+      assert(plan.toString.contains("ps_bands_plan"),
+        s"store scan missing from plan:\n${plan.toString.take(800)}")
+      // the property: NO shuffle exchange anywhere above the store
+      // scan — the bucketed layout satisfies both the cap window's
+      // and the join's required distribution
+      val offending = rawStoreExchanges(plan, "ps_bands_plan")
+      assert(offending.isEmpty,
+        s"standing store must not re-shuffle:\n${offending.map(_.treeString.take(600)).mkString}")
+      // ...while the probe side DOES exchange (proves the assertion
+      // bites: this is a real co-located join, not a collapsed plan)
+      assert(plan.collect { case e: ShuffleExchangeLike => e }.nonEmpty,
+        "expected the increment side to shuffle to the bucket count")
+      assert(plan.toString.contains("SelectedBucketsCount"),
+        "store scan must be bucket-aware")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
+  test("dedupAgainstStoreScoped: bucketed and plain layouts give identical verified pairs") {
+    val standing = docs(50)
+    val batch = standing.filter(col("doc_id").isin(5L, 23L))
+      .select((col("doc_id") + 1000L).as("doc_id"),
+        concat(col("text"), lit(" omega")).as("text"))
+      .unionByName(Seq((3000L, "nothing in common with anything at all"))
+        .toDF("doc_id", "text"))
+    val standBands = Dedup.lshBands(
+      Dedup.minHashText(standing, "doc_id", "text"), "doc_id")
+    dropTable("ps_ab_bucketed"); dropTable("ps_ab_plain")
+    BandStore.write(standBands, "ps_ab_bucketed")
+    standBands.write.format("parquet").saveAsTable("ps_ab_plain") // no bucket spec
+    def run(table: String): Set[(Long, Long, Long, Double)] =
+      BandStore.dedupAgainstStoreScoped(spark, table, standing, batch,
+        "doc_id", "text") { j =>
+        j.select("sid", "bid", "n_inter", "jaccard").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      }
+    val bucketed = run("ps_ab_bucketed")
+    val plain = run("ps_ab_plain")
+    assert(bucketed == plain,
+      s"layout must not change results: bucketed=$bucketed plain=$plain")
+    assert(bucketed.exists { case (s, b, _, jac) =>
+      (s == 5L && b == 1005L || s == 23L && b == 1023L) && jac > 0.7 },
+      s"planted near-dups must verify high: $bucketed")
+  }
+
+  test("BandStore.write append mode grows the store per batch (the micro-batch posture)") {
+    val d1 = docs(10)
+    val d2 = docs(20).filter(col("doc_id") >= 10L)
+    dropTable("ps_append")
+    BandStore.write(Dedup.lshBands(
+      Dedup.minHashText(d1, "doc_id", "text"), "doc_id"), "ps_append")
+    BandStore.write(Dedup.lshBands(
+      Dedup.minHashText(d2, "doc_id", "text"), "doc_id"), "ps_append",
+      mode = "append")
+    val ids = spark.table("ps_append").select("doc_id").distinct().count()
+    assert(ids == 20L, s"append must accumulate both batches: $ids")
+    // multi-file buckets still satisfy the join's distribution: the
+    // probe plan keeps the no-store-exchange property
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val probed = BandStore.probe(spark, "ps_append",
+        Dedup.lshBands(Dedup.minHashText(d1, "doc_id", "text"), "doc_id"),
+        "doc_id")
+      probed.collect()
+      val offending = rawStoreExchanges(
+        probed.queryExecution.executedPlan, "ps_append")
+      assert(offending.isEmpty, "appended store must still join exchange-free")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
+  test("LabelStore.incremental matches full-recompute CC and survives the swap crash window") {
+    // standing graph: {1,2} and {10,11}; increment merges the two
+    // clusters via 2-10 and attaches a fresh vertex 20-11
+    val oldEdges = Seq((1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels0 = ConnectedComponents.minLabelLocalized(oldEdges)
+    dropTable("ps_labels"); dropTable("ps_labels_staging")
+    LabelStore.write(labels0, "ps_labels")
+    val newEdges = Seq((2L, 10L), (20L, 11L)).toDF("id_a", "id_b")
+    LabelStore.incremental(spark, "ps_labels", newEdges)
+    val got = spark.table("ps_labels").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = ConnectedComponents.minLabelLocalized(
+      oldEdges.unionByName(newEdges)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == full, s"incremental=$got vs full=$full")
+    // crash window: the live table dropped, staging holding the
+    // committed state — recover() must promote it
+    val committed = spark.table("ps_labels")
+    LabelStore.swapWrite(spark, "ps_labels_probe_tmp", committed)
+    spark.sql("ALTER TABLE `ps_labels_probe_tmp` RENAME TO `ps_labels_staging`")
+    spark.sql("DROP TABLE `ps_labels`")
+    LabelStore.recover(spark, "ps_labels")
+    assert(spark.catalog.tableExists("ps_labels") &&
+      !spark.catalog.tableExists("ps_labels_staging"))
+    assert(spark.table("ps_labels").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == full)
+  }
+
+  test("LabelStore contraction joins read the standing registry with NO exchange") {
+    val edges = (0L until 200L by 2L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels0 = ConnectedComponents.minLabelLocalized(edges)
+    dropTable("ps_labels_plan"); dropTable("ps_labels_plan_staging")
+    LabelStore.write(labels0, "ps_labels_plan")
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val ne = graft.ops.Materialize.leafCache(
+        Seq((1L, 3L), (300L, 301L)).toDF("id_a", "id_b"))
+      val labels = spark.table("ps_labels_plan")
+      val la = labels.select(col("id").as("id_a"), col("component").as("__ca"))
+      val lb = labels.select(col("id").as("id_b"), col("component").as("__cb"))
+      val contracted = ne
+        .join(la, Seq("id_a"), "left")
+        .join(lb, Seq("id_b"), "left")
+        .select(coalesce(col("__ca"), col("id_a")).as("id_a"),
+          coalesce(col("__cb"), col("id_b")).as("id_b"))
+      contracted.collect()
+      val offending = rawStoreExchanges(
+        contracted.queryExecution.executedPlan, "ps_labels_plan")
+      assert(offending.isEmpty,
+        s"standing registry must not re-shuffle:\n${offending.map(_.treeString.take(600)).mkString}")
+      graft.ops.Materialize.release(ne)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+}
