@@ -94,6 +94,66 @@ object BandStore {
       .select(col("__sid").as("sid"), col(idCol).as("bid"))
       .distinct()
 
+  /** Register-or-reuse the STREAMING band store: a batch_id-
+    * partitioned + (band, band_key)-bucketed table at a FIXED
+    * location. The fixed location makes the store survive an
+    * in-memory-catalog restart (table metadata dies with the session;
+    * the bucketed FILES — whose names carry their bucket ids — do
+    * not): a fresh session re-registers the same location with the
+    * same bucket spec and recovers the batch partitions. Fails
+    * LOUDLY if the location holds parquet files WITHOUT bucket-id
+    * file names (a store written by the unbucketed parquet path —
+    * reading those through a bucketed table would assign rows to
+    * wrong buckets and silently MISS probe matches, the worst
+    * possible failure for a dedup store). */
+  def ensureStreamStore(spark: SparkSession, table: String, location: String,
+                        idCol: String,
+                        nBuckets: Int = DefaultBuckets): Unit = {
+    if (spark.catalog.tableExists(table)) return
+    val loc = new org.apache.hadoop.fs.Path(location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(loc)) fs.mkdirs(loc) // RECOVER PARTITIONS lists it
+    if (fs.exists(loc)) {
+      val files = fs.listFiles(loc, true)
+      val bucketName = ".*_(\\d{5})(\\.c\\d+)?\\..*parquet".r
+      while (files.hasNext) {
+        val name = files.next().getPath.getName
+        if (name.endsWith(".parquet") && bucketName.findFirstIn(name).isEmpty)
+          throw new IllegalStateException(
+            s"$location holds non-bucketed parquet '$name'; a bucketed " +
+              "stream store cannot read it correctly — use the parquet " +
+              "store path for this location or start a fresh one")
+      }
+    }
+    spark.sql(
+      s"""CREATE TABLE `$table` (`$idCol` BIGINT, `band` INT,
+         |  `band_key` STRING, `batch_id` BIGINT)
+         |USING parquet PARTITIONED BY (batch_id)
+         |CLUSTERED BY (band, band_key) SORTED BY (band, band_key)
+         |INTO $nBuckets BUCKETS
+         |LOCATION '$location'""".stripMargin)
+    spark.sql(s"ALTER TABLE `$table` RECOVER PARTITIONS")
+  }
+
+  /** Write one micro-batch's bands into the streaming store,
+    * overwriting the batch's OWN batch_id partition (dynamic
+    * overwrite = at-least-once replay idempotence, the
+    * foreachBatch contract) while keeping the bucketed layout. */
+  def writeBatch(spark: SparkSession, table: String, bands: DataFrame,
+                 idCol: String, batchId: Long): Unit = {
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // insertInto is POSITIONAL: fix the column order to the table's
+    try bands
+      .select(col(idCol), col("band"), col("band_key"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").insertInto(table)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** Incremental near-dup against a PERSISTED standing corpus — the
     * [[Dedup.dedupAgainst]] shape with the reference side read from
     * its bucketed band store instead of re-signed and re-shuffled

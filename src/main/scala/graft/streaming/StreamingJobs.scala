@@ -258,20 +258,42 @@ object StreamingJobs {
     * same-id collision, re-classifies the doc as novel, and appends a
     * SECOND curated copy. Overwriting the batch's own partition makes
     * any replay idempotent regardless of where the first attempt
-    * died. On Delta both writes become one transactional commit. */
+    * died. On Delta both writes become one transactional commit.
+    *
+    * `storeTable = Some(t)`: the band store lives in a BUCKETED
+    * catalog table `t` at location `storeDir`
+    * ([[graft.ops.dedup.BandStore.ensureStreamStore]]; batch_id-
+    * partitioned + (band, band_key)-bucketed) instead of a plain
+    * partitioned dir — the probe join then plans with NO exchange on
+    * the standing side and only the micro-batch's bands shuffle, to
+    * the bucket count. At corpus scale the standing store is the
+    * dominant side of every probe, so this is THE layout for a
+    * long-running ingest; same dynamic-overwrite replay idempotence
+    * ([[graft.ops.dedup.BandStore.writeBatch]]), same results
+    * bit-for-bit (SinksStreamingSpec A/Bs the two modes). The
+    * curated TEXT corpus stays a parquet dir in both modes — it is
+    * only ever read back through a candidate-id semi-join
+    * (broadcast-sized), which bucketing cannot improve. */
   def nearDupStream(docs: DataFrame, storeDir: String, curatedDir: String,
-                    checkpoint: String, tau: Double = 0.7): StreamingQuery =
+                    checkpoint: String, tau: Double = 0.7,
+                    storeTable: Option[String] = None): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
-        import graft.ops.dedup.Dedup
+        import graft.ops.dedup.{BandStore, Dedup}
         val spark = batch0.sparkSession
         // a store written by the pre-batch_id append layout must be
         // rewritten into the batch_id=-1 partition BEFORE any read or
-        // write touches it (mixed depths break partition discovery)
-        Sinks.migrateToBatchLayout(spark, storeDir)
+        // write touches it (mixed depths break partition discovery).
+        // The bucketed-table mode never migrates its location: its
+        // files must ALL carry bucket ids (ensureStreamStore rejects
+        // anything else loudly)
+        storeTable match {
+          case Some(t) => BandStore.ensureStreamStore(spark, t, storeDir, "doc_id")
+          case None => Sinks.migrateToBatchLayout(spark, storeDir)
+        }
         Sinks.migrateToBatchLayout(spark, curatedDir)
         // 1. within-batch exact dedup (keep min doc_id per content)
         val batch = Dedup.exactKeep(batch0, "doc_id", "text").cache()
@@ -292,10 +314,18 @@ object StreamingJobs {
         val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val storeSchema = bands.schema.add("batch_id",
           org.apache.spark.sql.types.LongType)
-        val store =
-          if (fs.exists(storePath))
-            Some(spark.read.schema(storeSchema).parquet(storeDir))
-          else None
+        val store = storeTable match {
+          case Some(t) =>
+            // first-batch detection via partition METADATA (no data
+            // job): an empty table means no standing corpus yet —
+            // same semantics as the dir path's nonexistent dir
+            if (spark.sql(s"SHOW PARTITIONS `$t`").isEmpty) None
+            else Some(spark.table(t))
+          case None =>
+            if (fs.exists(storePath))
+              Some(spark.read.schema(storeSchema).parquet(storeDir))
+            else None
+        }
         // every cache this batch takes (incl. jaccard's internal
         // pair/candidate-shingle caches) is released when the batch's writes
         // finish — a long-lived stream must not accumulate cached
@@ -361,10 +391,16 @@ object StreamingJobs {
         novel.withColumn("batch_id", lit(batchId))
           .write.mode("overwrite").options(dyn)
           .partitionBy("batch_id").parquet(curatedDir)
-        bands.join(novel.select("doc_id"), Seq("doc_id"), "left_semi")
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite").options(dyn)
-          .partitionBy("batch_id").parquet(storeDir)
+        val novelBands = bands
+          .join(novel.select("doc_id"), Seq("doc_id"), "left_semi")
+        storeTable match {
+          case Some(t) =>
+            BandStore.writeBatch(spark, t, novelBands, "doc_id", batchId)
+          case None => novelBands
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").options(dyn)
+            .partitionBy("batch_id").parquet(storeDir)
+        }
         batch.unpersist(); bands.unpersist(); novel.unpersist()
         releases.foreach(_())
         ()

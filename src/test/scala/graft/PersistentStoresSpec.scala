@@ -171,6 +171,65 @@ class PersistentStoresSpec extends SparkSpec {
     }
   }
 
+  test("batch_id-partitioned + bucketed store: dynamic-overwrite insertInto is replay-idempotent and keeps the plan property") {
+    // the STREAMING posture: foreachBatch is at-least-once, so the
+    // per-batch store write must overwrite its own batch_id partition
+    // on replay — combined here with the bucketed layout so the probe
+    // stays store-side-exchange-free across batches
+    dropTable("ps_stream")
+    val d1 = Dedup.lshBands(Dedup.minHashText(docs(10), "doc_id", "text"), "doc_id")
+      .withColumn("batch_id", lit(0L))
+    d1.write.format("parquet").partitionBy("batch_id")
+      .bucketBy(BandStore.DefaultBuckets, "band", "band_key")
+      .sortBy("band", "band_key")
+      .saveAsTable("ps_stream")
+    val d2 = Dedup.lshBands(Dedup.minHashText(
+        docs(20).filter(col("doc_id") >= 10L), "doc_id", "text"), "doc_id")
+      .withColumn("batch_id", lit(1L))
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      d2.write.mode("overwrite").insertInto("ps_stream")
+      val after1 = spark.table("ps_stream").count()
+      // replay the same batch (the crash-retry case): its partition
+      // is overwritten wholesale — no duplicates, batch 0 untouched
+      d2.write.mode("overwrite").insertInto("ps_stream")
+      val after2 = spark.table("ps_stream").count()
+      assert(after1 == after2, s"replay must be idempotent: $after1 vs $after2")
+      assert(spark.table("ps_stream")
+        .select("doc_id").distinct().count() == 20L)
+    } finally prevMode match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // probe across BOTH batch partitions: still no raw-store exchange
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // probe docs re-using standing content from BOTH batches: the
+      // co-located join must find them — this is the proof that
+      // insertInto placed rows in the CORRECT buckets (a mis-bucketed
+      // file would silently miss matches, not fail)
+      val probeDocs = docs(20).filter(col("doc_id").isin(2L, 15L))
+        .select((col("doc_id") + 900L).as("doc_id"), col("text"))
+      val probeBands = Dedup.lshBands(
+        Dedup.minHashText(probeDocs, "doc_id", "text"), "doc_id")
+      val probed = BandStore.probe(spark, "ps_stream", probeBands, "doc_id")
+      val got = probed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.contains((2L, 902L)) && got.contains((15L, 915L)),
+        s"identical content must collide across both batch partitions: $got")
+      val offending = rawStoreExchanges(
+        probed.queryExecution.executedPlan, "ps_stream")
+      assert(offending.isEmpty,
+        s"partitioned+bucketed store must still probe exchange-free:\n${offending.map(_.treeString.take(600)).mkString}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
   test("LabelStore.incremental matches full-recompute CC and survives the swap crash window") {
     // standing graph: {1,2} and {10,11}; increment merges the two
     // clusters via 2-10 and attaches a fresh vertex 20-11

@@ -389,6 +389,54 @@ class SinksStreamingSpec extends SparkSpec {
       s"3 drops in-batch, 0/11 vs store, 12 novel — got ${ids.toSeq}")
   }
 
+  test("near-dup stream with a BUCKETED store table equals the parquet-store run, across a catalog restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val other = "completely different words about spark query engines and shuffles in production"
+    val batch1 = Seq((1L, base), (2L, other), (3L, base.replace("today", "tonight")))
+    val batch2 = Seq((0L, base.replace("today", "this morning")), (11L, other),
+      (12L, "entirely novel content with no overlap at all whatsoever anywhere in sight"))
+    def run(storeTable: Option[String], dropCatalogBetweenBatches: Boolean): Seq[Long] = {
+      val store = tmp() + "/store"
+      val curated = tmp() + "/curated"
+      val chk = tmp() + "/chk"
+      val mem = MemoryStream[(Long, String)]
+      val df = mem.toDF().toDF("doc_id", "text")
+      mem.addData(batch1: _*)
+      StreamingJobs.nearDupStream(df, store, curated, chk, storeTable = storeTable)
+        .awaitTermination()
+      // simulate a NEW session between micro-batches: the in-memory
+      // catalog loses the table; the bucketed FILES at the fixed
+      // location survive and ensureStreamStore must re-register them
+      if (dropCatalogBetweenBatches)
+        storeTable.foreach(t => spark.sql(s"DROP TABLE `$t`"))
+      mem.addData(batch2: _*)
+      StreamingJobs.nearDupStream(df, store, curated, chk, storeTable = storeTable)
+        .awaitTermination()
+      spark.read.parquet(curated)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    }
+    spark.sql("DROP TABLE IF EXISTS nd_bucketed_store")
+    val parquetMode = run(None, dropCatalogBetweenBatches = false)
+    val bucketedMode = run(Some("nd_bucketed_store"),
+      dropCatalogBetweenBatches = true)
+    assert(parquetMode == Seq(1L, 2L, 12L), s"parquet mode: $parquetMode")
+    assert(bucketedMode == parquetMode,
+      s"store layout must not change results: $bucketedMode vs $parquetMode")
+    // the re-registration guard: pointing the bucketed mode at a
+    // location holding NON-bucketed parquet must fail loudly, never
+    // silently mis-bucket
+    val badLoc = tmp() + "/plainstore"
+    Seq((1L, 0, "k", 0L)).toDF("doc_id", "band", "band_key", "batch_id")
+      .write.partitionBy("batch_id").parquet(badLoc)
+    spark.sql("DROP TABLE IF EXISTS nd_bad_store")
+    val e = intercept[IllegalStateException] {
+      graft.ops.dedup.BandStore.ensureStreamStore(
+        spark, "nd_bad_store", badLoc, "doc_id")
+    }
+    assert(e.getMessage.contains("non-bucketed"), e.getMessage)
+  }
+
   test("near-dup replay after a crash BETWEEN the two writes does not duplicate curated rows") {
     implicit val sqlCtx = spark.sqlContext
     val (store, curated, chk) = (tmp() + "/nstore", tmp() + "/ncur", tmp() + "/nchk")
