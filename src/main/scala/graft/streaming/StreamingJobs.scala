@@ -503,8 +503,13 @@ object StreamingJobs {
           if (exists(labelsDir)) spark.read.parquet(labelsDir)
           else batch.select(col("doc_id").as("id"),
             col("doc_id").as("component")).limit(0)
+        // the registry write goes through the MergeSink facade: same
+        // staging-swap machinery as before, plus the facade's
+        // key-unique gate (incremental() emits one row per id by
+        // construction — the gate makes that contract mechanical)
         val updated = ConnectedComponents.incremental(labels, edges)
-        graft.sinks.Sinks.upsertParquet(spark, updated, labelsDir, Seq("id"))
+        graft.sinks.MergeSink.mergeIntoParquet(
+          spark, labelsDir, updated, Seq("id"))
         // text/bands stores are keyed by batch_id partition and written
         // with DYNAMIC partition overwrite: foreachBatch is at-least-
         // once, and a replayed batch (crash after the registry upsert,
@@ -590,8 +595,10 @@ object StreamingJobs {
               ((col("num_seen") + (lit(nRef) - col("ref_seen")) * col("n_w"))
                 .cast("double") /
                 (lit(2.0) * col("n_w") * lit(nRef))).as("tv"))
-          Sinks.upsertParquet(batch.sparkSession, tv, targetPath,
-            Seq("win_start", "win_end"))
+          // per-window drift rows upsert through the MergeSink facade
+          // (one row per finalized window — key-unique by the groupBy)
+          graft.sinks.MergeSink.mergeIntoParquet(
+            batch.sparkSession, targetPath, tv, Seq("win_start", "win_end"))
         }
         ()
       }
@@ -599,17 +606,45 @@ object StreamingJobs {
   }
 
   /** Micro-batch keyed upsert: every batch MERGEs into the parquet
-    * target on `keys` (the weather MERGE, weather.py:1697-1732, as a
-    * stream). foreachBatch is the batch-engine bridge — on Delta this
-    * body becomes a single MERGE INTO statement. */
+    * target on `keys` through the [[graft.sinks.MergeSink]] facade
+    * (the weather MERGE, weather.py:1697-1732, as a stream) — the
+    * key-unique-source gate, null-safe key equality and the
+    * crash-recovering staging swap are enforced in ONE place for
+    * batch and stream alike. A micro-batch carrying duplicate key
+    * rows is rejected loudly (the facade contract): dedup upstream
+    * with LatestRecord, as any MERGE user would. */
   def upsertStream(stream: DataFrame, keys: Seq[String], targetPath: String,
-                   checkpoint: String): StreamingQuery =
+                   checkpoint: String,
+                   insertOnly: Boolean = false): StreamingQuery =
     stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        Sinks.upsertParquet(batch.sparkSession, batch, targetPath, keys)
+        graft.sinks.MergeSink.mergeIntoParquet(
+          batch.sparkSession, targetPath, batch, keys, insertOnly)
+      }
+      .start()
+
+  /** [[upsertStream]] against a V2 CATALOG TABLE: every micro-batch
+    * executes a TRUE two-branch `MERGE INTO` statement through
+    * [[graft.sinks.MergeSink.mergeIntoTable]] — the streaming
+    * consumer of the executed-MERGE leg. On Delta/Iceberg this is
+    * the transactional per-batch upsert a production ingest runs;
+    * in-repo it executes against any catalog implementing the
+    * row-level-operation connector API (MergeSinkSpec's
+    * GraftMemCatalog). Same facade contracts (key-unique gate,
+    * null-safe keys) as every other MergeSink path. */
+  def mergeStream(stream: DataFrame, keys: Seq[String], table: String,
+                  checkpoint: String,
+                  insertOnly: Boolean = false): StreamingQuery =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sinks.MergeSink.mergeIntoTable(
+          batch.sparkSession, table, batch, keys, insertOnly)
       }
       .start()
 }

@@ -886,6 +886,35 @@ class SinksStreamingSpec extends SparkSpec {
     assert(got == batch, s"stream $got vs batch $batch")
   }
 
+  test("mergeStream: every micro-batch EXECUTES a MERGE INTO against the V2 catalog table") {
+    implicit val sqlCtx = spark.sqlContext
+    // the streaming consumer of the executed-MERGE leg: the same
+    // statement MergeSinkSpec proves against the row-level-operation
+    // connector API, driven per micro-batch by foreachBatch
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.v2.GraftMemCatalog].getName)
+    val cat = spark.sessionState.catalogManager.catalog("graftmem")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("ns"), "stream_merge")
+    if (cat.tableExists(ident)) cat.dropTable(ident)
+    cat.createTable(ident, Seq((1L, "x")).toDF("k", "v").schema,
+      Array.empty[org.apache.spark.sql.connector.expressions.Transform],
+      new java.util.HashMap[String, String]())
+    val t = "graftmem.ns.stream_merge"
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("k", "v")
+    val chk = tmp() + "/chk"
+    mem.addData((1L, "a"), (2L, "b"))
+    StreamingJobs.mergeStream(df, Seq("k"), t, chk).awaitTermination()
+    mem.addData((2L, "B"), (3L, "c"))
+    StreamingJobs.mergeStream(df, Seq("k"), t, chk).awaitTermination()
+    val got = spark.table(t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "a"), (2L, "B"), (3L, "c")),
+      s"updated 2, inserted 3: ${got.toSeq}")
+  }
+
   test("streaming keyed upsert via foreachBatch (weather MERGE as a stream)") {
     implicit val sqlCtx = spark.sqlContext
     val path = tmp() + "/t"
