@@ -124,7 +124,8 @@ class MergeSinkSpec extends SparkSpec {
   // update and insert-only branches both checked against the same
   // row-wise interpreter the parquet path is held to.
   private def memTable(name: String,
-                       rows: Seq[(Option[Long], String, Int)]): String = {
+                       rows: Seq[(Option[Long], String, Int)],
+                       mode: String = "group"): String = {
     spark.conf.set("spark.sql.catalog.graftmem",
       classOf[graft.v2.GraftMemCatalog].getName)
     val cat = spark.sessionState.catalogManager.catalog("graftmem")
@@ -132,13 +133,20 @@ class MergeSinkSpec extends SparkSpec {
     val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
       Array("ns"), name)
     if (cat.tableExists(ident)) cat.dropTable(ident)
+    val props = new java.util.HashMap[String, String]()
+    props.put(graft.v2.GraftMemStore.ModeProperty, mode)
     cat.createTable(ident, df(rows).schema,
       Array.empty[org.apache.spark.sql.connector.expressions.Transform],
-      new java.util.HashMap[String, String]())
+      props)
     val t = s"graftmem.ns.$name"
     df(rows).writeTo(t).append()
     t
   }
+
+  /** Both row-level table shapes the emitted statement must execute
+    * through: group-based (ReplaceData, copy-on-write) and
+    * delta-based (WriteDelta, positional merge-on-read). */
+  private val modes = Seq("group", "delta")
 
   private def readBack(t: String): Seq[(Option[Long], String, Int)] =
     spark.table(t).collect()
@@ -146,22 +154,47 @@ class MergeSinkSpec extends SparkSpec {
         r.getString(1), r.getInt(2)))
       .sortBy(r => (r._1.getOrElse(Long.MinValue), r._2)).toSeq
 
-  test("the emitted MERGE INTO EXECUTES against a row-level-capable V2 table (update branch)") {
-    val t = memTable("m_up", target)
-    MergeSink.mergeIntoTable(spark, t, df(source), Seq("k"))
-    val want = interpret(target, source, insertOnly = false)
-      .sortBy(r => (r._1.getOrElse(Long.MinValue), r._2))
-    assert(readBack(t) == want,
-      s"executed MERGE ${readBack(t)} vs statement semantics $want")
+  modes.foreach { mode =>
+    test(s"the emitted MERGE INTO EXECUTES against a $mode-based V2 table (update branch)") {
+      val t = memTable(s"m_up_$mode", target, mode)
+      MergeSink.mergeIntoTable(spark, t, df(source), Seq("k"))
+      val want = interpret(target, source, insertOnly = false)
+        .sortBy(r => (r._1.getOrElse(Long.MinValue), r._2))
+      assert(readBack(t) == want,
+        s"executed MERGE ($mode) ${readBack(t)} vs statement semantics $want")
+    }
+
+    test(s"the emitted MERGE INTO EXECUTES against a $mode-based V2 table (insert-only)") {
+      val t = memTable(s"m_ins_$mode", target, mode)
+      MergeSink.mergeIntoTable(spark, t, df(source), Seq("k"), insertOnly = true)
+      val want = interpret(target, source, insertOnly = true)
+        .sortBy(r => (r._1.getOrElse(Long.MinValue), r._2))
+      assert(readBack(t) == want,
+        s"executed insert-only MERGE ($mode) ${readBack(t)} vs statement semantics $want")
+    }
   }
 
-  test("the emitted MERGE INTO EXECUTES against a row-level-capable V2 table (insert-only)") {
-    val t = memTable("m_ins", target)
-    MergeSink.mergeIntoTable(spark, t, df(source), Seq("k"), insertOnly = true)
-    val want = interpret(target, source, insertOnly = true)
-      .sortBy(r => (r._1.getOrElse(Long.MinValue), r._2))
-    assert(readBack(t) == want,
-      s"executed insert-only MERGE ${readBack(t)} vs statement semantics $want")
+  test("the delta-based plan really is a WriteDelta (not a ReplaceData rewrite)") {
+    // the matrix is only a matrix if the two modes take different
+    // rewrites: assert the optimized plan class per mode
+    def planFor(mode: String): String = {
+      val t = memTable(s"m_plan_$mode", target, mode)
+      val view = "m_plan_src"
+      df(source).createOrReplaceTempView(view)
+      try spark.sessionState.executePlan(
+        spark.sessionState.sqlParser.parsePlan(
+          MergeSink.mergeStatement(t, view, Seq("k", "name", "v"), Seq("k"))))
+        .optimizedPlan match {
+          // MERGE executes eagerly; the rewritten command hides
+          // behind the CommandResult wrapper
+          case cr: org.apache.spark.sql.catalyst.plans.logical.CommandResult =>
+            cr.commandLogicalPlan.getClass.getSimpleName
+          case other => other.getClass.getSimpleName
+        }
+      finally spark.catalog.dropTempView(view)
+    }
+    assert(planFor("group").contains("ReplaceData"), planFor("group"))
+    assert(planFor("delta").contains("WriteDelta"), planFor("delta"))
   }
 
   test("the executed-MERGE leg rejects a duplicate-key source like the parquet leg") {
@@ -179,9 +212,11 @@ class MergeSinkSpec extends SparkSpec {
       "a rejected merge must leave the V2 table untouched")
   }
 
-  test("all three paths agree: executed MERGE == parquet staging-swap == interpreter") {
-    val t = memTable("m_tri", target)
-    MergeSink.mergeIntoTable(spark, t, df(source), Seq("k"))
+  test("all FOUR paths agree: group MERGE == delta MERGE == parquet staging-swap == interpreter") {
+    val tg = memTable("m_tri_g", target, "group")
+    MergeSink.mergeIntoTable(spark, tg, df(source), Seq("k"))
+    val td = memTable("m_tri_d", target, "delta")
+    MergeSink.mergeIntoTable(spark, td, df(source), Seq("k"))
     val path = tmp() + "/t_tri"
     MergeSink.mergeIntoParquet(spark, path, df(target), Seq("k"))
     MergeSink.mergeIntoParquet(spark, path, df(source), Seq("k"))
@@ -189,8 +224,10 @@ class MergeSinkSpec extends SparkSpec {
       .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
         r.getString(1), r.getInt(2)))
       .sortBy(r => (r._1.getOrElse(Long.MinValue), r._2)).toSeq
-    assert(readBack(t) == viaParquet,
-      s"executed MERGE ${readBack(t)} vs parquet path $viaParquet")
+    assert(readBack(tg) == viaParquet,
+      s"executed group MERGE ${readBack(tg)} vs parquet path $viaParquet")
+    assert(readBack(td) == viaParquet,
+      s"executed delta MERGE ${readBack(td)} vs parquet path $viaParquet")
   }
 
   test("against a NON-row-level v1 table the statement fails only at the capability check") {
