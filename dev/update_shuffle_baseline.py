@@ -28,10 +28,19 @@ time_out = sys.argv[3] if len(sys.argv) > 3 else "dev/time_baseline.json"
 
 pat = re.compile(r"\[bench\] (\S+) reps=\S+ min=([0-9.]+) max=[0-9.]+"
                  r"(?: shuffle_mb=([0-9.]+))?")
-shuffle, times = {}, {}
+# the sf1 scale subset's lines: "[bench] sf1 <q> reps=... min=..."
+sf1_pat = re.compile(r"\[bench\] sf1 (\S+) reps=\S+ min=([0-9.]+)")
+shuffle, times, sf1_times = {}, {}, {}
 skipped_failed = []
 with open(log) as f:
     for line in f:
+        m1 = sf1_pat.search(line)
+        if m1:
+            if "FAILED-REPS" in line:
+                skipped_failed.append("sf1:" + m1.group(1))
+                continue
+            sf1_times[m1.group(1)] = float(m1.group(2))
+            continue
         m = pat.search(line)
         if m:
             # a FAILED-REPS line's min is time-to-crash, not cost —
@@ -46,7 +55,7 @@ if skipped_failed:
     print(f"skipped {len(skipped_failed)} FAILED-REPS queries: "
           + ", ".join(skipped_failed[:8]))
 
-if not times:
+if not times and not sf1_times:
     sys.exit(f"no [bench] min= lines found in {log}")
 
 
@@ -81,4 +90,9 @@ else:
     print("no shuffle_mb values in log (metrics off?); "
           f"left {out} untouched")
 
-merge_write(time_out, times, "time")
+if times:
+    merge_write(time_out, times, "time")
+
+# sf1 scale baseline (same merge discipline; gate = *1.35 + 0.3 s)
+if sf1_times:
+    merge_write("dev/time_baseline_sf1.json", sf1_times, "sf1-time")

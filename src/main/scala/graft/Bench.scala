@@ -212,6 +212,68 @@ object Bench {
           q -> (if (failed) -1.0 else ts.min)
         }
       }
+    // ---- sf1 scale block: the ~20-query headline subset re-timed at
+    // sf1 (10x the gated sf0.1) against its OWN accepted baseline
+    // (dev/time_baseline_sf1.json). Scale regressions — a plan that is
+    // fine at 600k rows but superlinear at 6M — have no tripwire at
+    // sf0.1: a 10x-data run is the only place they show. min-of-N
+    // (default 2 — the subset runs AFTER the full suite, so the JVM is
+    // hot and the box state is the suite's own); queries over baseline
+    // * 1.35 + 0.3 s are flagged in the JSON (sf1_regressions) and on
+    // stderr. SPARK_GRAFT_NO_SF1=1 disables; SPARK_GRAFT_SF1_DIR
+    // overrides the data dir (default the GenScale output).
+    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/tmp/sf1")
+    val sf1Headline = Seq(
+      "q01_agg_basic", "q06_join_chain", "q21_topn",
+      "q40_dedup_exact", "q42_lsh_pairs", "q44_ngram_jaccard",
+      "q129_incremental_dedup", "q206_store_dedup",
+      "q46_embed_lsh_ann", "q77_embed_ivf_ann", "q128_pq_adc",
+      "q91_curation_funnel", "q170_importance_resample", "q177_curation_select",
+      "q101_dup_clusters", "q181_substring_dup", "q185_substring_dup_hashed",
+      "q190_corpus_manifest", "q204_profile_classifier")
+    val sf1On = !sys.env.get("SPARK_GRAFT_NO_SF1").contains("1") &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(sf1Dir))
+    val sf1Names =
+      if (args.nonEmpty) sf1Headline.filter(args.contains) else sf1Headline
+    val sf1Reps = sys.env.get("SPARK_GRAFT_SF1_REPS")
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+      .map(math.max(1, _)).getOrElse(2)
+    val sf1Failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    val sf1Results: Seq[(String, Double)] =
+      if (!sf1On) Nil
+      else sf1Names.map { n =>
+        val ts = (1 to sf1Reps).map { _ =>
+          val t0 = System.nanoTime()
+          try run(sf1Dir, n) catch { case _: Throwable => sf1Failed += n }
+          val dt = (System.nanoTime() - t0) / 1e9
+          cleanup()
+          dt
+        }
+        System.err.println(s"[bench] sf1 $n reps=${ts.map(f2).mkString(",")} " +
+          s"min=${f2(ts.min)}" +
+          (if (sf1Failed.contains(n)) " FAILED-REPS" else ""))
+        n -> ts.min
+      }
+    val sf1BaselinePath = java.nio.file.Paths.get("dev/time_baseline_sf1.json")
+    val sf1Regressions: Seq[String] =
+      if (sf1Results.isEmpty || !java.nio.file.Files.exists(sf1BaselinePath)) Nil
+      else {
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(sf1BaselinePath), "UTF-8")
+        val entry = """"([^"]+)"\s*:\s*([0-9.]+)""".r
+        val base = entry.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        sf1Results.flatMap { case (q, sec) =>
+          base.get(q).collect {
+            case b if sec > b * 1.35 + 0.3 && !sf1Failed.contains(q) =>
+              System.err.println(
+                s"[bench] SF1 SCALE REGRESSION $q: ${f2(sec)}s vs baseline " +
+                  s"${f2(b)}s (ceiling ${f2(b * 1.35 + 0.3)})")
+              q
+          }
+        }
+      }
+
     // Keep the JSON line SHORT (2-decimal times, basename sf) and print
     // it LAST, after spark.stop(): the driver keeps only the final
     // 2000 chars of process output (measured from BENCH_r01.json) and
@@ -232,7 +294,7 @@ object Bench {
     // the big-ticket queries; repsK shrinks before the itemized mins
     // do.
     def render(rs: Seq[(String, Double)], othersSec: Double, nOthers: Int,
-               repsK: Int): String = {
+               repsK: Int, sf1Detail: Boolean, adjK: Int): String = {
       val extra = if (nOthers > 0)
         Seq(s""""_others_${nOthers}q":${f2(othersSec)}""") else Nil
       val qs = (rs.map { case (k, v) => "\"" + k + "\":" + f2(v) } ++ extra)
@@ -245,16 +307,28 @@ object Bench {
       // adjudicated block: isolated min-of-5 for in-suite clock
       // regressions >35% vs dev/time_baseline.json — the verdict
       // reads THESE numbers for any flagged query instead of
-      // scheduling a manual re-run
+      // scheduling a manual re-run. Shrinkable to the adjK worst
+      // (full list on stderr) — the tail budget must never lose the
+      // line's HEAD to a long adjudication round.
       val adjPart =
         if (adjudicated.isEmpty) ""
-        else adjudicated.map { case (k, v) => "\"" + k + "\":" + f2(v) }
-          .mkString(""","adjudicated":{""", ",", "}")
-      // queries whose timed reps threw: their clocks are invalid
+        else {
+          val kept = adjudicated.take(adjK)
+            .map { case (k, v) => "\"" + k + "\":" + f2(v) }
+          val more = if (adjudicated.length > adjK)
+            Seq(s""""_more":${adjudicated.length - adjK}""") else Nil
+          (kept ++ more).mkString(""","adjudicated":{""", ",", "}")
+        }
+      // queries whose timed reps threw: their clocks are invalid.
+      // Capped at 12 names (+count) — same head-protection rationale.
       val failPart =
         if (failedQueries.isEmpty) ""
-        else failedQueries.map("\"" + _ + "\"")
-          .mkString(""","failed_queries":[""", ",", "]")
+        else {
+          val names = failedQueries.take(12).map("\"" + _ + "\"").toSeq ++
+            (if (failedQueries.size > 12)
+              Seq("\"+" + (failedQueries.size - 12) + " more\"") else Nil)
+          names.mkString(""","failed_queries":[""", ",", "]")
+        }
       // top-5 shuffle writers only (full per-query values on stderr):
       // the quantitative exchange audit, kept tiny for the tail budget
       val shPart =
@@ -269,19 +343,53 @@ object Bench {
               .mkString(""","shuffle_regressions":[""", ",", "]")
           s""","shuffle_mb_total":${f2(shuffleMb.values.sum)},"shuffle_mb_top":$top$regPart"""
         }
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$repsPart$adjPart$failPart$shPart,"sf":"$sfName"}"""
+      // sf1 scale block: per-query mins while the budget allows
+      // (sf1Detail), always the total + regressions + failures — the
+      // gate's verdict survives any shrink
+      val sf1Part =
+        if (sf1Results.isEmpty) ""
+        else {
+          val qs1 =
+            if (sf1Detail) "\"queries\":" + sf1Results
+              .map { case (k, v) => "\"" + k + "\":" + f2(v) }
+              .mkString("{", ",", "},")
+            else ""
+          val reg1 =
+            if (sf1Regressions.isEmpty) ""
+            else sf1Regressions.map("\"" + _ + "\"")
+              .mkString("\"regressions\":[", ",", "],")
+          val fail1 =
+            if (sf1Failed.isEmpty) ""
+            else sf1Failed.map("\"" + _ + "\"")
+              .mkString("\"failed\":[", ",", "],")
+          s""","sf1":{$qs1$reg1$fail1"n":${sf1Results.length},"total":${f2(sf1Results.map(_._2).sum)}}"""
+        }
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$repsPart$adjPart$failPart$shPart$sf1Part,"sf":"$sfName"}"""
     }
     val bySlowest = results.sortBy(-_._2)
     var keep = bySlowest
     var repsK = math.min(12, results.length)
-    var line = render(results, 0.0, 0, repsK)
-    while (line.length > 1900 && (keep.length > 4 || repsK > 0)) {
+    var sf1Detail = true
+    var adjK = adjudicated.length
+    def renderCur(): String = {
+      val others = bySlowest.drop(keep.length)
+      render(results.filter(r => keep.exists(_._1 == r._1)),
+        others.map(_._2).sum, others.length, repsK, sf1Detail, adjK)
+    }
+    var line = renderCur()
+    // shrink order: per-rep spreads first, then fold fast queries,
+    // then the sf1 per-query detail, then the adjudication list —
+    // every block participates in the budget (the round-11 advice:
+    // a floor that ignored adjudicated/failed could still overflow
+    // the driver's 2000-char tail and truncate the JSON head)
+    while (line.length > 1900 &&
+        (keep.length > 4 || repsK > 0 || sf1Detail || adjK > 0)) {
       if (repsK > 6) repsK -= 2
       else if (keep.length > 4) keep = bySlowest.take(keep.length - 4)
-      else repsK -= 1
-      val others = bySlowest.drop(keep.length)
-      line = render(results.filter(r => keep.exists(_._1 == r._1)),
-        others.map(_._2).sum, others.length, repsK)
+      else if (repsK > 0) repsK -= 1
+      else if (sf1Detail) sf1Detail = false
+      else adjK = math.max(0, adjK - 4)
+      line = renderCur()
     }
     spark.stop()
     println(line)

@@ -30,6 +30,28 @@ import org.apache.spark.sql.functions._
   */
 object SubstringDup {
 
+  /** Session conf key: partition count for the window-MULTIPLICITY
+    * exchange (the per-window-row shuffle that dominates this family
+    * — the bench's single biggest shuffle producer). Each partition
+    * sorts its window keys in the (disk-spillable) window sorter, so
+    * the right value is corpus_window_bytes / healthy_sort_budget:
+    * the session default (spark.sql.shuffle.partitions) is sized for
+    * aggregate shuffles and is ~100x too coarse at 100 TB — one
+    * partition would sort ~0.5 TB of window rows. Unset = session
+    * default (fine through sf1, measured in SCALE.md); at 100 TB set
+    * ~corpus_chars * 16 B / 256 MB partitions. */
+  val PartitionsKey = "graft.substringdup.partitions"
+
+  /** Route the exploded window rows through an explicit
+    * [[PartitionsKey]]-sized hash exchange on the multiplicity key —
+    * the window operator then reuses that partitioning (same key), so
+    * this REPLACES the default exchange rather than adding one. */
+  private def multiplicityPartitioned(wins: DataFrame, keyCol: String): DataFrame =
+    wins.sparkSession.conf.getOption(PartitionsKey)
+      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 0)
+      .map(n => wins.repartition(n, col(keyCol)))
+      .getOrElse(wins)
+
   /** Per-document duplicated-character counts.
     *
     * @param docs (idCol, textCol) — rows with NULL/short text yield no
@@ -45,7 +67,7 @@ object SubstringDup {
         col(textCol))
       .select(col(idCol), col("i"),
         substring(col(textCol), col("i").cast("int"), lit(k)).as("win"))
-    val flagged = wins
+    val flagged = multiplicityPartitioned(wins, "win")
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy("win")))
       .filter(col("cnt") >= 2)
       .select(col(idCol), col("i"))
@@ -71,7 +93,7 @@ object SubstringDup {
       .select(col(idCol),
         posexplode(RollingHash.windowHashes(col(textCol), k)).as(Seq("p", "h")))
       .select(col(idCol), (col("p") + 1).cast("long").as("i"), col("h"))
-    wins
+    multiplicityPartitioned(wins, "h")
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
       .filter(col("cnt") >= 2)
       .select(col(idCol), col("i"))

@@ -288,8 +288,21 @@ object WeeklyReportJob {
                   lo: String, hi: String,
                   prevPath: Option[String]): String = {
     import graft.domain.Fixtures
-    val b = Fixtures.bunmanDf(spark).filter(col("use_yn") === "Y")
-    val farms = Fixtures.modonDf(spark).select("farm_no").distinct()
+    runWeekStepFrom(spark,
+      Fixtures.bunmanDf(spark).filter(col("use_yn") === "Y"),
+      Fixtures.modonDf(spark).select("farm_no").distinct(),
+      outDir, wn, lo, hi, prevPath)
+  }
+
+  /** [[runWeekStep]] parameterized over the event/farm frames — the
+    * scale harness (devtools.CrossCheckWeekly drives the same chain
+    * over an sf1-derived 6M-event corpus) and any caller whose farm
+    * events do not come from the domain fixtures. `b` rows carry
+    * (farm_no, wk_dt, silsan); `farms` is the reporting spine (farms
+    * with no events that week report zeros). */
+  def runWeekStepFrom(spark: SparkSession, b: DataFrame, farms: DataFrame,
+                      outDir: String, wn: String, lo: String, hi: String,
+                      prevPath: Option[String]): String = {
     val stats = farms.join(
         b.filter(col("wk_dt").between(lo, hi))
           .groupBy("farm_no")
@@ -327,9 +340,21 @@ object WeeklyReportJob {
     * is what the hash gate proves. */
   def runChainedWeeks(spark: SparkSession, outDir: String,
                       weeks: Seq[(String, String, String)]): DataFrame = {
+    import graft.domain.Fixtures
+    runChainedWeeksFrom(spark,
+      Fixtures.bunmanDf(spark).filter(col("use_yn") === "Y"),
+      Fixtures.modonDf(spark).select("farm_no").distinct(),
+      outDir, weeks)
+  }
+
+  /** [[runChainedWeeks]] over caller-supplied event/farm frames (see
+    * [[runWeekStepFrom]]). */
+  def runChainedWeeksFrom(spark: SparkSession, b: DataFrame, farms: DataFrame,
+                          outDir: String,
+                          weeks: Seq[(String, String, String)]): DataFrame = {
     var prev: Option[String] = None
     val paths = weeks.map { case (wn, lo, hi) =>
-      val p = runWeekStep(spark, outDir, wn, lo, hi, prev)
+      val p = runWeekStepFrom(spark, b, farms, outDir, wn, lo, hi, prev)
       prev = Some(p)
       p
     }

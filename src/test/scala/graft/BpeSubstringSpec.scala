@@ -122,4 +122,35 @@ class BpeSubstringSpec extends SparkSpec {
     }
     assert(got == want)
   }
+
+  test("multiplicity-partition knob resizes the window exchange without changing results") {
+    val k = 4
+    val docs = Seq(
+      (1L, "wxyzAAAA"), (2L, "BBBBwxyz"), (3L, "qqqqq"),
+      (4L, "uniquetextnothingrepeats")).toDF("doc_id", "text")
+    val plain = SubstringDup.dupCharsHashed(docs, "doc_id", "text", k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set(SubstringDup.PartitionsKey, "7")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // bare plan tree
+    try {
+      val knobbed = SubstringDup.dupCharsHashed(docs, "doc_id", "text", k)
+      assert(knobbed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        == plain, "the knob is a layout choice, never a semantic one")
+      // the knob REPLACES the multiplicity exchange (the window reuses
+      // the repartition's hash distribution on the same key) — the
+      // plan must carry a 7-partition exchange on h and NOT also the
+      // session-default one
+      val exchanges = knobbed.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("h#") => e
+      }
+      assert(exchanges.map(_.outputPartitioning.numPartitions) == Seq(7),
+        s"expected ONE 7-partition multiplicity exchange, got " +
+          s"${exchanges.map(_.outputPartitioning.numPartitions)}")
+    } finally {
+      spark.conf.unset(SubstringDup.PartitionsKey)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
 }
