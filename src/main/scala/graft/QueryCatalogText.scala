@@ -258,7 +258,12 @@ object QueryCatalogText {
         concat_ws(" ",
           expr("slice(split(text, '\\\\s+'), 1, 3)"),
           expr("slice(split(text, '\\\\s+'), 5, 1000000)")).as("text"))
-    val table = "graft_q206_bands"
+    // per-run-unique table name: a fixed shared name would let two
+    // concurrent graft processes (bench + verify on one box) drop
+    // each other's mid-query store — the q201 per-run-unique-path
+    // lesson, catalog-side
+    val table = "graft_q206_bands_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
     BandStore.reset(s, table)
     BandStore.write(
       Dedup.lshBands(Dedup.minHashText(ref, "doc_id", "text"), "doc_id"), table)

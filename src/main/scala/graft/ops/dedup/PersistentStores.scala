@@ -125,6 +125,26 @@ object BandStore {
               "store path for this location or start a fresh one")
       }
     }
+    // bucket-COUNT pin: files written under one count read WRONG
+    // through a table declaring another (the reader trusts the
+    // file-name bucket id) — the same silent-miss failure the
+    // non-bucketed check guards. The count is recorded at creation
+    // and re-registration must match it.
+    val pin = new org.apache.hadoop.fs.Path(loc, "_graft_buckets")
+    if (fs.exists(pin)) {
+      val in = fs.open(pin)
+      val recorded =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        finally in.close()
+      if (recorded != nBuckets)
+        throw new IllegalStateException(
+          s"$location was written with $recorded buckets; re-registering " +
+            s"it as $nBuckets would silently mis-bucket every probe — " +
+            "pass the original bucket count")
+    } else {
+      val out = fs.create(pin, true)
+      try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
+    }
     spark.sql(
       s"""CREATE TABLE `$table` (`$idCol` BIGINT, `band` INT,
          |  `band_key` STRING, `batch_id` BIGINT)

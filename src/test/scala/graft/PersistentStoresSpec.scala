@@ -230,6 +230,28 @@ class PersistentStoresSpec extends SparkSpec {
     }
   }
 
+  test("ensureStreamStore pins the bucket count: re-registering with another count fails loudly") {
+    // files written under one bucket count read WRONG through a table
+    // declaring another (the reader trusts the file-name bucket id) —
+    // the guard must reject the mismatch instead of silently missing
+    // probe matches
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft_bucket_pin").toString
+    spark.sql("DROP TABLE IF EXISTS pin_a"); spark.sql("DROP TABLE IF EXISTS pin_b")
+    BandStore.ensureStreamStore(spark, "pin_a", loc, "doc_id", nBuckets = 16)
+    BandStore.writeBatch(spark, "pin_a",
+      Dedup.lshBands(Dedup.minHashText(docs(5), "doc_id", "text"), "doc_id"),
+      "doc_id", 0L)
+    spark.sql("DROP TABLE `pin_a`") // catalog restart
+    val e = intercept[IllegalStateException] {
+      BandStore.ensureStreamStore(spark, "pin_b", loc, "doc_id", nBuckets = 8)
+    }
+    assert(e.getMessage.contains("mis-bucket"), e.getMessage)
+    // the ORIGINAL count re-registers fine and reads the data back
+    BandStore.ensureStreamStore(spark, "pin_b", loc, "doc_id", nBuckets = 16)
+    assert(spark.table("pin_b").select("doc_id").distinct().count() == 5L)
+  }
+
   test("LabelStore.incremental matches full-recompute CC and survives the swap crash window") {
     // standing graph: {1,2} and {10,11}; increment merges the two
     // clusters via 2-10 and attaches a fresh vertex 20-11
