@@ -104,6 +104,16 @@ object Explain {
     "q129_incremental_dedup" -> ("Incremental dedup: ONE shared banding pass over " +
       "reference+batch (tag = id low bit); same-corpus pairs parity-filtered " +
       "before verification — the standing corpus never self-pairs."),
+    "q206_store_dedup" -> ("Incremental dedup against the BUCKETED persistent " +
+      "band store: the standing side scans bucketed on (band, band_key) — " +
+      "hot-bucket cap window AND probe join both satisfied by the scan's " +
+      "hash partitioning, ZERO store-side exchange; only the batch's bands " +
+      "shuffle, to the bucket count. The dump below shows only the " +
+      "LOCALIZED result leaf (the query materializes its corpus-sublinear " +
+      "flags so the store table can be dropped before returning); the " +
+      "probe-side plan property is pinned structurally in " +
+      "PersistentStoresSpec (rawStoreExchanges == empty on the executed " +
+      "probe plan)."),
     "q132_semdedup" -> ("SemDeDup: cosine edges only within k-means cells " +
       "(cell equi-join bounds pairs at sum(cell^2)); ConnectedComponents " +
       "canonicalizes components to min id."),
