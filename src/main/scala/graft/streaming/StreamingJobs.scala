@@ -420,20 +420,34 @@ object StreamingJobs {
     * the crash-safe staging-swap upsert. Docs with no verified edge
     * carry no registry row (minLabel semantics — singletons are
     * implicit). Store growth note: as nearDupStream — a dedup store
-    * has no eviction horizon; it grows with the admitted corpus. */
+    * has no eviction horizon; it grows with the admitted corpus.
+    *
+    * `storeTable = Some(t)`: the band store lives in the bucketed
+    * catalog table `t` at `storeDir` (the nearDupStream option —
+    * see there): the per-batch probe AND the hot-bucket cap window
+    * both ride the bucketed layout with zero store-side exchange.
+    * The registry itself stays on the crash-proven parquet upsert
+    * (its standing side is label rows, corpus-SUBLINEAR — near-dup
+    * members only; for a bucketed registry at full-corpus label
+    * scale, batch jobs use [[graft.ops.dedup.LabelStore]]). */
   def clusterMaintStream(docs: DataFrame, storeDir: String, textDir: String,
                          labelsDir: String, checkpoint: String,
-                         tau: Double = 0.7): StreamingQuery =
+                         tau: Double = 0.7,
+                         storeTable: Option[String] = None): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
-        import graft.ops.dedup.{ConnectedComponents, Dedup}
+        import graft.ops.dedup.{BandStore, ConnectedComponents, Dedup}
         val spark = batch0.sparkSession
         // pre-batch_id append-layout stores migrate first (see
-        // nearDupStream / Sinks.migrateToBatchLayout)
-        Sinks.migrateToBatchLayout(spark, storeDir)
+        // nearDupStream / Sinks.migrateToBatchLayout); the bucketed
+        // table mode never migrates its own location
+        storeTable match {
+          case Some(t) => BandStore.ensureStreamStore(spark, t, storeDir, "doc_id")
+          case None => Sinks.migrateToBatchLayout(spark, storeDir)
+        }
         Sinks.migrateToBatchLayout(spark, textDir)
         // exact dups stay IN: identical texts collide in every band,
         // verify at jaccard 1 and become a cluster — the registry
@@ -447,8 +461,14 @@ object StreamingJobs {
           p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
         }
         val intraCand = Dedup.candidatePairs(bands, "doc_id")
+        // empty-store detection: table mode asks the catalog's
+        // partition metadata (no data job); dir mode asks the fs
+        val storeEmpty = storeTable match {
+          case Some(t) => spark.sql(s"SHOW PARTITIONS `$t`").isEmpty
+          case None => !exists(storeDir)
+        }
         val (cand, corpusDocs) =
-          if (!exists(storeDir)) (intraCand, batch.select("doc_id", "text"))
+          if (storeEmpty) (intraCand, batch.select("doc_id", "text"))
           else {
             // store-side bucket cap (candidatePairs' 64 discipline):
             // the registry appends EVERY admitted doc's bands, so a
@@ -462,11 +482,17 @@ object StreamingJobs {
             // explicit schema for the same reason as nearDupStream's
             // store read: an exists-but-empty dir (crash during the
             // first bands write) must read as an empty store, not
-            // throw UNABLE_TO_INFER_SCHEMA and wedge the restart
-            val store = spark.read
-              .schema(bands.schema.add("batch_id",
-                org.apache.spark.sql.types.LongType))
-              .parquet(storeDir)
+            // throw UNABLE_TO_INFER_SCHEMA and wedge the restart.
+            // On the bucketed table the cap window's partition keys
+            // equal the bucket keys — zero store-side exchange.
+            val storeRaw = storeTable match {
+              case Some(t) => spark.table(t)
+              case None => spark.read
+                .schema(bands.schema.add("batch_id",
+                  org.apache.spark.sql.types.LongType))
+                .parquet(storeDir)
+            }
+            val store = storeRaw
               .withColumn("__bn", count(lit(1)).over(bw))
               .filter(col("__bn") <= 64).drop("__bn")
             val coll = bands
@@ -522,9 +548,13 @@ object StreamingJobs {
         batch.withColumn("batch_id", lit(batchId))
           .write.mode("overwrite").options(dyn)
           .partitionBy("batch_id").parquet(textDir)
-        bands.withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite").options(dyn)
-          .partitionBy("batch_id").parquet(storeDir)
+        storeTable match {
+          case Some(t) =>
+            BandStore.writeBatch(spark, t, bands, "doc_id", batchId)
+          case None => bands.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").options(dyn)
+            .partitionBy("batch_id").parquet(storeDir)
+        }
         batch.unpersist(); bands.unpersist()
         releases.foreach(_())
         ()

@@ -613,6 +613,39 @@ class SinksStreamingSpec extends SparkSpec {
       "the lock must be released on completion")
   }
 
+  test("cluster maintenance with a BUCKETED band store equals the parquet-store registry, across a catalog restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val other = "completely different words about spark query engines and shuffles in production"
+    val b1 = Seq((1L, base), (2L, base), (3L, other))
+    val b2 = Seq((4L, base.replace("today", "tonight")), (5L, other), (6L, other))
+    def run(storeTable: Option[String]): Map[Long, Long] = {
+      val (store, texts, labels, chk) = (tmp() + "/cstore", tmp() + "/ctexts",
+        tmp() + "/clabels", tmp() + "/cchk")
+      val mem = MemoryStream[(Long, String)]
+      val df = mem.toDF().toDF("doc_id", "text")
+      mem.addData(b1: _*)
+      StreamingJobs.clusterMaintStream(df, store, texts, labels, chk,
+        storeTable = storeTable).awaitTermination()
+      // in-memory-catalog restart between micro-batches: the fixed
+      // location re-registers
+      if (storeTable.isDefined)
+        storeTable.foreach(t => spark.sql(s"DROP TABLE `$t`"))
+      mem.addData(b2: _*)
+      StreamingJobs.clusterMaintStream(df, store, texts, labels, chk,
+        storeTable = storeTable).awaitTermination()
+      spark.read.parquet(labels).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    spark.sql("DROP TABLE IF EXISTS cm_bucketed_store")
+    val viaParquet = run(None)
+    val viaBucketed = run(Some("cm_bucketed_store"))
+    assert(viaParquet == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 1L,
+      5L -> 3L, 6L -> 3L), s"parquet-mode registry: $viaParquet")
+    assert(viaBucketed == viaParquet,
+      s"store layout must not change the registry: $viaBucketed vs $viaParquet")
+  }
+
   test("streaming cluster maintenance: registry tracks clusters across batches") {
     implicit val sqlCtx = spark.sqlContext
     val (store, texts, labels, chk) =
