@@ -264,20 +264,22 @@ object QueryCatalogText {
     // lesson, catalog-side
     val table = "graft_q206_bands_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    BandStore.reset(s, table)
-    BandStore.write(
-      Dedup.lshBands(Dedup.minHashText(ref, "doc_id", "text"), "doc_id"), table)
-    val out = BandStore.dedupAgainstStoreScoped(
-      s, table, ref, fresh.unionByName(recrawl), "doc_id", "text") { j =>
-      // localize (corpus-sublinear flags) so the returned frame no
-      // longer reads the store table — it is dropped right after
-      graft.ops.Materialize.localize(j
-        .filter(col("jaccard") >= 0.5)
-        .select(col("bid").as("new_id"), col("sid").as("ref_id"),
-          col("n_inter"), col("jaccard")))
-    }
-    BandStore.reset(s, table)
-    out.orderBy("new_id", "ref_id")
+    // finally: a failed rep (OOM mid-verify) must not leak the
+    // UUID-named store — with per-run names nothing else would ever
+    // reclaim it
+    try {
+      BandStore.write(
+        Dedup.lshBands(Dedup.minHashText(ref, "doc_id", "text"), "doc_id"), table)
+      BandStore.dedupAgainstStoreScoped(
+        s, table, ref, fresh.unionByName(recrawl), "doc_id", "text") { j =>
+        // localize (corpus-sublinear flags) so the returned frame no
+        // longer reads the store table — it is dropped in the finally
+        graft.ops.Materialize.localize(j
+          .filter(col("jaccard") >= 0.5)
+          .select(col("bid").as("new_id"), col("sid").as("ref_id"),
+            col("n_inter"), col("jaccard")))
+      }.orderBy("new_id", "ref_id")
+    } finally BandStore.reset(s, table)
   }
 
   private lazy val q206Sql =

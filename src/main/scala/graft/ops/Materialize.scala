@@ -97,6 +97,29 @@ object Materialize {
       if (fs.exists(p)) fs.delete(p, true)
     }
 
+  /** Reclaim OTHER applications' staging namespaces whose last
+    * modification is older than `olderThanMs` — the garbage left by
+    * crashed/killed runs, which per-application [[clearStaging]]
+    * deliberately never touches (a live sibling's staging scans must
+    * survive). Age is the only liveness signal a shared dir offers:
+    * pick a threshold comfortably above any legitimate job's idle
+    * span (default 7 days). Explicit opt-in for an operator/cron —
+    * never called implicitly. */
+  def clearStaleStaging(spark: org.apache.spark.sql.SparkSession,
+                        olderThanMs: Long = 7L * 24 * 3600 * 1000): Unit =
+    spark.conf.getOption(StagingDirKey).filter(_.nonEmpty).foreach { dir =>
+      import org.apache.hadoop.fs.Path
+      val p = new Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val cutoff = System.currentTimeMillis() - olderThanMs
+      val self = spark.sparkContext.applicationId
+      if (fs.exists(p))
+        fs.listStatus(p)
+          .filter(s => s.isDirectory && s.getPath.getName != self &&
+            s.getModificationTime < cutoff)
+          .foreach(s => fs.delete(s.getPath, true))
+    }
+
   /** Free a leafCache'd frame's stored blocks NOW. Only safe once the
     * frame's data is no longer needed (consumer's action finished, or
     * the data provably lives on elsewhere — e.g. in already-written

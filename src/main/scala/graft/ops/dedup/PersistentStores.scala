@@ -71,9 +71,15 @@ object BandStore {
     * [[Dedup.candidatePairs]] discipline) and would make probe work
     * linear in cluster size. Exchange-free on the bucketed layout —
     * the window keys are the bucket keys. */
-  def capped(spark: SparkSession, table: String, maxBucket: Int): DataFrame = {
+  def capped(spark: SparkSession, table: String, maxBucket: Int): DataFrame =
+    cappedFrame(spark.table(table), maxBucket)
+
+  /** The cap over any band frame (table- or dir-backed) — ONE
+    * definition so the streaming registries and the batch probe can
+    * never diverge on cap semantics. */
+  def cappedFrame(store: DataFrame, maxBucket: Int): DataFrame = {
     val bw = Window.partitionBy(col("band"), col("band_key"))
-    spark.table(table)
+    store
       .withColumn("__bn", count(lit(1)).over(bw))
       .filter(col("__bn") <= maxBucket).drop("__bn")
   }
@@ -221,8 +227,19 @@ object BandStore {
   * side of [[ConnectedComponents.incremental]]. Bucketed on `id`, the
   * two contraction joins (increment edges → standing labels) and the
   * final relabel read the registry with no exchange; only the
-  * increment shuffles. See [[BandStore]] for the layout rationale and
-  * the session-catalog caveat. */
+  * increment shuffles. See [[BandStore]] for the layout rationale.
+  *
+  * Session-catalog caveat, STRONGER than BandStore's: the registry
+  * lives in MANAGED tables (the swap protocol renames them, which
+  * moves managed locations), so with the in-memory catalog BOTH the
+  * metadata and the reachable name die with the JVM while the files
+  * survive under the warehouse dir — a later [[write]] to the same
+  * name then refuses the leftover location. Call [[reset]] before
+  * re-creating a table after a crashed LOCAL session (accepting that
+  * the dead session's registry data goes with it), or run on a
+  * persistent metastore where [[recover]]'s catalog-side healing
+  * actually spans restarts — that is the cluster posture this store
+  * is designed for. */
 object LabelStore {
 
   /** Persist (id, component) labels bucketed + sorted on id. */
@@ -231,6 +248,16 @@ object LabelStore {
     labels.write.format("parquet")
       .bucketBy(nBuckets, "id").sortBy("id")
       .mode("overwrite").saveAsTable(table)
+
+  /** Drop the registry AND its staging twin, catalog and leftover
+    * managed locations both — the local-session unwedge after a JVM
+    * crash left orphaned warehouse dirs (see the object scaladoc).
+    * DESTROYS the registry data; a durable registry needs a
+    * persistent metastore. */
+  def reset(spark: SparkSession, table: String): Unit = {
+    BandStore.reset(spark, table)
+    BandStore.reset(spark, table + "_staging")
+  }
 
   /** Fold a batch of verified near-dup edges into the persisted
     * registry: [[ConnectedComponents.incremental]] over the bucketed

@@ -135,8 +135,11 @@ object Sinks {
     *  - crash mid-delete: the marker says the partition already holds
     *    the full root set, so the replay must NOT rewrite from the
     *    now-partial roots (that would shrink the partition to the
-    *    surviving files) — it only finishes deleting the
-    *    manifest-LISTED files and drops backup, marker and manifest.
+    *    surviving files) — it finishes deleting the manifest-LISTED
+    *    files, drops backup, marker and manifest, and then falls
+    *    through: any UNLISTED root that appeared inside the crash
+    *    window migrates in the same call (via the reappeared-roots
+    *    union below), so the dir is never handed back mixed.
     *
     * Reappeared roots: if batch_id=-1 already holds data and no
     * manifest is present, a PRIOR migration completed and new root
@@ -199,9 +202,12 @@ object Sinks {
     if (fs.exists(marker)) { // delete leg of a crashed prior run
       // only manifest-LISTED files: a root appended by an old-binary
       // writer inside the crash window was never migrated and must
-      // survive for the next call (no manifest = pre-manifest binary
-      // wrote the marker; fall back to deleting all current roots,
-      // the old contract)
+      // survive this delete (no manifest = pre-manifest binary wrote
+      // the marker; fall back to deleting all current roots, the old
+      // contract). Do NOT return: any surviving unlisted root would
+      // leave a mixed root+partition layout that the caller's very
+      // next partitioned read trips over — fall through and migrate
+      // the survivors in this same call.
       val listed = readManifest()
       rootFiles()
         .filter(s => listed.forall(_.contains(s.getPath.getName)))
@@ -209,7 +215,6 @@ object Sinks {
       fs.delete(backup, true)
       fs.delete(marker, false)
       fs.delete(manifest, false)
-      return
     }
     val roots = rootFiles()
     if (roots.isEmpty) {
@@ -269,7 +274,20 @@ object Sinks {
   /** Acquire [[MigrateLock]] under `dir`, run `body`, release. A lock
     * younger than `staleMs` means another invocation is live — throw
     * (the mechanical concurrency guard); an older one is a crashed
-    * run's residue (migration itself is replay-safe) — break it. */
+    * run's residue (migration itself is replay-safe) — break it.
+    *
+    * Two documented limits of a lock FILE without liveness checks:
+    * (a) a crash mid-migration leaves a fresh lock, so a supervisor
+    * restarting the stream inside `staleMs` is rejected until the
+    * lock ages out — a caller that can PROVE exclusivity at restart
+    * (single supervised stream per store, the foreachBatch posture)
+    * may pass a small `staleLockMs` to shrink that window, trading
+    * against the concurrent-invocation guard; (b) create(overwrite =
+    * false) is exists-then-create on RawLocalFileSystem, so on a
+    * plain local disk two truly simultaneous first calls can both
+    * acquire — HDFS/object stores with atomic create get the real
+    * mutual exclusion. The migration body itself stays replay-safe
+    * either way; the lock narrows the damage to availability. */
   private def withMigrateLock[A](fs: org.apache.hadoop.fs.FileSystem,
                                  dir: org.apache.hadoop.fs.Path,
                                  staleMs: Long)(body: => A): A = {

@@ -477,14 +477,13 @@ object StreamingJobs {
             // linear in cluster size. Hot buckets drop from the
             // probe; their members are already linked to each other
             // (their edges were verified when the bucket was small).
-            val bw = org.apache.spark.sql.expressions.Window
-              .partitionBy("band", "band_key")
             // explicit schema for the same reason as nearDupStream's
             // store read: an exists-but-empty dir (crash during the
             // first bands write) must read as an empty store, not
             // throw UNABLE_TO_INFER_SCHEMA and wedge the restart.
-            // On the bucketed table the cap window's partition keys
-            // equal the bucket keys — zero store-side exchange.
+            // The cap is BandStore.cappedFrame — one definition with
+            // the batch probe path; on the bucketed table its window
+            // keys equal the bucket keys, zero store-side exchange.
             val storeRaw = storeTable match {
               case Some(t) => spark.table(t)
               case None => spark.read
@@ -492,9 +491,7 @@ object StreamingJobs {
                   org.apache.spark.sql.types.LongType))
                 .parquet(storeDir)
             }
-            val store = storeRaw
-              .withColumn("__bn", count(lit(1)).over(bw))
-              .filter(col("__bn") <= 64).drop("__bn")
+            val store = BandStore.cappedFrame(storeRaw, 64)
             val coll = bands
               .join(store.withColumnRenamed("doc_id", "sid"),
                 Seq("band", "band_key"))

@@ -313,6 +313,16 @@ class OpsSpec extends SparkSpec {
         "clearStaging must delete this application's staging namespace")
       assert(fs.exists(foreign),
         "clearStaging must NOT touch another application's namespace")
+      // the crashed-run reclaim: a STALE sibling namespace goes,
+      // a fresh one (possibly live) stays
+      Materialize.clearStaleStaging(spark, olderThanMs = 0L)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "app-other")),
+        "clearStaleStaging must reclaim aged-out sibling namespaces")
+      val fresh = new org.apache.hadoop.fs.Path(dir, "app-fresh/localize_x")
+      fs.mkdirs(fresh)
+      Materialize.clearStaleStaging(spark) // default 7-day cutoff
+      assert(fs.exists(fresh),
+        "a namespace younger than the cutoff must survive")
     } finally spark.conf.unset(Materialize.StagingDirKey)
   }
 

@@ -560,6 +560,46 @@ class SinksStreamingSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 4L)
   }
 
+  test("crashed delete leg with an UNLISTED new root migrates it in the same call (no mixed layout handed back)") {
+    // crash window B variant: mid-delete crash (marker + manifest
+    // present, one LISTED root survived) while an old-binary writer
+    // appended a root NOT in the manifest. One replay call must both
+    // finish the delete (listed root only) AND migrate the unlisted
+    // newcomer — returning after the delete leg would hand the caller
+    // a mixed root+partition dir whose partitioned read throws.
+    val dir = tmp() + "/mig_d"
+    Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+      .write.mode("append").parquet(dir)
+    Sinks.migrateToBatchLayout(spark, dir) // completes: partition holds 1,2
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def plantRoot(rows: Seq[(Long, String)], src: String): Seq[String] = {
+      rows.toDF("doc_id", "text").write.mode("append").parquet(src)
+      fs.listStatus(new org.apache.hadoop.fs.Path(src))
+        .filter(_.getPath.getName.endsWith(".parquet")).map { s =>
+          fs.rename(s.getPath, new org.apache.hadoop.fs.Path(p, s.getPath.getName))
+          s.getPath.getName
+        }.toSeq
+    }
+    // reconstruct: a LISTED surviving root (as if its delete never
+    // ran; its ROWS are already in the partition) + an UNLISTED one
+    val listed = plantRoot(Seq((1L, "a")), tmp() + "/mig_d_listed")
+    plantRoot(Seq((9L, "z")), tmp() + "/mig_d_new")
+    val mOut = fs.create(
+      new org.apache.hadoop.fs.Path(p, Sinks.MigratingManifest), true)
+    mOut.write(listed.mkString("\n").getBytes("UTF-8")); mOut.close()
+    fs.create(new org.apache.hadoop.fs.Path(p, Sinks.MigratedMarker), true).close()
+    Sinks.migrateToBatchLayout(spark, dir)
+    val got = spark.read.parquet(dir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L, 9L),
+      s"listed root deleted (no dup 1), unlisted root 9 migrated: $got")
+    assert(spark.read.parquet(dir).filter(col("batch_id") =!= -1L).count() == 0)
+    assert(fs.listStatus(p).count(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet")) == 0,
+      "no root file may survive the call")
+  }
+
   test("layout migration folds REAPPEARED root files into the migrated partition without dropping it") {
     // mixed-deployment window: a migration completed (batch_id=-1
     // holds the old corpus, no marker/manifest), then an old-binary
