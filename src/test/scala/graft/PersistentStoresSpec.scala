@@ -280,6 +280,37 @@ class PersistentStoresSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap == full)
   }
 
+  test("degenerate inputs: empty probe batch, empty edge increment, orphaned-location reset") {
+    // empty PROBE batch: zero collisions, no crash (the late-upstream
+    // day of a daily incremental pipeline)
+    dropTable("ps_empty")
+    BandStore.write(Dedup.lshBands(
+      Dedup.minHashText(docs(10), "doc_id", "text"), "doc_id"), "ps_empty")
+    val emptyBands = Dedup.lshBands(
+      Dedup.minHashText(docs(0), "doc_id", "text"), "doc_id")
+    assert(BandStore.probe(spark, "ps_empty", emptyBands, "doc_id").count() == 0)
+    // empty EDGE increment: the registry round-trips unchanged
+    dropTable("ps_empty_labels"); dropTable("ps_empty_labels_staging")
+    val labels0 = graft.ops.dedup.ConnectedComponents.minLabelLocalized(
+      Seq((1L, 2L)).toDF("id_a", "id_b"))
+    LabelStore.write(labels0, "ps_empty_labels")
+    LabelStore.incremental(spark, "ps_empty_labels",
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+    assert(spark.table("ps_empty_labels").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(1L -> 1L, 2L -> 1L))
+    // orphaned managed location (a crashed local session's leftovers):
+    // write() refuses it; reset() is the documented unwedge
+    spark.sql("DROP TABLE IF EXISTS ps_orphan")
+    val warehouse = new org.apache.hadoop.fs.Path("/tmp/graft_warehouse/ps_orphan")
+    val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(warehouse)
+    fs.create(new org.apache.hadoop.fs.Path(warehouse, "leftover.parquet"), true).close()
+    intercept[Exception] { LabelStore.write(labels0, "ps_orphan") }
+    LabelStore.reset(spark, "ps_orphan")
+    LabelStore.write(labels0, "ps_orphan")
+    assert(spark.table("ps_orphan").count() == 2L)
+  }
+
   test("LabelStore contraction joins read the standing registry with NO exchange") {
     val edges = (0L until 200L by 2L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val labels0 = ConnectedComponents.minLabelLocalized(edges)

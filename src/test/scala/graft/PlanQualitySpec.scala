@@ -153,6 +153,53 @@ class PlanQualitySpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("bucketed BAND STORE probe: zero exchanges on the standing side (the round-12 layout lever)") {
+    // the incremental dedup family's persistent-store property, pinned
+    // here where the plan-quality sweeps live; PersistentStoresSpec
+    // carries the full matrix (append growth, partitioned+bucketed
+    // streaming layout, layout invariance, LabelStore registry).
+    import graft.ops.dedup.{BandStore, Dedup}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    spark.sql("DROP TABLE IF EXISTS pq_band_store")
+    val whp = new org.apache.hadoop.fs.Path("/tmp/graft_warehouse/pq_band_store")
+    whp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(whp, true)
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    BandStore.write(Dedup.lshBands(
+      Dedup.minHashText(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text"),
+      "doc_id"), "pq_band_store")
+    val probeBands = Dedup.lshBands(Dedup.minHashText(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text"), "doc_id")
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val probed = BandStore.probe(spark, "pq_band_store", probeBands, "doc_id")
+      probed.collect()
+      val plan = probed.queryExecution.executedPlan
+      // an exchange whose subtree holds the store scan with NO join
+      // below it would mean raw standing rows crossed the wire
+      val offending = plan.collect {
+        case e: ShuffleExchangeLike
+          if e.treeString.contains("pq_band_store") &&
+            e.collectFirst {
+              case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+                if j ne e => j
+            }.isEmpty => e
+      }
+      assert(offending.isEmpty,
+        s"standing band store must not re-shuffle:\n${offending.map(_.treeString.take(500)).mkString}")
+      assert(plan.toString.contains("SelectedBucketsCount"),
+        "store scan must be bucket-aware")
+      assert(plan.collect { case e: ShuffleExchangeLike => e }.nonEmpty,
+        "the increment side must shuffle to the bucket count")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
   test("bucketed tables join co-located — no shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS bk_orders")
     spark.sql("DROP TABLE IF EXISTS bk_lineitem")
