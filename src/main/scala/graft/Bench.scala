@@ -252,7 +252,12 @@ object Bench {
         System.err.println(s"[bench] sf1 $n reps=${ts.map(f2).mkString(",")} " +
           s"min=${f2(ts.min)}" +
           (if (sf1Failed.contains(n)) " FAILED-REPS" else ""))
-        n -> ts.min
+        // a rep that threw leaves time-to-crash, not cost: publish the
+        // same -1 sentinel the main suite's adjudication uses so the
+        // sf1 queries/total blocks never carry an invalid clock (the
+        // FAILED-REPS list already names it; the baseline updater and
+        // the regression gate already skip it)
+        n -> (if (sf1Failed.contains(n)) -1.0 else ts.min)
       }
     val sf1BaselinePath = java.nio.file.Paths.get("dev/time_baseline_sf1.json")
     val sf1Regressions: Seq[String] =
@@ -362,7 +367,7 @@ object Bench {
             if (sf1Failed.isEmpty) ""
             else sf1Failed.map("\"" + _ + "\"")
               .mkString("\"failed\":[", ",", "],")
-          s""","sf1":{$qs1$reg1$fail1"n":${sf1Results.length},"total":${f2(sf1Results.map(_._2).sum)}}"""
+          s""","sf1":{$qs1$reg1$fail1"n":${sf1Results.length},"total":${f2(sf1Results.map(_._2).filter(_ >= 0).sum)}}"""
         }
       s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$repsPart$adjPart$failPart$shPart$sf1Part,"sf":"$sfName"}"""
     }

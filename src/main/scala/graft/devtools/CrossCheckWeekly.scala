@@ -64,11 +64,9 @@ object CrossCheckWeekly {
 
     // path A: the store-backed chain (5 parquet round trips)
     val out = java.nio.file.Files.createTempDirectory("graft_ccw_").toFile
-    val chained = try {
-      graft.ops.Materialize.leafCache(
-        WeeklyReportJob.runChainedWeeksFrom(spark, events, farms,
-          out.toString, weeks))
-    } finally ()
+    val chained = graft.ops.Materialize.leafCache(
+      WeeklyReportJob.runChainedWeeksFrom(spark, events, farms,
+        out.toString, weeks))
 
     // path B: the lag() window algebra over the SAME frame, one shot —
     // independent of the store entirely

@@ -114,7 +114,9 @@ object BandStore {
     * possible failure for a dedup store). */
   def ensureStreamStore(spark: SparkSession, table: String, location: String,
                         idCol: String,
-                        nBuckets: Int = DefaultBuckets): Unit = {
+                        nBuckets: Int = DefaultBuckets,
+                        idType: org.apache.spark.sql.types.DataType =
+                          org.apache.spark.sql.types.LongType): Unit = {
     if (spark.catalog.tableExists(table)) return
     val loc = new org.apache.hadoop.fs.Path(location)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -151,8 +153,14 @@ object BandStore {
       val out = fs.create(pin, true)
       try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
     }
+    // the id column's type comes from the CALLER's band frame
+    // (`idType`) — a hard-coded BIGINT would let a string-id caller
+    // insertInto positionally with a silent cast. band/band_key stay
+    // pinned: they are the [[Dedup.lshBands]] contract (INT band
+    // index, STRING band hash) and the bucket keys; [[writeBatch]]
+    // re-validates all three types against the live table per batch.
     spark.sql(
-      s"""CREATE TABLE `$table` (`$idCol` BIGINT, `band` INT,
+      s"""CREATE TABLE `$table` (`$idCol` ${idType.sql}, `band` INT,
          |  `band_key` STRING, `batch_id` BIGINT)
          |USING parquet PARTITIONED BY (batch_id)
          |CLUSTERED BY (band, band_key) SORTED BY (band, band_key)
@@ -167,17 +175,37 @@ object BandStore {
     * foreachBatch contract) while keeping the bucketed layout. */
   def writeBatch(spark: SparkSession, table: String, bands: DataFrame,
                  idCol: String, batchId: Long): Unit = {
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    // insertInto is POSITIONAL: fix the column order to the table's
-    try bands
-      .select(col(idCol), col("band"), col("band_key"))
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite").insertInto(table)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    // insertInto is POSITIONAL with implicit casts: a band frame whose
+    // (id, band, band_key) types differ from the table's would write
+    // silently-truncated values into a DEDUP store (missed probe
+    // matches, no error). Validate loudly per batch instead.
+    val got = bands.select(col(idCol), col("band"), col("band_key"))
+    val want = spark.table(table).schema.take(3)
+    got.schema.zip(want).foreach { case (g, w) =>
+      if (g.dataType != w.dataType)
+        throw new IllegalArgumentException(
+          s"writeBatch($table): band frame column '${g.name}' has type " +
+            s"${g.dataType.sql} but the store column '${w.name}' is " +
+            s"${w.dataType.sql}; a positional insertInto would cast " +
+            "silently — register the store with the matching idType " +
+            "(ensureStreamStore) or fix the band frame")
     }
+    // STATIC partition spec instead of dynamic-overwrite mode: an
+    // INSERT OVERWRITE that names its partition literally replaces
+    // exactly that partition under EITHER partitionOverwriteMode, so
+    // nothing toggles the session conf (a concurrent write in the
+    // same session could observe a mid-toggle value — the previous
+    // implementation's race) and nothing depends on per-write options
+    // being honored for insertInto (they are NOT on this Spark:
+    // spec-verified — the option path wiped sibling partitions).
+    // Replay idempotence + other-partition preservation are pinned in
+    // PersistentStoresSpec with the session conf forced to static.
+    val view = "graft_wb_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    got.createOrReplaceTempView(view)
+    try spark.sql(
+      s"INSERT OVERWRITE TABLE `$table` PARTITION (batch_id=$batchId) " +
+        s"SELECT * FROM `$view`")
+    finally spark.catalog.dropTempView(view)
   }
 
   /** Incremental near-dup against a PERSISTED standing corpus — the

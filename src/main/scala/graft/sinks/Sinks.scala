@@ -191,6 +191,15 @@ object Sinks {
                             backup: org.apache.hadoop.fs.Path,
                             rootFiles: () => Array[org.apache.hadoop.fs.FileStatus]): Unit = {
     import org.apache.hadoop.fs.Path
+    // fs.rename reports failure by RETURNING false (HDFS semantics) —
+    // a silent false here would strand a file outside the union read
+    // and the subsequent delete legs would drop its rows with no
+    // error, so every protocol move checks and aborts the migration
+    def renameOrThrow(src: Path, dst: Path): Unit =
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(
+          s"migrateToBatchLayout: rename $src -> $dst failed; aborting " +
+            "so the source file stays the durable copy")
     def readManifest(): Option[Set[String]] =
       if (!fs.exists(manifest)) None
       else {
@@ -227,7 +236,7 @@ object Sinks {
         val part = new Path(p, "batch_id=-1")
         fs.mkdirs(part)
         fs.listStatus(backup).foreach(s =>
-          fs.rename(s.getPath, new Path(part, s.getPath.getName)))
+          renameOrThrow(s.getPath, new Path(part, s.getPath.getName)))
         fs.delete(backup, true)
       }
       fs.delete(manifest, false)
@@ -242,7 +251,7 @@ object Sinks {
     if (!fs.exists(manifest) && !fs.exists(backup) && partHasData) {
       fs.mkdirs(backup)
       fs.listStatus(part).filter(_.isFile).foreach(s =>
-        fs.rename(s.getPath, new Path(backup, s.getPath.getName)))
+        renameOrThrow(s.getPath, new Path(backup, s.getPath.getName)))
     }
     // manifest BEFORE the partition write: the replay's evidence that
     // partition content is a derived copy, and the delete leg's list

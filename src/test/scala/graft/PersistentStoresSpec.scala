@@ -252,6 +252,75 @@ class PersistentStoresSpec extends SparkSpec {
     assert(spark.table("pin_b").select("doc_id").distinct().count() == 5L)
   }
 
+  test("writeBatch: static partition spec (session conf static, untouched) — replay-idempotent, other partitions intact") {
+    // the ADVICE-12 fix: writeBatch must not toggle the session-global
+    // partitionOverwriteMode (a concurrent writer could observe it).
+    // It now names its partition statically in INSERT OVERWRITE; with
+    // the session conf explicitly STATIC, a replayed batch must still
+    // overwrite only its OWN partition. (The per-write writer OPTION
+    // was tried first and is NOT honored for insertInto on this
+    // Spark — it wiped batch 0 and even the bucket-pin file.)
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft_perwrite_dyn").toString
+    spark.sql("DROP TABLE IF EXISTS pw_dyn")
+    BandStore.ensureStreamStore(spark, "pw_dyn", loc, "doc_id")
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try {
+      val b0 = Dedup.lshBands(Dedup.minHashText(docs(10), "doc_id", "text"), "doc_id")
+      val b1 = Dedup.lshBands(Dedup.minHashText(
+        docs(20).filter(col("doc_id") >= 10L), "doc_id", "text"), "doc_id")
+      BandStore.writeBatch(spark, "pw_dyn", b0, "doc_id", 0L)
+      BandStore.writeBatch(spark, "pw_dyn", b1, "doc_id", 1L)
+      val after1 = spark.table("pw_dyn").count()
+      BandStore.writeBatch(spark, "pw_dyn", b1, "doc_id", 1L) // replay
+      assert(spark.table("pw_dyn").count() == after1,
+        "replayed batch must overwrite only its own partition")
+      assert(spark.table("pw_dyn").filter(col("batch_id") === 0L).count() > 0,
+        "batch 0 must survive batch 1's replay (dynamic, not static, overwrite)")
+      assert(spark.table("pw_dyn").select("doc_id").distinct().count() == 20L)
+      assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static",
+        "writeBatch must not mutate the session conf")
+    } finally prevMode match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  test("ensureStreamStore derives the id type; writeBatch rejects a mismatched band frame loudly") {
+    // string-id store: the schema follows the caller's idType instead
+    // of the old hard-coded BIGINT (which silently cast string ids)
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft_strid_store").toString
+    spark.sql("DROP TABLE IF EXISTS sid_store")
+    BandStore.ensureStreamStore(spark, "sid_store", loc, "url",
+      idType = org.apache.spark.sql.types.StringType)
+    val sdocs = Seq(("http://a/1", "alpha beta gamma delta epsilon zeta eta theta"),
+      ("http://a/2", "alpha beta gamma delta epsilon zeta eta theta"),
+      ("http://b/9", "completely different tokens nothing shared here at all"))
+      .toDF("url", "text")
+    BandStore.writeBatch(spark, "sid_store",
+      Dedup.lshBands(Dedup.minHashText(sdocs, "url", "text"), "url"), "url", 0L)
+    assert(spark.table("sid_store").schema("url").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val probe = BandStore.probe(spark, "sid_store",
+      Dedup.lshBands(Dedup.minHashText(
+        Seq(("http://c/0", "alpha beta gamma delta epsilon zeta eta theta"))
+          .toDF("url", "text"), "url", "text"), "url"), "url")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(probe.contains(("http://a/1", "http://c/0")) &&
+      probe.contains(("http://a/2", "http://c/0")),
+      s"string-id probe must collide on identical content: $probe")
+    // mismatch: a long-id band frame into the string-id store must
+    // fail LOUDLY, not cast silently (the silent-miss failure class)
+    val e = intercept[IllegalArgumentException] {
+      BandStore.writeBatch(spark, "sid_store",
+        Dedup.lshBands(Dedup.minHashText(docs(3), "doc_id", "text"), "doc_id"),
+        "doc_id", 1L)
+    }
+    assert(e.getMessage.contains("cast"), e.getMessage)
+  }
+
   test("LabelStore.incremental matches full-recompute CC and survives the swap crash window") {
     // standing graph: {1,2} and {10,11}; increment merges the two
     // clusters via 2-10 and attaches a fresh vertex 20-11
