@@ -200,12 +200,197 @@ object BandStore {
     // spec-verified — the option path wiped sibling partitions).
     // Replay idempotence + other-partition preservation are pinned in
     // PersistentStoresSpec with the session conf forced to static.
+    //
+    // localCheckpoint breaks lineage FIRST: the streaming sinks'
+    // band frames derive from a PROBE of this very table, and the
+    // analyzer rejects an overwrite whose source scans the target
+    // (UNSUPPORTED_OVERWRITE) even though only the batch's own
+    // partition is replaced. The materialization is increment-sized;
+    // durability is not needed — a crash before the insert commits
+    // replays the whole micro-batch.
+    val src = got.localCheckpoint()
     val view = "graft_wb_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    got.createOrReplaceTempView(view)
+    src.createOrReplaceTempView(view)
     try spark.sql(
       s"INSERT OVERWRITE TABLE `$table` PARTITION (batch_id=$batchId) " +
         s"SELECT * FROM `$view`")
+    finally {
+      spark.catalog.dropTempView(view)
+      graft.ops.Materialize.release(src)
+    }
+  }
+
+  /** The reserved batch_id partition holding compacted history
+    * ([[compactStreamStore]]); stream batch ids are non-negative and
+    * -1 is the migrated-roots partition, so -2 never collides. */
+  val CompactedBatchId = -2L
+
+  private def compactPaths(location: String) = {
+    val loc = new org.apache.hadoop.fs.Path(location)
+    (loc,
+      new org.apache.hadoop.fs.Path(loc, "_graft_compact_staging"),
+      new org.apache.hadoop.fs.Path(loc, "_graft_compacting"),
+      new org.apache.hadoop.fs.Path(loc, "_graft_compacted"))
+  }
+
+  private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Fold every batch partition with batch_id <= `maxBatchId`
+    * (including a previous compaction's [[CompactedBatchId]] partition
+    * and the migrated-roots -1) into ONE consolidated
+    * `batch_id=-2` partition — [[writeBatch]] appends one file-set
+    * per micro-batch per bucket, so after 10k batches every probe
+    * opens ~10k files per bucket; compaction restores one-file-per-
+    * bucket without ever leaving the bucketed layout (the rewrite
+    * repartitions by the bucket keys to the PINNED bucket count —
+    * Spark's bucket id is the same murmur3 pmod as HashPartitioning,
+    * so each write task holds exactly one bucket and emits exactly
+    * one file; the no-store-exchange probe property is unchanged,
+    * spec-pinned).
+    *
+    * Crash protocol (every window replay-safe; [[recoverCompaction]]
+    * heals on the next call and the streaming sinks run it at every
+    * batch start):
+    *  1. stage: all folded rows are copied to `_graft_compact_staging`
+    *     (plain durable parquet), THEN the `_graft_compacting`
+    *     manifest (the folded batch-id list) is written — manifest
+    *     present certifies the staging copy is complete;
+    *  2. apply: INSERT OVERWRITE of the -2 partition from staging
+    *     (staging, not the table, is the source — a previous -2 is
+    *     among the FOLDED partitions, and overwriting it while
+    *     reading it would destroy rows mid-write), then the
+    *     `_graft_compacted` marker;
+    *  3. cleanup: drop + delete every folded partition except -2,
+    *     then staging, marker, manifest.
+    *
+    * A crash before the manifest leaves a partial staging dir
+    * (deleted on recovery, store untouched); before the marker, the
+    * apply re-runs from staging (partition overwrite = idempotent);
+    * after the marker, cleanup finishes. Between apply and cleanup a
+    * reader sees folded rows TWICE — [[probe]]'s pair output is
+    * distinct so probe results are unchanged, except that doubled
+    * counts can push a near-cap bucket over the hot-bucket cap; the
+    * streaming sinks never read in that window (compaction and
+    * probes share the serial foreachBatch), and recovery closes it
+    * at the next batch start.
+    *
+    * MUST NOT run concurrently with a [[writeBatch]] of a folded
+    * batch id or with another compaction of the same store — the
+    * streaming sinks satisfy this by running it inside their own
+    * foreachBatch. Only compact batch ids at or below the stream's
+    * last COMMITTED batch (a replayed in-flight batch rewrites its
+    * own partition; folding it first would resurrect it twice). */
+  def compactStreamStore(spark: SparkSession, table: String, location: String,
+                         maxBatchId: Long): Unit = {
+    recoverCompaction(spark, table, location)
+    if (stageCompaction(spark, table, location, maxBatchId)) {
+      applyCompaction(spark, table, location)
+      cleanupCompaction(spark, table, location)
+    }
+  }
+
+  /** Heal a crashed [[compactStreamStore]] — cheap (three fs.exists)
+    * when there is nothing to do; the streaming sinks call it at
+    * every batch start so a crash window never outlives one batch. */
+  def recoverCompaction(spark: SparkSession, table: String,
+                        location: String): Unit = {
+    val (_, staging, manifest, marker) = compactPaths(location)
+    val fs = fsOf(spark, staging)
+    if (fs.exists(marker)) { // apply committed; finish the deletes
+      cleanupCompaction(spark, table, location)
+    } else if (fs.exists(manifest)) { // staging complete; redo apply
+      applyCompaction(spark, table, location)
+      cleanupCompaction(spark, table, location)
+    } else if (fs.exists(staging)) { // partial staging: discard it
+      fs.delete(staging, true)
+    }
+  }
+
+  /** Partition ids currently live in the store's catalog metadata. */
+  private def livePartitions(spark: SparkSession, table: String): Seq[Long] =
+    spark.sql(s"SHOW PARTITIONS `$table`").collect().toSeq
+      .map(_.getString(0).stripPrefix("batch_id=").toLong)
+
+  /** Step 1: durable staging copy + manifest. Returns false (and
+    * stages nothing) when fewer than two partitions would fold —
+    * compacting a lone partition is pure write amplification. */
+  private[graft] def stageCompaction(spark: SparkSession, table: String,
+                                     location: String,
+                                     maxBatchId: Long): Boolean = {
+    val (_, staging, manifest, _) = compactPaths(location)
+    val fs = fsOf(spark, staging)
+    val fold = livePartitions(spark, table).filter(_ <= maxBatchId).sorted
+    if (fold.length < 2) return false
+    spark.table(table)
+      .filter(col("batch_id").isin(fold: _*))
+      .drop("batch_id")
+      .write.mode("overwrite").parquet(staging.toString)
+    val out = fs.create(manifest, true)
+    try out.write(fold.mkString("\n").getBytes("UTF-8")) finally out.close()
+    true
+  }
+
+  private def readCompactManifest(spark: SparkSession,
+                                  location: String): Seq[Long] = {
+    val (_, _, manifest, _) = compactPaths(location)
+    val fs = fsOf(spark, manifest)
+    // a marker WITHOUT a manifest is the cleanup's own final crash
+    // window (the manifest is deleted before the marker, after every
+    // listed partition is already dropped) — nothing left to fold
+    if (!fs.exists(manifest)) return Nil
+    val in = fs.open(manifest)
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).map(_.toLong).toList
+    finally in.close()
+  }
+
+  /** Step 2: rewrite staging into the -2 partition (one file per
+    * bucket) and commit the marker. */
+  private[graft] def applyCompaction(spark: SparkSession, table: String,
+                                     location: String): Unit = {
+    val (_, staging, _, marker) = compactPaths(location)
+    val fs = fsOf(spark, staging)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val nBuckets = meta.bucketSpec.map(_.numBuckets).getOrElse(
+      throw new IllegalStateException(s"$table has no bucket spec"))
+    // explicit schema: staging can be exists-but-empty after a crash
+    // during an empty-store compaction, and inference would throw
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      spark.table(table).schema.filterNot(_.name == "batch_id"))
+    val staged = spark.read.schema(dataSchema).parquet(staging.toString)
+      .repartition(nBuckets, col("band"), col("band_key"))
+    val view = "graft_compact_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    staged.createOrReplaceTempView(view)
+    try spark.sql(
+      s"INSERT OVERWRITE TABLE `$table` PARTITION (batch_id=$CompactedBatchId) " +
+        s"SELECT * FROM `$view`")
     finally spark.catalog.dropTempView(view)
+    fs.create(marker, true).close()
+  }
+
+  /** Step 3: drop the folded partitions (except -2, which now holds
+    * their rows) and the protocol files. Delete ORDER is the crash
+    * protocol: partitions (manifest-listed) → staging → manifest →
+    * marker LAST, so every interrupted state recovers — the marker
+    * outliving the manifest means the drops already ran, and the
+    * apply branch (manifest without marker) always still has its
+    * staging copy. */
+  private[graft] def cleanupCompaction(spark: SparkSession, table: String,
+                                       location: String): Unit = {
+    val (loc, staging, manifest, marker) = compactPaths(location)
+    val fs = fsOf(spark, staging)
+    readCompactManifest(spark, location)
+      .filter(_ != CompactedBatchId).foreach { b =>
+        spark.sql(
+          s"ALTER TABLE `$table` DROP IF EXISTS PARTITION (batch_id=$b)")
+        fs.delete(new org.apache.hadoop.fs.Path(loc, s"batch_id=$b"), true)
+      }
+    fs.delete(staging, true)
+    fs.delete(manifest, false)
+    fs.delete(marker, false)
   }
 
   /** Incremental near-dup against a PERSISTED standing corpus — the
@@ -270,12 +455,27 @@ object BandStore {
   * is designed for. */
 object LabelStore {
 
+  /** One row per id is the registry's contract; the streaming
+    * parquet-registry path enforces it through MergeSink's gate, so
+    * the LabelStore path must too — one registry facade, one
+    * behavior on a duplicate-id frame. */
+  private def requireIdUnique(labels: DataFrame, what: String): Unit = {
+    val dup = labels.groupBy(col("id"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"$what: multiple label rows for id ${dup.headOption.orNull} — " +
+        "the registry is one row per id; fix the producer")
+  }
+
   /** Persist (id, component) labels bucketed + sorted on id. */
   def write(labels: DataFrame, table: String,
-            nBuckets: Int = BandStore.DefaultBuckets): Unit =
+            nBuckets: Int = BandStore.DefaultBuckets): Unit = {
+    requireIdUnique(labels, s"LabelStore.write($table)")
     labels.write.format("parquet")
       .bucketBy(nBuckets, "id").sortBy("id")
       .mode("overwrite").saveAsTable(table)
+  }
 
   /** Drop the registry AND its staging twin, catalog and leftover
     * managed locations both — the local-session unwedge after a JVM
@@ -317,6 +517,11 @@ object LabelStore {
     labels.write.format("parquet")
       .bucketBy(nBuckets, "id").sortBy("id")
       .saveAsTable(staging)
+    // gate on the STAGING table (the durable materialization — a
+    // non-deterministic source cannot pass the check with one row set
+    // and commit another), BEFORE anything destructive: a duplicate-id
+    // frame aborts with the live table untouched
+    requireIdUnique(spark.table(staging), s"LabelStore.swapWrite($table)")
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
   }

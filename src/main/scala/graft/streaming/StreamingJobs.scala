@@ -273,10 +273,23 @@ object StreamingJobs {
     * bit-for-bit (SinksStreamingSpec A/Bs the two modes). The
     * curated TEXT corpus stays a parquet dir in both modes — it is
     * only ever read back through a candidate-id semi-join
-    * (broadcast-sized), which bucketing cannot improve. */
+    * (broadcast-sized), which bucketing cannot improve.
+    *
+    * `storeCompactEvery = k > 0` (bucketed mode only): every k-th
+    * batch folds the committed history (batch_id < current) into the
+    * consolidated partition via
+    * [[graft.ops.dedup.BandStore.compactStreamStore]] — writeBatch
+    * appends one file-set per bucket per micro-batch, so an
+    * uncompacted year-long stream would open tens of thousands of
+    * files per probe. Runs inside the serial foreachBatch (no reader
+    * overlaps its double-copy window) and only over COMMITTED batches
+    * (the in-flight batch can replay and must keep its own
+    * partition); a compaction crash heals at the next batch start
+    * ([[graft.ops.dedup.BandStore.recoverCompaction]]). */
   def nearDupStream(docs: DataFrame, storeDir: String, curatedDir: String,
                     checkpoint: String, tau: Double = 0.7,
-                    storeTable: Option[String] = None): StreamingQuery =
+                    storeTable: Option[String] = None,
+                    storeCompactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -291,7 +304,15 @@ object StreamingJobs {
         // files must ALL carry bucket ids (ensureStreamStore rejects
         // anything else loudly)
         storeTable match {
-          case Some(t) => BandStore.ensureStreamStore(spark, t, storeDir, "doc_id")
+          case Some(t) =>
+            BandStore.ensureStreamStore(spark, t, storeDir, "doc_id")
+            // a compaction that crashed in a previous batch/JVM must
+            // heal BEFORE this batch's probe reads the store (its
+            // apply-to-cleanup window holds folded rows twice)
+            BandStore.recoverCompaction(spark, t, storeDir)
+            if (storeCompactEvery > 0 && batchId > 0 &&
+                batchId % storeCompactEvery == 0)
+              BandStore.compactStreamStore(spark, t, storeDir, batchId - 1)
           case None => Sinks.migrateToBatchLayout(spark, storeDir)
         }
         Sinks.migrateToBatchLayout(spark, curatedDir)
@@ -426,14 +447,26 @@ object StreamingJobs {
     * catalog table `t` at `storeDir` (the nearDupStream option —
     * see there): the per-batch probe AND the hot-bucket cap window
     * both ride the bucketed layout with zero store-side exchange.
-    * The registry itself stays on the crash-proven parquet upsert
-    * (its standing side is label rows, corpus-SUBLINEAR — near-dup
-    * members only; for a bucketed registry at full-corpus label
-    * scale, batch jobs use [[graft.ops.dedup.LabelStore]]). */
+    * The registry DEFAULTS to the crash-proven parquet upsert (its
+    * standing side is label rows, corpus-SUBLINEAR — near-dup members
+    * only). `labelsTable = Some(t)` moves it to the bucketed
+    * [[graft.ops.dedup.LabelStore]] instead: at full-label scale the
+    * incremental CC's contraction joins then read the standing
+    * registry exchange-free (PersistentStoresSpec pins the plan
+    * property), with LabelStore's staging-swap giving the same
+    * crash-recovering all-or-nothing replace as the parquet path
+    * (same results bit-for-bit, SinksStreamingSpec A/Bs the modes).
+    * LabelStore's in-memory-catalog caveat applies: the swap renames
+    * MANAGED tables, so a LOCAL JVM restart loses the registry name
+    * (files survive but need [[graft.ops.dedup.LabelStore.reset]]);
+    * the table mode's cross-restart posture is a persistent
+    * metastore. `storeCompactEvery`: as [[nearDupStream]]. */
   def clusterMaintStream(docs: DataFrame, storeDir: String, textDir: String,
                          labelsDir: String, checkpoint: String,
                          tau: Double = 0.7,
-                         storeTable: Option[String] = None): StreamingQuery =
+                         storeTable: Option[String] = None,
+                         labelsTable: Option[String] = None,
+                         storeCompactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -445,7 +478,14 @@ object StreamingJobs {
         // nearDupStream / Sinks.migrateToBatchLayout); the bucketed
         // table mode never migrates its own location
         storeTable match {
-          case Some(t) => BandStore.ensureStreamStore(spark, t, storeDir, "doc_id")
+          case Some(t) =>
+            BandStore.ensureStreamStore(spark, t, storeDir, "doc_id")
+            // heal any crashed compaction BEFORE this batch's probe
+            // (see nearDupStream), then compact on the caller's cadence
+            BandStore.recoverCompaction(spark, t, storeDir)
+            if (storeCompactEvery > 0 && batchId > 0 &&
+                batchId % storeCompactEvery == 0)
+              BandStore.compactStreamStore(spark, t, storeDir, batchId - 1)
           case None => Sinks.migrateToBatchLayout(spark, storeDir)
         }
         Sinks.migrateToBatchLayout(spark, textDir)
@@ -517,22 +557,41 @@ object StreamingJobs {
         val jh = Dedup.jaccardTextReleasable(cand, corpusDocs, "doc_id", "text", 3)
         releases += jh.release
         val edges = jh.df.filter(col("jaccard") >= tau).select("id_a", "id_b")
-        // a crash inside upsertParquet's staging-swap window leaves
-        // the registry as __old only — recover BEFORE the existence
-        // read, or a replayed batch would see an empty registry and
-        // relabel while ignoring every standing cluster
-        graft.sinks.Sinks.recoverOrphan(spark, labelsDir)
-        val labels =
-          if (exists(labelsDir)) spark.read.parquet(labelsDir)
-          else batch.select(col("doc_id").as("id"),
-            col("doc_id").as("component")).limit(0)
-        // the registry write goes through the MergeSink facade: same
-        // staging-swap machinery as before, plus the facade's
-        // key-unique gate (incremental() emits one row per id by
-        // construction — the gate makes that contract mechanical)
+        // a crash inside the registry's staging-swap window leaves it
+        // as __old only (parquet) / staging-table only (LabelStore) —
+        // recover BEFORE the existence read, or a replayed batch would
+        // see an empty registry and relabel while ignoring every
+        // standing cluster
+        val emptyLabels = batch.select(col("doc_id").as("id"),
+          col("doc_id").as("component")).limit(0)
+        val labels = labelsTable match {
+          case Some(t) =>
+            graft.ops.dedup.LabelStore.recover(spark, t)
+            if (spark.catalog.tableExists(t)) spark.table(t) else emptyLabels
+          case None =>
+            graft.sinks.Sinks.recoverOrphan(spark, labelsDir)
+            if (exists(labelsDir)) spark.read.parquet(labelsDir)
+            else emptyLabels
+        }
         val updated = ConnectedComponents.incremental(labels, edges)
-        graft.sinks.MergeSink.mergeIntoParquet(
-          spark, labelsDir, updated, Seq("id"))
+        labelsTable match {
+          case Some(t) =>
+            // the bucketed registry: an all-or-nothing swap replace
+            // (updated ⊇ standing by incremental()'s construction, so
+            // a wholesale replace IS the upsert); a crash between the
+            // drop and the rename is healed by the recover() above on
+            // the replayed batch. First batch creates the table.
+            if (spark.catalog.tableExists(t))
+              graft.ops.dedup.LabelStore.swapWrite(spark, t, updated)
+            else graft.ops.dedup.LabelStore.write(updated, t)
+          case None =>
+            // the parquet registry goes through the MergeSink facade:
+            // same staging-swap machinery, plus the facade's
+            // key-unique gate (incremental() emits one row per id by
+            // construction — the gate makes that contract mechanical)
+            graft.sinks.MergeSink.mergeIntoParquet(
+              spark, labelsDir, updated, Seq("id"))
+        }
         // text/bands stores are keyed by batch_id partition and written
         // with DYNAMIC partition overwrite: foreachBatch is at-least-
         // once, and a replayed batch (crash after the registry upsert,

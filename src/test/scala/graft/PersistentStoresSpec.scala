@@ -321,6 +321,141 @@ class PersistentStoresSpec extends SparkSpec {
     assert(e.getMessage.contains("cast"), e.getMessage)
   }
 
+  private def listDataFiles(loc: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      // protocol/staging files (underscore-prefixed components) are
+      // not store data
+      val rel = f.toString.stripPrefix(new org.apache.hadoop.fs.Path(loc).toString)
+      if (f.getName.endsWith(".parquet") && !rel.split('/').exists(_.startsWith("_")))
+        out += rel
+    }
+    out.toList
+  }
+
+  private def livePartitionIds(table: String): Seq[Long] =
+    spark.sql(s"SHOW PARTITIONS `$table`").collect().toSeq
+      .map(_.getString(0).stripPrefix("batch_id=").toLong).sorted
+
+  test("compactStreamStore: one file per bucket, probe results and plan property unchanged, newer batches untouched") {
+    val loc = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    spark.sql("DROP TABLE IF EXISTS cp_store")
+    BandStore.ensureStreamStore(spark, "cp_store", loc, "doc_id", nBuckets = 8)
+    val all = docs(60)
+    (0 until 6).foreach { b =>
+      val slice = all.filter(col("doc_id") >= b * 10L && col("doc_id") < (b + 1) * 10L)
+      BandStore.writeBatch(spark, "cp_store",
+        Dedup.lshBands(Dedup.minHashText(slice, "doc_id", "text"), "doc_id"),
+        "doc_id", b.toLong)
+    }
+    // probe docs re-using content from an OLD batch (2) and the KEPT
+    // batch (55): both must collide before and after compaction
+    val probeBands = Dedup.lshBands(Dedup.minHashText(
+      all.filter(col("doc_id").isin(2L, 55L))
+        .select((col("doc_id") + 900L).as("doc_id"), col("text")),
+      "doc_id", "text"), "doc_id")
+    def probeSet(): Set[(Long, Long)] =
+      BandStore.probe(spark, "cp_store", probeBands, "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = probeSet()
+    val filesBefore = listDataFiles(loc)
+    val rowsBefore = spark.table("cp_store").count()
+    BandStore.compactStreamStore(spark, "cp_store", loc, 4L)
+    assert(probeSet() == before,
+      "compaction must not change probe results")
+    assert(spark.table("cp_store").count() == rowsBefore,
+      "compaction must not change the row set")
+    assert(livePartitionIds("cp_store") == Seq(BandStore.CompactedBatchId, 5L),
+      s"batches 0..4 fold into -2, batch 5 stays: ${livePartitionIds("cp_store")}")
+    val filesAfter = listDataFiles(loc)
+    assert(filesAfter.size < filesBefore.size,
+      s"file count must drop: ${filesBefore.size} -> ${filesAfter.size}")
+    // the consolidated partition holds at most one file per bucket
+    val consolidated = filesAfter.filter(_.contains(s"batch_id=${BandStore.CompactedBatchId}"))
+    val bucketOf = ".*_(\\d{5})(\\.c\\d+)?\\..*parquet".r
+    val bucketIds = consolidated.flatMap(f =>
+      bucketOf.findFirstMatchIn(f).map(_.group(1)))
+    assert(bucketIds.nonEmpty && bucketIds.distinct.size == bucketIds.size,
+      s"one file per bucket in the consolidated partition: $consolidated")
+    // no protocol residue
+    val fs = new org.apache.hadoop.fs.Path(loc)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("_graft_compact_staging", "_graft_compacting", "_graft_compacted")
+      .foreach(n => assert(!fs.exists(new org.apache.hadoop.fs.Path(loc, n)),
+        s"$n must be cleaned up"))
+    // the probe plan property survives compaction
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val probed = BandStore.probe(spark, "cp_store", probeBands, "doc_id")
+      probed.collect()
+      assert(rawStoreExchanges(probed.queryExecution.executedPlan, "cp_store").isEmpty,
+        "compacted store must still probe exchange-free")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
+  test("compaction crash windows: partial staging discarded; staged re-applies; applied finishes cleanup; re-compaction folds -2") {
+    val loc = java.nio.file.Files.createTempDirectory("graft_compact_crash").toString
+    spark.sql("DROP TABLE IF EXISTS cc_store")
+    BandStore.ensureStreamStore(spark, "cc_store", loc, "doc_id", nBuckets = 8)
+    val all = docs(40)
+    (0 until 4).foreach { b =>
+      val slice = all.filter(col("doc_id") >= b * 10L && col("doc_id") < (b + 1) * 10L)
+      BandStore.writeBatch(spark, "cc_store",
+        Dedup.lshBands(Dedup.minHashText(slice, "doc_id", "text"), "doc_id"),
+        "doc_id", b.toLong)
+    }
+    val probeBands = Dedup.lshBands(Dedup.minHashText(
+      all.filter(col("doc_id").isin(7L, 33L))
+        .select((col("doc_id") + 900L).as("doc_id"), col("text")),
+      "doc_id", "text"), "doc_id")
+    def probeSet(): Set[(Long, Long)] =
+      BandStore.probe(spark, "cc_store", probeBands, "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = probeSet()
+    val fs = new org.apache.hadoop.fs.Path(loc)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // window 1: crash mid-STAGING (dir exists, no manifest) — recovery
+    // discards the partial copy, store untouched
+    val staging = new org.apache.hadoop.fs.Path(loc, "_graft_compact_staging")
+    fs.mkdirs(staging)
+    fs.create(new org.apache.hadoop.fs.Path(staging, "partial.parquet"), true).close()
+    BandStore.recoverCompaction(spark, "cc_store", loc)
+    assert(!fs.exists(staging), "partial staging must be discarded")
+    assert(livePartitionIds("cc_store") == Seq(0L, 1L, 2L, 3L) && probeSet() == before)
+    // window 2: crash AFTER staging+manifest, before apply — the next
+    // batch start's recovery finishes the whole compaction
+    assert(BandStore.stageCompaction(spark, "cc_store", loc, 2L))
+    BandStore.recoverCompaction(spark, "cc_store", loc)
+    assert(livePartitionIds("cc_store") == Seq(BandStore.CompactedBatchId, 3L),
+      s"recovery must finish the staged compaction: ${livePartitionIds("cc_store")}")
+    assert(probeSet() == before, "healed store must probe identically")
+    // window 3: crash AFTER apply (marker live, folded partitions
+    // still on disk — the documented double-copy window; this fold
+    // includes the PREVIOUS -2, the re-compaction case). probe()'s
+    // distinct pair output hides the doubling even mid-window.
+    assert(BandStore.stageCompaction(spark, "cc_store", loc, 3L))
+    BandStore.applyCompaction(spark, "cc_store", loc)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(loc, "_graft_compacted")))
+    assert(probeSet() == before, "double-copy window: distinct pairs unchanged")
+    BandStore.recoverCompaction(spark, "cc_store", loc)
+    assert(livePartitionIds("cc_store") == Seq(BandStore.CompactedBatchId),
+      s"everything folds into -2: ${livePartitionIds("cc_store")}")
+    assert(probeSet() == before, "fully compacted store must probe identically")
+    assert(spark.table("cc_store").count() ==
+      spark.table("cc_store").select("doc_id", "band", "band_key").distinct().count(),
+      "no duplicated rows after the re-compaction")
+  }
+
   test("LabelStore.incremental matches full-recompute CC and survives the swap crash window") {
     // standing graph: {1,2} and {10,11}; increment merges the two
     // clusters via 2-10 and attaches a fresh vertex 20-11

@@ -686,6 +686,137 @@ class SinksStreamingSpec extends SparkSpec {
       s"store layout must not change the registry: $viaBucketed vs $viaParquet")
   }
 
+  test("cluster maintenance with a bucketed LabelStore registry equals the parquet registry, incl. the swap crash window") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val other = "completely different words about spark query engines and shuffles in production"
+    val b1 = Seq((1L, base), (2L, base), (3L, other))
+    val b2 = Seq((4L, base.replace("today", "tonight")), (5L, other), (6L, other))
+    def run(labelsTable: Option[String], crashSwapBetweenBatches: Boolean): Map[Long, Long] = {
+      val (store, texts, labels, chk) = (tmp() + "/lstore", tmp() + "/ltexts",
+        tmp() + "/llabels", tmp() + "/lchk")
+      labelsTable.foreach(graft.ops.dedup.LabelStore.reset(spark, _))
+      val mem = MemoryStream[(Long, String)]
+      val df = mem.toDF().toDF("doc_id", "text")
+      mem.addData(b1: _*)
+      StreamingJobs.clusterMaintStream(df, store, texts, labels, chk,
+        labelsTable = labelsTable).awaitTermination()
+      // simulate a crash INSIDE the LabelStore swap: live table
+      // dropped, staging holding the committed state — the stream's
+      // recover-before-read must promote it, or batch 2 would relabel
+      // against an empty registry
+      if (crashSwapBetweenBatches) labelsTable.foreach { t =>
+        val committed = spark.table(t)
+        graft.ops.dedup.LabelStore.swapWrite(spark, t + "_probe_tmp", committed)
+        spark.sql(s"ALTER TABLE `${t}_probe_tmp` RENAME TO `${t}_staging`")
+        spark.sql(s"DROP TABLE `$t`")
+      }
+      mem.addData(b2: _*)
+      StreamingJobs.clusterMaintStream(df, store, texts, labels, chk,
+        labelsTable = labelsTable).awaitTermination()
+      val reg = labelsTable match {
+        case Some(t) => spark.table(t)
+        case None => spark.read.parquet(labels)
+      }
+      reg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val viaParquet = run(None, crashSwapBetweenBatches = false)
+    assert(viaParquet == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 1L,
+      5L -> 3L, 6L -> 3L), s"parquet-mode registry: $viaParquet")
+    val viaLabelStore = run(Some("cm_labelstore"), crashSwapBetweenBatches = false)
+    assert(viaLabelStore == viaParquet,
+      s"registry layout must not change labels: $viaLabelStore vs $viaParquet")
+    val viaCrashedSwap = run(Some("cm_labelstore_crash"), crashSwapBetweenBatches = true)
+    assert(viaCrashedSwap == viaParquet,
+      s"registry must survive the crashed swap: $viaCrashedSwap vs $viaParquet")
+  }
+
+  test("property: cluster maintenance over the LabelStore registry equals the parquet-registry crash-free run") {
+    implicit val sqlCtx = spark.sqlContext
+    // the randomized property below (parquet registry) generalizes the
+    // crash windows; this run re-executes it over the LabelStore
+    // registry path — same crash points, same invariant: final state
+    // equals the crash-free run bit-for-bit, and BOTH registry modes
+    // agree.
+    def run(labelsTable: Option[String], crashAt: Map[Int, Int]): (Map[Long, Long], Set[Long], Long) = {
+      val (store, texts, labels, chk) =
+        (tmp() + "/pls", tmp() + "/plt", tmp() + "/pll", tmp() + "/plk")
+      labelsTable.foreach(graft.ops.dedup.LabelStore.reset(spark, _))
+      val mem = MemoryStream[(Long, String)]
+      val df = mem.toDF().toDF("doc_id", "text")
+      crashBatches.zipWithIndex.foreach { case (b, i) =>
+        mem.addData(b: _*)
+        StreamingJobs.clusterMaintStream(df, store, texts, labels, chk,
+          labelsTable = labelsTable).awaitTermination()
+        crashAt.get(i).foreach { pt =>
+          if (pt >= 2) delPath(s"$store/batch_id=$i")
+          if (pt >= 3) delPath(s"$texts/batch_id=$i")
+          delPath(s"$chk/commits/$i")
+          StreamingJobs.clusterMaintStream(df, store, texts, labels, chk,
+            labelsTable = labelsTable).awaitTermination()
+        }
+      }
+      val reg = labelsTable match {
+        case Some(t) => spark.table(t)
+        case None => spark.read.parquet(labels)
+      }
+      (reg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+        spark.read.parquet(texts).select("doc_id")
+          .collect().map(_.getLong(0)).toSet,
+        spark.read.parquet(store).count())
+    }
+    val cleanParquet = run(None, Map.empty)
+    val cleanLabelStore = run(Some("plab_clean"), Map.empty)
+    assert(cleanLabelStore == cleanParquet,
+      s"modes must agree crash-free: $cleanLabelStore vs $cleanParquet")
+    val rnd = new scala.util.Random(20260815L)
+    val crashes = (0 until 4).flatMap(i =>
+      if (rnd.nextBoolean()) Some(i -> (1 + rnd.nextInt(3))) else None).toMap
+    assert(run(Some("plab_rnd"), crashes) == cleanParquet,
+      s"randomized crashes $crashes over the LabelStore registry")
+    val adv = run(Some("plab_adv"), (0 until 4).map(_ -> 3).toMap)
+    assert(adv == cleanParquet, s"every-batch full-write-loss replay: $adv")
+  }
+
+  test("near-dup stream with storeCompactEvery: results unchanged, history folds, files drop") {
+    implicit val sqlCtx = spark.sqlContext
+    def run(table: String, compactEvery: Int): (Set[Long], Long, Int) = {
+      val (store, curated, chk) = (tmp() + "/ces", tmp() + "/cec", tmp() + "/cek")
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      val mem = MemoryStream[(Long, String)]
+      val df = mem.toDF().toDF("doc_id", "text")
+      crashBatches.foreach { b =>
+        mem.addData(b: _*)
+        StreamingJobs.nearDupStream(df, store, curated, chk,
+          storeTable = Some(table), storeCompactEvery = compactEvery)
+          .awaitTermination()
+      }
+      val p = new org.apache.hadoop.fs.Path(store)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      var files = 0
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) files += 1
+      }
+      (spark.read.parquet(curated).select("doc_id")
+        .collect().map(_.getLong(0)).toSet,
+        spark.table(table).count(), files)
+    }
+    val (idsPlain, rowsPlain, filesPlain) = run("cmp_none", 0)
+    val (idsComp, rowsComp, filesComp) = run("cmp_every2", 2)
+    assert(idsComp == idsPlain && rowsComp == rowsPlain,
+      s"compaction must not change curated/store content: " +
+        s"($idsComp,$rowsComp) vs ($idsPlain,$rowsPlain)")
+    assert(filesComp < filesPlain,
+      s"compaction must shrink the store's file count: $filesComp vs $filesPlain")
+    // batch 2 folded batches 0-1 into -2; batches 2,3 arrived after
+    val parts = spark.sql("SHOW PARTITIONS `cmp_every2`").collect()
+      .map(_.getString(0).stripPrefix("batch_id=").toLong).sorted.toSeq
+    assert(parts == Seq(graft.ops.dedup.BandStore.CompactedBatchId, 2L, 3L),
+      s"committed history must fold into -2: $parts")
+  }
+
   test("streaming cluster maintenance: registry tracks clusters across batches") {
     implicit val sqlCtx = spark.sqlContext
     val (store, texts, labels, chk) =
