@@ -105,16 +105,24 @@ object QueryCatalogDomain {
   // ---------------------------------------------------------------- farrowing section
   /** Weekly farrowing stats + piglet-adjustment derived columns
     * (farrowing.py:160-210: sdotae/yangja/pogae; :81-115 YTD rollup). */
-  val q62Farrowing: Q = (s, d) => {
+  val q62Farrowing: Q = (s, d) =>
+    q62FarrowingFrom(s, Fixtures.bunmanDf(s), Fixtures.transDf(s))
+
+  /** q62's body over caller-supplied source tables — the 50k-farm
+    * scale run feeds parquet-backed facts through the SAME
+    * implementation the fixture hash gate verifies
+    * (WeeklyReportJob.subRowsFrom). */
+  private[graft] def q62FarrowingFrom(s: SparkSession, bunmanSrc: DataFrame,
+                                      transSrc: DataFrame): DataFrame = {
     val yearStart = DtTo.take(4) + "0101"
-    val jadon = Fixtures.transDf(s).filter(col("use_yn") === "Y")
+    val jadon = transSrc.filter(col("use_yn") === "Y")
       .groupBy("farm_no", "pig_no", "bun_dt")
       .agg(
         sum(when(col("gubun_cd") === "160001", coalesce(col("dusu"), lit(0)) + coalesce(col("dusu_su"), lit(0))).otherwise(0)).as("ps"),
         sum(when(col("gubun_cd") === "160003", coalesce(col("dusu"), lit(0)) + coalesce(col("dusu_su"), lit(0))).otherwise(0)).as("ji"),
         sum(when(col("gubun_cd") === "160004", coalesce(col("dusu"), lit(0)) + coalesce(col("dusu_su"), lit(0))).otherwise(0)).as("jc"))
       .withColumnRenamed("farm_no", "j_farm").withColumnRenamed("pig_no", "j_pig")
-    val bm = Fixtures.bunmanDf(s).filter(col("use_yn") === "Y")
+    val bm = bunmanSrc.filter(col("use_yn") === "Y")
     val b = bm
       .join(jadon, bm("farm_no") === jadon("j_farm") &&
         bm("pig_no") === jadon("j_pig") && bm("wk_dt") === jadon("bun_dt"), "left")
@@ -143,9 +151,9 @@ object QueryCatalogDomain {
     week.join(acc, Seq("farm_no"), "left").orderBy("farm_no")
   }
 
-  private lazy val q62Sql = {
+  private[graft] def q62SqlFrom(src: String): String = {
     val yearStart = DtTo.take(4) + "0101"
-    s"""WITH ${Fixtures.withClause("bunman", "trans")},
+    s"""WITH $src,
        |jadon AS (
        |  SELECT farm_no, pig_no, bun_dt,
        |    SUM(CASE WHEN gubun_cd = '160001' THEN COALESCE(dusu,0)+COALESCE(dusu_su,0) ELSE 0 END) AS ps,
@@ -178,6 +186,7 @@ object QueryCatalogDomain {
        |FROM week LEFT JOIN acc ON acc.farm_no = week.farm_no
        |ORDER BY week.farm_no""".stripMargin
   }
+  private lazy val q62Sql = q62SqlFrom(Fixtures.withClause("bunman", "trans"))
 
   // ---------------------------------------------------------------- weaning section
   /** The reference's hardest SQL (weaning.py:126-245): weekly weaning
@@ -186,8 +195,15 @@ object QueryCatalogDomain {
     * [farrowing date, dynamic upper bound] (J6) where the bound needs
     * the NEXT work event (J3 as-of, MIN KEEP DENSE_RANK). Spark form:
     * range-frame window for next-event, equi+range join for the band. */
-  val q63Weaning: Q = (s, d) => {
-    val wkAll = Fixtures.modonWkDf(s).filter(col("use_yn") === "Y")
+  val q63Weaning: Q = (s, d) => q63WeaningFrom(s, Fixtures.modonWkDf(s),
+    Fixtures.bunmanDf(s), Fixtures.euDf(s), Fixtures.transDf(s))
+
+  /** q63's body over caller-supplied source tables (see
+    * [[q62FarrowingFrom]]). */
+  private[graft] def q63WeaningFrom(s: SparkSession, modonWkSrc: DataFrame,
+                                    bunmanSrc: DataFrame, euSrc: DataFrame,
+                                    transSrc: DataFrame): DataFrame = {
+    val wkAll = modonWkSrc.filter(col("use_yn") === "Y")
     // next event per work row: strictly-later min (wk_dt, wk_gubun)
     val wDays = Window.partitionBy(col("farm_no"), col("pig_no"))
       .orderBy(datediff(DateOps.ymdToDate(col("wk_dt")), lit("1970-01-01").cast("date")))
@@ -206,13 +222,13 @@ object QueryCatalogDomain {
     val b = wkAll.filter(col("wk_gubun") === "B")
       .select(col("farm_no"), col("pig_no"), col("sancha"), col("wk_dt").as("b_wk_dt"))
     val ab = a.join(b, Seq("farm_no", "pig_no", "sancha"))
-    val eu = Fixtures.euDf(s).filter(col("use_yn") === "Y")
+    val eu = euSrc.filter(col("use_yn") === "Y")
       .select(col("farm_no"), col("pig_no"), col("wk_dt").as("a_wk_dt"),
         col("dusu"), col("dusu_su"), col("total_kg"))
-    val bun = Fixtures.bunmanDf(s).filter(col("use_yn") === "Y")
+    val bun = bunmanSrc.filter(col("use_yn") === "Y")
       .select(col("farm_no"), col("pig_no"), col("wk_dt").as("b_wk_dt"),
         col("silsan"), col("sasan"), col("mila"))
-    val jt = Fixtures.transDf(s).filter(col("use_yn") === "Y")
+    val jt = transSrc.filter(col("use_yn") === "Y")
       .groupBy(col("farm_no"), col("pig_no"), col("sancha"), col("wk_dt").as("jt_wk_dt"))
       .agg(
         sum(when(col("gubun_cd") === "160001", coalesce(col("dusu"), lit(0)) + coalesce(col("dusu_su"), lit(0))).otherwise(0)).as("ps_ds"),
@@ -233,7 +249,7 @@ object QueryCatalogDomain {
       .select(col("farm_no").as("pa_farm"), col("pig_no").as("pa_pig"),
         col("sancha").as("pa_sancha"), col("a_wk_dt").as("pa_wk"),
         col("sum_ps_ds"), col("sum_bb_ds"), col("sum_ji_ds"), col("sum_jc_ds"))
-    val po = Fixtures.transDf(s).filter(col("use_yn") === "Y")
+    val po = transSrc.filter(col("use_yn") === "Y")
       .groupBy(col("farm_no"), col("pig_no"), col("bun_dt"))
       .agg(
         sum(when(col("gubun_cd") === "160001", coalesce(col("dusu"), lit(0)) + coalesce(col("dusu_su"), lit(0))).otherwise(0)).as("po_ps"),
@@ -268,8 +284,8 @@ object QueryCatalogDomain {
       .orderBy("farm_no")
   }
 
-  private lazy val q63Sql =
-    s"""WITH ${Fixtures.withClause("modon_wk", "bunman", "eu", "trans")},
+  private[graft] def q63SqlFrom(src: String): String =
+    s"""WITH $src,
        |wk_all AS (SELECT * FROM modon_wk WHERE use_yn = 'Y'),
        |nx0 AS (
        |  SELECT a.farm_no, a.pig_no, a.wk_dt,
@@ -343,17 +359,25 @@ object QueryCatalogDomain {
        |  CAST(COALESCE(SUM(sum_jc_ds), 0) AS BIGINT) AS sum_jc_ds,
        |  CAST(SUM(COALESCE(silsan,0) - COALESCE(po_ps,0) + COALESCE(po_ji,0) - COALESCE(po_jc,0)) AS BIGINT) AS sum_pogae
        |FROM full_j GROUP BY farm_no ORDER BY farm_no""".stripMargin
+  private lazy val q63Sql =
+    q63SqlFrom(Fixtures.withClause("modon_wk", "bunman", "eu", "trans"))
 
   // ---------------------------------------------------------------- schedule: mating
   /** FN_MD_SCHEDULE_BSE_2020, farm-default mating mode — the 5-branch
     * candidate UNION (schedule.py:409-512): weaned+7d, status-only
     * weaned, gilt birth+240d, accident+1d, status-only accident. */
-  val q64ScheduleMating: Q = (s, d) => {
+  val q64ScheduleMating: Q = (s, d) =>
+    q64ScheduleMatingFrom(s, Fixtures.modonDf(s), Fixtures.modonWkDf(s))
+
+  /** q64's body over caller-supplied source tables (see
+    * [[q62FarrowingFrom]]). */
+  private[graft] def q64ScheduleMatingFrom(s: SparkSession, modonSrc: DataFrame,
+                                           modonWkSrc: DataFrame): DataFrame = {
     val avgReturn = 7; val firstMating = 240
     val toMinus7 = ymdD(DtTo, avgReturn); val toMinus240 = ymdD(DtTo, firstMating)
     val toMinus1 = ymdD(DtTo, 1)
-    val md = Fixtures.modonDf(s).filter(col("use_yn") === "Y" && col("out_dt") > DtTo)
-    val wkRaw = Fixtures.modonWkDf(s).filter(col("use_yn") === "Y" && col("wk_dt") < DtFrom)
+    val md = modonSrc.filter(col("use_yn") === "Y" && col("out_dt") > DtTo)
+    val wkRaw = modonWkSrc.filter(col("use_yn") === "Y" && col("wk_dt") < DtFrom)
     val alivePigs = md.select("farm_no", "pig_no")
     val lastWk = LatestRecord.viaAgg(
       wkRaw.join(alivePigs, Seq("farm_no", "pig_no"), "left_semi"),
@@ -386,10 +410,10 @@ object QueryCatalogDomain {
       .orderBy("farm_no", "pass_dt")
   }
 
-  private lazy val q64Sql = {
+  private[graft] def q64SqlFrom(src: String): String = {
     val toMinus7 = ymdD(DtTo, 7); val toMinus240 = ymdD(DtTo, 240)
     val toMinus1 = ymdD(DtTo, 1)
-    s"""WITH ${Fixtures.withClause("modon", "modon_wk")},
+    s"""WITH $src,
        |md AS (SELECT * FROM modon WHERE use_yn = 'Y' AND out_dt > '$DtTo'),
        |wk_raw AS (SELECT * FROM modon_wk WHERE use_yn = 'Y' AND wk_dt < '$DtFrom'),
        |last_wk AS (
@@ -423,15 +447,22 @@ object QueryCatalogDomain {
        |FROM u WHERE pass_dt <= strptime('$DtTo', '%Y%m%d')::DATE
        |GROUP BY 1, 2 ORDER BY farm_no, pass_dt""".stripMargin
   }
+  private lazy val q64Sql = q64SqlFrom(Fixtures.withClause("modon", "modon_wk"))
 
   // ---------------------------------------------------------------- schedule: farrowing + weaning
   /** Farm-default farrowing/weaning schedule (schedule.py:513-560):
     * pregnant sows (latest work G, alive sentinel) -> mating+115;
     * lactating/foster (latest B) -> farrowing+21. */
-  val q65ScheduleBmEu: Q = (s, d) => {
+  val q65ScheduleBmEu: Q = (s, d) =>
+    q65ScheduleBmEuFrom(s, Fixtures.modonDf(s), Fixtures.modonWkDf(s))
+
+  /** q65's body over caller-supplied source tables (see
+    * [[q62FarrowingFrom]]). */
+  private[graft] def q65ScheduleBmEuFrom(s: SparkSession, modonSrc: DataFrame,
+                                         modonWkSrc: DataFrame): DataFrame = {
     val preg = 115; val wean = 21
-    val md = Fixtures.modonDf(s).filter(col("use_yn") === "Y" && col("out_dt") === Codes.AliveOutDt)
-    val latest = LatestRecord.viaAgg(Fixtures.modonWkDf(s).filter(col("use_yn") === "Y"),
+    val md = modonSrc.filter(col("use_yn") === "Y" && col("out_dt") === Codes.AliveOutDt)
+    val latest = LatestRecord.viaAgg(modonWkSrc.filter(col("use_yn") === "Y"),
       keys = Seq("farm_no", "pig_no"), ord = Seq("seq"))
     def branch(gubun: String, offset: Int, loYmd: String, hiYmd: String,
                statuses: Seq[String], tag: String): DataFrame =
@@ -453,10 +484,10 @@ object QueryCatalogDomain {
       .orderBy("sched_type", "farm_no", "pass_dt")
   }
 
-  private lazy val q65Sql = {
+  private[graft] def q65SqlFrom(src: String): String = {
     val bmLo = ymdD(DtFrom, 115); val bmHi = ymdD(DtTo, 115)
     val euLo = ymdD(DtFrom, 21); val euHi = ymdD(DtTo, 21)
-    s"""WITH ${Fixtures.withClause("modon", "modon_wk")},
+    s"""WITH $src,
        |md AS (SELECT * FROM modon WHERE use_yn = 'Y' AND out_dt = '99991231'),
        |latest AS (
        |  SELECT farm_no, pig_no, wk_dt, wk_gubun, sago_gubun_cd, daeri_yn FROM (
@@ -478,6 +509,7 @@ object QueryCatalogDomain {
        |WHERE pass_dt BETWEEN strptime('$DtFrom', '%Y%m%d')::DATE AND strptime('$DtTo', '%Y%m%d')::DATE
        |GROUP BY 1, 2, 3 ORDER BY sched_type, farm_no, pass_dt""".stripMargin
   }
+  private lazy val q65Sql = q65SqlFrom(Fixtures.withClause("modon", "modon_wk"))
 
   // ---------------------------------------------------------------- geo
   /** KMA Lambert grid + Haversine nearest-station matching

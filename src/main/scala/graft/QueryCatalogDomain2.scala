@@ -98,10 +98,10 @@ object QueryCatalogDomain2 {
       .orderBy("farm_no", "sort_no")
   }
 
-  private lazy val q67Sql = {
+  private[graft] def q67SqlFrom(src: String): String = {
     val parities = ((1, "HUBO") +: (2 to 10).map(n => (n, if (n == 10) "P8UP" else s"P${n - 2}")))
       .map { case (n, l) => s"($n, '$l')" }.mkString(",")
-    s"""WITH ${Fixtures.withClause("modon", "modon_wk")},
+    s"""WITH $src,
        |$cohortSql,
        |lab AS (
        |  SELECT *,
@@ -135,6 +135,7 @@ object QueryCatalogDomain2 {
        |LEFT JOIN counts c ON c.farm_no = f.farm_no AND c.parity_label = p.parity_label
        |ORDER BY f.farm_no, p.sort_no""".stripMargin
   }
+  private lazy val q67Sql = q67SqlFrom(Fixtures.withClause("modon", "modon_wk"))
 
   // ---------------------------------------------------------------- mating return buckets
   /** Return-to-estrus interval chart: days from the previous E/F event
@@ -171,11 +172,11 @@ object QueryCatalogDomain2 {
       .orderBy("farm_no", "sort_no")
   }
 
-  private lazy val q68Sql = {
+  private[graft] def q68SqlFrom(src: String): String = {
     val bvals = Seq((1, "B03"), (2, "B04"), (3, "B05"), (4, "B06"),
       (5, "B07"), (6, "B08"), (7, "B09"), (8, "B10UP"))
       .map { case (n, l) => s"($n, '$l')" }.mkString(",")
-    s"""WITH ${Fixtures.withClause("modon", "modon_wk")},
+    s"""WITH $src,
        |ev AS (
        |  SELECT *, lag(wk_gubun) OVER w AS prev_gubun, lag(wk_dt) OVER w AS prev_dt
        |  FROM modon_wk WHERE use_yn = 'Y'
@@ -198,6 +199,7 @@ object QueryCatalogDomain2 {
        |LEFT JOIN cnt c ON c.farm_no = f.farm_no AND c.bucket = b.bucket
        |ORDER BY f.farm_no, b.sort_no""".stripMargin
   }
+  private lazy val q68Sql = q68SqlFrom(Fixtures.withClause("modon", "modon_wk"))
 
   // ---------------------------------------------------------------- culling chunked list
   /** Culling-reason list: week/month counts per reason (null reason ->
@@ -231,14 +233,14 @@ object QueryCatalogDomain2 {
       .orderBy("farm_no", "sort_no")
   }
 
-  private lazy val q69Sql = {
+  private[graft] def q69SqlFrom(src: String): String = {
     val monthFrom = ymdD(DtFrom, 30)
     val cells = (0 until 15).flatMap { j =>
       Seq(s"MAX(CASE WHEN __i % 15 = $j THEN reason END) AS str_${j + 1}",
         s"COALESCE(MAX(CASE WHEN __i % 15 = $j THEN week_cnt END), 0) AS cnt_${j + 1}",
         s"COALESCE(MAX(CASE WHEN __i % 15 = $j THEN month_cnt END), 0) AS val_${j + 1}")
     }.mkString(",\n ")
-    s"""WITH ${Fixtures.withClause("modon")},
+    s"""WITH $src,
        |culled AS (
        |  SELECT farm_no, out_dt, COALESCE(out_reason_cd, '031001') AS reason
        |  FROM modon WHERE use_yn = 'Y' AND out_dt <> '99991231'),
@@ -257,6 +259,7 @@ object QueryCatalogDomain2 {
        | $cells
        |FROM idx GROUP BY 1, 2 ORDER BY farm_no, sort_no""".stripMargin
   }
+  private lazy val q69Sql = q69SqlFrom(Fixtures.withClause("modon"))
 
   // ---------------------------------------------------------------- shipment daily spine
   /** 7-day slaughter grid with the NULL-day contract: zero-head days
@@ -294,8 +297,8 @@ object QueryCatalogDomain2 {
       .orderBy("farm_no", "day")
   }
 
-  private lazy val q70Sql =
-    s"""WITH ${Fixtures.withClause("lpd")},
+  private[graft] def q70SqlFrom(src: String): String =
+    s"""WITH $src,
        |days AS (SELECT strftime(g.g, '%Y%m%d') AS day
        |         FROM generate_series(DATE '2025-11-03', DATE '2025-11-09', INTERVAL 1 DAY) g(g)),
        |daily AS (
@@ -316,6 +319,7 @@ object QueryCatalogDomain2 {
        |FROM farms f CROSS JOIN days
        |LEFT JOIN daily d ON d.farm_no = f.farm_no AND d.day = days.day
        |ORDER BY f.farm_no, days.day""".stripMargin
+  private lazy val q70Sql = q70SqlFrom(Fixtures.withClause("lpd"))
 
   // ---------------------------------------------------------------- shipment scatter
   /** Carcass scatter: head count by (rounded net kg, rounded backfat)

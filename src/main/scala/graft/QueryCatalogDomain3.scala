@@ -45,12 +45,19 @@ object QueryCatalogDomain3 {
     * (anti-join branch), overdue farrowing (pregnant past gestation),
     * overdue mating (weaned past return interval), bucketed
     * ~3/4-7/8-14/15+ into fixed columns. */
-  val q75Alerts: Q = (s, d) => {
+  val q75Alerts: Q = (s, d) =>
+    q75AlertsFrom(s, Fixtures.modonDf(s), Fixtures.modonWkDf(s))
+
+  /** q75's body over caller-supplied source tables — the 50k-farm
+    * scale run feeds parquet-backed facts through the SAME
+    * implementation the fixture hash gate verifies. */
+  private[graft] def q75AlertsFrom(s: SparkSession, modonSrc: DataFrame,
+                                   modonWkSrc: DataFrame): DataFrame = {
     val base = DateOps.ymdToDate(lit(BaseDate))
-    val alive = Fixtures.modonDf(s)
+    val alive = modonSrc
       .filter(col("use_yn") === "Y" && col("out_dt") === Codes.AliveOutDt)
     val last = LatestRecord.viaAgg(
-      Fixtures.modonWkDf(s)
+      modonWkSrc
         .filter(col("use_yn") === "Y" && col("wk_dt") <= BaseDate && col("wk_gubun") =!= "Z"),
       keys = Seq("farm_no", "pig_no"), ord = Seq("wk_dt", "seq"))
       .select(col("farm_no"), col("pig_no"), col("wk_dt"), col("wk_gubun"),
@@ -78,8 +85,8 @@ object QueryCatalogDomain3 {
       .orderBy("farm_no", "alert_type")
   }
 
-  private lazy val q75Sql =
-    s"""WITH ${Fixtures.withClause("modon", "modon_wk")},
+  private[graft] def q75SqlFrom(src: String): String =
+    s"""WITH $src,
        |lastwk AS (
        |  SELECT farm_no, pig_no, wk_dt, wk_gubun, sago_gubun_cd, daeri_yn FROM (
        |    SELECT *, row_number() OVER (PARTITION BY farm_no, pig_no
@@ -118,6 +125,7 @@ object QueryCatalogDomain3 {
        |  COUNT(CASE WHEN delay BETWEEN 8 AND 14 THEN 1 END) AS d14,
        |  COUNT(CASE WHEN delay >= 15 THEN 1 END) AS d15up
        |FROM u GROUP BY 1, 2 ORDER BY farm_no, alert_type""".stripMargin
+  private lazy val q75Sql = q75SqlFrom(Fixtures.withClause("modon", "modon_wk"))
 
   // ---------------------------------------------------------------- rearing rate
   /** Config-section rearing rate: AVG of monthly (shipped / weaned)
@@ -295,40 +303,42 @@ object QueryCatalogDomain3 {
     s"""SELECT * FROM ($farmSummarySql) WHERE farm_no = 1 ORDER BY farm_no""".stripMargin
 
   /** q78's oracle: each CTE replays one section's already-verified SQL
-    * and reduces it to the summary's per-farm aggregate. */
-  private lazy val q78Sql = {
-    val d = QueryCatalogDomain.oracle
-    val d2 = QueryCatalogDomain2.oracle
+    * and reduces it to the summary's per-farm aggregate. Like
+    * [[q82SqlFrom]], parameterized by the WITH-clause factory so the
+    * 50k-farm scale replay runs the identical composition over
+    * parquet-backed CTEs. */
+  private[graft] def q78SqlFrom(src: Seq[String] => String): String = {
     val cullWeek = (1 to 15).map(i => s"cnt_$i").mkString(" + ")
     val cullMonth = (1 to 15).map(i => s"val_$i").mkString(" + ")
     s"""WITH
        |sow AS (SELECT farm_no,
        |               CAST(SUM(hubo + imsin + poyu + eumo + sago) AS BIGINT) AS sow_total
-       |        FROM (${d2("q67_parity_status_crosstab")}) GROUP BY 1),
+       |        FROM (${QueryCatalogDomain2.q67SqlFrom(src(Seq("modon", "modon_wk")))}) GROUP BY 1),
        |bm AS (SELECT farm_no, total_cnt AS bm_cnt, sum_live AS bm_live,
        |              avg_live AS bm_avg_live, sum_pogae AS bm_pogae
-       |       FROM (${d("q62_farrowing_section")})),
+       |       FROM (${QueryCatalogDomain.q62SqlFrom(src(Seq("bunman", "trans")))})),
        |eu AS (SELECT farm_no, total_cnt AS eu_cnt, sum_eudusu AS eu_dusu,
        |              avg_pougigan AS eu_avg_days
-       |       FROM (${d("q63_weaning_section")})),
+       |       FROM (${QueryCatalogDomain.q63SqlFrom(src(Seq("modon_wk", "bunman", "eu", "trans")))})),
        |gbret AS (SELECT farm_no, CAST(SUM(cnt) AS BIGINT) AS gb_return_cnt
-       |          FROM (${d2("q68_return_buckets")}) GROUP BY 1),
+       |          FROM (${QueryCatalogDomain2.q68SqlFrom(src(Seq("modon", "modon_wk")))}) GROUP BY 1),
        |sched AS (SELECT farm_no, CAST(SUM(n) AS BIGINT) AS gb_plan
-       |          FROM (${d("q64_schedule_mating")}) GROUP BY 1),
+       |          FROM (${QueryCatalogDomain.q64SqlFrom(src(Seq("modon", "modon_wk")))}) GROUP BY 1),
        |alrt AS (SELECT farm_no, CAST(SUM(d3 + d7 + d14 + d15up) AS BIGINT) AS alert_cnt
-       |         FROM ($q75Sql) GROUP BY 1),
+       |         FROM (${q75SqlFrom(src(Seq("modon", "modon_wk")))}) GROUP BY 1),
        |cull AS (SELECT farm_no,
        |                CAST(SUM($cullWeek) AS BIGINT) AS cull_week,
        |                CAST(SUM($cullMonth) AS BIGINT) AS cull_month
-       |         FROM (${d2("q69_culling_chunked")}) GROUP BY 1),
+       |         FROM (${QueryCatalogDomain2.q69SqlFrom(src(Seq("modon")))}) GROUP BY 1),
        |acc AS (SELECT farm_no, CAST(SUM(cnt) AS BIGINT) AS acc_cnt,
        |               CAST(SUM(sum_days) AS BIGINT) AS acc_days
-       |        FROM ($q81Sql) GROUP BY 1),
+       |        FROM (${q81SqlFrom(src(Seq("modon_wk")))}) GROUP BY 1),
        |ship AS (SELECT farm_no, CAST(SUM(cnt) AS BIGINT) AS ship_cnt
-       |         FROM (${d2("q70_shipment_daily")}) GROUP BY 1),
-       |cfg AS (SELECT farm_no, COUNT(*) AS cfg_sched_cnt FROM ($q83Sql) GROUP BY 1),
+       |         FROM (${QueryCatalogDomain2.q70SqlFrom(src(Seq("lpd")))}) GROUP BY 1),
+       |cfg AS (SELECT farm_no, COUNT(*) AS cfg_sched_cnt
+       |        FROM (${q83SqlFrom(src(Seq("modon", "modon_wk", "farm_config")))}) GROUP BY 1),
        |pln AS (SELECT farm_no, CAST(SUM(n) AS BIGINT) AS plan_cnt
-       |        FROM (${d("q65_schedule_bm_eu")}) GROUP BY 1)
+       |        FROM (${QueryCatalogDomain.q65SqlFrom(src(Seq("modon", "modon_wk")))}) GROUP BY 1)
        |SELECT s.farm_no, s.sow_total,
        |  COALESCE(bm.bm_cnt, 0) AS bm_cnt, COALESCE(bm.bm_live, 0) AS bm_live,
        |  bm.bm_avg_live, COALESCE(bm.bm_pogae, 0) AS bm_pogae,
@@ -356,6 +366,7 @@ object QueryCatalogDomain3 {
        |LEFT JOIN pln ON pln.farm_no = s.farm_no
        |ORDER BY s.farm_no""".stripMargin
   }
+  private lazy val q78Sql = q78SqlFrom(ts => Fixtures.withClause(ts: _*))
 
   // ---------------------------------------------------------------- prior-week deltas
   /** Cross-week Δ columns (modon.py:267-371, SURVEY risk 5): weekly
@@ -590,8 +601,14 @@ object QueryCatalogDomain3 {
     * (ops.AsOf union+window — the scan-backwards Python loop as one
     * shuffle), elapsed days bucketed <=7, 8-10, .., 46+, counted per
     * (farm, accident subtype, bucket). */
-  val q81AccidentAsOf: Q = (s, d) => {
-    val wkAll = Fixtures.modonWkDf(s).filter(col("use_yn") === "Y")
+  val q81AccidentAsOf: Q = (s, d) =>
+    q81AccidentAsOfFrom(s, Fixtures.modonWkDf(s))
+
+  /** q81's body over a caller-supplied work log (see
+    * [[q75AlertsFrom]]). */
+  private[graft] def q81AccidentAsOfFrom(s: SparkSession,
+                                         modonWkSrc: DataFrame): DataFrame = {
+    val wkAll = modonWkSrc.filter(col("use_yn") === "Y")
     val matings = wkAll.filter(col("wk_gubun") === "G")
       .select(col("farm_no"), col("pig_no"), col("wk_dt").as("t"),
         col("seq"), col("wk_dt"))
@@ -618,8 +635,8 @@ object QueryCatalogDomain3 {
       .orderBy("farm_no", "sago_gubun_cd", "bucket")
   }
 
-  private lazy val q81Sql =
-    s"""WITH ${Fixtures.withClause("modon_wk")},
+  private[graft] def q81SqlFrom(src: String): String =
+    s"""WITH $src,
        |wk AS (SELECT * FROM modon_wk WHERE use_yn = 'Y'),
        |j AS (
        |  SELECT a.farm_no, a.sago_gubun_cd,
@@ -641,6 +658,7 @@ object QueryCatalogDomain3 {
        |SELECT farm_no, sago_gubun_cd, bucket, COUNT(*) AS cnt,
        |       CAST(SUM(elapsed) AS BIGINT) AS sum_days
        |FROM b GROUP BY 1, 2, 3 ORDER BY farm_no, sago_gubun_cd, bucket""".stripMargin
+  private lazy val q81Sql = q81SqlFrom(Fixtures.withClause("modon_wk"))
 
   // ---------------------------------------------------------------- config-driven schedule
   /** The CONFIG read-back as an explicit DAG edge (SURVEY §7.4 risk
@@ -651,16 +669,23 @@ object QueryCatalogDomain3 {
     * farrowing = latest mating + COALESCE(farm preg_days, 115). Farm 1
     * overrides to 114, farm 2 is all-NULL — both branches land in the
     * verified output as visibly different dates. */
-  val q83ConfigSchedule: Q = (s, _) => {
+  val q83ConfigSchedule: Q = (s, _) => q83ConfigScheduleFrom(s,
+    Fixtures.modonDf(s), Fixtures.modonWkDf(s), Fixtures.farmConfigDf(s))
+
+  /** q83's body over caller-supplied source tables (see
+    * [[q75AlertsFrom]]). */
+  private[graft] def q83ConfigScheduleFrom(s: SparkSession, modonSrc: DataFrame,
+                                           modonWkSrc: DataFrame,
+                                           farmConfigSrc: DataFrame): DataFrame = {
     val latest = LatestRecord.viaAgg(
-      Fixtures.modonWkDf(s).filter(col("use_yn") === "Y"),
+      modonWkSrc.filter(col("use_yn") === "Y"),
       keys = Seq("farm_no", "pig_no"), ord = Seq("seq"))
       .filter(col("wk_gubun") === "G")
       .select(col("farm_no"), col("pig_no"), col("wk_dt").as("mate_dt"))
-    val alive = Fixtures.modonDf(s)
+    val alive = modonSrc
       .filter(col("use_yn") === "Y" && col("out_dt") === Codes.AliveOutDt)
       .select("farm_no", "pig_no")
-    val cfg = broadcast(Fixtures.farmConfigDf(s).select("farm_no", "preg_days"))
+    val cfg = broadcast(farmConfigSrc.select("farm_no", "preg_days"))
     latest.join(alive, Seq("farm_no", "pig_no"))
       .join(cfg, Seq("farm_no"), "left")
       .withColumn("preg_used", coalesce(col("preg_days"), lit(115)))
@@ -670,8 +695,8 @@ object QueryCatalogDomain3 {
       .orderBy("farm_no", "pig_no")
   }
 
-  private lazy val q83Sql =
-    s"""WITH ${Fixtures.withClause("modon", "modon_wk", "farm_config")},
+  private[graft] def q83SqlFrom(src: String): String =
+    s"""WITH $src,
        |latest AS (
        |  SELECT farm_no, pig_no, wk_dt AS mate_dt FROM (
        |    SELECT *, row_number() OVER (PARTITION BY farm_no, pig_no ORDER BY seq DESC) AS rn
@@ -687,6 +712,8 @@ object QueryCatalogDomain3 {
        |JOIN alive a ON a.farm_no = l.farm_no AND a.pig_no = l.pig_no
        |LEFT JOIN farm_config c ON c.farm_no = l.farm_no
        |ORDER BY l.farm_no, l.pig_no""".stripMargin
+  private lazy val q83Sql =
+    q83SqlFrom(Fixtures.withClause("modon", "modon_wk", "farm_config"))
 
   // ---------------------------------------------------------------- weekly SUB union
   /** The assembled weekly report: every section conformed into the
@@ -716,23 +743,30 @@ object QueryCatalogDomain3 {
     s"SELECT ${cols.mkString(",\n  ")} FROM ($inner)"
   }
 
-  private lazy val q82Sql = {
-    val cfg = subSectionSql(q83Sql, "CONFIG", "SCHED",
+  /** The SUB-union oracle over a caller-supplied WITH-clause factory
+    * (table names -> CTE text): the fixture gate builds it from the
+    * rendered VALUES (q82Sql below); the 50k-farm scale replay builds
+    * the IDENTICAL statement over parquet-backed CTEs
+    * (devtools.WeeklyScale) — one composition, two data sources. */
+  private[graft] def q82SqlFrom(src: Seq[String] => String): String = {
+    val cfg = subSectionSql(q83SqlFrom(src(Seq("modon", "modon_wk", "farm_config"))),
+      "CONFIG", "SCHED",
       "row_number() OVER (PARTITION BY farm_no ORDER BY pig_no)", "pig_no",
       cnt = Map(1 -> "preg_used"),
       strm = Map(1 -> "mate_dt", 2 -> "pass_dt"))
-    val alert = subSectionSql(q75Sql, "ALERT", "MATRIX",
+    val alert = subSectionSql(q75SqlFrom(src(Seq("modon", "modon_wk"))),
+      "ALERT", "MATRIX",
       "row_number() OVER (PARTITION BY farm_no ORDER BY alert_type)", "alert_type",
       cnt = Map(1 -> "d3", 2 -> "d7", 3 -> "d14", 4 -> "d15up"))
     val modon = subSectionSql(
-      QueryCatalogDomain2.oracle("q67_parity_status_crosstab"),
+      QueryCatalogDomain2.q67SqlFrom(src(Seq("modon", "modon_wk"))),
       "MODON", "-", "sort_no", "parity_label",
       cnt = Map(1 -> "hubo", 2 -> "imsin", 3 -> "poyu", 4 -> "eumo", 5 -> "sago"))
     val gb = subSectionSql(
-      QueryCatalogDomain2.oracle("q68_return_buckets"),
+      QueryCatalogDomain2.q68SqlFrom(src(Seq("modon", "modon_wk"))),
       "GB", "CHART", "sort_no", "bucket", cnt = Map(1 -> "cnt"))
     val bm = subSectionSql(
-      QueryCatalogDomain.oracle("q62_farrowing_section"),
+      QueryCatalogDomain.q62SqlFrom(src(Seq("bunman", "trans"))),
       "BM", "SUMMARY", "0", "'-'",
       cnt = Map(1 -> "total_cnt", 2 -> "sum_total", 3 -> "sum_live",
         4 -> "sum_dead", 5 -> "sum_mummy", 6 -> "sum_sdotae",
@@ -740,32 +774,32 @@ object QueryCatalogDomain3 {
         10 -> "acc_total"),
       valm = Map(1 -> "sum_kg", 2 -> "avg_live", 3 -> "acc_avg_total"))
     val eu = subSectionSql(
-      QueryCatalogDomain.oracle("q63_weaning_section"),
+      QueryCatalogDomain.q63SqlFrom(src(Seq("modon_wk", "bunman", "eu", "trans"))),
       "EU", "SUMMARY", "0", "'-'",
       cnt = Map(1 -> "total_cnt", 2 -> "sum_eudusu", 3 -> "sum_chongsan",
         4 -> "sum_silsan", 5 -> "sum_pougigan", 6 -> "sum_ps_ds",
         7 -> "sum_bb_ds", 8 -> "sum_ji_ds", 9 -> "sum_jc_ds",
         10 -> "sum_pogae"),
       valm = Map(1 -> "sum_kg", 2 -> "avg_eudusu", 3 -> "avg_pougigan"))
-    val sago = subSectionSql(q81Sql, "SAGO", "BUCKET",
+    val sago = subSectionSql(q81SqlFrom(src(Seq("modon_wk"))), "SAGO", "BUCKET",
       "row_number() OVER (PARTITION BY farm_no ORDER BY sago_gubun_cd, bucket)",
       "bucket", cnt = Map(1 -> "cnt", 2 -> "sum_days"),
       strm = Map(1 -> "sago_gubun_cd"))
     val dope = subSectionSql(
-      QueryCatalogDomain2.oracle("q69_culling_chunked"),
+      QueryCatalogDomain2.q69SqlFrom(src(Seq("modon"))),
       "DOPE", "LIST", "sort_no", "NULL",
       cnt = (1 to 15).map(i => i -> s"cnt_$i").toMap,
       valm = (1 to 15).map(i => i -> s"val_$i").toMap,
       strm = (1 to 15).map(i => i -> s"str_$i").toMap)
     val ship = subSectionSql(
-      QueryCatalogDomain2.oracle("q70_shipment_daily"),
+      QueryCatalogDomain2.q70SqlFrom(src(Seq("lpd"))),
       "SHIP", "ROW",
       "dense_rank() OVER (PARTITION BY farm_no ORDER BY day)", "day",
       cnt = Map(1 -> "cnt", 2 -> "q11", 3 -> "q1", 4 -> "q2",
         5 -> "f_cnt", 6 -> "m_cnt"),
       valm = Map(1 -> "avg_net"))
     val sched = subSectionSql(
-      QueryCatalogDomain.oracle("q64_schedule_mating"),
+      QueryCatalogDomain.q64SqlFrom(src(Seq("modon", "modon_wk"))),
       "SCHED", "GB",
       "row_number() OVER (PARTITION BY farm_no ORDER BY pass_dt)",
       "strftime(pass_dt, '%Y%m%d')", cnt = Map(1 -> "n"))
@@ -774,6 +808,7 @@ object QueryCatalogDomain3 {
       .mkString("", "\nUNION ALL BY NAME ",
         "\nORDER BY gubun, sub_gubun, farm_no, sort_no")
   }
+  private lazy val q82Sql = q82SqlFrom(ts => Fixtures.withClause(ts: _*))
 
   // ---------------------------------------------------------------- single-farm SUB rows
   /** The assembled ten-section SUB frame scoped to ONE farm by a

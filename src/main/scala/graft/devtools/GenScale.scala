@@ -44,11 +44,19 @@ object GenScale {
       if (c == 0) df
       else {
         val stride = Seq(3, 7, 11, 13, 17, 19, 23, 29, 31)((c - 1) % 9)
+        // factors beyond 10 cycle the 9 strides, which would make
+        // copies c and c+9 EXACT duplicates of each other (same
+        // permutation of the same source) and plant huge artificial
+        // dup classes — a rotation offset per stride cycle keeps
+        // every copy distinct while c <= 9 output stays byte-stable
+        // (off = 0 reproduces the original transform, so tmp/sf1
+        // regenerates identically)
+        val off = (c - 1) / 9
         val words = split(col("text"), "\\s+")
         val n = size(words)
         val permuted0 = array_join(
           transform(sequence(lit(0), n - 1),
-            i => element_at(words, ((i * stride) % n) + 1)), " ")
+            i => element_at(words, ((i * stride + off) % n) + 1)), " ")
         val permuted = when(n > 0, permuted0).otherwise(col("text"))
         df.select((col("doc_id") + c * shift).as("doc_id"),
           permuted.as("text"), col("lang"), col("source"),
@@ -64,8 +72,12 @@ object GenScale {
       else {
         val v = col(vecCol)
         val d = size(v)
-        val k = lit(7 * c)
-        val shifted = concat(slice(v, k + 1, d - (7 * c)), slice(v, lit(1), k))
+        // lane shift wrapped into [1, d-1]: equals the original 7c for
+        // 7c <= d-1 (so c <= 9 output is byte-stable at dim 64+), and
+        // never 0 (an identity shift would clone the source vector
+        // exactly) for the factor-100 second decade
+        val k = pmod(lit(7 * c) - 1, d - 1) + 1
+        val shifted = concat(slice(v, k + 1, d - k), slice(v, lit(1), k))
         df.withColumn(idCol, col(idCol) + c * shift).withColumn(vecCol, shifted)
       }
     }.repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")

@@ -17,6 +17,36 @@ import graft.sinks.Sinks
   */
 object WeeklyReportJob {
 
+  /** The seven source tables every weekly section reads — ONE bundle
+    * so the fixture run and the 50k-farm scale run drive the SAME
+    * section implementations ([[subRowsFrom]]/[[summaryFrom]]): the
+    * fixture hash gates (q82/q78/q120) verify the composition's
+    * semantics; the scale harness (devtools.WeeklyScale) feeds
+    * parquet-backed facts through the identical code and replays the
+    * identical oracle SQL over parquet-backed CTEs in DuckDB. */
+  final case class DomainSources(modon: DataFrame, modonWk: DataFrame,
+                                 bunman: DataFrame, eu: DataFrame,
+                                 trans: DataFrame, lpd: DataFrame,
+                                 farmConfig: DataFrame)
+
+  object DomainSources {
+    import graft.domain.Fixtures
+    def fixtures(s: SparkSession): DomainSources = DomainSources(
+      Fixtures.modonDf(s), Fixtures.modonWkDf(s), Fixtures.bunmanDf(s),
+      Fixtures.euDf(s), Fixtures.transDf(s), Fixtures.lpdDf(s),
+      Fixtures.farmConfigDf(s))
+    /** The seven tables as parquet dirs under `dir` (the scale
+      * corpus layout devtools.GenFarms writes). */
+    def parquet(s: SparkSession, dir: String): DomainSources = DomainSources(
+      s.read.parquet(s"$dir/modon.parquet"),
+      s.read.parquet(s"$dir/modon_wk.parquet"),
+      s.read.parquet(s"$dir/bunman.parquet"),
+      s.read.parquet(s"$dir/eu.parquet"),
+      s.read.parquet(s"$dir/trans.parquet"),
+      s.read.parquet(s"$dir/lpd.parquet"),
+      s.read.parquet(s"$dir/farm_config.parquet"))
+  }
+
   /** TS_INS_WEEK_SUB-shaped columns (compact: CODE_1, CNT/VAL_1..15,
     * STR_1..15 kept where used; absent cells NULL). */
   private val subCols: Seq[String] =
@@ -42,20 +72,29 @@ object WeeklyReportJob {
     * conformed into the TS_INS_WEEK_SUB wide schema and unioned. Each
     * section is its own hash-verified query; the union re-verifies
     * the CONFORMANCE (padding, types, sort_no rules) via q82. */
-  def subRows(spark: SparkSession): DataFrame = {
+  def subRows(spark: SparkSession): DataFrame =
+    subRowsFrom(spark, DomainSources.fixtures(spark))
+
+  /** [[subRows]] over caller-supplied source tables — the identical
+    * ten-section composition the fixture gate verifies, driven by the
+    * scale harness over parquet-backed facts at 50k farms. */
+  def subRowsFrom(spark: SparkSession, src: DomainSources): DataFrame = {
     def rnBy(ord: Column*): Column =
       row_number().over(Window.partitionBy(col("farm_no")).orderBy(ord: _*))
-    val cfg = conform(QueryCatalogDomain3.q83ConfigSchedule(spark, ""), Map(
+    val cfg = conform(QueryCatalogDomain3.q83ConfigScheduleFrom(spark,
+      src.modon, src.modonWk, src.farmConfig), Map(
       "farm_no" -> col("farm_no"), "gubun" -> lit("CONFIG"), "sub_gubun" -> lit("SCHED"),
       "sort_no" -> rnBy(col("pig_no")), "code_1" -> col("pig_no"),
       "cnt_1" -> col("preg_used").cast("double"),
       "str_1" -> col("mate_dt"), "str_2" -> col("pass_dt")))
-    val alert = conform(QueryCatalogDomain3.q75Alerts(spark, ""), Map(
+    val alert = conform(QueryCatalogDomain3.q75AlertsFrom(spark,
+      src.modon, src.modonWk), Map(
       "farm_no" -> col("farm_no"), "gubun" -> lit("ALERT"), "sub_gubun" -> lit("MATRIX"),
       "sort_no" -> rnBy(col("alert_type")), "code_1" -> col("alert_type"),
       "cnt_1" -> col("d3").cast("double"), "cnt_2" -> col("d7").cast("double"),
       "cnt_3" -> col("d14").cast("double"), "cnt_4" -> col("d15up").cast("double")))
-    val bm = conform(QueryCatalogDomain.q62Farrowing(spark, ""), Map(
+    val bm = conform(QueryCatalogDomain.q62FarrowingFrom(spark,
+      src.bunman, src.trans), Map(
       "farm_no" -> col("farm_no"), "gubun" -> lit("BM"), "sub_gubun" -> lit("SUMMARY"),
       "code_1" -> lit("-"),
       "cnt_1" -> col("total_cnt").cast("double"), "cnt_2" -> col("sum_total").cast("double"),
@@ -65,7 +104,8 @@ object WeeklyReportJob {
       "cnt_9" -> col("acc_bm_cnt").cast("double"), "cnt_10" -> col("acc_total").cast("double"),
       "val_1" -> col("sum_kg"), "val_2" -> col("avg_live"),
       "val_3" -> col("acc_avg_total")))
-    val eu = conform(QueryCatalogDomain.q63Weaning(spark, ""), Map(
+    val eu = conform(QueryCatalogDomain.q63WeaningFrom(spark,
+      src.modonWk, src.bunman, src.eu, src.trans), Map(
       "farm_no" -> col("farm_no"), "gubun" -> lit("EU"), "sub_gubun" -> lit("SUMMARY"),
       "code_1" -> lit("-"),
       "cnt_1" -> col("total_cnt").cast("double"), "cnt_2" -> col("sum_eudusu").cast("double"),
@@ -75,19 +115,23 @@ object WeeklyReportJob {
       "cnt_9" -> col("sum_jc_ds").cast("double"), "cnt_10" -> col("sum_pogae").cast("double"),
       "val_1" -> col("sum_kg"), "val_2" -> col("avg_eudusu"),
       "val_3" -> col("avg_pougigan")))
-    val sago = conform(QueryCatalogDomain3.q81AccidentAsOf(spark, ""), Map(
+    val sago = conform(QueryCatalogDomain3.q81AccidentAsOfFrom(spark,
+      src.modonWk), Map(
       "farm_no" -> col("farm_no"), "gubun" -> lit("SAGO"), "sub_gubun" -> lit("BUCKET"),
       "sort_no" -> rnBy(col("sago_gubun_cd"), col("bucket")), "code_1" -> col("bucket"),
       "str_1" -> col("sago_gubun_cd"),
       "cnt_1" -> col("cnt").cast("double"), "cnt_2" -> col("sum_days").cast("double")))
-    val sched = conform(QueryCatalogDomain.q64ScheduleMating(spark, ""), Map(
+    val sched = conform(QueryCatalogDomain.q64ScheduleMatingFrom(spark,
+      src.modon, src.modonWk), Map(
       "farm_no" -> col("farm_no"), "gubun" -> lit("SCHED"), "sub_gubun" -> lit("GB"),
       "sort_no" -> rnBy(col("pass_dt")), "code_1" -> DateOps.dateToYmd(col("pass_dt")),
       "cnt_1" -> col("n").cast("double")))
-    val modon = modonConform(QueryCatalogDomain2.q67ParityStatus(spark, ""))
-    val gbChart = gbConform(QueryCatalogDomain2.q68ReturnBuckets(spark, ""))
-    val dopeList = dopeConform(QueryCatalogDomain2.q69CullingChunked(spark, ""))
-    val shipRows = shipConform(QueryCatalogDomain2.q70ShipmentDaily(spark, ""))
+    val modon = modonConform(
+      QueryCatalogDomain2.parityStatusFrom(spark, src.modon, src.modonWk))
+    val gbChart = gbConform(
+      QueryCatalogDomain2.returnBucketsFrom(spark, src.modon, src.modonWk))
+    val dopeList = dopeConform(QueryCatalogDomain2.cullingChunkedFrom(src.modon))
+    val shipRows = shipConform(QueryCatalogDomain2.shipmentDailyFrom(spark, src.lpd))
     // union in the reference's processor order (async_processor.py:170-192)
     Seq(cfg, alert, modon, gbChart, bm, eu, sago, dopeList, shipRows, sched)
       .reduce(_ unionByName _)
@@ -150,41 +194,48 @@ object WeeklyReportJob {
     * base.py:148-178; processor set async_processor.py:170-192).
     * Count columns coalesce to 0 for farms a section never saw;
     * averages stay NULL (the reference's NULL-vs-0 distinction). */
-  def summary(spark: SparkSession): DataFrame = {
-    val bm = QueryCatalogDomain.q62Farrowing(spark, "")
+  def summary(spark: SparkSession): DataFrame =
+    summaryFrom(spark, DomainSources.fixtures(spark))
+
+  /** [[summary]] over caller-supplied source tables (see
+    * [[subRowsFrom]]). */
+  def summaryFrom(spark: SparkSession, src: DomainSources): DataFrame = {
+    val bm = QueryCatalogDomain.q62FarrowingFrom(spark, src.bunman, src.trans)
       .select(col("farm_no"), col("total_cnt").as("bm_cnt"),
         col("sum_live").as("bm_live"), col("avg_live").as("bm_avg_live"),
         col("sum_pogae").as("bm_pogae"))
-    val eu = QueryCatalogDomain.q63Weaning(spark, "")
+    val eu = QueryCatalogDomain.q63WeaningFrom(spark, src.modonWk, src.bunman,
+        src.eu, src.trans)
       .select(col("farm_no"), col("total_cnt").as("eu_cnt"),
         col("sum_eudusu").as("eu_dusu"), col("avg_pougigan").as("eu_avg_days"))
-    val sow = QueryCatalogDomain2.q67ParityStatus(spark, "")
+    val sow = QueryCatalogDomain2.parityStatusFrom(spark, src.modon, src.modonWk)
       .groupBy("farm_no")
       .agg(sum(col("hubo") + col("imsin") + col("poyu") + col("eumo") + col("sago"))
         .cast("long").as("sow_total"))
-    val gbRet = QueryCatalogDomain2.q68ReturnBuckets(spark, "")
+    val gbRet = QueryCatalogDomain2.returnBucketsFrom(spark, src.modon, src.modonWk)
       .groupBy("farm_no").agg(sum(col("cnt")).cast("long").as("gb_return_cnt"))
-    val sched = QueryCatalogDomain.q64ScheduleMating(spark, "")
+    val sched = QueryCatalogDomain.q64ScheduleMatingFrom(spark, src.modon, src.modonWk)
       .groupBy("farm_no").agg(sum(col("n")).cast("long").as("gb_plan"))
-    val alert = QueryCatalogDomain3.q75Alerts(spark, "")
+    val alert = QueryCatalogDomain3.q75AlertsFrom(spark, src.modon, src.modonWk)
       .groupBy("farm_no")
       .agg(sum(col("d3") + col("d7") + col("d14") + col("d15up"))
         .cast("long").as("alert_cnt"))
     val cullCells = (1 to 15).map(i => col(s"cnt_$i")).reduce(_ + _)
     val cullMonthCells = (1 to 15).map(i => col(s"val_$i")).reduce(_ + _)
-    val cull = QueryCatalogDomain2.q69CullingChunked(spark, "")
+    val cull = QueryCatalogDomain2.cullingChunkedFrom(src.modon)
       .groupBy("farm_no")
       .agg(sum(cullCells).cast("long").as("cull_week"),
         sum(cullMonthCells).cast("long").as("cull_month"))
-    val acc = QueryCatalogDomain3.q81AccidentAsOf(spark, "")
+    val acc = QueryCatalogDomain3.q81AccidentAsOfFrom(spark, src.modonWk)
       .groupBy("farm_no")
       .agg(sum(col("cnt")).cast("long").as("acc_cnt"),
         sum(col("sum_days")).cast("long").as("acc_days"))
-    val ship = QueryCatalogDomain2.q70ShipmentDaily(spark, "")
+    val ship = QueryCatalogDomain2.shipmentDailyFrom(spark, src.lpd)
       .groupBy("farm_no").agg(sum(col("cnt")).cast("long").as("ship_cnt"))
-    val cfg = QueryCatalogDomain3.q83ConfigSchedule(spark, "")
+    val cfg = QueryCatalogDomain3.q83ConfigScheduleFrom(spark, src.modon,
+        src.modonWk, src.farmConfig)
       .groupBy("farm_no").agg(count(lit(1)).as("cfg_sched_cnt"))
-    val plan = QueryCatalogDomain.q65ScheduleBmEu(spark, "")
+    val plan = QueryCatalogDomain.q65ScheduleBmEuFrom(spark, src.modon, src.modonWk)
       .groupBy("farm_no").agg(sum(col("n")).cast("long").as("plan_cnt"))
     def z(c: String): Column = coalesce(col(c), lit(0L)).as(c)
     Seq(bm, eu, gbRet, sched, alert, cull, acc, ship, cfg, plan)

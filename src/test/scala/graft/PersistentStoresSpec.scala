@@ -372,6 +372,8 @@ class PersistentStoresSpec extends SparkSpec {
     assert(livePartitionIds("cp_store") == Seq(BandStore.CompactedBatchId, 5L),
       s"batches 0..4 fold into -2, batch 5 stays: ${livePartitionIds("cp_store")}")
     val filesAfter = listDataFiles(loc)
+    info(s"data files: ${filesBefore.size} (6 batches) -> ${filesAfter.size} " +
+      "(consolidated -2 + kept batch 5)")
     assert(filesAfter.size < filesBefore.size,
       s"file count must drop: ${filesBefore.size} -> ${filesAfter.size}")
     // the consolidated partition holds at most one file per bucket

@@ -805,6 +805,8 @@ class SinksStreamingSpec extends SparkSpec {
     }
     val (idsPlain, rowsPlain, filesPlain) = run("cmp_none", 0)
     val (idsComp, rowsComp, filesComp) = run("cmp_every2", 2)
+    info(s"store files: uncompacted=$filesPlain compactEvery2=$filesComp " +
+      s"(rows $rowsPlain/$rowsComp)")
     assert(idsComp == idsPlain && rowsComp == rowsPlain,
       s"compaction must not change curated/store content: " +
         s"($idsComp,$rowsComp) vs ($idsPlain,$rowsPlain)")
