@@ -223,6 +223,25 @@ object Bench {
     // stderr. SPARK_GRAFT_NO_SF1=1 disables; SPARK_GRAFT_SF1_DIR
     // overrides the data dir (default the GenScale output).
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/tmp/sf1")
+    // tmp/ is wiped between rounds; a missing DEFAULT sf1 dir would
+    // silently skip the whole scale gate (sf1On below just reads
+    // false). GenScale is deterministic and byte-stable at factor 10,
+    // so self-healing here keeps the accepted baseline valid. An
+    // explicit SPARK_GRAFT_SF1_DIR is the caller's responsibility —
+    // never materialize data at a path the user chose for other data.
+    if (!sys.env.contains("SPARK_GRAFT_SF1_DIR") &&
+        !sys.env.get("SPARK_GRAFT_NO_SF1").contains("1") &&
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(sf1Dir)) &&
+        java.nio.file.Files.exists(
+          java.nio.file.Paths.get("/root/testdata/sf0.1"))) {
+      System.err.println(s"[bench] $sf1Dir missing; regenerating via GenScale")
+      try graft.devtools.GenScale.generate(
+        spark, "/root/testdata/sf0.1", sf1Dir, 10)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] sf1 regeneration failed " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage}); sf1 block skipped")
+      }
+    }
     val sf1Headline = Seq(
       "q01_agg_basic", "q06_join_chain", "q21_topn",
       "q40_dedup_exact", "q42_lsh_pairs", "q44_ngram_jaccard",

@@ -1,6 +1,6 @@
 package graft.devtools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dev harness: scale the driver-generated testdata one more decade
@@ -10,14 +10,29 @@ import org.apache.spark.sql.functions._
   * Copies 1..factor-1 must not be trivial re-crawls or the dedup
   * family's timing would measure a pathological 100%-duplicate
   * corpus instead of a bigger natural one, so:
-  *  - documents: ids shift by c*10^9; copy texts are STRIDE
-  *    PERMUTATIONS of the original words (stride coprime to most
-  *    lengths, per-copy) — contiguous shingles are destroyed, so a
-  *    copy is NOT a near-duplicate of its source under k-gram
-  *    MinHash/Jaccard, while keeping the token distribution (and so
-  *    df/LSH bucket load) realistic.
-  *  - embeddings: ids shift; vectors circular-shift by 7c lanes —
-  *    far from the source in cosine, same norm/coordinate stats.
+  *  - documents: ids shift by c*10^9; copy texts are MULTIPLICATIVE
+  *    PERMUTATIONS of the original words (i -> i*m mod n, multiplier
+  *    per-copy, coprime to most lengths) — contiguous shingles are
+  *    destroyed, so a copy is NOT a near-duplicate of its source
+  *    under k-gram MinHash/Jaccard, while keeping the token
+  *    distribution (and so df/LSH bucket load) realistic. Copies
+  *    must also not near-duplicate EACH OTHER: an additive offset
+  *    (the first factor-100 attempt) only ROTATES the word sequence,
+  *    and two rotations of the same permutation share all but ~2k
+  *    boundary shingles (jaccard ~0.9) — that planted ~11-strong
+  *    near-dup classes per source doc and sent the decade curve's
+  *    q129 shuffle superlinear (3.0 GB at sf10, x50 for x10 data:
+  *    the engine was OUTPUT-linear, the corpus was dup-polluted).
+  *    Distinct multiplicative classes are not rotations of each
+  *    other, so stride-cycle copies stay honestly dissimilar.
+  *  - embeddings: ids shift; vectors circular-shift by 7c lanes for
+  *    c <= 9 — far from the source in cosine, same norm/coordinate
+  *    stats. A rotation-only scheme cannot scale past d-1 copies
+  *    (pigeonhole: 7c mod 63 repeats every 9 copies at dim 64 —
+  *    exact clone vectors), so later stride cycles compose the shift
+  *    with a per-cycle deterministic SIGN-FLIP pattern (negation
+  *    preserves norms and coordinate stats; distinct patterns per
+  *    cycle kill the clones).
   *  - lineitem: l_orderkey shifts by c*10^9 — join keys stay unique
   *    per copy, value distributions identical.
   */
@@ -33,6 +48,16 @@ object GenScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    generate(spark, src, out, factor)
+    spark.stop()
+  }
+
+  /** Callable form so [[graft.Bench]] can self-heal a wiped `tmp/sf1`
+    * before its sf1 scale gate (the output is deterministic and
+    * byte-stable at factor <= 10, so the accepted sf1 baseline stays
+    * valid across regenerations). */
+  def generate(spark: SparkSession, src: String, out: String,
+               factor: Int): Unit = {
 
     def copies(df: DataFrame)(mk: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until factor).map(c => mk(df, c)).reduce(_ unionByName _)
@@ -43,20 +68,36 @@ object GenScale {
     copies(docs) { (df, c) =>
       if (c == 0) df
       else {
-        val stride = Seq(3, 7, 11, 13, 17, 19, 23, 29, 31)((c - 1) % 9)
-        // factors beyond 10 cycle the 9 strides, which would make
-        // copies c and c+9 EXACT duplicates of each other (same
-        // permutation of the same source) and plant huge artificial
-        // dup classes — a rotation offset per stride cycle keeps
-        // every copy distinct while c <= 9 output stays byte-stable
-        // (off = 0 reproduces the original transform, so tmp/sf1
-        // regenerates identically)
-        val off = (c - 1) / 9
+        // factors beyond 10 cycle the 9 strides; copies sharing a
+        // stride must not relate by a ROTATION (an additive offset):
+        // rotations of one permutation are near-duplicates of each
+        // other (all but ~2k boundary k-grams shared), which plants
+        // artificial dup classes and bends the decade curve (the
+        // q129 3.0 GB lesson — see the object scaladoc). Instead
+        // each stride cycle RAISES THE MULTIPLIER TO A POWER:
+        // cycle e uses i -> i * (stride^(e+1) mod n) mod n — another
+        // multiplicative permutation, and multiplicative classes
+        // with different effective multipliers share only O(1)
+        // k-grams. The stride LIST also rotates by 4 per cycle so
+        // cross-cycle collisions need s1^e1 = s2^e2 (mod n) — a
+        // per-doc small-multiplicative-order coincidence, not a
+        // systematic class. e = 0 reproduces the original transform,
+        // so c <= 9 output (tmp/sf1) regenerates identically.
+        val strides = Seq(3, 7, 11, 13, 17, 19, 23, 29, 31)
+        val cyc = (c - 1) / 9
+        val stride = strides(((c - 1) + cyc * 4) % 9)
         val words = split(col("text"), "\\s+")
         val n = size(words)
+        // stride^(cyc+1) mod n, folded per row in overflow-safe
+        // steps (each partial stays < n * stride, int-safe); the
+        // i * mult product can reach n^2 so it multiplies as LONG,
+        // and element_at needs its index back as INT
+        val mult = (0 to cyc).foldLeft(lit(1): Column)(
+          (m, _) => pmod(m * stride, n))
         val permuted0 = array_join(
           transform(sequence(lit(0), n - 1),
-            i => element_at(words, ((i * stride + off) % n) + 1)), " ")
+            i => element_at(words,
+              (pmod(i.cast("long") * mult, n) + 1).cast("int"))), " ")
         val permuted = when(n > 0, permuted0).otherwise(col("text"))
         df.select((col("doc_id") + c * shift).as("doc_id"),
           permuted.as("text"), col("lang"), col("source"),
@@ -72,13 +113,24 @@ object GenScale {
       else {
         val v = col(vecCol)
         val d = size(v)
-        // lane shift wrapped into [1, d-1]: equals the original 7c for
-        // 7c <= d-1 (so c <= 9 output is byte-stable at dim 64+), and
-        // never 0 (an identity shift would clone the source vector
-        // exactly) for the factor-100 second decade
-        val k = pmod(lit(7 * c) - 1, d - 1) + 1
+        // lane shift wrapped into [1, d-1]: equals the original 7c
+        // for c <= 9 (byte-stable at dim 64+), never 0 (identity
+        // would clone the source). Rotation alone CANNOT scale past
+        // d-1 copies (pigeonhole: 7c mod 63 repeats every 9 copies
+        // at dim 64 — copy 1 and copy 10 were exact clones), so
+        // stride cycles past the first compose a per-cycle SIGN-FLIP
+        // pattern: negate lane j iff (j+1)*cyc mod 13 < 6 — norms
+        // and coordinate stats preserved, patterns distinct per
+        // cycle through factor ~117 (13 distinct residue patterns)
+        val cyc = (c - 1) / 9
+        val r = (c - 1) % 9 + 1
+        val k = pmod(lit(7 * r) - 1, d - 1) + 1
         val shifted = concat(slice(v, k + 1, d - k), slice(v, lit(1), k))
-        df.withColumn(idCol, col(idCol) + c * shift).withColumn(vecCol, shifted)
+        val mixed =
+          if (cyc == 0) shifted
+          else transform(shifted, (x, i) =>
+            when(pmod((i + 1) * cyc, lit(13)) < 6, -x).otherwise(x))
+        df.withColumn(idCol, col(idCol) + c * shift).withColumn(vecCol, mixed)
       }
     }.repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
@@ -95,6 +147,5 @@ object GenScale {
           .write.mode("overwrite").parquet(s"$out/$t.parquet")
       }
     println(s"wrote $out at ${factor}x $src")
-    spark.stop()
   }
 }
