@@ -225,8 +225,9 @@ object Bench {
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/tmp/sf1")
     // tmp/ is wiped between rounds; a missing DEFAULT sf1 dir would
     // silently skip the whole scale gate (sf1On below just reads
-    // false). GenScale is deterministic and byte-stable at factor 10,
-    // so self-healing here keeps the accepted baseline valid. An
+    // false). GenScale is deterministic (regeneration identity is
+    // spec-pinned), so self-healing here keeps the accepted baseline
+    // comparable (see GenScale.generate's round-13 note). An
     // explicit SPARK_GRAFT_SF1_DIR is the caller's responsibility —
     // never materialize data at a path the user chose for other data.
     if (!sys.env.contains("SPARK_GRAFT_SF1_DIR") &&

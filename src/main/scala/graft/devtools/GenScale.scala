@@ -53,9 +53,16 @@ object GenScale {
   }
 
   /** Callable form so [[graft.Bench]] can self-heal a wiped `tmp/sf1`
-    * before its sf1 scale gate (the output is deterministic and
-    * byte-stable at factor <= 10, so the accepted sf1 baseline stays
-    * valid across regenerations). */
+    * before its sf1 scale gate. The output is deterministic
+    * (GenScaleSpec pins regeneration identity), so the accepted sf1
+    * baseline stays valid across regenerations. NOTE the round-13
+    * bijectivity fix changed the ~9.6% of copies whose doc length the
+    * old stride divided (they were collapsed, not permuted), so sf1
+    * corpora generated before that fix differ in those copies; the
+    * sf1 time gate re-validates against the accepted baseline on
+    * every bench run (x1.35 headroom; the fix shifted per-query sf1
+    * shuffle by <= 6% — fewer degenerate-bucket pairs, the safe
+    * direction). */
   def generate(spark: SparkSession, src: String, out: String,
                factor: Int): Unit = {
 
@@ -81,19 +88,57 @@ object GenScale {
         // k-grams. The stride LIST also rotates by 4 per cycle so
         // cross-cycle collisions need s1^e1 = s2^e2 (mod n) — a
         // per-doc small-multiplicative-order coincidence, not a
-        // systematic class. e = 0 reproduces the original transform,
-        // so c <= 9 output (tmp/sf1) regenerates identically.
+        // systematic class.
+        //
+        // BIJECTIVITY: i -> i*m mod n is a permutation ONLY when
+        // gcd(m, n) = 1; since the strides are PRIME, gcd(s^k, n) > 1
+        // exactly when n % s == 0, and such a "copy" COLLAPSES to the
+        // n/s positions s divides — a tiny repeated word subset whose
+        // shingle sets LSH-band-collide across copies and even across
+        // sources (measured: 9.6% of factor-100 copies collapsed and
+        // carried 97.5% of q129's 479k pollution candidate pairs —
+        // the 1.44 byte exponent of the first decade run; the
+        // verified output stayed clean because collapsed pairs sit
+        // BELOW the 0.5 jaccard verify bar, which is why the
+        // cross-copy near-dup spec never caught it). So each doc
+        // PROBES the rotated stride list from its copy's index and
+        // takes the first stride not dividing its n; the number of
+        // probes skipped bumps the exponent, so two same-cycle copies
+        // landing on one stride still get distinct multipliers
+        // (start indices differ => skip counts differ). Docs where no
+        // stride divides n (the ~90% majority) see the EXACT old
+        // transform at any factor; n <= 2 degenerates to identity
+        // (no k=3 shingles exist there — harmless). All trees here
+        // are LINEAR in size: a when-guarded fold (the first attempt)
+        // references its accumulator twice per step and exploded the
+        // plan to 2^eMax nodes — a driver OOM at plan time, not a
+        // data problem.
         val strides = Seq(3, 7, 11, 13, 17, 19, 23, 29, 31)
         val cyc = (c - 1) / 9
-        val stride = strides(((c - 1) + cyc * 4) % 9)
+        val idx0 = ((c - 1) + cyc * 4) % 9
         val words = split(col("text"), "\\s+")
         val n = size(words)
-        // stride^(cyc+1) mod n, folded per row in overflow-safe
-        // steps (each partial stays < n * stride, int-safe); the
-        // i * mult product can reach n^2 so it multiplies as LONG,
-        // and element_at needs its index back as INT
-        val mult = (0 to cyc).foldLeft(lit(1): Column)(
-          (m, _) => pmod(m * stride, n))
+        // probe order for this copy; all strides prime, so
+        // "collapses" === "divides n"
+        val probe = (0 until 9).map(j => strides((idx0 + j) % 9))
+        val strideC = probe.foldRight(lit(1): Column)((s, rest) =>
+          when(pmod(n, lit(s)) =!= 0, lit(s)).otherwise(rest))
+        val skipsC = probe.zipWithIndex.foldRight(lit(0): Column) {
+          case ((s, j), rest) => when(pmod(n, lit(s)) =!= 0, lit(j)).otherwise(rest)
+        }
+        // mult = stride^(cyc+1+skips) mod n, as an unguarded power
+        // fold times a 9-branch skip-power chain (each partial stays
+        // < n * 31, int-safe; the cross product can reach n^2 so it
+        // multiplies as LONG; element_at wants its index as INT)
+        val base = (0 to cyc).foldLeft(lit(1): Column)(
+          (m, _) => pmod(m * strideC, n))
+        val skipPow = (1 until 9).foldLeft(when(skipsC === 0, lit(1))) {
+          (acc, j) =>
+            val pj = (1 to j).foldLeft(lit(1): Column)(
+              (m, _) => pmod(m * strideC, n))
+            acc.when(skipsC === j, pj)
+        }
+        val mult = pmod(base.cast("long") * skipPow, n)
         val permuted0 = array_join(
           transform(sequence(lit(0), n - 1),
             i => element_at(words,

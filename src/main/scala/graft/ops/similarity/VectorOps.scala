@@ -115,9 +115,21 @@ object VectorOps {
     * integer-quantized per-dimension means (exact int sums / count —
     * order-independent, so deterministic under shuffle); each probe
     * searches only its `nprobe` nearest cells. The inverted-file
-    * analogue of lshAnn: a cell equi-join replaces the cross join. */
+    * analogue of lshAnn: a cell equi-join replaces the cross join.
+    *
+    * SERVING SHAPE: when the probe set is bounded (a count proves it
+    * is under `probeBroadcastMax`), the probe×cell frame carries an
+    * explicit broadcast hint so the corpus-sized candidate relation
+    * is restricted MAP-SIDE — the corpus never crosses the wire for a
+    * small query batch. Without the hint the optimizer's
+    * auto-broadcast saves the plan only while the corpus's estimated
+    * size is under its threshold, i.e. exactly NOT at scale (measured:
+    * the sf1→sf10 decade flipped the cell join to sort-merge and
+    * shuffled the whole embedding table for 20 probes). Over the
+    * budget the hint is dropped and the planner picks the join. */
   def ivfAnn(probes: DataFrame, candidates: DataFrame, cellCol: String,
-             k: Int, nprobe: Int = 2): DataFrame = {
+             k: Int, nprobe: Int = 2,
+             probeBroadcastMax: Long = 10000L): DataFrame = {
     // centroid components from integer-quantized values: exact sums
     val comp = candidates
       .select(col(cellCol).as("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
@@ -139,7 +151,13 @@ object VectorOps {
       .filter(col("crn") <= nprobe).select(col("q_id"), col("cell"))
     val c = candidates.select(col(cellCol).as("cell"), col("vec_id").as("c_id"),
       col("embedding").as("cv2"), norm(col("embedding")).as("cn"))
-    val pairs = p.join(probeCells, "q_id").join(c, "cell")
+    // probe side = probes x nprobe rows; broadcast under the counted
+    // gate so the corpus side streams map-side (see scaladoc)
+    val probeSide0 = p.join(probeCells, "q_id")
+    val probeSide =
+      if (probes.count() <= probeBroadcastMax) broadcast(probeSide0)
+      else probeSide0
+    val pairs = probeSide.join(c, "cell")
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", cosine(col("qv"), col("cv2"), col("qn"), col("cn")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
@@ -333,13 +351,29 @@ object VectorOps {
     * candidates. Smaller recall than brute force by construction;
     * rank/tie rules identical. */
   def lshAnn(probes: DataFrame, candidates: DataFrame, k: Int,
-             nPlanes: Int = 8): DataFrame = {
-    val pb = lshBucket(probes, "vec_id", nPlanes).withColumnRenamed("vec_id", "q_id")
-    val cb = lshBucket(candidates, "vec_id", nPlanes).withColumnRenamed("vec_id", "c_id")
-    val p = probes.select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-      norm(col("embedding")).as("qn")).join(pb, "q_id")
-    val c = candidates.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
-      norm(col("embedding")).as("cn")).join(cb, "c_id")
+             nPlanes: Int = 8,
+             probeBroadcastMax: Long = 10000L): DataFrame = {
+    // id + vector + norm + bucket in ONE projection — the earlier
+    // two-frame form joined each side back to its own lshBucket output
+    // on the id, a corpus-sized self-join that shuffled the whole
+    // candidate table before any probe touched it
+    def bucketed(df: DataFrame, idAs: String, vAs: String,
+                 nAs: String): DataFrame = {
+      val dims = embeddingDims(df)
+      if (dims <= 0)
+        return df.select(col("vec_id").as(idAs), col("embedding").as(vAs),
+          lit(0.0).as(nAs), lit(null).cast("long").as("bucket")).limit(0)
+      val signs = Array.tabulate(nPlanes, dims)((j, kk) => planeSign(j, kk).toLong)
+      df.select(col("vec_id").as(idAs), col("embedding").as(vAs),
+        norm(col("embedding")).as(nAs),
+        graft.functions.LshBucketExpr.bucket(col("embedding"), signs).as("bucket"))
+    }
+    val p0 = bucketed(probes, "q_id", "qv", "qn")
+    // counted broadcast gate (the ivfAnn serving-shape note): a
+    // bounded probe side restricts the corpus MAP-SIDE; the corpus
+    // never crosses the wire for a small query batch
+    val p = if (probes.count() <= probeBroadcastMax) broadcast(p0) else p0
+    val c = bucketed(candidates, "c_id", "cv", "cn")
     val pairs = p.join(c, Seq("bucket")).filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
@@ -362,27 +396,50 @@ object VectorOps {
     * equi-join; the union dedups (q_id, c_id) BEFORE any cosine is
     * computed, so a pair colliding in several tables is scored once.
     * Every join key is (table, bucket) — hashed, never skewed beyond
-    * the single-table bucket-size story. */
+    * the single-table bucket-size story.
+    *
+    * SERVING SHAPE (the ivfAnn note): with a bounded probe set
+    * (count <= `probeBroadcastMax`) every probe-derived side carries
+    * an explicit broadcast hint, and the candidate-id set — counted
+    * like [[graft.ops.dedup.Dedup.jaccardReleasable]]'s, under
+    * `candBroadcastMax` — restricts the corpus embedding relation
+    * map-side, so the CORPUS NEVER CROSSES THE WIRE: its scan feeds
+    * only map-side band lookups and the broadcast semi-restriction.
+    * The two counts are eager driver jobs (the jaccardReleasable
+    * precedent); over budget the hints drop and the planner decides.
+    * Relying on auto-broadcast instead inverts at scale: the decade
+    * measurement saw the sf10 rung flip this join to sort-merge and
+    * shuffle the whole corpus for 20 probes. */
   def lshAnnMulti(probes: DataFrame, candidates: DataFrame, k: Int,
-                  nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
+                  nPlanes: Int = 8, nTables: Int = 4,
+                  probeBroadcastMax: Long = 10000L,
+                  candBroadcastMax: Long = 4000000L): DataFrame = {
     // the dims probe is a driver-blocking job over each frame — run it
     // ONCE per frame here, not 2*nTables times inside lshBucket
     // (the round-6 advice: a 4-table index fired 8 redundant jobs)
     val pDims = embeddingDims(probes)
     val cDims = embeddingDims(candidates)
+    val smallProbes = probes.count() <= probeBroadcastMax
     val candPairs = (0 until nTables).map { t =>
-      val pb = lshBucket(probes, "vec_id", nPlanes, t, pDims)
+      val pb0 = lshBucket(probes, "vec_id", nPlanes, t, pDims)
         .withColumnRenamed("vec_id", "q_id")
+      val pb = if (smallProbes) broadcast(pb0) else pb0
       val cb = lshBucket(candidates, "vec_id", nPlanes, t, cDims)
         .withColumnRenamed("vec_id", "c_id")
-      pb.join(cb, "bucket").select("q_id", "c_id")
+      cb.join(pb, "bucket").select("q_id", "c_id")
     }.reduce(_ unionByName _)
       .filter(col("q_id") =!= col("c_id"))
       .distinct()
-    val p = probes.select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+    val p0 = probes.select(col("vec_id").as("q_id"), col("embedding").as("qv"),
       norm(col("embedding")).as("qn"))
-    val c = candidates.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+    val p = if (smallProbes) broadcast(p0) else p0
+    val c0 = candidates.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
       norm(col("embedding")).as("cn"))
+    val candIds = candPairs.select(col("c_id")).distinct()
+    val c =
+      if (smallProbes && candIds.count() <= candBroadcastMax)
+        c0.join(broadcast(candIds), "c_id")
+      else c0
     val pairs = candPairs.join(p, "q_id").join(c, "c_id")
       .withColumn("cos", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))

@@ -88,6 +88,31 @@ class GenScaleSpec extends SparkSpec {
         "generator is planting duplicate classes again")
   }
 
+  test("copies are true permutations: word multiset preserved, never collapsed") {
+    // i -> i*m mod n is bijective ONLY for gcd(m, n) = 1. The first
+    // prime-stride scheme skipped that check: a doc whose length is
+    // divisible by the copy's stride COLLAPSED to n/s repeated words
+    // — 9.6% of factor-100 copies, carrying 97.5% of q129's sf10
+    // candidate-pair pollution (the 1.44 byte exponent of the first
+    // decade run). Collapsed copies sit BELOW the 0.5-jaccard verify
+    // bar, so the cross-copy near-dup test above cannot see them; the
+    // multiset identity can. Factor 12 crosses the stride-list wrap
+    // (the exponent-bump path) so the wrap arithmetic is covered too.
+    val out = gen("perm", 12)
+    val shift = 1000000000L
+    val srcDocs = spark.read.parquet(s"$src/documents.parquet")
+      .select(col("doc_id").as("src_id"),
+        array_sort(split(col("text"), "\\s+")).as("src_sorted"))
+    val bad = spark.read.parquet(s"$out/documents.parquet")
+      .filter(col("doc_id") >= shift)
+      .select((col("doc_id") % shift).as("src_id"),
+        array_sort(split(col("text"), "\\s+")).as("sorted"))
+      .join(srcDocs, "src_id")
+      .filter(col("sorted") =!= col("src_sorted"))
+      .count()
+    assert(bad === 0L, s"$bad copies are not permutations of their source")
+  }
+
   test("factor>10: no exact-clone embedding vectors across copies") {
     // rotation-only lane shifts repeat every 9 copies at dim 64
     // (7c mod 63): copy 1 and copy 10 were EXACT clones before the

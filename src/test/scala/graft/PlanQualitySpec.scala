@@ -364,6 +364,56 @@ class PlanQualitySpec extends SparkSpec {
     df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
   }
 
+  test("ANN serving shape: a bounded probe set never shuffles the corpus (auto-broadcast OFF)") {
+    // the property that matters at 100 TB: lshAnnMulti / ivfAnn with
+    // a handful of probes must restrict the corpus MAP-SIDE via the
+    // explicit counted broadcast gates — NOT via the optimizer's
+    // auto-broadcast, which flips to sort-merge (and shuffles the
+    // whole corpus) the moment the corpus's estimated size crosses
+    // the threshold. Simulate that regime by disabling auto-broadcast
+    // and assert no shuffle exchange moves raw corpus rows (an
+    // exchange whose subtree scans the embeddings parquet with no
+    // join below it = corpus rows crossed the wire unrestricted).
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .filter(_ != null)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val probes = emb.filter(col("vec_id") < 5)
+      def rawCorpusExchanges(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+        df.collect()
+        df.queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeLike
+            if e.treeString.contains("embeddings.parquet") &&
+              e.collectFirst {
+                case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+                  if j ne e => j
+              }.isEmpty => e.treeString.linesIterator.next()
+        }
+      }
+      val multi = graft.ops.similarity.VectorOps.lshAnnMulti(
+        probes, emb, k = 3, nPlanes = 8, nTables = 4)
+      assert(rawCorpusExchanges(multi).isEmpty,
+        "lshAnnMulti shuffled raw corpus rows for 5 probes")
+      val ivf = graft.ops.similarity.VectorOps.ivfAnn(
+        probes, emb, "label", k = 3, nprobe = 2)
+      assert(rawCorpusExchanges(ivf).isEmpty,
+        "ivfAnn shuffled raw corpus rows for 5 probes")
+      val single = graft.ops.similarity.VectorOps.lshAnn(
+        probes, emb, k = 3, nPlanes = 8)
+      assert(rawCorpusExchanges(single).isEmpty,
+        "lshAnn shuffled raw corpus rows for 5 probes")
+    } finally {
+      prev.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      prevA.fold(spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", _))
+    }
+  }
+
   test("column profiler computes all distincts in a single Expand pass") {
     val p = finalPlan(QueryCatalogCuration.q105ColumnProfile(spark, "/root/testdata/sf0.001"))
     assert("Expand".r.findAllIn(p).length == 1,
