@@ -309,17 +309,39 @@ object VectorOps {
     * "refine" step every production ANN service runs). ADC alone is
     * deliberately lossy — the refine join touches `shortlist` vectors
     * per probe instead of N, which is the entire economy at
-    * billion-vector scale. */
+    * billion-vector scale.
+    *
+    * SERVING SHAPE (the lshAnnMulti note): the refine join's left
+    * side is bounded by probes × shortlist, so under the counted
+    * gate it broadcasts and semi-restricts the corpus embedding
+    * relation MAP-SIDE — without the hint, the "touch shortlist
+    * vectors instead of N" promise silently becomes "shuffle all N
+    * on the id" the moment the optimizer stops auto-broadcasting. */
   def pqRefinedTopK(probes: DataFrame, candidates: DataFrame, codes: DataFrame,
                     codebooks: DataFrame, idCol: String, m: Int, k: Int,
-                    shortlist: Int = 50): DataFrame = {
-    val short = pqAdcTopK(probes, codes, codebooks, idCol, m, shortlist)
-    val p = probes.select(col(idCol).as("q_id"), col("embedding").as("qv"),
+                    shortlist: Int = 50,
+                    probeBroadcastMax: Long = 10000L): DataFrame = {
+    val short0 = pqAdcTopK(probes, codes, codebooks, idCol, m, shortlist)
+      .select("q_id", "c_id")
+    val smallProbes = probes.count() <= probeBroadcastMax
+    // localize the shortlist (bounded by probes x shortlist under the
+    // gate): the pair set feeds BOTH the semi-restriction and the
+    // refine join, and as a lazy plan each reference would re-run the
+    // whole ADC scoring pass
+    val short =
+      if (smallProbes) graft.ops.Materialize.localize(short0) else short0
+    val p0 = probes.select(col(idCol).as("q_id"), col("embedding").as("qv"),
       norm(col("embedding")).as("qn"))
-    val c = candidates.select(col(idCol).as("c_id"), col("embedding").as("cv"),
+    val p = if (smallProbes) broadcast(p0) else p0
+    val c0 = candidates.select(col(idCol).as("c_id"), col("embedding").as("cv"),
       norm(col("embedding")).as("cn"))
+    val c =
+      if (smallProbes)
+        c0.join(broadcast(short.select(col("c_id")).distinct()), "c_id")
+      else c0
+    val shortPairs = if (smallProbes) broadcast(short) else short
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-    short.select("q_id", "c_id").join(p, "q_id").join(c, "c_id")
+    shortPairs.join(p, "q_id").join(c, "c_id")
       .withColumn("cos", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("q_id", "c_id", "rank", "cos")

@@ -406,6 +406,20 @@ class PlanQualitySpec extends SparkSpec {
         probes, emb, k = 3, nPlanes = 8)
       assert(rawCorpusExchanges(single).isEmpty,
         "lshAnn shuffled raw corpus rows for 5 probes")
+      // PQ refine: the ADC shortlist reads the STORED code index (a
+      // materialized parquet — the serving shape; its aggregation
+      // shuffles code-derived rows, not embeddings); the refine join
+      // must touch only shortlist vectors, never shuffle the corpus
+      val (codes, books) = graft.ops.similarity.VectorOps.pqCodes(
+        emb, "vec_id", m = 4, ksub = 4, iters = 1)
+      val idxDir = java.nio.file.Files.createTempDirectory("pq_idx").toString
+      codes.write.mode("overwrite").parquet(s"$idxDir/codes")
+      books.write.mode("overwrite").parquet(s"$idxDir/books")
+      val refined = graft.ops.similarity.VectorOps.pqRefinedTopK(
+        probes, emb, spark.read.parquet(s"$idxDir/codes"),
+        spark.read.parquet(s"$idxDir/books"), "vec_id", m = 4, k = 3)
+      assert(rawCorpusExchanges(refined).isEmpty,
+        "pqRefinedTopK shuffled raw corpus rows for 5 probes")
     } finally {
       prev.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
