@@ -122,6 +122,125 @@ object QueryCatalogSim {
       |SELECT q_id, c_id, cell, rank, cos FROM r WHERE rank <= 3
       |ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- ivf serve (stored index)
+  /** q77's SERVING twin: the centroid table is built ONCE
+    * ([[VectorOps.ivfCentroids]]), stored as a parquet index
+    * artifact, and the query batch consumes the STORED index — the
+    * serve plan contains no corpus-scan centroid re-derivation
+    * (PlanQualitySpec pins it: no Generate node, no corpus exchange).
+    * Results are identical to q77 by construction (the stored
+    * centroids ARE the derived ones — parquet round-trips doubles
+    * exactly), so the oracle replays the same SQL; what this entry
+    * hash-gates is the stored-index code path itself. */
+  val q207IvfServe: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val idxDir = java.nio.file.Files.createTempDirectory("q207_ivf_idx").toString
+    VectorOps.ivfCentroids(emb, "label").write.mode("overwrite").parquet(idxDir)
+    VectorOps.ivfAnn(emb.filter(col("vec_id") < 20), emb, "label", k = 3,
+        nprobe = 2, centroids = Some(s.read.parquet(idxDir)))
+      .withColumn("rank", col("rank").cast("int"))
+      .orderBy("q_id", "rank")
+  }
+
+  // ---------------------------------------------------------------- pq serve (packed codes)
+  /** q128's SERVING twin over the PACKED code layout: codes and
+    * codebooks are built once, the codes packed to one row per
+    * vector ([[VectorOps.pqCodesPacked]]) and stored; ADC scoring is
+    * then a pure map over the stored code scan (per-row integer fold
+    * against a broadcast lookup map) with the per-probe top-k through
+    * the bounded-heap TopKPerKey operator — the only shuffle carries
+    * k rows per (probe, partition), so serving bytes are bounded by
+    * the shortlist, never the corpus (the unpacked form re-aggregates
+    * nq × N grouped rows). Bit-identical to q128, same oracle. */
+  val q208PqServePacked: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val (codes, books) = VectorOps.pqCodes(e, "vec_id", m = 4, ksub = 4, iters = 1)
+    val idxDir = java.nio.file.Files.createTempDirectory("q208_pq_idx").toString
+    VectorOps.pqCodesPacked(codes, "vec_id")
+      .write.mode("overwrite").parquet(s"$idxDir/packed")
+    books.write.mode("overwrite").parquet(s"$idxDir/books")
+    VectorOps.pqAdcTopKPacked(e.filter(col("vec_id") % 97 === 0),
+        s.read.parquet(s"$idxDir/packed"), s.read.parquet(s"$idxDir/books"),
+        "vec_id", m = 4, ksub = 4, k = 5)
+      .withColumn("rank", col("rank").cast("int"))
+      .orderBy("q_id", "rank")
+  }
+
+  // ---------------------------------------------------------------- hierarchical (two-level) ivf assignment
+  /** Two-level centroid assignment — the nlist ∝ N build regime
+    * ([[VectorOps.assignCellsHierarchical]]): a coarse quantizer over
+    * the centroids themselves (2 super-centroids, md5-ranked cell
+    * seeds, one Lloyd round) routes each vector to its best
+    * super-region, and only that region's cells are scored. The
+    * whole per-vector search is ONE broadcast row + expression folds
+    * — zero shuffle exchanges (PlanQualitySpec) — and every fold is
+    * an order-independent argmax under (cos desc, id asc), so the
+    * approximate assignment is still bit-replayable: the oracle
+    * replays seeds, the super Lloyd round, per-vector super routing,
+    * and the in-region argmax. Exactness against the flat assign at
+    * wSuper = nSuper is pinned by HierarchicalAssignSpec. */
+  val q209IvfHierAssign: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val cents = VectorOps.ivfCentroids(emb, "label")
+    VectorOps.assignCellsHierarchical(emb, "vec_id", cents,
+        nSuper = 2, wSuper = 1, iters = 1)
+      .select(col("vec_id"), col("cell"))
+      .orderBy("vec_id")
+  }
+
+  private val q209Sql =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |x AS (SELECT label AS cell, generate_subscripts(v, 1) - 1 AS dim,
+      |             CAST(round(unnest(v) * 1e6) AS BIGINT) AS xi
+      |      FROM e),
+      |comp AS (SELECT cell, dim, CAST(SUM(xi) AS DOUBLE) / COUNT(*) / 1e6 AS c
+      |         FROM x GROUP BY 1, 2),
+      |cent AS (SELECT cell, list(c ORDER BY dim) AS cv FROM comp GROUP BY 1),
+      |ch AS (SELECT cell, cv,
+      |              ('0x' || substr(md5(CAST(cell AS VARCHAR)), 1, 15))::BIGINT AS hh
+      |       FROM cent),
+      |gseed AS (SELECT cell, cv, hh FROM ch ORDER BY hh, cell LIMIT 2),
+      |g0 AS (SELECT CAST(row_number() OVER (ORDER BY hh, cell) - 1 AS INT) AS g,
+      |              cv AS gv
+      |       FROM gseed),
+      |a1 AS (SELECT cell, g FROM (
+      |         SELECT c.cell, g0.g,
+      |                row_number() OVER (PARTITION BY c.cell ORDER BY
+      |                  list_dot_product(c.cv, g0.gv)
+      |                  / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(g0.gv, g0.gv)))
+      |                  DESC, g0.g) AS rn
+      |         FROM cent c CROSS JOIN g0) WHERE rn = 1),
+      |gx AS (SELECT a1.g, generate_subscripts(c.cv, 1) - 1 AS dim,
+      |              CAST(round(unnest(c.cv) * 1e6) AS BIGINT) AS xi
+      |       FROM cent c JOIN a1 USING (cell)),
+      |gcomp AS (SELECT g, dim, CAST(SUM(xi) AS DOUBLE) / COUNT(*) / 1e6 AS c
+      |          FROM gx GROUP BY 1, 2),
+      |g1 AS (SELECT g, list(c ORDER BY dim) AS gv FROM gcomp GROUP BY 1),
+      |c2g AS (SELECT cell, g FROM (
+      |         SELECT c.cell, g1.g,
+      |                row_number() OVER (PARTITION BY c.cell ORDER BY
+      |                  list_dot_product(c.cv, g1.gv)
+      |                  / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(g1.gv, g1.gv)))
+      |                  DESC, g1.g) AS rn
+      |         FROM cent c CROSS JOIN g1) WHERE rn = 1),
+      |vg AS (SELECT vec_id, g FROM (
+      |         SELECT e.vec_id, g1.g,
+      |                row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |                  list_dot_product(e.v, g1.gv)
+      |                  / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(g1.gv, g1.gv)))
+      |                  DESC, g1.g) AS rn
+      |         FROM e CROSS JOIN g1) WHERE rn = 1),
+      |asg AS (SELECT vec_id, cell FROM (
+      |         SELECT e.vec_id, c.cell,
+      |                row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |                  list_dot_product(e.v, c.cv)
+      |                  / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+      |                  DESC, c.cell) AS rn
+      |         FROM e JOIN vg USING (vec_id)
+      |         JOIN c2g ON c2g.g = vg.g
+      |         JOIN cent c ON c.cell = c2g.cell) WHERE rn = 1)
+      |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM asg ORDER BY vec_id""".stripMargin
+
   // ---------------------------------------------------------------- multi-table lsh ann
   /** Multi-table LSH ANN (4 tables x 8 planes): candidates union
     * across independent hyperplane sets, deduped before scoring —
@@ -1701,6 +1820,9 @@ object QueryCatalogSim {
     "q116_lsh_multi_ann" -> q116LshMultiAnn,
     "q53_embed_neardup" -> q53EmbedNearDup,
     "q77_embed_ivf_ann" -> q77IvfAnn,
+    "q207_ivf_serve" -> q207IvfServe,
+    "q208_pq_serve_packed" -> q208PqServePacked,
+    "q209_ivf_hier_assign" -> q209IvfHierAssign,
     "q51_multimodal_meta" -> q51MultimodalMeta,
     "q52_multimodal_decode" -> q52MultimodalDecode,
     "q142_image_decode" -> q142ImageDecode,
@@ -1732,6 +1854,9 @@ object QueryCatalogSim {
     "q116_lsh_multi_ann" -> q116Sql,
     "q53_embed_neardup" -> q53Sql,
     "q77_embed_ivf_ann" -> q77Sql,
+    "q207_ivf_serve" -> q77Sql,
+    "q208_pq_serve_packed" -> q128Sql,
+    "q209_ivf_hier_assign" -> q209Sql,
     "q51_multimodal_meta" -> q51Sql,
     "q52_multimodal_decode" -> q52Sql,
     "q142_image_decode" -> q142Sql,

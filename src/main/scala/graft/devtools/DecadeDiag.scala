@@ -64,8 +64,12 @@ object DecadeDiag {
         .withColumn("db", shiftright(col("id_b"), 1))
         .withColumn("sa", pmod(col("da") % tag, lit(shift)))
         .withColumn("sb", pmod(col("db") % tag, lit(shift)))
-        .withColumn("ca", (col("da") % tag) / shift)
-        .withColumn("cb", (col("db") % tag) / shift)
+        // INTEGER copy index: Column `/` is double division, which
+        // would make ca = copy + src/1e9 and the same_copy branch
+        // unsatisfiable (sa =!= sb there by construction) — same-copy
+        // pairs would silently land in "cross"/"polluted"
+        .withColumn("ca", floor((col("da") % tag) / shift).cast("long"))
+        .withColumn("cb", floor((col("db") % tag) / shift).cast("long"))
         .withColumn("kind",
           when((col("da") >= tag) || (col("db") >= tag),
             when(col("sa") === col("sb"),

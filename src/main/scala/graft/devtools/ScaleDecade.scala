@@ -77,6 +77,11 @@ object ScaleDecade {
     "q185_substring_dup_hashed",
     "q206_store_dedup")
 
+  /** Rows whose probe batch never grows with the corpus — gated FLAT
+    * (see the gate comment below), not on the work exponent. */
+  private val FixedInputRows =
+    Set("q206_probe_fixed", "q77_ivf_serve", "q128_pq_serve")
+
   def main(args: Array[String]): Unit = {
     val reps = args.headOption.flatMap(s => scala.util.Try(s.toInt).toOption)
       .map(math.max(1, _)).getOrElse(3)
@@ -210,10 +215,9 @@ object ScaleDecade {
       // these rows grow planes as log2 N so per-bucket occupancy stays
       // ~20 and the whole pipeline returns to ~linear: corpus-side
       // banding is N x nTables rows, candidate pairs ~ N x occupancy.
-      // (IVF's analogous path — nlist proportional to N with cell size
-      // pinned — additionally needs hierarchical centroid assignment:
-      // brute-force assign is N x nlist and quadratic by construction,
-      // so it is documented rather than measured here.)
+      // IVF's analogous path — nlist proportional to N with cell size
+      // pinned, hierarchical two-level centroid assignment — and PQ's
+      // packed-code serve are measured below as stored-index rows.
       if (annScale) {
         val emb = Tables.embeddings(spark, r.dir)
           .select(col("vec_id"), col("embedding"))
@@ -240,6 +244,50 @@ object ScaleDecade {
             .write.format("noop").mode("overwrite").save()))
         println(s"[decade] ${r.label} annScale planes: q116=$p116 q198=$p198")
         cleanup()
+
+        // ---- stored-index ANN SERVING rows (fixed 20-probe batch,
+        // index built OUTSIDE timing — the steady state of a serving
+        // deployment amortizes the build over every query batch).
+        // Gated FLAT (< 0.3 raw byte exponent): the standing corpus
+        // must contribute ~zero bytes per query batch.
+        val probes20 = emb.filter(col("vec_id") < 20)
+        // IVF with nlist ∝ N (cell size pinned ~64) and the
+        // hierarchical two-level build (brute-force assign would be
+        // N × nlist — quadratic by construction in this regime)
+        val nlist = math.max(8L, nEmb / 64L).toInt
+        val nSuper = math.max(2, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+        val idxDir = java.nio.file.Files
+          .createTempDirectory(s"decade_ann_idx_${r.label}").toString
+        var tb = System.nanoTime()
+        val (ivfIndexed, ivfCents) =
+          VectorOps.ivfBuildHierarchical(emb, "vec_id", nlist, nSuper)
+        ivfIndexed.write.mode("overwrite").parquet(s"$idxDir/ivf_corpus")
+        ivfCents.write.mode("overwrite").parquet(s"$idxDir/ivf_cents")
+        println(f"[decade] ${r.label} ivf index build (nlist=$nlist nSuper=$nSuper): ${(System.nanoTime() - tb) / 1e9}%.1f s")
+        cleanup()
+        val ivfCorpusStored = spark.read.parquet(s"$idxDir/ivf_corpus")
+        val ivfCentsStored = spark.read.parquet(s"$idxDir/ivf_cents")
+        record("q77_ivf_serve", r.label, measure(() =>
+          VectorOps.ivfAnn(probes20, ivfCorpusStored, "cell", k = 3,
+              nprobe = 2, centroids = Some(ivfCentsStored))
+            .write.format("noop").mode("overwrite").save()))
+        cleanup()
+        // PQ: packed codes + codebooks stored; serve = map-only ADC
+        // shortlist (bounded TopKPerKey) + exact refine of 50
+        tb = System.nanoTime()
+        val (pqC, pqB) = VectorOps.pqCodes(emb, "vec_id", m = 4, ksub = 16)
+        VectorOps.pqCodesPacked(pqC, "vec_id")
+          .write.mode("overwrite").parquet(s"$idxDir/pq_packed")
+        pqB.write.mode("overwrite").parquet(s"$idxDir/pq_books")
+        println(f"[decade] ${r.label} pq index build (m=4 ksub=16): ${(System.nanoTime() - tb) / 1e9}%.1f s")
+        cleanup()
+        val pqPackedStored = spark.read.parquet(s"$idxDir/pq_packed")
+        val pqBooksStored = spark.read.parquet(s"$idxDir/pq_books")
+        record("q128_pq_serve", r.label, measure(() =>
+          VectorOps.pqServeTopK(probes20, emb, pqPackedStored, pqBooksStored,
+              "vec_id", m = 4, ksub = 16, k = 5, shortlist = 50)
+            .write.format("noop").mode("overwrite").save()))
+        cleanup()
       }
 
       // corpus-wide LSH candidates for the cluster family (q101 runs
@@ -255,8 +303,8 @@ object ScaleDecade {
         cleanup()
       }
 
-      // ---- store-probe rows: build the rung's standing store ONCE
-      if (runProbes) {
+      // ---- the incremental-dedup corpus split (shared by the q129
+      // work denominator and the store-probe rows)
       val docs = Tables.documents(spark, r.dir)
       val ref = docs.filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"), col("text"))
@@ -268,6 +316,29 @@ object ScaleDecade {
       val scaledBatch = docs.filter(col("doc_id") % 2 === 1)
         .select(col("doc_id"), col("text"))
         .unionByName(recrawls(docs.filter(col("doc_id") % 2 === 0 && col("n_chars") >= 300)))
+
+      // q129's union-banded candidates — the work denominator its
+      // gate normalizes on. Computed whenever q129 RUNS, not only
+      // when the q206 store rows do: a q=q129-only run would
+      // otherwise gate on raw chars, the denominator the work
+      // normalization exists to correct (q206_store_dedup moves the
+      // same pair structure through its build+probe, so it shares
+      // the count)
+      if (CatalogQueries.contains("q129_incremental_dedup") || runProbes) {
+        val u = ref.select((col("doc_id") * 2).as("uid"), col("text").as("__t"))
+          .unionByName(scaledBatch
+            .select((col("doc_id") * 2 + 1).as("uid"), col("text").as("__t")))
+        val nIncr = Dedup.candidatePairs(
+            Dedup.lshBands(Dedup.minHashText(u, "uid", "__t"), "uid"), "uid")
+          .filter(col("id_a") % 2 =!= col("id_b") % 2).count()
+        candCounts(("q129_incremental_dedup", r.label)) = nIncr
+        candCounts(("q206_store_dedup", r.label)) = nIncr
+        println(s"[decade] ${r.label} candidates: incr=$nIncr")
+        cleanup()
+      }
+
+      // ---- store-probe rows: build the rung's standing store ONCE
+      if (runProbes) {
       // deterministic fixed batch (the StoreProbeAB pick): 2k odd docs
       // + 500 re-crawls, SAME absolute ids on every rung (GenScale
       // copies shift by 1e9, so low ids are the shared sf0.1 originals).
@@ -313,17 +384,7 @@ object ScaleDecade {
           "doc_id").count()
       candCounts(("q206_probe_scaled", r.label)) = probeCands(scaledBatch)
       candCounts(("q206_probe_fixed", r.label)) = probeCands(fixedBatch)
-      // q129's union-banded candidates (q206_store_dedup moves the
-      // same pair structure through its build+probe)
-      val u = ref.select((col("doc_id") * 2).as("uid"), col("text").as("__t"))
-        .unionByName(scaledBatch
-          .select((col("doc_id") * 2 + 1).as("uid"), col("text").as("__t")))
-      val nIncr = Dedup.candidatePairs(
-          Dedup.lshBands(Dedup.minHashText(u, "uid", "__t"), "uid"), "uid")
-        .filter(col("id_a") % 2 =!= col("id_b") % 2).count()
-      candCounts(("q129_incremental_dedup", r.label)) = nIncr
-      candCounts(("q206_store_dedup", r.label)) = nIncr
-      println(s"[decade] ${r.label} candidates: incr=$nIncr " +
+      println(s"[decade] ${r.label} candidates: " +
         s"probe_scaled=${candCounts(("q206_probe_scaled", r.label))} " +
         s"probe_fixed=${candCounts(("q206_probe_fixed", r.label))}")
 
@@ -387,7 +448,20 @@ object ScaleDecade {
       }
       val workOk = beWork.lastOption.exists(_ <= 1.15)
       val perCandOk = perCandExp.exists(_ <= 0.3)
-      val flag = anyFailed || !(workOk || perCandOk)
+      // rows whose INPUT is fixed while the corpus grows: flatness IS
+      // the property, and the workExp disjunction must not apply —
+      // workOf uses the rung's full corpus chars, so a store-size
+      // leak into probe bytes reads as workExp ~1.0 and would pass.
+      // With candidate counts the gate is bytes-per-candidate < 0.3;
+      // without them (the stored-index ANN serve rows) it is the raw
+      // byte exponent < 0.3.
+      val flag =
+        if (FixedInputRows(q))
+          anyFailed || !(perCandExp match {
+            case Some(e) => e <= 0.3
+            case None => beRaw.lastOption.exists(_ <= 0.3)
+          })
+        else anyFailed || !(workOk || perCandOk)
       if (flag) breach = true
       println(s"| $q | " + cells.mkString(" | ") + " | " +
         beRaw.map(f2).mkString(", ") + " | " +

@@ -378,12 +378,30 @@ class PlanQualitySpec extends SparkSpec {
     val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
     val prevA = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
       .filter(_ != null)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // AQE OFF (the band-store precedent above): under AQE the
+      // executedPlan root is an AdaptiveSparkPlanExec LEAF, so
+      // .collect never reaches the inner exchanges and every
+      // assertion below would pass vacuously
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
       val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-      val probes = emb.filter(col("vec_id") < 5)
-      def rawCorpusExchanges(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      // probes as their OWN parquet (the serving posture: a query
+      // batch arrives as its own small relation) — so a scan matching
+      // "embeddings.parquet" below an exchange is unambiguously the
+      // CORPUS crossing the wire, never the 5-row probe side of an
+      // internal sort-merge join
+      val probesDir = java.nio.file.Files.createTempDirectory("ann_probes").toString
+      emb.filter(col("vec_id") < 5).write.mode("overwrite").parquet(probesDir)
+      val probes = spark.read.parquet(probesDir)
+      // allowAgg: the inline-derivation BUILD path's centroid
+      // aggregation legitimately exchanges partially-aggregated
+      // (cell, dim) rows — combined aggregates, not raw corpus rows;
+      // serve paths pass allowAgg = false and tolerate nothing
+      def rawCorpusExchanges(df: org.apache.spark.sql.DataFrame,
+                             allowAgg: Boolean = false): Seq[String] = {
         df.collect()
         df.queryExecution.executedPlan.collect {
           case e: ShuffleExchangeLike
@@ -391,7 +409,11 @@ class PlanQualitySpec extends SparkSpec {
               e.collectFirst {
                 case j: org.apache.spark.sql.execution.joins.BaseJoinExec
                   if j ne e => j
-              }.isEmpty => e.treeString.linesIterator.next()
+              }.isEmpty &&
+              (!allowAgg || e.collectFirst {
+                case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+                  if a ne e => a
+              }.isEmpty) => e.treeString.linesIterator.next()
         }
       }
       val multi = graft.ops.similarity.VectorOps.lshAnnMulti(
@@ -400,7 +422,7 @@ class PlanQualitySpec extends SparkSpec {
         "lshAnnMulti shuffled raw corpus rows for 5 probes")
       val ivf = graft.ops.similarity.VectorOps.ivfAnn(
         probes, emb, "label", k = 3, nprobe = 2)
-      assert(rawCorpusExchanges(ivf).isEmpty,
+      assert(rawCorpusExchanges(ivf, allowAgg = true).isEmpty,
         "ivfAnn shuffled raw corpus rows for 5 probes")
       val single = graft.ops.similarity.VectorOps.lshAnn(
         probes, emb, k = 3, nPlanes = 8)
@@ -420,11 +442,60 @@ class PlanQualitySpec extends SparkSpec {
         spark.read.parquet(s"$idxDir/books"), "vec_id", m = 4, k = 3)
       assert(rawCorpusExchanges(refined).isEmpty,
         "pqRefinedTopK shuffled raw corpus rows for 5 probes")
+      // the test must actually SEE exchanges when they exist — guard
+      // against the vacuous-leaf regression this assertion set had
+      // under AQE: the probe-less brute-force path shuffles corpus
+      // rows into its global window and must be caught
+      val brute = graft.ops.similarity.VectorOps.bruteForceKnn(probes, emb, k = 3)
+      brute.collect()
+      val bruteEx = brute.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeLike => e
+      }
+      assert(bruteEx.nonEmpty, "sanity: detector must see exchanges in a shuffling plan")
+
+      // IVF SERVE over a STORED centroid index: the plan must contain
+      // no corpus-scan centroid re-derivation — no Generate
+      // (posexplode) node and exactly one embeddings scan subtree
+      // feeding the centroid path (the probes')
+      val centsDir = java.nio.file.Files.createTempDirectory("ivf_cents").toString
+      graft.ops.similarity.VectorOps.ivfCentroids(emb, "label")
+        .write.mode("overwrite").parquet(centsDir)
+      val served = graft.ops.similarity.VectorOps.ivfAnn(
+        probes, emb, "label", k = 3, nprobe = 2,
+        centroids = Some(spark.read.parquet(centsDir)))
+      assert(rawCorpusExchanges(served).isEmpty,
+        "ivfAnn(serve) shuffled raw corpus rows for 5 probes")
+      val servedPlan = served.queryExecution.executedPlan.toString
+      assert(!servedPlan.contains("Generate"),
+        s"serve plan re-derived centroids (posexplode of the corpus):\n${servedPlan.take(1200)}")
+
+      // PQ packed serving: the ADC scoring pass is a pure map over
+      // the stored packed codes — no exchange may move raw code rows
+      // (the only exchanges are the bounded TopKPerKey clustering and
+      // the tiny LUT/refine aggregations)
+      val packed = graft.ops.similarity.VectorOps.pqCodesPacked(
+        spark.read.parquet(s"$idxDir/codes"), "vec_id")
+      packed.write.mode("overwrite").parquet(s"$idxDir/packed")
+      val servedPq = graft.ops.similarity.VectorOps.pqServeTopK(
+        probes, emb, spark.read.parquet(s"$idxDir/packed"),
+        spark.read.parquet(s"$idxDir/books"), "vec_id", m = 4, ksub = 4, k = 3)
+      assert(rawCorpusExchanges(servedPq).isEmpty,
+        "pqServeTopK shuffled raw corpus rows for 5 probes")
+      val pqEx = servedPq.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeLike
+          if e.treeString.contains(s"packed") &&
+            e.collectFirst {
+              case t: graft.plans.TopKPerKey.TopKPerKeyPartialExec => t
+            }.isEmpty => e.treeString.linesIterator.next()
+      }
+      assert(pqEx.isEmpty,
+        s"packed-code scan crossed the wire outside the bounded top-k:\n${pqEx.mkString("\n")}")
     } finally {
       prev.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
       prevA.fold(spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold"))(
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", _))
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
   }
 
