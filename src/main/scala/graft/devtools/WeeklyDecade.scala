@@ -44,8 +44,13 @@ object WeeklyDecade {
       .map(math.max(1, _)).getOrElse(1)
     val rest = args.drop(if (args.headOption.exists(
       s => scala.util.Try(s.toInt).isSuccess)) 1 else 0).toSeq
-    val runLeafCache = rest.contains("leafcache=1")
-    val rungArgs = rest.filterNot(_ == "leafcache=1")
+    // leafcache=<rungLabel> (or leafcache=1 for the last rung);
+    // sweep=0 skips the rung sweep (A/B-only reruns)
+    val leafCacheArg = rest.find(_.startsWith("leafcache="))
+      .map(_.stripPrefix("leafcache="))
+    val runSweep = !rest.contains("sweep=0")
+    val rungArgs = rest.filterNot(a =>
+      a.startsWith("leafcache=") || a == "sweep=0")
     val rungs: Seq[(String, String)] =
       if (rungArgs.nonEmpty) rungArgs.map { a =>
         val Array(l, d) = a.split("=", 2); (l, d)
@@ -127,7 +132,7 @@ object WeeklyDecade {
 
     val results = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double, Boolean)]]
-    sized.foreach { r =>
+    if (runSweep) sized.foreach { r =>
       WeeklyScale.queries(spark, r.dir).foreach { case (name, df, _) =>
         val v = measure(() =>
           df.write.format("noop").mode("overwrite").save())
@@ -147,8 +152,9 @@ object WeeklyDecade {
         val (s, mb, _, failed) = byRung(r.label)
         if (failed) "FAILED" else s"${f2(s)} / ${f2(mb)}"
       }
-      val pairs = sized.sliding(2).toSeq ++
-        (if (sized.length > 2) Seq(Seq(sized.head, sized.last)) else Nil)
+      val pairs = (sized.sliding(2).toSeq ++
+        (if (sized.length > 2) Seq(Seq(sized.head, sized.last)) else Nil))
+        .filter(_.length == 2)
       def exps(sel: ((Double, Double, Double, Boolean)) => Double): Seq[Double] =
         pairs.flatMap { case Seq(lo, hi) =>
           val (a, b) = (byRung(lo.label), byRung(hi.label))
@@ -161,25 +167,26 @@ object WeeklyDecade {
       val anyFailed = byRung.values.exists(_._4)
       // gate the FULL-SPAN byte exponent (the ScaleDecade rationale:
       // per-decade slopes can carry one-time transition bumps)
-      val flag = anyFailed || !be.lastOption.exists(_ <= 1.15)
+      val flag = anyFailed || (pairs.nonEmpty && !be.lastOption.exists(_ <= 1.15))
       if (flag) breach = true
       println(s"| $q | " + cells.mkString(" | ") + " | " +
         be.map(f2).mkString(", ") + (if (flag) " **SUPERLINEAR/FAILED**" else "") +
         " | " + ce.map(f2).mkString(", ") + " |")
     }
 
-    // ---- leafCache A/B on the LARGEST rung: hot facts cached once
-    // vs re-scanned per section; digests must agree exactly
-    if (runLeafCache) {
-      val r = sized.last
+    // ---- leafCache A/B: hot facts cached once vs re-scanned per
+    // section; digests must agree exactly
+    leafCacheArg.foreach { sel =>
+      val r = sized.find(_.label == sel).getOrElse(sized.last)
       println(s"\n[weekly-decade] leafCache A/B at ${r.label}")
-      def digest(df: DataFrame): (Long, Long) = {
+      def digest(df: DataFrame): (String, Long) = {
         val cols = df.columns.map(c => col(c).cast("string"))
-        val row = df.select(xxhash64(cols: _*).as("h"))
+        // decimal sum: a long sum of xxhash64 values overflows (ANSI)
+        val row = df.select(xxhash64(cols: _*).cast("decimal(38,0)").as("h"))
           .agg(sum(col("h")), count(lit(1))).head()
-        (row.getLong(0), row.getLong(1))
+        (String.valueOf(row.get(0)), row.getLong(1))
       }
-      def runBoth(src: DomainSources): Seq[(String, (Double, Double, Double, Boolean), (Long, Long))] =
+      def runBoth(src: DomainSources): Seq[(String, (Double, Double, Double, Boolean), (String, Long))] =
         Seq(
           "week_sub" -> (() => WeeklyReportJob.subRowsFrom(spark, src)),
           "week_summary" -> (() => WeeklyReportJob.summaryFrom(spark, src))
