@@ -101,6 +101,18 @@ object Explain {
     "q128_pq_adc" -> ("Product quantization: all m subspace k-means in one plan " +
       "(mi in every key); ADC = codes joined to a BROADCAST lookup table, int64 " +
       "sums — original vectors never touched in scoring."),
+    "q207_ivf_serve" -> ("IVF SERVE over a STORED centroid index: no Generate " +
+      "(posexplode) node anywhere — the corpus is touched only by the " +
+      "cell-restricted scoring join under the counted probe broadcast; " +
+      "nprobe cell routing through TopKPerKeyPartial/Final bounded heaps."),
+    "q208_pq_serve_packed" -> ("PQ serving layout: packed one-row-per-vector codes " +
+      "scanned MAP-ONLY (per-row integer fold over a broadcast LUT map); the " +
+      "only corpus-sized exchange is TopKPerKeyFinal's k-rows-per-partition " +
+      "clustering — serving bytes bounded by the shortlist, never the corpus."),
+    "q209_ivf_hier_assign" -> ("Two-level centroid assignment: the whole search " +
+      "structure (super array + super->cells map) is ONE localized broadcast " +
+      "row; both levels are per-row expression folds — ZERO shuffle exchanges, " +
+      "the corpus never exploded or re-aggregated."),
     "q129_incremental_dedup" -> ("Incremental dedup: ONE shared banding pass over " +
       "reference+batch (tag = id low bit); same-corpus pairs parity-filtered " +
       "before verification — the standing corpus never self-pairs."),

@@ -70,11 +70,12 @@ object CompactScale {
     val probeBatch = spark.read.parquet(probePath)
     def probeBands = Dedup.lshBands(
       Dedup.minHashText(probeBatch, "doc_id", "text"), "doc_id")
-    def digest(): (Long, Long) = {
+    def digest(): (String, Long) = {
       val row = BandStore.probe(spark, table, probeBands, "doc_id")
-        .select(xxhash64(col("id_a").cast("string"), col("id_b").cast("string")).as("h"))
+        .select(xxhash64(col("sid").cast("string"), col("bid").cast("string"))
+          .cast("decimal(38,0)").as("h"))
         .agg(sum(col("h")), count(lit(1))).head()
-      (row.getLong(0), row.getLong(1))
+      (String.valueOf(row.get(0)), row.getLong(1))
     }
     def probeClock(): Double =
       (1 to reps).map { _ =>

@@ -161,13 +161,18 @@ object VectorOps {
     // with its own copy, avoiding the ambiguous-self-join trap
     def p = probes.select(col("vec_id").as("q_id"), col("embedding").as("qv"),
       norm(col("embedding")).as("qn"))
-    // nprobe nearest cells per probe by centroid cosine
+    // nprobe nearest cells per probe by centroid cosine — through the
+    // bounded-heap TopKPerKey, not a window: the scored probe×cell
+    // frame is nq × nlist rows, and in the nlist ∝ N regime a window
+    // would shuffle ALL of them; the partial heaps cut the exchange
+    // to nprobe rows per (probe, partition). Same set, same total
+    // order (ccos desc, cell asc) — q77/q207 stay hash-identical.
     val pc = p.crossJoin(broadcast(cents))
       .withColumn("ccos", dotD(col("qv"), col("cv")) /
         (col("qn") * sqrt(dotD(col("cv"), col("cv")))))
-    val wCell = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cell"))
-    val probeCells = pc.withColumn("crn", row_number().over(wCell))
-      .filter(col("crn") <= nprobe).select(col("q_id"), col("cell"))
+    val probeCells = graft.plans.TopKPerKey.topK(pc,
+        Seq(col("q_id")), Seq(col("ccos").desc, col("cell")), nprobe)
+      .select(col("q_id"), col("cell"))
     val c = candidates.select(col(cellCol).as("cell"), col("vec_id").as("c_id"),
       col("embedding").as("cv2"), norm(col("embedding")).as("cn"))
     // probe side = probes x nprobe rows; broadcast under the counted
