@@ -198,12 +198,18 @@ object VectorOps {
     * pinned); that regime uses [[assignCellsHierarchical]]. Output
     * (idCol, cell). */
   def assignCells(df: DataFrame, idCol: String, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__ccos").desc, col("cell"))
-    df.select(col(idCol), col("embedding"), norm(col("embedding")).as("__nm"))
+    // argmax through TopKPerKey's partial bounded heaps, not a
+    // window: the k scored rows per id are generated IN the id's
+    // partition (crossJoin of a broadcast), so the partial exec
+    // reduces them map-side and the exchange carries ONE row per id
+    // instead of k — same winner under the same (cos desc, cell asc)
+    // total order, k-fold fewer bytes on the wire
+    val scored = df.select(col(idCol), col("embedding"), norm(col("embedding")).as("__nm"))
       .crossJoin(broadcast(centroids))
       .withColumn("__ccos", dotD(col("embedding"), col("cv")) /
         (col("__nm") * sqrt(dotD(col("cv"), col("cv")))))
-      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+    graft.plans.TopKPerKey.topK(scored,
+        Seq(col(idCol)), Seq(col("__ccos").desc, col("cell")), 1)
       .select(col(idCol), col("cell"))
   }
 
@@ -453,10 +459,13 @@ object VectorOps {
     def assign(cents: DataFrame): DataFrame = {
       val d2 = dotD(col("sv"), col("sv")) - lit(2.0) * dotD(col("sv"), col("cv")) +
         dotD(col("cv"), col("cv"))
-      val w = Window.partitionBy(col(idCol), col("mi")).orderBy(col("__d2"), col("cell"))
-      sub.join(broadcast(cents), Seq("mi"))
+      // per-(id, mi) argmin through TopKPerKey partial heaps (the
+      // assignCells note): the exchange carries one row per (id, mi)
+      // instead of ksub
+      val scored = sub.join(broadcast(cents), Seq("mi"))
         .withColumn("__d2", d2)
-        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      graft.plans.TopKPerKey.topK(scored,
+          Seq(col(idCol), col("mi")), Seq(col("__d2"), col("cell")), 1)
         .select(col(idCol), col("mi"), col("cell"))
     }
 
