@@ -113,6 +113,11 @@ object Explain {
       "structure (super array + super->cells map) is ONE localized broadcast " +
       "row; both levels are per-row expression folds — ZERO shuffle exchanges, " +
       "the corpus never exploded or re-aggregated."),
+    "q210_ivfpq_serve" -> ("The FULL IVF-PQ serving stack: stored centroids route " +
+      "probes to nprobe cells (bounded heaps), packed ADC scores only those " +
+      "cells' codes map-side (broadcast probe-cell frame + LUT map), exact " +
+      "refine re-ranks the shortlist — every exchange bounded by probes or " +
+      "shortlist, never the corpus."),
     "q129_incremental_dedup" -> ("Incremental dedup: ONE shared banding pass over " +
       "reference+batch (tag = id low bit); same-corpus pairs parity-filtered " +
       "before verification — the standing corpus never self-pairs."),

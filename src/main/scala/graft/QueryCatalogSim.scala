@@ -166,6 +166,102 @@ object QueryCatalogSim {
       .orderBy("q_id", "rank")
   }
 
+  // ---------------------------------------------------------------- ivf-pq serving stack
+  /** The FULL IVF-PQ serving composition ([[VectorOps.ivfPqTopK]]):
+    * stored centroids route each probe to nprobe=2 cells, PQ-ADC
+    * scores ONLY those cells' packed codes (map-side restriction by
+    * the broadcast probe→cell frame, per-row integer fold, bounded
+    * heaps for both top-k's), exact cosine re-ranks the 10-deep
+    * shortlist. The index artifact carries the cell WITH the codes so
+    * serving never joins codes back to the corpus on the id. The
+    * oracle replays every stage: label-cell centroids, probe routing,
+    * the full PQ build (seeds, both Lloyd assignment rounds,
+    * quantized means), cell-restricted ADC, shortlist, and the exact
+    * refine — the complete billion-vector serving layout, bit-gated. */
+  val q210IvfPqServe: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val (codes, books) = VectorOps.pqCodes(emb, "vec_id", m = 4, ksub = 4)
+    val idxDir = java.nio.file.Files.createTempDirectory("q210_ivfpq_idx").toString
+    VectorOps.ivfCentroids(emb, "label")
+      .write.mode("overwrite").parquet(s"$idxDir/cents")
+    VectorOps.pqCodesPacked(codes, "vec_id")
+      .join(emb.select(col("vec_id"), col("label").as("cell")), "vec_id")
+      .write.mode("overwrite").parquet(s"$idxDir/packed")
+    books.write.mode("overwrite").parquet(s"$idxDir/books")
+    VectorOps.ivfPqTopK(emb.filter(col("vec_id") < 20), emb,
+        s.read.parquet(s"$idxDir/cents"), s.read.parquet(s"$idxDir/packed"),
+        s.read.parquet(s"$idxDir/books"), "vec_id", m = 4, ksub = 4,
+        k = 3, nprobe = 2, shortlist = 10)
+      .withColumn("rank", col("rank").cast("int"))
+      .orderBy("q_id", "rank")
+  }
+
+  private val q210Sql =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |x AS (SELECT label AS cell, generate_subscripts(v, 1) - 1 AS dim,
+      |             CAST(round(unnest(v) * 1e6) AS BIGINT) AS xi
+      |      FROM e),
+      |comp AS (SELECT cell, dim, CAST(SUM(xi) AS DOUBLE) / COUNT(*) / 1e6 AS c
+      |         FROM x GROUP BY 1, 2),
+      |cent AS (SELECT cell, list(c ORDER BY dim) AS cv FROM comp GROUP BY 1),
+      |p AS (SELECT vec_id AS q_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
+      |      FROM e WHERE vec_id < 20),
+      |pcell AS (SELECT q_id, cell FROM (
+      |            SELECT p.q_id, c.cell,
+      |                   row_number() OVER (PARTITION BY p.q_id ORDER BY
+      |                     list_dot_product(p.qv, c.cv)
+      |                     / (p.qn * sqrt(list_dot_product(c.cv, c.cv)))
+      |                     DESC, c.cell) AS crn
+      |            FROM p CROSS JOIN cent c) WHERE crn <= 2),
+      |sub AS (SELECT vec_id, CAST(g.mi AS INT) AS mi,
+      |               v[(g.mi*16+1):((g.mi+1)*16)] AS sv
+      |        FROM e, LATERAL (SELECT unnest(range(4)) AS mi) g),
+      |h AS (SELECT vec_id,
+      |             ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS hh
+      |      FROM e),
+      |sr AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY hh, vec_id) - 1 AS INT) AS cell
+      |       FROM (SELECT * FROM h ORDER BY hh, vec_id LIMIT 4)),
+      |c0 AS (SELECT s.mi, sr.cell, s.sv AS cv FROM sub s JOIN sr USING (vec_id)),
+      |a1 AS (SELECT vec_id, mi, cell FROM (
+      |         SELECT s.vec_id, s.mi, c.cell,
+      |                row_number() OVER (PARTITION BY s.vec_id, s.mi ORDER BY
+      |                  list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cv)
+      |                  + list_dot_product(c.cv, c.cv) ASC, c.cell) AS rn
+      |         FROM sub s JOIN c0 c ON s.mi = c.mi) WHERE rn = 1),
+      |x2 AS (SELECT a1.mi, a1.cell, generate_subscripts(s.sv, 1) - 1 AS dim,
+      |              CAST(round(unnest(s.sv) * 1e6) AS BIGINT) AS xi
+      |       FROM sub s JOIN a1 ON s.vec_id = a1.vec_id AND s.mi = a1.mi),
+      |comp2 AS (SELECT mi, cell, dim, CAST(SUM(xi) AS DOUBLE) / COUNT(*) / 1e6 AS c
+      |          FROM x2 GROUP BY 1, 2, 3),
+      |c1 AS (SELECT mi, cell, list(c ORDER BY dim) AS cv FROM comp2 GROUP BY 1, 2),
+      |codes AS (SELECT vec_id, mi, cell AS code FROM (
+      |         SELECT s.vec_id, s.mi, c.cell,
+      |                row_number() OVER (PARTITION BY s.vec_id, s.mi ORDER BY
+      |                  list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cv)
+      |                  + list_dot_product(c.cv, c.cv) ASC, c.cell) AS rn
+      |         FROM sub s JOIN c1 c ON s.mi = c.mi) WHERE rn = 1),
+      |qs AS (SELECT vec_id AS q_id, mi, sv FROM sub WHERE vec_id < 20),
+      |dtab AS (SELECT q.q_id, c.mi, c.cell AS code,
+      |                CAST(round(list_dot_product(q.sv, c.cv) * 1e6) AS BIGINT) AS si
+      |         FROM qs q JOIN c1 c ON q.mi = c.mi),
+      |adc AS (SELECT d.q_id, k.vec_id AS c_id, CAST(SUM(d.si) AS DOUBLE) / 1e6 AS adc
+      |        FROM codes k
+      |        JOIN e ce ON ce.vec_id = k.vec_id
+      |        JOIN pcell pc ON pc.cell = ce.label
+      |        JOIN dtab d ON k.mi = d.mi AND k.code = d.code AND d.q_id = pc.q_id
+      |        WHERE d.q_id <> k.vec_id GROUP BY 1, 2),
+      |short AS (SELECT q_id, c_id FROM (
+      |            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, c_id) AS srn
+      |            FROM adc) WHERE srn <= 10),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM e),
+      |refi AS (SELECT s.q_id, s.c_id,
+      |                list_dot_product(pq.v, cq.v) / (pq.nm * cq.nm) AS cos
+      |         FROM short s JOIN n pq ON pq.vec_id = s.q_id
+      |         JOIN n cq ON cq.vec_id = s.c_id)
+      |SELECT q_id, c_id, CAST(rn AS INT) AS rank, cos FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+      |  FROM refi) WHERE rn <= 3 ORDER BY q_id, rank""".stripMargin
+
   // ---------------------------------------------------------------- hierarchical (two-level) ivf assignment
   /** Two-level centroid assignment — the nlist ∝ N build regime
     * ([[VectorOps.assignCellsHierarchical]]): a coarse quantizer over
@@ -1823,6 +1919,7 @@ object QueryCatalogSim {
     "q207_ivf_serve" -> q207IvfServe,
     "q208_pq_serve_packed" -> q208PqServePacked,
     "q209_ivf_hier_assign" -> q209IvfHierAssign,
+    "q210_ivfpq_serve" -> q210IvfPqServe,
     "q51_multimodal_meta" -> q51MultimodalMeta,
     "q52_multimodal_decode" -> q52MultimodalDecode,
     "q142_image_decode" -> q142ImageDecode,
@@ -1857,6 +1954,7 @@ object QueryCatalogSim {
     "q207_ivf_serve" -> q77Sql,
     "q208_pq_serve_packed" -> q128Sql,
     "q209_ivf_hier_assign" -> q209Sql,
+    "q210_ivfpq_serve" -> q210Sql,
     "q51_multimodal_meta" -> q51Sql,
     "q52_multimodal_decode" -> q52Sql,
     "q142_image_decode" -> q142Sql,

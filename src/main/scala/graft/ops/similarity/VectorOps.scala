@@ -397,8 +397,24 @@ object VectorOps {
       .withColumn("cell", row_number().over(Window.orderBy(col("__h"), col(idCol))) - 1)
       .select(col("cell"), transform(col("embedding"), _.cast("double")).as("cv"))
 
+    // assignment that KEEPS the vector: TopKPerKey carries the whole
+    // row through its heaps, so the means update needs no join back
+    // to df on the id — the earlier `df.join(assigned, idCol)` was a
+    // corpus-sized self-join (two exchanges at scale) re-attaching a
+    // column the assignment never had to drop
+    def assignFull(cents: DataFrame): DataFrame = {
+      val scored = df.select(col(idCol), col("embedding"),
+          norm(col("embedding")).as("__nm"))
+        .crossJoin(broadcast(cents))
+        .withColumn("__ccos", dotD(col("embedding"), col("cv")) /
+          (col("__nm") * sqrt(dotD(col("cv"), col("cv")))))
+      graft.plans.TopKPerKey.topK(scored,
+          Seq(col(idCol)), Seq(col("__ccos").desc, col("cell")), 1)
+        .select(col(idCol), col("embedding"), col("cell"))
+    }
+
     def update(assigned: DataFrame): DataFrame =
-      df.join(assigned, idCol)
+      assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .withColumn("xi", round(col("x").cast("double") * 1e6).cast("long"))
         .groupBy("cell", "dim")
@@ -407,13 +423,13 @@ object VectorOps {
         .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").as("cv"))
 
     val finalCents = (1 to iters).foldLeft(cents0) { (c, i) =>
-      val next = update(assignCells(df, idCol, c))
+      val next = update(assignFull(c))
       // k-row centroid frame -> plan leaf between rounds (never the
       // last round: the final assign's single round stays lazy)
       if (checkpointRounds && i < iters) graft.ops.Materialize.localize(next)
       else next
     }
-    assignCells(df, idCol, finalCents)
+    assignFull(finalCents).select(col(idCol), col("cell"))
   }
 
   /** Product-quantization codebook build + encode (Jégou et al. 2011,
@@ -456,21 +472,22 @@ object VectorOps {
       .select(col(idCol), col("cell"))
     val cents0 = sub.join(seeds, idCol).select(col("mi"), col("cell"), col("sv").as("cv"))
 
-    def assign(cents: DataFrame): DataFrame = {
+    // per-(id, mi) argmin through TopKPerKey partial heaps (the
+    // assignCells note): the exchange carries one row per (id, mi)
+    // instead of ksub — and it KEEPS the subvector, so the means
+    // update needs no N×m join back to `sub`
+    def assignFull(cents: DataFrame): DataFrame = {
       val d2 = dotD(col("sv"), col("sv")) - lit(2.0) * dotD(col("sv"), col("cv")) +
         dotD(col("cv"), col("cv"))
-      // per-(id, mi) argmin through TopKPerKey partial heaps (the
-      // assignCells note): the exchange carries one row per (id, mi)
-      // instead of ksub
       val scored = sub.join(broadcast(cents), Seq("mi"))
         .withColumn("__d2", d2)
       graft.plans.TopKPerKey.topK(scored,
           Seq(col(idCol), col("mi")), Seq(col("__d2"), col("cell")), 1)
-        .select(col(idCol), col("mi"), col("cell"))
+        .select(col(idCol), col("mi"), col("sv"), col("cell"))
     }
 
     def update(assigned: DataFrame): DataFrame =
-      sub.join(assigned, Seq(idCol, "mi"))
+      assigned
         .select(col("mi"), col("cell"), posexplode(col("sv")).as(Seq("dim", "x")))
         .withColumn("xi", round(col("x") * 1e6).cast("long"))
         .groupBy("mi", "cell", "dim")
@@ -479,11 +496,11 @@ object VectorOps {
         .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").as("cv"))
 
     val cents = (1 to iters).foldLeft(cents0) { (c, i) =>
-      val next = update(assign(c))
+      val next = update(assignFull(c))
       if (checkpointRounds && i < iters) graft.ops.Materialize.localize(next)
       else next
     }
-    (assign(cents).withColumnRenamed("cell", "code"), cents)
+    (assignFull(cents).select(col(idCol), col("mi"), col("cell").as("code")), cents)
   }
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: each probe
@@ -645,6 +662,70 @@ object VectorOps {
       pqAdcTopKPacked(probes, packedCodes, codebooks, idCol, m, ksub, shortlist)
         .select("q_id", "c_id"),
       candidates, idCol, k, probeBroadcastMax)
+
+  /** The FULL IVF-PQ serving stack (Jégou et al. 2011 — the index
+    * layout billion-vector ANN actually ships): the coarse quantizer
+    * restricts each probe to its `nprobe` nearest cells, PQ-ADC
+    * scores only THOSE cells' packed codes (a per-row integer fold —
+    * the codes of unprobed cells are filtered map-side by the
+    * broadcast probe→cell frame, never scanned into a shuffle), and
+    * the exact-cosine refine re-ranks the shortlist. This composes
+    * the two economies the family's decade rows measure separately:
+    * IVF cuts the SCORED SET from N to nprobe × cell size, PQ cuts
+    * the per-candidate cost from a d-dim vector read to m map
+    * lookups, and the refine touches `shortlist` true vectors per
+    * probe. `packedIndex` is the stored artifact (idCol, cell, codes)
+    * — the cell column rides WITH the codes precisely so serving
+    * never joins codes back to the corpus on the id; `centroids` is
+    * the stored [[ivfCentroids]] table. All exchanges are bounded:
+    * probe routing and both top-k's run through TopKPerKey heaps, the
+    * LUTs/probe-cells/shortlist broadcast under the counted gate. */
+  def ivfPqTopK(probes: DataFrame, candidates: DataFrame,
+                centroids: DataFrame, packedIndex: DataFrame,
+                codebooks: DataFrame, idCol: String, m: Int, ksub: Int,
+                k: Int, nprobe: Int = 2, shortlist: Int = 50,
+                probeBroadcastMax: Long = 10000L): DataFrame = {
+    val smallProbes = probes.count() <= probeBroadcastMax
+    val dims = embeddingDims(probes)
+    val dsub = dims / m
+    val p = probes.select(col(idCol).as("q_id"), col("embedding").as("qv"),
+      norm(col("embedding")).as("qn"))
+    // probe -> nprobe cells over the STORED centroid index (the
+    // ivfAnn routing: bounded heaps, never a corpus-scan derivation)
+    val pc = p.crossJoin(broadcast(centroids))
+      .withColumn("__ccos", dotD(col("qv"), col("cv")) /
+        (col("qn") * sqrt(dotD(col("cv"), col("cv")))))
+    val probeCells0 = graft.plans.TopKPerKey.topK(pc,
+        Seq(col("q_id")), Seq(col("__ccos").desc, col("cell")), nprobe)
+      .select(col("q_id"), col("cell"))
+    val probeCells = if (smallProbes) broadcast(probeCells0) else probeCells0
+    // per-probe lookup map (the pqAdcTopKPacked LUT)
+    val qsub = probes.select(col(idCol).as("q_id"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), mi -> transform(" +
+          s"slice(embedding, mi * $dsub + 1, $dsub), x -> cast(x as double)))"))
+        .as(Seq("mi", "qv")))
+    val luts0 = qsub.join(broadcast(codebooks), Seq("mi"))
+      .select(col("q_id"), (col("mi") * ksub + col("cell")).as("idx"),
+        round(dotD(col("qv"), col("cv")) * 1e6).cast("long").as("si"))
+      .groupBy("q_id")
+      .agg(map_from_entries(collect_list(struct(col("idx"), col("si")))).as("lut"))
+    val luts = if (smallProbes) broadcast(luts0) else luts0
+    // ADC over ONLY the probed cells' codes — both restrictions are
+    // map-side joins against broadcast probe-derived frames
+    val scored = packedIndex
+      .select(col(idCol).as("c_id"), col("cell"), col("codes"))
+      .join(probeCells, "cell")
+      .join(luts, "q_id")
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("adci", expr(
+        s"aggregate(transform(sequence(0, ${m - 1}), " +
+          s"mi -> element_at(lut, mi * $ksub + element_at(codes, mi + 1))), " +
+          "cast(0 as bigint), (a, v) -> a + v)"))
+    val short0 = graft.plans.TopKPerKey.topK(scored,
+        Seq(col("q_id")), Seq(col("adci").desc, col("c_id")), shortlist)
+      .select("q_id", "c_id")
+    refineShortlist(probes, short0, candidates, idCol, k, probeBroadcastMax)
+  }
 
   /** Symmetric int8 quantization of an embedding column: per-vector
     * scale = max|x| / 127, codes = round-half-up(x / scale) in

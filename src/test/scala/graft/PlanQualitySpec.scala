@@ -490,6 +490,21 @@ class PlanQualitySpec extends SparkSpec {
       }
       assert(pqEx.isEmpty,
         s"packed-code scan crossed the wire outside the bounded top-k:\n${pqEx.mkString("\n")}")
+
+      // the FULL IVF-PQ stack: stored centroids + cell-carrying packed
+      // index — no raw corpus rows may cross the wire, no Generate
+      val packedIdx = packed.join(
+        emb.select(col("vec_id"), col("label").as("cell")), "vec_id")
+      packedIdx.write.mode("overwrite").parquet(s"$idxDir/packed_cells")
+      val stacked = graft.ops.similarity.VectorOps.ivfPqTopK(
+        probes, emb, spark.read.parquet(centsDir),
+        spark.read.parquet(s"$idxDir/packed_cells"),
+        spark.read.parquet(s"$idxDir/books"), "vec_id",
+        m = 4, ksub = 4, k = 3, nprobe = 2, shortlist = 10)
+      // (the stack's only Generate is the probe-side LUT posexplode —
+      // probe-sized; the corpus property is the exchange assertion)
+      assert(rawCorpusExchanges(stacked).isEmpty,
+        "ivfPqTopK shuffled raw corpus rows for 5 probes")
     } finally {
       prev.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))

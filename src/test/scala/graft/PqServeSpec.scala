@@ -49,6 +49,60 @@ class PqServeSpec extends SparkSpec {
     assert(served.nonEmpty && served == refined)
   }
 
+  test("ivfPqTopK with nprobe = all cells degenerates to the unrestricted pqServeTopK") {
+    // probing EVERY coarse cell removes the IVF restriction, so the
+    // full stack must equal plain packed-ADC + refine bit-for-bit —
+    // the composition's analogue of wSuper = nSuper
+    val e = emb
+    val (codes, books) = VectorOps.pqCodes(e, "vec_id", m = 4, ksub = 4)
+    val packed = VectorOps.pqCodesPacked(codes, "vec_id")
+    val packedIdx = packed.join(
+      e.select(col("vec_id"), col("label").as("cell")), "vec_id")
+    val cents = VectorOps.ivfCentroids(e, "label")
+    val nCells = cents.count().toInt
+    val probes = e.filter(col("vec_id") < 10)
+    val stacked = VectorOps.ivfPqTopK(probes, e, cents, packedIdx, books,
+        "vec_id", m = 4, ksub = 4, k = 3, nprobe = nCells, shortlist = 20)
+      .orderBy("q_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    val plain = VectorOps.pqServeTopK(probes, e, packed, books,
+        "vec_id", m = 4, ksub = 4, k = 3, shortlist = 20)
+      .orderBy("q_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(stacked.nonEmpty && stacked == plain)
+  }
+
+  test("ivfPqTopK restricts scoring to the probed cells") {
+    val e = emb
+    val (codes, books) = VectorOps.pqCodes(e, "vec_id", m = 4, ksub = 4)
+    val packedIdx = VectorOps.pqCodesPacked(codes, "vec_id").join(
+      e.select(col("vec_id"), col("label").as("cell")), "vec_id")
+    val cents = VectorOps.ivfCentroids(e, "label")
+    val probes = e.filter(col("vec_id") < 10)
+    val out = VectorOps.ivfPqTopK(probes, e, cents, packedIdx, books,
+      "vec_id", m = 4, ksub = 4, k = 3, nprobe = 2, shortlist = 10)
+    // every returned candidate's cell is one of its probe's 2 routed
+    // cells (recomputed independently via the flat assign ordering)
+    val cellOf = e.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val pcFrame = probes.select(col("vec_id").as("q_id"),
+        col("embedding"), VectorOps.norm(col("embedding")).as("qn"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cc", VectorOps.dotD(col("embedding"), col("cv")) /
+        (col("qn") * sqrt(VectorOps.dotD(col("cv"), col("cv")))))
+    val pcells = graft.plans.TopKPerKey.topK(pcFrame,
+        Seq(col("q_id")), Seq(col("cc").desc, col("cell")), 2)
+      .select("q_id", "cell").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getInt(1)).toSet).toMap
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q, c) = (r.getLong(0), r.getLong(1))
+      assert(pcells(q).contains(cellOf(c)),
+        s"candidate $c of probe $q outside its probed cells")
+    }
+  }
+
   test("packed serving over an over-budget probe set still agrees (gates dropped, shuffle regime)") {
     val e = emb
     val (codes, books) = VectorOps.pqCodes(e, "vec_id", m = 4, ksub = 4)
