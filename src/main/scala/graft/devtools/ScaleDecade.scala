@@ -85,7 +85,7 @@ object ScaleDecade {
   /** Rows whose probe batch never grows with the corpus — gated FLAT
     * (see the gate comment below), not on the work exponent. */
   private val FixedInputRows =
-    Set("q206_probe_fixed", "q77_ivf_serve", "q128_pq_serve")
+    Set("q206_probe_fixed", "q77_ivf_serve", "q128_pq_serve", "q210_ivfpq_serve")
 
   def main(args: Array[String]): Unit = {
     val reps = args.headOption.flatMap(s => scala.util.Try(s.toInt).toOption)
@@ -296,6 +296,19 @@ object ScaleDecade {
         record("q128_pq_serve", r.label, measure(() =>
           VectorOps.pqServeTopK(probes20, emb, pqPackedStored, pqBooksStored,
               "vec_id", m = 4, ksub = 16, k = 5, shortlist = 50)
+            .write.format("noop").mode("overwrite").save()))
+        cleanup()
+        // the FULL IVF-PQ stack: packed codes carrying the
+        // hierarchical IVF cells (one build-time join), nprobe cells
+        // per probe, ADC only within them, exact refine
+        spark.read.parquet(s"$idxDir/pq_packed")
+          .join(ivfCorpusStored.select(col("vec_id"), col("cell")), "vec_id")
+          .write.mode("overwrite").parquet(s"$idxDir/ivfpq_packed")
+        val ivfPqPacked = spark.read.parquet(s"$idxDir/ivfpq_packed")
+        record("q210_ivfpq_serve", r.label, measure(() =>
+          VectorOps.ivfPqTopK(probes20, emb, ivfCentsStored, ivfPqPacked,
+              pqBooksStored, "vec_id", m = 4, ksub = 16, k = 5,
+              nprobe = 4, shortlist = 50)
             .write.format("noop").mode("overwrite").save()))
         cleanup()
       }
