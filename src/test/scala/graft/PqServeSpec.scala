@@ -103,6 +103,35 @@ class PqServeSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK finds every planted near-twin through cells + 16x code compression") {
+    // the q175/q199 planted-neighbor device: probes are near-twins of
+    // corpus vectors (component 0 zeroed, ids +100000). The full
+    // stack must surface the REAL neighbor despite routing through 4
+    // of 10 cells and scoring 4-subspace/4-codeword compressed codes
+    // — the recall claim a production IVF-PQ index lives on.
+    // (Measured: nprobe=2 finds 19/20, nprobe=4 finds 20/20 with
+    // recall@5 0.42 vs exact truth on this near-orthogonal fixture.)
+    val e = emb.select("vec_id", "embedding", "label")
+    val probes = e.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        expr("transform(embedding, (x, i) -> CASE WHEN i = 0 THEN CAST(0.0 AS FLOAT) ELSE x END)")
+          .as("embedding"), col("label"))
+    val corpus = e.unionByName(probes)
+    val (codes, books) = VectorOps.pqCodes(corpus, "vec_id", m = 4, ksub = 4)
+    val packedIdx = VectorOps.pqCodesPacked(codes, "vec_id")
+      .join(corpus.select(col("vec_id"), col("label").as("cell")), "vec_id")
+    val cents = VectorOps.ivfCentroids(corpus, "label")
+    val ann = VectorOps.ivfPqTopK(probes, corpus, cents, packedIdx, books,
+      "vec_id", m = 4, ksub = 4, k = 5, nprobe = 4, shortlist = 50)
+    val twinFound = ann.filter(col("c_id") === col("q_id") - 100000)
+      .select("q_id").distinct().count()
+    assert(twinFound == 20, s"planted twin found for only $twinFound/20 probes")
+    val truth = VectorOps.bruteForceKnn(probes, corpus, 5)
+      .select(col("q_id"), col("c_id"))
+    val hits = ann.select("q_id", "c_id").join(truth, Seq("q_id", "c_id")).count()
+    assert(hits >= 35, s"recall@5 floor: $hits/100 exact-top-5 hits")
+  }
+
   test("packed serving over an over-budget probe set still agrees (gates dropped, shuffle regime)") {
     val e = emb
     val (codes, books) = VectorOps.pqCodes(e, "vec_id", m = 4, ksub = 4)
