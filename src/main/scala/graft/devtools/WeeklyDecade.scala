@@ -166,8 +166,14 @@ object WeeklyDecade {
       val ce = exps(_._1)
       val anyFailed = byRung.values.exists(_._4)
       // gate the FULL-SPAN byte exponent (the ScaleDecade rationale:
-      // per-decade slopes can carry one-time transition bumps)
-      val flag = anyFailed || (pairs.nonEmpty && !be.lastOption.exists(_ <= 1.15))
+      // per-decade slopes can carry one-time transition bumps).
+      // Magnitude floor: a section shuffling ~nothing at the TOP rung
+      // has no meaningful log-slope (zero-byte rungs drop out of
+      // `be`) — zero shuffle is the best possible outcome, never a
+      // breach (the ScaleDecade fixed-probe-row rationale).
+      val topBytes = byRung(sized.last.label)._2
+      val byteOk = be.lastOption.exists(_ <= 1.15) || topBytes <= 1.0
+      val flag = anyFailed || (pairs.nonEmpty && !byteOk)
       if (flag) breach = true
       println(s"| $q | " + cells.mkString(" | ") + " | " +
         be.map(f2).mkString(", ") + (if (flag) " **SUPERLINEAR/FAILED**" else "") +

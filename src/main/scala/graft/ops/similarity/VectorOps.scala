@@ -232,14 +232,22 @@ object VectorOps {
     val g0 = seeds
       .withColumn("g", row_number().over(Window.orderBy(col("__h"), col("cell"))) - 1)
       .select(col("g"), col("cv").as("gv"))
+    // per-cell argmax through TopKPerKey's partial bounded heaps, not
+    // a window (the assignCells note): the scored frame is nlist ×
+    // nSuper rows, and with nSuper = √nlist that is nlist^1.5 — in the
+    // nlist ∝ N regime LARGER than the corpus this quantizer exists to
+    // protect. A window would shuffle ALL of it; the partial heaps
+    // reduce map-side so the exchange carries one row per cell. Same
+    // winner under the same (gcos desc, g asc) total order —
+    // hash-identical (q209 / HierarchicalAssignSpec pin it).
     def assign(gc: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("cell")).orderBy(col("__gcos").desc, col("g"))
-      centroids.select(col("cell"), col("cv"),
+      val scored = centroids.select(col("cell"), col("cv"),
           sqrt(dotD(col("cv"), col("cv"))).as("__cn"))
         .crossJoin(broadcast(gc))
         .withColumn("__gcos", dotD(col("cv"), col("gv")) /
           (col("__cn") * sqrt(dotD(col("gv"), col("gv")))))
-        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      graft.plans.TopKPerKey.topK(scored,
+          Seq(col("cell")), Seq(col("__gcos").desc, col("g")), 1)
         .select(col("cell"), col("g"))
     }
     def update(asg: DataFrame): DataFrame =
@@ -271,9 +279,12 @@ object VectorOps {
     * auto-broadcast off). Every fold is order-independent (argmax
     * under the total order (cos desc, id asc)), so results are
     * deterministic under any shuffle. Broadcast bytes still carry all
-    * nlist centroids (same as the flat assign); at extreme nlist the
-    * bundle row is sharded — the COMPUTE, not the bytes, is what this
-    * shape fixes.
+    * nlist centroids (same as the flat assign) — the COMPUTE, not the
+    * bytes, is what this shape fixes; at extreme nlist (~10^7, where
+    * one bundle row would be multi-GB) use
+    * [[assignCellsHierarchicalSharded]], which shards the super→cells
+    * map one row per super and never broadcasts anything nlist-sized
+    * (hash parity pinned by HierarchicalAssignSpec).
     *
     * wSuper = nSuper degenerates to an exhaustive search over every
     * cell and is EXACTLY [[assignCells]] (same fold arithmetic, same
@@ -281,10 +292,17 @@ object VectorOps {
     * wSuper is the standard IVF-build approximation (a vector lands
     * in the best cell of its wSuper nearest super-regions). Output:
     * all `df` columns + `cell` (long; null iff every probed super is
-    * empty). */
+    * empty — unless `exhaustiveFallback`, which resolves exactly
+    * those rows with a per-row fold over ALL cells (the flat-assign
+    * arithmetic, still zero shuffle: the bundle's cmap already holds
+    * every cell) so an index BUILD never emits a null cell that
+    * would otherwise flow into [[ivfCentroids]] as a phantom
+    * null-centroid row occupying an nprobe routing slot at serve
+    * time). */
   def assignCellsHierarchical(df: DataFrame, idCol: String,
                               centroids: DataFrame, nSuper: Int,
-                              wSuper: Int = 1, iters: Int = 1): DataFrame = {
+                              wSuper: Int = 1, iters: Int = 1,
+                              exhaustiveFallback: Boolean = false): DataFrame = {
     val (sc, c2g) = superQuantizer(centroids, nSuper, iters)
     // one-row search bundle: gs = supers sorted by g (with norms),
     // cmap = super -> its cells (each with a precomputed norm)
@@ -302,32 +320,121 @@ object VectorOps {
     // run once, eagerly, over index metadata) and (b) multi-consumer
     // lineages (Lloyd rounds) never re-run the quantizer
     val bundle = graft.ops.Materialize.localize(gsRow.crossJoin(cmapRow))
-    // sequential-fold cosine — the dotD arithmetic, spelled inside a
-    // lambda (same cast order, same left fold → bit-equal scores)
-    def cosTo(vec: String, nrm: String): String =
-      s"aggregate(zip_with(__emb, $vec, (x, y) -> cast(x as double) * y), " +
-        s"cast(0.0 as double), (a, v) -> a + v) / (__nm * $nrm)"
     val out = df.columns.map(col) :+ col("__best.cell").as("cell")
-    df.withColumn("__emb", col("embedding"))
+    val scored = df.withColumn("__emb", col("embedding"))
       .withColumn("__nm", norm(col("embedding")))
       .crossJoin(broadcast(bundle))
       // level 1: top-wSuper supers by (cos desc, g asc) via a struct
       // sort of (-cos, g) — a per-row array of nSuper scored entries
-      .withColumn("__topg", expr(
-        s"slice(array_sort(transform(gs, s -> struct(-(${cosTo("s.gv", "s.gn")}) as negc, " +
-          s"s.g as g))), 1, $wSuper)"))
+      .withColumn("__topg", expr(hierTopG(wSuper)))
       // level 2: argmax over the probed supers' cells — a single
-      // order-independent fold with the (cos desc, cell asc) total
-      // order; empty/missing supers are filtered, not null-poisoned
-      .withColumn("__best", expr(
-        "aggregate(" +
-          "transform(flatten(filter(transform(__topg, t -> element_at(cmap, t.g)), " +
-          "a -> a is not null)), " +
-          s"c -> named_struct('cos', cast(${cosTo("c.cv", "c.cn")} as double), " +
-          "'cell', c.cell)), " +
-          "named_struct('cos', cast(-2.0 as double), 'cell', cast(null as bigint)), " +
-          "(acc, s) -> case when acc.cell is null or s.cos > acc.cos " +
-          "or (s.cos = acc.cos and s.cell < acc.cell) then s else acc end)"))
+      // order-independent fold; empty/missing supers are filtered,
+      // not null-poisoned
+      .withColumn("__best0", expr(hierBestOver(
+        "flatten(filter(transform(__topg, t -> element_at(cmap, t.g)), " +
+          "a -> a is not null))")))
+    val resolved =
+      if (exhaustiveFallback)
+        // a vector whose every probed super owns zero cells falls
+        // back to the fold over ALL cells — same arithmetic and tie
+        // order as [[assignCells]], still a pure per-row expression
+        scored.withColumn("__best",
+          when(col("__best0.cell").isNotNull, col("__best0"))
+            .otherwise(expr(hierBestOver("flatten(map_values(cmap))"))))
+      else scored.withColumn("__best", col("__best0"))
+    resolved.select(out: _*)
+  }
+
+  /** Sequential-fold cosine — the dotD arithmetic, spelled inside a
+    * lambda (same cast order, same left fold → bit-equal scores).
+    * Shared by the one-bundle-row and sharded assignment paths so
+    * their scores are character-identical expressions. */
+  private def hierCosTo(vec: String, nrm: String): String =
+    s"aggregate(zip_with(__emb, $vec, (x, y) -> cast(x as double) * y), " +
+      s"cast(0.0 as double), (a, v) -> a + v) / (__nm * $nrm)"
+
+  /** Level 1: top-wSuper supers of the `gs` array by (cos desc, g
+    * asc) via a struct sort of (-cos, g). */
+  private def hierTopG(wSuper: Int): String =
+    s"slice(array_sort(transform(gs, s -> struct(-(${hierCosTo("s.gv", "s.gn")}) as negc, " +
+      s"s.g as g))), 1, $wSuper)"
+
+  /** Argmax fold with the (cos desc, cell asc) total order over a
+    * cell-struct array expression — the level-2 pass, the exhaustive
+    * fallback, and the sharded per-shard pass all reuse it. */
+  private def hierBestOver(cellsExpr: String): String =
+    "aggregate(" +
+      s"transform($cellsExpr, " +
+      s"c -> named_struct('cos', cast(${hierCosTo("c.cv", "c.cn")} as double), " +
+      "'cell', c.cell)), " +
+      "named_struct('cos', cast(-2.0 as double), 'cell', cast(null as bigint)), " +
+      "(acc, s) -> case when acc.cell is null or s.cos > acc.cos " +
+      "or (s.cos = acc.cos and s.cell < acc.cell) then s else acc end)"
+
+  /** SHARDED two-level assignment — [[assignCellsHierarchical]] for
+    * the EXTREME-nlist regime its scaladoc names: the one-row bundle
+    * carries all nlist centroids through the broadcast, which is
+    * index metadata at every measured rung (3,125 cells = single-MB)
+    * but a real bound at nlist ~10^7 (a multi-GB single row). Here
+    * the super→cells map is sharded ONE ROW PER SUPER (the finest
+    * B = nSuper sharding): only the nSuper super-centroids ride a
+    * broadcast, and each vector meets exactly its wSuper probed
+    * supers' shards through a (g = shard key) equi-join — nothing
+    * nlist-sized is ever broadcast.
+    *
+    * Cost shape vs the bundle path: level 1 stays a pure map (the
+    * nSuper-row `gs` broadcast); level 2 explodes each vector to its
+    * wSuper probed supers and shuffles those rows by g (corpus ×
+    * wSuper rows on the wire — the price of not broadcasting nlist
+    * centroids), scores each super's shard with the SAME per-row
+    * argmax fold, then reduces to one winner per vector through
+    * TopKPerKey partial heaps under the same (cos desc, cell asc)
+    * total order. Scores are character-identical expressions over
+    * identical doubles, and per-super argmax then cross-super argmax
+    * under one total order equals the single global fold —
+    * HierarchicalAssignSpec pins the hash parity sharded-vs-not.
+    * Output: all `df` columns + `cell` (null iff every probed super
+    * is empty, as the bundle path). */
+  def assignCellsHierarchicalSharded(df: DataFrame, idCol: String,
+                                     centroids: DataFrame, nSuper: Int,
+                                     wSuper: Int = 1, iters: Int = 1): DataFrame = {
+    val (sc, c2g) = superQuantizer(centroids, nSuper, iters)
+    val gsRow = sc.select(struct(col("g"), col("gv"),
+        sqrt(dotD(col("gv"), col("gv"))).as("gn")).as("s"))
+      .agg(array_sort(collect_list(col("s"))).as("gs"))
+    // one shard row per super: that super's cells with precomputed
+    // norms — same struct layout and array_sort as the bundle's cmap
+    // entries, so the per-shard fold sees the same array
+    val shards0 = centroids.join(c2g, "cell")
+      .select(col("g").as("__sg"), struct(col("cell").cast("long").as("cell"),
+        col("cv"), sqrt(dotD(col("cv"), col("cv"))).as("cn")).as("s"))
+      .groupBy("__sg").agg(array_sort(collect_list(col("s"))).as("cells"))
+    // both index-metadata frames localized to plan leaves: the
+    // quantizer's aggregations run once (not per consumer), and the
+    // corpus-side plan never shares lineage with the centroid side
+    // (centroids often derive from df — the self-join trap)
+    val gsLeaf = graft.ops.Materialize.localize(gsRow)
+    val shards = graft.ops.Materialize.localize(shards0)
+    val probed = df.withColumn("__emb", col("embedding"))
+      .withColumn("__nm", norm(col("embedding")))
+      .crossJoin(broadcast(gsLeaf))
+      .withColumn("__topg", expr(hierTopG(wSuper)))
+      .drop("gs")
+      // one row per (vector, probed super) — the shard-join fan-out
+      .withColumn("__g", explode(expr("transform(__topg, t -> t.g)")))
+    // left join: a probed super owning zero cells contributes a null
+    // shard (ranked last below), preserving the bundle path's
+    // null-iff-all-probed-supers-empty contract
+    val joined = probed.join(shards, probed("__g") === shards("__sg"), "left")
+      .withColumn("__best0", expr(hierBestOver("cells")))
+    val out = df.columns.map(col) :+ col("__best0.cell").as("cell")
+    // cross-super winner per vector through bounded heaps — one row
+    // per (vector, partition) on the wire, same total order as the
+    // bundle path's single fold; null-scored rows (empty shards)
+    // rank last so they win only when EVERY probed super is empty
+    graft.plans.TopKPerKey.topK(joined, Seq(col(idCol)),
+        Seq(col("__best0.cos").desc_nulls_last,
+          asc_nulls_last("__best0.cell")), 1)
       .select(out: _*)
   }
 
@@ -350,13 +457,20 @@ object VectorOps {
       .withColumn("cell", row_number().over(Window.orderBy(col("__h"), col(idCol))) - 1)
       .select(col("cell").cast("long").as("cell"),
         transform(col("embedding"), _.cast("double")).as("cv"))
+    // exhaustiveFallback: a vector whose probed supers own zero cells
+    // gets the flat-assign fold instead of a null cell — a null here
+    // would flow into ivfCentroids as a phantom null-centroid row and
+    // occupy an nprobe routing slot at serve time while matching no
+    // candidate in the cell equi-join
     val cents = (1 to lloydIters).foldLeft(cents0) { (c, i) =>
       val next = ivfCentroids(
-        assignCellsHierarchical(df, idCol, c, nSuper, wSuper), "cell")
+        assignCellsHierarchical(df, idCol, c, nSuper, wSuper,
+          exhaustiveFallback = true), "cell")
       if (i < lloydIters) graft.ops.Materialize.localize(next) else next
     }
     val centsLeaf = graft.ops.Materialize.localize(cents)
-    (assignCellsHierarchical(df, idCol, centsLeaf, nSuper, wSuper), centsLeaf)
+    (assignCellsHierarchical(df, idCol, centsLeaf, nSuper, wSuper,
+      exhaustiveFallback = true), centsLeaf)
   }
 
   /** Deterministic Lloyd's k-means over the embedding column — the
@@ -555,7 +669,7 @@ object VectorOps {
     refineShortlist(probes,
       pqAdcTopK(probes, codes, codebooks, idCol, m, shortlist)
         .select("q_id", "c_id"),
-      candidates, idCol, k, probeBroadcastMax)
+      candidates, idCol, k, probes.count() <= probeBroadcastMax)
 
   /** The exact-cosine REFINE stage shared by [[pqRefinedTopK]] and
     * [[pqServeTopK]]: re-rank the (q_id, c_id) `short0` pairs by true
@@ -564,11 +678,13 @@ object VectorOps {
     * BOTH the semi-restriction and the refine join, and as a lazy
     * plan each reference would re-run the whole ADC scoring pass) and
     * broadcast, semi-restricting the corpus embedding relation
-    * MAP-SIDE — only shortlist vectors are ever touched. */
+    * MAP-SIDE — only shortlist vectors are ever touched. The caller
+    * passes the counted gate verdict (`smallProbes`) — every entry
+    * point already counts the probe frame exactly once, so this stage
+    * never fires a second eager driver job over the same probes. */
   private def refineShortlist(probes: DataFrame, short0: DataFrame,
                               candidates: DataFrame, idCol: String, k: Int,
-                              probeBroadcastMax: Long): DataFrame = {
-    val smallProbes = probes.count() <= probeBroadcastMax
+                              smallProbes: Boolean): DataFrame = {
     val short =
       if (smallProbes) graft.ops.Materialize.localize(short0) else short0
     val p0 = probes.select(col(idCol).as("q_id"), col("embedding").as("qv"),
@@ -661,7 +777,7 @@ object VectorOps {
     refineShortlist(probes,
       pqAdcTopKPacked(probes, packedCodes, codebooks, idCol, m, ksub, shortlist)
         .select("q_id", "c_id"),
-      candidates, idCol, k, probeBroadcastMax)
+      candidates, idCol, k, probes.count() <= probeBroadcastMax)
 
   /** The FULL IVF-PQ serving stack (Jégou et al. 2011 — the index
     * layout billion-vector ANN actually ships): the coarse quantizer
@@ -724,7 +840,7 @@ object VectorOps {
     val short0 = graft.plans.TopKPerKey.topK(scored,
         Seq(col("q_id")), Seq(col("adci").desc, col("c_id")), shortlist)
       .select("q_id", "c_id")
-    refineShortlist(probes, short0, candidates, idCol, k, probeBroadcastMax)
+    refineShortlist(probes, short0, candidates, idCol, k, smallProbes)
   }
 
   /** Symmetric int8 quantization of an embedding column: per-vector

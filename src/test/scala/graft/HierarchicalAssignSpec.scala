@@ -72,6 +72,77 @@ class HierarchicalAssignSpec extends SparkSpec {
     }
   }
 
+  test("sharded assignment is hash-identical to the one-bundle-row path") {
+    // the extreme-nlist shape: super→cells map sharded one row per
+    // super, nothing nlist-sized broadcast — must produce the exact
+    // same (id, cell) map as the bundle path at every (nSuper, wSuper)
+    val cents = VectorOps.ivfCentroids(emb, "label")
+    for ((ns, ws) <- Seq((3, 1), (3, 2), (3, 3), (2, 1))) {
+      val bundle = VectorOps.assignCellsHierarchical(emb, "vec_id", cents,
+          nSuper = ns, wSuper = ws)
+        .select(col("vec_id"), col("cell"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val sharded = VectorOps.assignCellsHierarchicalSharded(emb, "vec_id", cents,
+          nSuper = ns, wSuper = ws)
+        .select(col("vec_id"), col("cell"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sharded.size == bundle.size, s"nSuper=$ns wSuper=$ws sizes differ")
+      val diff = bundle.keys.filter(k => bundle(k) != sharded(k))
+      assert(diff.isEmpty,
+        s"nSuper=$ns wSuper=$ws sharded != bundle; diverged ids: ${diff.take(10)}")
+    }
+  }
+
+  test("superQuantizer build: no window exchange — the nlist^1.5 argmax runs through bounded heaps") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // the one argmax the round-14 audit flagged: with nSuper = √nlist
+    // the scored (cell × super) frame is nlist^1.5 rows — a window
+    // would shuffle all of them; TopKPerKey's partial heaps reduce
+    // map-side. The quantizer's returned assignment plan must contain
+    // no WindowExec at all (the seed-numbering window is bounded to
+    // the post-limit(nSuper) rows and lives in the SUPERS frame, not
+    // the assignment).
+    val cents = VectorOps.ivfCentroids(emb, "label")
+    val (_, c2g) = VectorOps.superQuantizer(cents, nSuper = 3)
+    assert(c2g.count() == cents.count())
+    val wins = c2g.queryExecution.executedPlan.collect { case w: WindowExec => w }
+    assert(wins.isEmpty,
+      s"cell→super assignment must not use a window:\n${wins.map(_.treeString.linesIterator.next()).mkString("\n")}")
+  }
+
+  test("wSuper=0 probes nothing: default path yields null cells, exhaustiveFallback degenerates to the flat assign") {
+    // the null-cell contract and its guard, exercised end-to-end: an
+    // empty probe set makes EVERY row's probed-supers fold empty, so
+    // the default path must emit null cells and the fallback must
+    // resolve every row with the all-cells fold — exactly assignCells
+    val cents = VectorOps.ivfCentroids(emb, "label")
+    val nulls = VectorOps.assignCellsHierarchical(emb, "vec_id", cents,
+      nSuper = 3, wSuper = 0)
+    assert(nulls.filter(col("cell").isNotNull).count() == 0)
+    val flat = VectorOps.assignCells(emb, "vec_id", cents)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fb = VectorOps.assignCellsHierarchical(emb, "vec_id", cents,
+        nSuper = 3, wSuper = 0, exhaustiveFallback = true)
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fb.size == flat.size)
+    val diff = flat.keys.filter(k => flat(k) != fb(k))
+    assert(diff.isEmpty,
+      s"fallback must equal exhaustive search; diverged ids: ${diff.take(10)}")
+    // and with real probing, the fallback changes nothing (it only
+    // fires on rows the default path nulls out)
+    val base = VectorOps.assignCellsHierarchical(emb, "vec_id", cents,
+        nSuper = 3, wSuper = 2)
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val guarded = VectorOps.assignCellsHierarchical(emb, "vec_id", cents,
+        nSuper = 3, wSuper = 2, exhaustiveFallback = true)
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(guarded == base)
+  }
+
   test("ivfBuildHierarchical: the parquet index artifact round-trips bit-exactly into serving") {
     // build an index with nlist = 8 (hierarchical assignment), store
     // both halves, and check serving from the STORED artifact equals
