@@ -386,25 +386,40 @@ object QueryCatalogDomain {
     val mdNoWk = md.join(hasWk, Seq("farm_no", "pig_no"), "left_anti")
     val pass = DateOps.ymdToDate _
 
-    val br1 = md.join(lastWk.filter(col("wk_gubun") === "E" && col("daeri_yn") === "N" &&
-        col("wk_dt") <= toMinus7).select(col("farm_no"), col("pig_no"), col("wk_dt")),
-      Seq("farm_no", "pig_no"))
-      .select(col("farm_no"), date_add(pass(col("wk_dt")), avgReturn).as("pass_dt"))
-    val br2 = mdNoWk.filter(col("status_cd") === "010005" &&
-        col("last_wk_dt").isNotNull && col("last_wk_dt") <= toMinus7)
-      .select(col("farm_no"), date_add(pass(col("last_wk_dt")), avgReturn).as("pass_dt"))
-    val br3 = mdNoWk.filter(col("status_cd") === "010001" &&
-        col("birth_dt").isNotNull && col("birth_dt") <= toMinus240)
-      .select(col("farm_no"), date_add(pass(col("birth_dt")), firstMating).as("pass_dt"))
-    val br4 = md.join(lastWk.filter(col("wk_gubun") === "F" && col("wk_dt") <= toMinus1)
-        .select(col("farm_no"), col("pig_no"), col("wk_dt")),
-      Seq("farm_no", "pig_no"))
-      .select(col("farm_no"), date_add(pass(col("wk_dt")), 1).as("pass_dt"))
-    val br5 = mdNoWk.filter(col("status_cd").isin("010006", "010007") &&
-        col("last_wk_dt").isNotNull && col("last_wk_dt") <= toMinus1)
-      .select(col("farm_no"), date_add(pass(col("last_wk_dt")), 1).as("pass_dt"))
+    // the five reference branches, folded into ONE pass over each
+    // derived frame instead of five lazy references: the UNION ALL's
+    // branch predicates are mutually exclusive per row (wk_gubun E vs
+    // F on lastWk; status 010005 / 010001 / 010006-7 on mdNoWk), so a
+    // CASE producing pass_dt (null → dropped) preserves the exact
+    // union-all multiplicity while the heavy LatestRecord aggregation
+    // over modon_wk and the anti-join both run ONCE — the lazy
+    // br1..br5 form re-executed lastWk twice and mdNoWk three times
+    // (the 500k-farm sub_sched hotspot; same rows, same oracle)
+    val brWk = md.join(lastWk.select(col("farm_no"), col("pig_no"), col("wk_dt"),
+          col("wk_gubun"), col("daeri_yn")),
+        Seq("farm_no", "pig_no"))
+      .withColumn("pass_dt",
+        when(col("wk_gubun") === "E" && col("daeri_yn") === "N" &&
+          col("wk_dt") <= toMinus7, date_add(pass(col("wk_dt")), avgReturn))
+        .when(col("wk_gubun") === "F" && col("wk_dt") <= toMinus1,
+          date_add(pass(col("wk_dt")), 1)))
+      .filter(col("pass_dt").isNotNull)
+      .select(col("farm_no"), col("pass_dt"))
+    val brNoWk = mdNoWk
+      .withColumn("pass_dt",
+        when(col("status_cd") === "010005" &&
+          col("last_wk_dt").isNotNull && col("last_wk_dt") <= toMinus7,
+          date_add(pass(col("last_wk_dt")), avgReturn))
+        .when(col("status_cd") === "010001" &&
+          col("birth_dt").isNotNull && col("birth_dt") <= toMinus240,
+          date_add(pass(col("birth_dt")), firstMating))
+        .when(col("status_cd").isin("010006", "010007") &&
+          col("last_wk_dt").isNotNull && col("last_wk_dt") <= toMinus1,
+          date_add(pass(col("last_wk_dt")), 1)))
+      .filter(col("pass_dt").isNotNull)
+      .select(col("farm_no"), col("pass_dt"))
 
-    br1.unionByName(br2).unionByName(br3).unionByName(br4).unionByName(br5)
+    brWk.unionByName(brNoWk)
       .filter(col("pass_dt") <= pass(lit(DtTo)))
       .groupBy("farm_no", "pass_dt").agg(count(lit(1)).as("n"))
       .orderBy("farm_no", "pass_dt")
@@ -464,21 +479,30 @@ object QueryCatalogDomain {
     val md = modonSrc.filter(col("use_yn") === "Y" && col("out_dt") === Codes.AliveOutDt)
     val latest = LatestRecord.viaAgg(modonWkSrc.filter(col("use_yn") === "Y"),
       keys = Seq("farm_no", "pig_no"), ord = Seq("seq"))
-    def branch(gubun: String, offset: Int, loYmd: String, hiYmd: String,
-               statuses: Seq[String], tag: String): DataFrame =
-      md.join(latest.filter(col("wk_gubun") === gubun &&
-          col("wk_dt").between(loYmd, hiYmd))
-          .select(col("farm_no"), col("pig_no"), col("wk_dt"),
-            col("sago_gubun_cd"), col("daeri_yn")),
+    // both reference branches in ONE pass over the latest-record
+    // frame (the q64 fold rationale: the lazy bm/euB pair re-executed
+    // the LatestRecord aggregation over the full modon_wk fact twice;
+    // wk_gubun G vs B is exclusive per row, so a CASE preserves the
+    // exact UNION ALL multiplicity — same rows, same oracle)
+    val bmLo = ymdD(DtFrom, preg); val bmHi = ymdD(DtTo, preg)
+    val euLo = ymdD(DtFrom, wean); val euHi = ymdD(DtTo, wean)
+    val both = md.join(latest.select(col("farm_no"), col("pig_no"), col("wk_dt"),
+          col("wk_gubun"), col("sago_gubun_cd"), col("daeri_yn")),
         Seq("farm_no", "pig_no"))
-        .withColumn("st", SowStatus.status(lit(gubun), col("sago_gubun_cd"),
-          col("daeri_yn"), lit(null).cast("string")))
-        .filter(col("st").isin(statuses: _*))
-        .select(lit(tag).as("sched_type"), col("farm_no"),
-          date_add(DateOps.ymdToDate(col("wk_dt")), offset).as("pass_dt"))
-    val bm = branch("G", preg, ymdD(DtFrom, preg), ymdD(DtTo, preg), Seq("010002"), "BM")
-    val euB = branch("B", wean, ymdD(DtFrom, wean), ymdD(DtTo, wean), Seq("010003", "010004"), "EU")
-    bm.unionByName(euB)
+      .withColumn("st", SowStatus.status(col("wk_gubun"), col("sago_gubun_cd"),
+        col("daeri_yn"), lit(null).cast("string")))
+      .withColumn("sched_type",
+        when(col("wk_gubun") === "G" && col("wk_dt").between(bmLo, bmHi) &&
+          col("st") === "010002", "BM")
+        .when(col("wk_gubun") === "B" && col("wk_dt").between(euLo, euHi) &&
+          col("st").isin("010003", "010004"), "EU"))
+      .filter(col("sched_type").isNotNull)
+      .select(col("sched_type"), col("farm_no"),
+        when(col("sched_type") === "BM",
+          date_add(DateOps.ymdToDate(col("wk_dt")), preg))
+          .otherwise(date_add(DateOps.ymdToDate(col("wk_dt")), wean))
+          .as("pass_dt"))
+    both
       .filter(col("pass_dt").between(DateOps.ymdToDate(lit(DtFrom)), DateOps.ymdToDate(lit(DtTo))))
       .groupBy("sched_type", "farm_no", "pass_dt").agg(count(lit(1)).as("n"))
       .orderBy("sched_type", "farm_no", "pass_dt")

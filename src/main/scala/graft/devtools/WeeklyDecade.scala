@@ -194,6 +194,13 @@ object WeeklyDecade {
       }
       def runBoth(src: DomainSources): Seq[(String, (Double, Double, Double, Boolean), (String, Long))] =
         Seq(
+          // the two heaviest standalone sections (both scan modon +
+          // modon_wk; the round-14 500k hotspot) plus the two
+          // compositions
+          "sub_sched" -> (() => graft.QueryCatalogDomain
+            .q64ScheduleMatingFrom(spark, src.modon, src.modonWk)),
+          "sub_plan" -> (() => graft.QueryCatalogDomain
+            .q65ScheduleBmEuFrom(spark, src.modon, src.modonWk)),
           "week_sub" -> (() => WeeklyReportJob.subRowsFrom(spark, src)),
           "week_summary" -> (() => WeeklyReportJob.summaryFrom(spark, src))
         ).map { case (name, mk) =>

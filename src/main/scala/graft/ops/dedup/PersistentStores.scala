@@ -280,7 +280,16 @@ object BandStore {
     * streaming sinks satisfy this by running it inside their own
     * foreachBatch. Only compact batch ids at or below the stream's
     * last COMMITTED batch (a replayed in-flight batch rewrites its
-    * own partition; folding it first would resurrect it twice). */
+    * own partition; folding it first would resurrect it twice).
+    *
+    * Cross-session readers: a compaction after the first REWRITES
+    * the files of the existing consolidated partition, and Spark's
+    * standard rewrite semantics apply — the invoking session's
+    * cached relation is refreshed by the INSERT command itself
+    * (spec-pinned), but any OTHER session that listed the table
+    * earlier (a monitoring query, a batch probe session next to the
+    * stream) holds a stale file listing until it runs REFRESH TABLE,
+    * and reads fail with FILE_NOT_EXIST until it does. */
   def compactStreamStore(spark: SparkSession, table: String, location: String,
                          maxBatchId: Long): Unit = {
     recoverCompaction(spark, table, location)

@@ -405,6 +405,55 @@ class PersistentStoresSpec extends SparkSpec {
     }
   }
 
+  test("a SECOND compaction re-overwrites -2 without poisoning the session's cached file listing") {
+    // the FIRST compaction creates batch_id=-2 fresh; every LATER one
+    // INSERT OVERWRITEs an EXISTING -2 whose previous files the
+    // session's cached table relation had already listed (the probes
+    // between compactions read them). This pins that the INVOKING
+    // session's listings stay correct across the overwrite (the
+    // INSERT command refreshes its own session's relation cache).
+    // OTHER sessions in the same JVM keep Spark's standard rewrite
+    // semantics — stale until REFRESH TABLE (the compactStreamStore
+    // scaladoc's cross-session reader contract; the round-15
+    // StreamDecade harness hit exactly that from its monitoring
+    // session and refreshes before reading). Probes interleave
+    // exactly like the stream's.
+    val loc = java.nio.file.Files.createTempDirectory("graft_compact2").toString
+    spark.sql("DROP TABLE IF EXISTS cp2_store")
+    BandStore.ensureStreamStore(spark, "cp2_store", loc, "doc_id", nBuckets = 8)
+    val all = docs(60)
+    def writeSlice(b: Int): Unit = {
+      val slice = all.filter(col("doc_id") >= b * 10L && col("doc_id") < (b + 1) * 10L)
+      BandStore.writeBatch(spark, "cp2_store",
+        Dedup.lshBands(Dedup.minHashText(slice, "doc_id", "text"), "doc_id"),
+        "doc_id", b.toLong)
+    }
+    val probeBands = Dedup.lshBands(Dedup.minHashText(
+      all.filter(col("doc_id").isin(2L, 55L))
+        .select((col("doc_id") + 900L).as("doc_id"), col("text")),
+      "doc_id", "text"), "doc_id")
+    def probeSet(): Set[(Long, Long)] =
+      BandStore.probe(spark, "cp2_store", probeBands, "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 4).foreach(writeSlice)
+    val before = probeSet()
+    val rowsBefore = spark.table("cp2_store").count()
+    BandStore.compactStreamStore(spark, "cp2_store", loc, 1L) // -2 born
+    assert(probeSet() == before) // lists -2 into the cached relation
+    (4 until 6).foreach(writeSlice)
+    val rowsAll = spark.table("cp2_store").count()
+    val afterWrites = probeSet() // full store, pre-second-compaction
+    assert(before.subsetOf(afterWrites) && afterWrites.size > before.size)
+    BandStore.compactStreamStore(spark, "cp2_store", loc, 5L) // -2 OVERWRITTEN
+    assert(probeSet() == afterWrites,
+      "probe after the second compaction must read the NEW -2 files")
+    assert(spark.table("cp2_store").count() == rowsAll,
+      "second compaction must not change the row set")
+    assert(rowsAll > rowsBefore)
+    assert(livePartitionIds("cp2_store") == Seq(BandStore.CompactedBatchId),
+      s"everything folds into -2: ${livePartitionIds("cp2_store")}")
+  }
+
   test("compaction crash windows: partial staging discarded; staged re-applies; applied finishes cleanup; re-compaction folds -2") {
     val loc = java.nio.file.Files.createTempDirectory("graft_compact_crash").toString
     spark.sql("DROP TABLE IF EXISTS cc_store")
