@@ -302,6 +302,24 @@ object QueryCatalogSim {
       .orderBy("vec_id")
   }
 
+  // ---------------------------------------------------------------- sharded (extreme-nlist) assignment
+  /** q209's SHARDED twin ([[VectorOps.assignCellsHierarchicalSharded]]
+    * — the extreme-nlist shape where the super→cells map is sharded
+    * one row per super and nothing nlist-sized is broadcast): the
+    * per-shard argmax folds and the TopKPerKey cross-super winner
+    * share q209's total order and character-identical score
+    * expressions, so the assignment is BIT-IDENTICAL to the bundle
+    * path and this entry hash-gates the sharded code path against
+    * the very same DuckDB replay. */
+  val q211IvfShardAssign: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val cents = VectorOps.ivfCentroids(emb, "label")
+    VectorOps.assignCellsHierarchicalSharded(emb, "vec_id", cents,
+        nSuper = 2, wSuper = 1, iters = 1)
+      .select(col("vec_id"), col("cell"))
+      .orderBy("vec_id")
+  }
+
   private val q209Sql =
     """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
       |x AS (SELECT label AS cell, generate_subscripts(v, 1) - 1 AS dim,
@@ -1938,6 +1956,7 @@ object QueryCatalogSim {
     "q208_pq_serve_packed" -> q208PqServePacked,
     "q209_ivf_hier_assign" -> q209IvfHierAssign,
     "q210_ivfpq_serve" -> q210IvfPqServe,
+    "q211_ivf_shard_assign" -> q211IvfShardAssign,
     "q51_multimodal_meta" -> q51MultimodalMeta,
     "q52_multimodal_decode" -> q52MultimodalDecode,
     "q142_image_decode" -> q142ImageDecode,
@@ -1973,6 +1992,7 @@ object QueryCatalogSim {
     "q208_pq_serve_packed" -> q128Sql,
     "q209_ivf_hier_assign" -> q209Sql,
     "q210_ivfpq_serve" -> q210Sql,
+    "q211_ivf_shard_assign" -> q209Sql,
     "q51_multimodal_meta" -> q51Sql,
     "q52_multimodal_decode" -> q52Sql,
     "q142_image_decode" -> q142Sql,
