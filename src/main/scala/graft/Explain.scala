@@ -118,6 +118,11 @@ object Explain {
       "cells' codes map-side (broadcast probe-cell frame + LUT map), exact " +
       "refine re-ranks the shortlist — every exchange bounded by probes or " +
       "shortlist, never the corpus."),
+    "q211_ivf_shard_assign" -> ("SHARDED two-level assignment (the extreme-nlist " +
+      "shape): only the nSuper supers broadcast; the super->cells shards meet " +
+      "vectors through a g-keyed shuffle join (corpus x wSuper rows), per-shard " +
+      "argmax folds + a TopKPerKey cross-super winner — bit-identical to q209, " +
+      "nothing nlist-sized on a broadcast."),
     "q129_incremental_dedup" -> ("Incremental dedup: ONE shared banding pass over " +
       "reference+batch (tag = id low bit); same-corpus pairs parity-filtered " +
       "before verification — the standing corpus never self-pairs."),

@@ -93,6 +93,36 @@ class HierarchicalAssignSpec extends SparkSpec {
     }
   }
 
+  test("sharded assignment broadcasts ONLY the supers — nothing nlist-sized rides a broadcast (auto-broadcast off)") {
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("shard_cents").toString
+      VectorOps.ivfCentroids(emb, "label").write.mode("overwrite").parquet(dir)
+      val assigned = VectorOps.assignCellsHierarchicalSharded(
+        emb, "vec_id", spark.read.parquet(dir), nSuper = 3, wSuper = 2)
+      assert(assigned.count() == emb.count())
+      val bOuts = assigned.queryExecution.executedPlan.collect {
+        case b: BroadcastExchangeLike => b.output.map(_.name)
+      }
+      assert(bOuts.nonEmpty, "the supers leaf must broadcast")
+      // the cells ride the SHUFFLE join (one shard row per super);
+      // a broadcast emitting a cells/cmap column would mean the
+      // nlist-sized half of the index went over the broadcast after
+      // all — the exact bound this shape exists to remove
+      bOuts.foreach { names =>
+        assert(!names.exists(n => n.contains("cells") || n.contains("cmap")),
+          s"nlist-sized shard frame must not broadcast: $names")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
   test("superQuantizer build: no window exchange — the nlist^1.5 argmax runs through bounded heaps") {
     import org.apache.spark.sql.execution.window.WindowExec
     // the one argmax the round-14 audit flagged: with nSuper = √nlist
