@@ -34,15 +34,20 @@ import graft.streaming.StreamingJobs
   * history and are reported separately — their cost is the fold, by
   * design.
   *
-  * Usage: StreamDecade [sfDir] [nBatches] [compactEvery] — defaults
-  * /root/repo/tmp/sf10, 48, 12. Run with -Xmx32g. Results go into
-  * SCALE.md; NOT a library component.
+  * Usage: StreamDecade [sfDir] [nBatches] [compactEvery] [mode] —
+  * defaults /root/repo/tmp/sf10, 48, 12, neardup. mode=cluster runs
+  * [[StreamingJobs.clusterMaintStream]] instead (the label-registry
+  * face: every doc admitted, incremental CC per batch over verified
+  * edges, crash-safe registry upsert) — same work-relative byte gate,
+  * registry size reported per batch. Run with -Xmx32g. Results go
+  * into SCALE.md; NOT a library component.
   */
 object StreamDecade {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/repo/tmp/sf10"
     val nBatches = if (args.length > 1) args(1).toInt else 48
     val compactEvery = if (args.length > 2) args(2).toInt else 12
+    val clusterMode = args.length > 3 && args(3) == "cluster"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
@@ -149,11 +154,18 @@ object StreamDecade {
       val cand = candCount(b)
       val sh0 = drained()
       val t0 = System.nanoTime()
-      StreamingJobs.nearDupStream(
-          spark.readStream.schema(docSchema).parquet(watch),
-          store, curated, chk, tau = 0.7,
-          storeTable = Some(table), storeCompactEvery = compactEvery)
-        .awaitTermination()
+      val stream =
+        if (clusterMode)
+          StreamingJobs.clusterMaintStream(
+            spark.readStream.schema(docSchema).parquet(watch),
+            store, s"$work/texts", s"$work/labels", chk, tau = 0.7,
+            storeTable = Some(table), storeCompactEvery = compactEvery)
+        else
+          StreamingJobs.nearDupStream(
+            spark.readStream.schema(docSchema).parquet(watch),
+            store, curated, chk, tau = 0.7,
+            storeTable = Some(table), storeCompactEvery = compactEvery)
+      stream.awaitTermination()
       val sec = (System.nanoTime() - t0) / 1e9
       val mb = (drained() - sh0) / 1048576.0
       spark.catalog.clearCache()
@@ -164,8 +176,11 @@ object StreamDecade {
         (if (isCompact) " COMPACTION" else ""))
     }
 
-    val curatedN = spark.read.parquet(curated).count()
-    println(s"\n[stream-decade] curated docs: $curatedN; standing band rows: ${rows.last.standing}")
+    val tailN =
+      if (clusterMode)
+        s"registry rows: ${spark.read.parquet(s"$work/labels").count()}"
+      else s"curated docs: ${spark.read.parquet(curated).count()}"
+    println(s"\n[stream-decade] $tailN; standing band rows: ${rows.last.standing}")
     println("\n| batch | sec | shuffle MB | cross-store cands | standing band rows | note |")
     println("|---|---|---|---|---|---|")
     rows.foreach(r => println(
