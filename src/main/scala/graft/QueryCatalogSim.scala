@@ -29,16 +29,30 @@ object QueryCatalogSim {
   /** Stored-index cache for the serving queries (q207/q208/q210):
     * the index artifact is built + written ONCE per (query, dataset)
     * per JVM and re-read on every later invocation — Bench reps 2+
-    * time the SERVE path alone (the honest serving clock; rep 1 and
-    * the Verify pass still exercise the full build+write+read path
-    * for hash-gating), and repeated invocations stop leaking a fresh
-    * temp dir each rep. */
+    * time the SERVE path alone (the honest serving clock), and
+    * repeated invocations stop leaking a fresh temp dir each rep.
+    * The full build+write+read path is exercised by whichever
+    * invocation is FIRST for the (query, dataset) key in the JVM —
+    * the standalone Verify driver's run always is (its own JVM), but
+    * a combined process that benches before verifying would leave
+    * the hash gate covering the cached read path only. A failed
+    * build installs no mapping and deletes its temp dir (no leak,
+    * clean retry). */
   private val idxCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def cachedIndexDir(key: String)(build: String => Unit): String =
     idxCache.computeIfAbsent(key, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString
-      build(dir)
-      dir
+      val dir = java.nio.file.Files.createTempDirectory("graft_idx")
+      try build(dir.toString)
+      catch { case e: Throwable =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        } catch { case _: Throwable => () }
+        throw e
+      }
+      dir.toString
     })
 
   // ---------------------------------------------------------------- knn brute force

@@ -28,21 +28,40 @@ object IsolatedProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
-      // warm pass (JIT/codegen/scan caches) outside timing
-      try graft.SparkEntry.queries(n)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[isolated] $n warm FAILED: ${e.getMessage}") }
+      // warm pass (JIT/codegen/scan caches) outside timing; a query
+      // that fails warm is SKIPPED (not re-run through unprotected
+      // timed reps — one broken query must not abort the probes of
+      // the queries after it)
+      val warmOk =
+        try {
+          graft.SparkEntry.queries(n)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          true
+        } catch { case e: Throwable =>
+          System.err.println(s"[isolated] $n warm FAILED (skipping timed reps): ${e.getMessage}")
+          false
+        }
       spark.catalog.clearCache(); System.gc()
-      val clocks = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        graft.SparkEntry.queries(n)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache(); System.gc()
-        dt
+      if (warmOk) {
+        val clocks = (1 to reps).flatMap { _ =>
+          val t0 = System.nanoTime()
+          val dt =
+            try {
+              graft.SparkEntry.queries(n)(spark, sfDir)
+                .write.format("noop").mode("overwrite").save()
+              Some((System.nanoTime() - t0) / 1e9)
+            } catch { case e: Throwable =>
+              System.err.println(s"[isolated] $n rep FAILED: ${e.getMessage}")
+              None
+            }
+          spark.catalog.clearCache(); System.gc()
+          dt
+        }
+        if (clocks.nonEmpty)
+          println(f"[isolated] $n min=${clocks.min}%.2f s reps=${clocks.map(c => f"$c%.2f").mkString(",")} ($sfDir)")
+        else
+          println(s"[isolated] $n ALL REPS FAILED ($sfDir)")
       }
-      println(f"[isolated] $n min=${clocks.min}%.2f s reps=${clocks.map(c => f"$c%.2f").mkString(",")} ($sfDir)")
     }
     spark.stop()
   }

@@ -163,12 +163,24 @@ object RecallSweep {
   }
 
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/repo/tmp/sf1")
+    // auto=1: certify the DERIVED serve knobs (VectorOps.servingKnobs
+    // wired through ivfPqTopK's Auto sentinel) — one wSuper=4 build,
+    // ONE serve with nprobe = shortlist = Auto, gate recall >= 0.9.
+    // No manual tuning anywhere: the -1 grid cells below ARE the Auto
+    // sentinel flowing through the ordinary sweep machinery.
+    val autoMode = args.contains("auto=1")
+    val posArgs = args.filterNot(_ == "auto=1")
+    val dir = posArgs.headOption.getOrElse("/root/repo/tmp/sf1")
     def grid(i: Int, default: Seq[Int]): Seq[Int] =
-      if (args.length > i) args(i).split(",").toSeq.map(_.trim.toInt) else default
-    val wSupers = grid(1, Seq(2, 4, 8))
-    val nprobes = grid(2, Seq(8, 16, 32, 64))
-    val shortlists = grid(3, Seq(200, 500, 1000))
+      if (posArgs.length > i) posArgs(i).split(",").toSeq.map(_.trim.toInt)
+      else default
+    val wSupers = grid(1, if (autoMode) Seq(4) else Seq(2, 4, 8))
+    val nprobes = grid(2,
+      if (autoMode) Seq(graft.ops.similarity.VectorOps.Auto)
+      else Seq(8, 16, 32, 64))
+    val shortlists = grid(3,
+      if (autoMode) Seq(graft.ops.similarity.VectorOps.Auto)
+      else Seq(200, 500, 1000))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -192,16 +204,28 @@ object RecallSweep {
     pts.foreach(p => println(
       f"| ${p.wSuper} | ${p.nprobe} | ${p.shortlist} | ${p.recall}%.3f | ${p.sec}%.2f |"))
 
-    val breaches = monotoneBreaches(pts, k = 10)
-    breaches.foreach(b => System.err.println(s"[recall-sweep] BREACH $b"))
-    // the documented operating point for the hard isotropic fixture
-    // at nlist ∝ N: probe ~10% of cells with a 500-deep shortlist
-    // (real clustered embedding distributions need far less nprobe —
-    // this fixture is the adversarial floor)
-    val op = pts.find(p => p.wSuper == 4 && p.nprobe == 32 && p.shortlist == 500)
-    val opOk = op.exists(_.recall >= 0.9)
-    println(f"\n[recall-sweep] operating point wSuper=4 nprobe=32 shortlist=500: " +
-      s"recall=${op.map(p => f"${p.recall}%.3f").getOrElse("MISSING")} (floor 0.9)")
+    val (breaches, opOk) =
+      if (autoMode) {
+        // the auto gate: EVERY derived point must clear the floor —
+        // the scaling law lives in servingKnobs now, so a fixture
+        // where the derived knobs miss 0.9 is a law defect
+        val ok = pts.nonEmpty && pts.forall(_.recall >= 0.9)
+        pts.foreach(p => println(
+          f"\n[recall-sweep] AUTO knobs (wSuper=${p.wSuper}): " +
+            f"recall=${p.recall}%.3f (${p.sec}%.2f s, floor 0.9)"))
+        (Nil, ok)
+      } else {
+        val bs = monotoneBreaches(pts, k = 10)
+        bs.foreach(b => System.err.println(s"[recall-sweep] BREACH $b"))
+        // the documented operating point for the hard isotropic fixture
+        // at nlist ∝ N: probe ~10% of cells with a 500-deep shortlist
+        // (real clustered embedding distributions need far less nprobe —
+        // this fixture is the adversarial floor)
+        val op = pts.find(p => p.wSuper == 4 && p.nprobe == 32 && p.shortlist == 500)
+        println(f"\n[recall-sweep] operating point wSuper=4 nprobe=32 shortlist=500: " +
+          s"recall=${op.map(p => f"${p.recall}%.3f").getOrElse("MISSING")} (floor 0.9)")
+        (bs, op.exists(_.recall >= 0.9))
+      }
     spark.stop()
     if (breaches.nonEmpty || !opOk) {
       System.err.println("[recall-sweep] GATE BREACH"); sys.exit(1)

@@ -49,8 +49,13 @@ object WeeklyDecade {
     val leafCacheArg = rest.find(_.startsWith("leafcache="))
       .map(_.stripPrefix("leafcache="))
     val runSweep = !rest.contains("sweep=0")
+    // only=name,name: restrict the sweep to named queries — the
+    // isolated min-of-N adjudication posture (one section, one rung,
+    // reps>1) the round-15 sub_alert watch item needs
+    val only = rest.find(_.startsWith("only="))
+      .map(_.stripPrefix("only=").split(",").toSet).getOrElse(Set.empty[String])
     val rungArgs = rest.filterNot(a =>
-      a.startsWith("leafcache=") || a == "sweep=0")
+      a.startsWith("leafcache=") || a == "sweep=0" || a.startsWith("only="))
     val rungs: Seq[(String, String)] =
       if (rungArgs.nonEmpty) rungArgs.map { a =>
         val Array(l, d) = a.split("=", 2); (l, d)
@@ -123,8 +128,11 @@ object WeeklyDecade {
     }
     sized.foreach(r => println(s"[weekly-decade] rung ${r.label}: ${r.farms} farms (${r.dir})"))
 
+    def selected(qs: Seq[(String, DataFrame, String)]) =
+      qs.filter(q => only.isEmpty || only.contains(q._1))
+
     // JIT/codegen warm pass on the smallest rung (outside timing)
-    WeeklyScale.queries(spark, sized.head.dir).foreach { case (_, df, _) =>
+    selected(WeeklyScale.queries(spark, sized.head.dir)).foreach { case (_, df, _) =>
       try df.write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
@@ -133,7 +141,7 @@ object WeeklyDecade {
     val results = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double, Boolean)]]
     if (runSweep) sized.foreach { r =>
-      WeeklyScale.queries(spark, r.dir).foreach { case (name, df, _) =>
+      selected(WeeklyScale.queries(spark, r.dir)).foreach { case (name, df, _) =>
         val v = measure(() =>
           df.write.format("noop").mode("overwrite").save())
         results.getOrElseUpdate(name,

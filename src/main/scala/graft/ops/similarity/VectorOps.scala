@@ -20,6 +20,37 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
+  /** Sentinel for the serve knobs (`nprobe` / `shortlist`): pass it
+    * to [[ivfAnn]] / [[ivfPqTopK]] / [[pqServeTopK]] to have the knob
+    * DERIVED from the index via [[servingKnobs]] instead of supplied.
+    * Explicit values keep working unchanged — Auto is opt-in. */
+  val Auto: Int = -1
+
+  /** The measured recall scaling law (SCALE.md round-15 recall sweep),
+    * as code: on an isotropic worst-case distribution with cell size
+    * pinned (the nlist ∝ N regime), holding fixed serve knobs across
+    * a corpus decade LOSES recall (0.956 → 0.731 at 10× on the sweep
+    * fixture) because the routing knob must scale with nlist and the
+    * ADC shortlist then becomes the binding constraint in turn. The
+    * law that restores the ≥ 0.9 floor across the decade:
+    *
+    *   - nprobe ≈ 10% of nlist (floor 2 — the historical default);
+    *   - shortlist ≈ 20% of the ADC-scored set = nprobe × cellSize
+    *     (floor k — a shortlist below k cannot return k rows).
+    *
+    * Measured at both rungs: sf1 (nlist 329) the derived point sits
+    * between the sweep's (32, 200) = 0.913 and (32, 500) = 0.956;
+    * sf10 (nlist 3,140) it reproduces the certified (320, 4000) =
+    * 0.972 row at an 8 s serve clock. Clustered real embedding
+    * distributions need far smaller fractions — the law is the
+    * adversarial floor, not the estimate. */
+  def servingKnobs(nlist: Long, k: Int, cellSize: Long = 64L): (Int, Int) = {
+    val nprobe = math.max(2L, (nlist + 9L) / 10L).toInt
+    val shortlist = math.max(k.toLong,
+      math.ceil(0.2 * nprobe * math.max(1L, cellSize)).toLong).toInt
+    (nprobe, shortlist)
+  }
+
   /** Sequential-fold dot product of two float-array columns in double.
     * Native codegen'd expression (graft.functions.DotProduct) — same
     * fold order as the HOF form below, but stays in WholeStageCodegen. */
@@ -151,12 +182,19 @@ object VectorOps {
     * size is under its threshold, i.e. exactly NOT at scale (measured:
     * the sf1→sf10 decade flipped the cell join to sort-merge and
     * shuffled the whole embedding table for 20 probes). Over the
-    * budget the hint is dropped and the planner picks the join. */
+    * budget the hint is dropped and the planner picks the join.
+    *
+    * `nprobe = Auto` derives the routing knob from the index via
+    * [[servingKnobs]] (nprobe ≈ 10% of nlist — the measured scale
+    * law; one eager count of the nlist-row centroid table, so meant
+    * for the stored-index serve path: with `centroids = None` the
+    * count runs the per-call derivation an extra time). */
   def ivfAnn(probes: DataFrame, candidates: DataFrame, cellCol: String,
              k: Int, nprobe: Int = 2,
              probeBroadcastMax: Long = 10000L,
              centroids: Option[DataFrame] = None): DataFrame = {
     val cents = centroids.getOrElse(ivfCentroids(candidates, cellCol))
+    val np = if (nprobe == Auto) servingKnobs(cents.count(), k)._1 else nprobe
     // fresh probe projection per consumer: probeCells shares lineage
     // with its own copy, avoiding the ambiguous-self-join trap
     def p = probes.select(col("vec_id").as("q_id"), col("embedding").as("qv"),
@@ -171,7 +209,7 @@ object VectorOps {
       .withColumn("ccos", dotD(col("qv"), col("cv")) /
         (col("qn") * sqrt(dotD(col("cv"), col("cv")))))
     val probeCells = graft.plans.TopKPerKey.topK(pc,
-        Seq(col("q_id")), Seq(col("ccos").desc, col("cell")), nprobe)
+        Seq(col("q_id")), Seq(col("ccos").desc, col("cell")), np)
       .select(col("q_id"), col("cell"))
     val c = candidates.select(col(cellCol).as("cell"), col("vec_id").as("c_id"),
       col("embedding").as("cv2"), norm(col("embedding")).as("cn"))
@@ -394,48 +432,140 @@ object VectorOps {
     * under one total order equals the single global fold —
     * HierarchicalAssignSpec pins the hash parity sharded-vs-not.
     * Output: all `df` columns + `cell` (null iff every probed super
-    * is empty, as the bundle path). */
+    * is empty, as the bundle path — `exhaustiveFallback` resolves
+    * exactly those rows by re-probing ALL supers, the sharded
+    * spelling of the bundle path's all-cells fold, so an index BUILD
+    * never emits a null cell; when no super owns zero cells the
+    * guard short-circuits on two index-metadata counts and adds no
+    * work, otherwise the null rows cost a second pass over the
+    * assignment lineage — callers in that regime should leafCache
+    * `df` first).
+    *
+    * UNIQUE-ID REQUIREMENT: the cross-super winner reduces through a
+    * per-`idCol` heap, so rows sharing an id collapse to ONE output
+    * row — unlike the bundle path, a pure per-row expression with no
+    * such constraint. Callers with non-unique ids (re-crawled
+    * corpora, multi-version frames) must dedup or synthesize a
+    * unique key first; every in-repo caller assigns a stored corpus
+    * whose id is the primary key. */
   def assignCellsHierarchicalSharded(df: DataFrame, idCol: String,
                                      centroids: DataFrame, nSuper: Int,
-                                     wSuper: Int = 1, iters: Int = 1): DataFrame = {
+                                     wSuper: Int = 1, iters: Int = 1,
+                                     exhaustiveFallback: Boolean = false): DataFrame = {
     val (sc, c2g) = superQuantizer(centroids, nSuper, iters)
-    val gsRow = sc.select(struct(col("g"), col("gv"),
-        sqrt(dotD(col("gv"), col("gv"))).as("gn")).as("s"))
-      .agg(array_sort(collect_list(col("s"))).as("gs"))
+    // index-metadata frames localized to plan leaves ONCE (shared by
+    // the main pass and any fallback pass): the quantizer's
+    // aggregations run once (not per consumer), and the corpus-side
+    // plan never shares lineage with the centroid side (centroids
+    // often derive from df — the self-join trap)
+    val gsLeaf = graft.ops.Materialize.localize(
+      sc.select(struct(col("g"), col("gv"),
+          sqrt(dotD(col("gv"), col("gv"))).as("gn")).as("s"))
+        .agg(array_sort(collect_list(col("s"))).as("gs")))
     // one shard row per super: that super's cells with precomputed
     // norms — same struct layout and array_sort as the bundle's cmap
     // entries, so the per-shard fold sees the same array
-    val shards0 = centroids.join(c2g, "cell")
-      .select(col("g").as("__sg"), struct(col("cell").cast("long").as("cell"),
-        col("cv"), sqrt(dotD(col("cv"), col("cv"))).as("cn")).as("s"))
-      .groupBy("__sg").agg(array_sort(collect_list(col("s"))).as("cells"))
-    // both index-metadata frames localized to plan leaves: the
-    // quantizer's aggregations run once (not per consumer), and the
-    // corpus-side plan never shares lineage with the centroid side
-    // (centroids often derive from df — the self-join trap)
-    val gsLeaf = graft.ops.Materialize.localize(gsRow)
-    val shards = graft.ops.Materialize.localize(shards0)
-    val probed = df.withColumn("__emb", col("embedding"))
-      .withColumn("__nm", norm(col("embedding")))
-      .crossJoin(broadcast(gsLeaf))
-      .withColumn("__topg", expr(hierTopG(wSuper)))
-      .drop("gs")
-      // one row per (vector, probed super) — the shard-join fan-out
-      .withColumn("__g", explode(expr("transform(__topg, t -> t.g)")))
-    // left join: a probed super owning zero cells contributes a null
-    // shard (ranked last below), preserving the bundle path's
-    // null-iff-all-probed-supers-empty contract
-    val joined = probed.join(shards, probed("__g") === shards("__sg"), "left")
-      .withColumn("__best0", expr(hierBestOver("cells")))
-    val out = df.columns.map(col) :+ col("__best0.cell").as("cell")
-    // cross-super winner per vector through bounded heaps — one row
-    // per (vector, partition) on the wire, same total order as the
-    // bundle path's single fold; null-scored rows (empty shards)
-    // rank last so they win only when EVERY probed super is empty
-    graft.plans.TopKPerKey.topK(joined, Seq(col(idCol)),
-        Seq(col("__best0.cos").desc_nulls_last,
-          asc_nulls_last("__best0.cell")), 1)
-      .select(out: _*)
+    val shards = graft.ops.Materialize.localize(
+      centroids.join(c2g, "cell")
+        .select(col("g").as("__sg"), struct(col("cell").cast("long").as("cell"),
+          col("cv"), sqrt(dotD(col("cv"), col("cv"))).as("cn")).as("s"))
+        .groupBy("__sg").agg(array_sort(collect_list(col("s"))).as("cells")))
+
+    def pass(in: DataFrame, w: Int): DataFrame = {
+      val probed = in.withColumn("__emb", col("embedding"))
+        .withColumn("__nm", norm(col("embedding")))
+        .crossJoin(broadcast(gsLeaf))
+        .withColumn("__topg", expr(hierTopG(w)))
+        .drop("gs")
+        // one row per (vector, probed super) — the shard-join
+        // fan-out. OUTER explode: a row whose probed-super array is
+        // empty (wSuper = 0, an empty supers frame) survives as one
+        // null-__g row and exits with a null cell, matching the
+        // bundle path's contract — a plain explode would DROP it
+        // from the output entirely
+        .withColumn("__g", explode_outer(expr("transform(__topg, t -> t.g)")))
+      // left join: a probed super owning zero cells contributes a
+      // null shard (ranked last below), preserving the bundle path's
+      // null-iff-all-probed-supers-empty contract
+      val joined = probed.join(shards, probed("__g") === shards("__sg"), "left")
+        .withColumn("__best0", expr(hierBestOver("cells")))
+      val out = in.columns.map(col) :+ col("__best0.cell").as("cell")
+      // cross-super winner per vector through bounded heaps — one row
+      // per (vector, partition) on the wire, same total order as the
+      // bundle path's single fold; null-scored rows (empty shards)
+      // rank last so they win only when EVERY probed super is empty
+      graft.plans.TopKPerKey.topK(joined, Seq(col(idCol)),
+          Seq(col("__best0.cos").desc_nulls_last,
+            asc_nulls_last("__best0.cell")), 1)
+        .select(out: _*)
+    }
+
+    if (!exhaustiveFallback) pass(df, wSuper)
+    // wSuper <= 0 probes nothing: EVERY row falls back — probing all
+    // supers IS the exhaustive all-cells fold (per-super then
+    // cross-super argmax under one total order = the global argmax)
+    else if (wSuper <= 0) pass(df, nSuper)
+    else {
+      // a null cell requires a probed super owning zero cells, which
+      // is knowable INDEX-side: a supers row with no shard. Both
+      // counts are metadata-scale (local leaves)
+      val anyEmptySuper = sc.count() > shards.count()
+      if (!anyEmptySuper) pass(df, wSuper)
+      else {
+        val assigned = pass(df, wSuper)
+        assigned.filter(col("cell").isNotNull).unionByName(
+          pass(assigned.filter(col("cell").isNull).drop("cell"), nSuper))
+      }
+    }
+  }
+
+  /** Default crossover for [[assignCellsHierarchicalAuto]]: the
+    * bundle row's estimated size above which the sharded shape is
+    * chosen. 512 MB ≈ 10^6 cells at 64 double dims (~544 bytes per
+    * cell struct incl. norms and array overhead) — the documented
+    * crossover (SCALE.md: one-row bundle to ~10^6 cells, sharded
+    * beyond); a multi-GB single broadcast row is where the bundle
+    * path's shape breaks, well before executor memory does. */
+  val BundleMaxBytes: Long = 512L * 1024 * 1024
+
+  /** Regime auto-dispatch between the two hierarchical assignment
+    * shapes — so the extreme-nlist regime cannot be mis-shaped by a
+    * default: estimate the one-row search bundle's bytes as
+    * nlist × (dims × 8 + 32) and pick [[assignCellsHierarchical]]
+    * (zero-shuffle per-row folds; broadcast carries all nlist
+    * centroids) under `bundleMaxBytes`, else
+    * [[assignCellsHierarchicalSharded]] (nothing nlist-sized ever
+    * broadcast; corpus × wSuper rows shuffle by super instead). The
+    * two paths are hash-identical (HierarchicalAssignSpec pins parity
+    * across the threshold), so the dispatch changes cost shape only.
+    *
+    * `knownNlist` / `knownDims` skip the estimate's eager
+    * index-metadata probe when the caller already holds them
+    * ([[ivfBuildHierarchical]] does — its Lloyd loop must not fire a
+    * probe job per round); -1 (default) probes `centroids` once
+    * (count + max cv length — nlist rows). The sharded side inherits
+    * the UNIQUE-ID REQUIREMENT of its scaladoc. */
+  def assignCellsHierarchicalAuto(df: DataFrame, idCol: String,
+                                  centroids: DataFrame, nSuper: Int,
+                                  wSuper: Int = 1, iters: Int = 1,
+                                  exhaustiveFallback: Boolean = false,
+                                  bundleMaxBytes: Long = BundleMaxBytes,
+                                  knownNlist: Long = -1L,
+                                  knownDims: Int = -1): DataFrame = {
+    val (nlist, dims) =
+      if (knownNlist >= 0 && knownDims >= 0) (knownNlist, knownDims.toLong)
+      else {
+        val row = centroids.agg(count(lit(1)), max(size(col("cv")))).head()
+        val d = row.get(1) match { case n: Int => n.toLong; case _ => 0L }
+        (row.getLong(0), d)
+      }
+    val estBytes = nlist * (dims * 8L + 32L)
+    if (estBytes <= bundleMaxBytes)
+      assignCellsHierarchical(df, idCol, centroids, nSuper, wSuper, iters,
+        exhaustiveFallback)
+    else
+      assignCellsHierarchicalSharded(df, idCol, centroids, nSuper, wSuper,
+        iters, exhaustiveFallback)
   }
 
   /** Full IVF index BUILD for the nlist ∝ N regime: md5-ranked seed
@@ -450,6 +580,9 @@ object VectorOps {
                            nSuper: Int, wSuper: Int = 1,
                            lloydIters: Int = 1): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
+    // one dims probe for the whole build: every Lloyd round's regime
+    // dispatch reuses it (knownNlist/knownDims — no per-round probe)
+    val dims = embeddingDims(df)
     val seedRank = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
       .cast("long")
     val cents0 = df.select(col(idCol), col("embedding"), seedRank.as("__h"))
@@ -457,20 +590,22 @@ object VectorOps {
       .withColumn("cell", row_number().over(Window.orderBy(col("__h"), col(idCol))) - 1)
       .select(col("cell").cast("long").as("cell"),
         transform(col("embedding"), _.cast("double")).as("cv"))
-    // exhaustiveFallback: a vector whose probed supers own zero cells
-    // gets the flat-assign fold instead of a null cell — a null here
-    // would flow into ivfCentroids as a phantom null-centroid row and
-    // occupy an nprobe routing slot at serve time while matching no
-    // candidate in the cell equi-join
+    // regime auto-dispatch (bundle vs sharded by nlist × dims bytes)
+    // so an extreme-nlist build cannot broadcast a multi-GB bundle
+    // row by default; exhaustiveFallback: a vector whose probed
+    // supers own zero cells gets the flat-assign fold instead of a
+    // null cell — a null here would flow into ivfCentroids as a
+    // phantom null-centroid row and occupy an nprobe routing slot at
+    // serve time while matching no candidate in the cell equi-join
+    def assign(c: DataFrame): DataFrame =
+      assignCellsHierarchicalAuto(df, idCol, c, nSuper, wSuper,
+        exhaustiveFallback = true, knownNlist = nlist.toLong, knownDims = dims)
     val cents = (1 to lloydIters).foldLeft(cents0) { (c, i) =>
-      val next = ivfCentroids(
-        assignCellsHierarchical(df, idCol, c, nSuper, wSuper,
-          exhaustiveFallback = true), "cell")
+      val next = ivfCentroids(assign(c), "cell")
       if (i < lloydIters) graft.ops.Materialize.localize(next) else next
     }
     val centsLeaf = graft.ops.Materialize.localize(cents)
-    (assignCellsHierarchical(df, idCol, centsLeaf, nSuper, wSuper,
-      exhaustiveFallback = true), centsLeaf)
+    (assign(centsLeaf), centsLeaf)
   }
 
   /** Deterministic Lloyd's k-means over the embedding column — the
@@ -626,10 +761,12 @@ object VectorOps {
     * Table entries are quantized to int64 (round(ip * 1e6)) so the
     * m-way sum is exact integer arithmetic — order-independent under
     * any shuffle, bit-replayable by the oracle. Rank by (adc desc,
-    * candidate id). */
+    * candidate id). `knownDims` skips the per-call dims probe when the
+    * caller already ran it (the [[lshBucket]] convention — the serve
+    * entry points probe the frame ONCE via [[probeStats]]). */
   def pqAdcTopK(probes: DataFrame, codes: DataFrame, codebooks: DataFrame,
-                idCol: String, m: Int, k: Int): DataFrame = {
-    val dims = embeddingDims(probes)
+                idCol: String, m: Int, k: Int, knownDims: Int = -1): DataFrame = {
+    val dims = if (knownDims >= 0) knownDims else embeddingDims(probes)
     val dsub = dims / m
     val qsub = probes.select(col(idCol).as("q_id"), posexplode(expr(
         s"transform(sequence(0, ${m - 1}), mi -> transform(" +
@@ -665,11 +802,26 @@ object VectorOps {
   def pqRefinedTopK(probes: DataFrame, candidates: DataFrame, codes: DataFrame,
                     codebooks: DataFrame, idCol: String, m: Int, k: Int,
                     shortlist: Int = 50,
-                    probeBroadcastMax: Long = 10000L): DataFrame =
+                    probeBroadcastMax: Long = 10000L): DataFrame = {
+    val (smallProbes, dims) = probeStats(probes, probeBroadcastMax)
     refineShortlist(probes,
-      pqAdcTopK(probes, codes, codebooks, idCol, m, shortlist)
+      pqAdcTopK(probes, codes, codebooks, idCol, m, shortlist, knownDims = dims)
         .select("q_id", "c_id"),
-      candidates, idCol, k, probes.count() <= probeBroadcastMax)
+      candidates, idCol, k, smallProbes)
+  }
+
+  /** ONE eager driver job over a probe frame returning both verdicts
+    * every serve entry point needs — the counted broadcast gate AND
+    * the embedding dimensionality — so an entry point never fires a
+    * second aggregation over the same probes (the redundant
+    * probes.count() + embeddingDims() pair the round-15 verdict
+    * flagged). */
+  private def probeStats(probes: DataFrame,
+                         probeBroadcastMax: Long): (Boolean, Int) = {
+    val row = probes.agg(count(lit(1)), max(size(col("embedding")))).head()
+    val dims = row.get(1) match { case n: Int => n; case _ => 0 }
+    (row.getLong(0) <= probeBroadcastMax, dims)
+  }
 
   /** The exact-cosine REFINE stage shared by [[pqRefinedTopK]] and
     * [[pqServeTopK]]: re-rank the (q_id, c_id) `short0` pairs by true
@@ -730,8 +882,8 @@ object VectorOps {
     * from the unpacked form's nq × N grouped-row exchange. */
   def pqAdcTopKPacked(probes: DataFrame, packedCodes: DataFrame,
                       codebooks: DataFrame, idCol: String, m: Int, ksub: Int,
-                      k: Int): DataFrame = {
-    val dims = embeddingDims(probes)
+                      k: Int, knownDims: Int = -1): DataFrame = {
+    val dims = if (knownDims >= 0) knownDims else embeddingDims(probes)
     val dsub = dims / m
     val qsub = probes.select(col(idCol).as("q_id"), posexplode(expr(
         s"transform(sequence(0, ${m - 1}), mi -> transform(" +
@@ -769,15 +921,29 @@ object VectorOps {
     * gate). Same results as [[pqRefinedTopK]] over the unpacked
     * codes; the difference is the wire: this shape's bytes stay flat
     * as the corpus grows (the ScaleDecade q128_pq_serve row measures
-    * it), which is the serving posture for a standing corpus. */
+    * it), which is the serving posture for a standing corpus.
+    *
+    * `shortlist = Auto` applies the [[servingKnobs]] law literally:
+    * flat PQ scores EVERY code, so the 20%-of-scored-set rule makes
+    * the derived shortlist corpus-proportional (one eager count of
+    * `packedCodes`) — which is the law saying flat PQ does not scale;
+    * a standing corpus serves through [[ivfPqTopK]], whose Auto
+    * shortlist is bounded by the probed cells instead. */
   def pqServeTopK(probes: DataFrame, candidates: DataFrame,
                   packedCodes: DataFrame, codebooks: DataFrame, idCol: String,
                   m: Int, ksub: Int, k: Int, shortlist: Int = 50,
-                  probeBroadcastMax: Long = 10000L): DataFrame =
+                  probeBroadcastMax: Long = 10000L): DataFrame = {
+    val (smallProbes, dims) = probeStats(probes, probeBroadcastMax)
+    val sl =
+      if (shortlist == Auto)
+        math.max(k.toLong, math.ceil(0.2 * packedCodes.count()).toLong).toInt
+      else shortlist
     refineShortlist(probes,
-      pqAdcTopKPacked(probes, packedCodes, codebooks, idCol, m, ksub, shortlist)
+      pqAdcTopKPacked(probes, packedCodes, codebooks, idCol, m, ksub, sl,
+          knownDims = dims)
         .select("q_id", "c_id"),
-      candidates, idCol, k, probes.count() <= probeBroadcastMax)
+      candidates, idCol, k, smallProbes)
+  }
 
   /** The FULL IVF-PQ serving stack (Jégou et al. 2011 — the index
     * layout billion-vector ANN actually ships): the coarse quantizer
@@ -795,14 +961,30 @@ object VectorOps {
     * never joins codes back to the corpus on the id; `centroids` is
     * the stored [[ivfCentroids]] table. All exchanges are bounded:
     * probe routing and both top-k's run through TopKPerKey heaps, the
-    * LUTs/probe-cells/shortlist broadcast under the counted gate. */
+    * LUTs/probe-cells/shortlist broadcast under the counted gate.
+    *
+    * `nprobe = Auto` / `shortlist = Auto` derive the serve knobs from
+    * the STORED index via [[servingKnobs]] — nprobe ≈ 10% of nlist,
+    * shortlist ≈ 20% of the ADC-scored set (nprobe × mean cell size) —
+    * the measured scale law that holds recall ≥ 0.9 across a corpus
+    * decade where the historical literal defaults (2 / 50) lose 0.22
+    * recall. Resolution costs two eager index-metadata counts
+    * (centroid rows; packed-code rows — a column-pruned parquet
+    * count), fired only on the Auto path. */
   def ivfPqTopK(probes: DataFrame, candidates: DataFrame,
                 centroids: DataFrame, packedIndex: DataFrame,
                 codebooks: DataFrame, idCol: String, m: Int, ksub: Int,
                 k: Int, nprobe: Int = 2, shortlist: Int = 50,
                 probeBroadcastMax: Long = 10000L): DataFrame = {
-    val smallProbes = probes.count() <= probeBroadcastMax
-    val dims = embeddingDims(probes)
+    val (smallProbes, dims) = probeStats(probes, probeBroadcastMax)
+    val (np, sl) =
+      if (nprobe == Auto || shortlist == Auto) {
+        val nlist = math.max(1L, centroids.count())
+        val cellSize = (packedIndex.count() + nlist - 1L) / nlist
+        val (autoNp, autoSl) = servingKnobs(nlist, k, cellSize)
+        (if (nprobe == Auto) autoNp else nprobe,
+          if (shortlist == Auto) autoSl else shortlist)
+      } else (nprobe, shortlist)
     val dsub = dims / m
     val p = probes.select(col(idCol).as("q_id"), col("embedding").as("qv"),
       norm(col("embedding")).as("qn"))
@@ -812,7 +994,7 @@ object VectorOps {
       .withColumn("__ccos", dotD(col("qv"), col("cv")) /
         (col("qn") * sqrt(dotD(col("cv"), col("cv")))))
     val probeCells0 = graft.plans.TopKPerKey.topK(pc,
-        Seq(col("q_id")), Seq(col("__ccos").desc, col("cell")), nprobe)
+        Seq(col("q_id")), Seq(col("__ccos").desc, col("cell")), np)
       .select(col("q_id"), col("cell"))
     val probeCells = if (smallProbes) broadcast(probeCells0) else probeCells0
     // per-probe lookup map (the pqAdcTopKPacked LUT)
@@ -838,7 +1020,7 @@ object VectorOps {
           s"mi -> element_at(lut, mi * $ksub + element_at(codes, mi + 1))), " +
           "cast(0 as bigint), (a, v) -> a + v)"))
     val short0 = graft.plans.TopKPerKey.topK(scored,
-        Seq(col("q_id")), Seq(col("adci").desc, col("c_id")), shortlist)
+        Seq(col("q_id")), Seq(col("adci").desc, col("c_id")), sl)
       .select("q_id", "c_id")
     refineShortlist(probes, short0, candidates, idCol, k, smallProbes)
   }

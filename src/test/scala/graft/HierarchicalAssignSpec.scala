@@ -173,6 +173,81 @@ class HierarchicalAssignSpec extends SparkSpec {
     assert(guarded == base)
   }
 
+  test("sharded wSuper=0: degenerate rows SURVIVE with null cells; exhaustiveFallback equals the flat assign") {
+    // the explode_outer contract (round-15 advice): an empty
+    // probed-super array must not DROP the row from the output — the
+    // bundle path keeps it with a null cell, so the sharded path must
+    // too. And the sharded fallback's all-supers pass must equal the
+    // exhaustive flat assign exactly (per-super then cross-super
+    // argmax under one total order = the global fold).
+    val cents = VectorOps.ivfCentroids(emb, "label")
+    val nulls = VectorOps.assignCellsHierarchicalSharded(emb, "vec_id", cents,
+      nSuper = 3, wSuper = 0)
+    assert(nulls.count() == emb.count(), "rows must survive an empty probe set")
+    assert(nulls.filter(col("cell").isNotNull).count() == 0)
+    val flat = VectorOps.assignCells(emb, "vec_id", cents)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fb = VectorOps.assignCellsHierarchicalSharded(emb, "vec_id", cents,
+        nSuper = 3, wSuper = 0, exhaustiveFallback = true)
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fb.size == flat.size)
+    val diff = flat.keys.filter(k => flat(k) != fb(k))
+    assert(diff.isEmpty,
+      s"sharded fallback must equal exhaustive search; diverged ids: ${diff.take(10)}")
+    // with real probing the fallback changes nothing on this fixture
+    // (no super owns zero cells — the guard short-circuits)
+    for (ws <- Seq(1, 2)) {
+      val base = VectorOps.assignCellsHierarchicalSharded(emb, "vec_id", cents,
+          nSuper = 3, wSuper = ws)
+        .select(col("vec_id"), col("cell"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val guarded = VectorOps.assignCellsHierarchicalSharded(emb, "vec_id", cents,
+          nSuper = 3, wSuper = ws, exhaustiveFallback = true)
+        .select(col("vec_id"), col("cell"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(guarded == base, s"wSuper=$ws fallback changed a non-null assignment")
+    }
+  }
+
+  test("EMPTY centroids frame: both paths keep every row with a null cell") {
+    val cents = VectorOps.ivfCentroids(emb, "label").filter(col("cell") < -1)
+    val bundle = VectorOps.assignCellsHierarchical(emb, "vec_id", cents,
+      nSuper = 3, wSuper = 1)
+    val sharded = VectorOps.assignCellsHierarchicalSharded(emb, "vec_id", cents,
+      nSuper = 3, wSuper = 1)
+    assert(bundle.count() == emb.count())
+    assert(sharded.count() == emb.count(),
+      "sharded path dropped rows on an empty index (explode_outer regression)")
+    assert(bundle.filter(col("cell").isNotNull).count() == 0)
+    assert(sharded.filter(col("cell").isNotNull).count() == 0)
+  }
+
+  test("auto dispatch: parity across the threshold boundary (bundle vs sharded), with and without known index stats") {
+    val cents = VectorOps.ivfCentroids(emb, "label")
+    val base = VectorOps.assignCellsHierarchical(emb, "vec_id", cents,
+        nSuper = 3, wSuper = 2)
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // bundleMaxBytes = 0 forces the sharded shape, MaxValue the
+    // bundle shape — the SAME assignment either side of the crossover
+    for (thr <- Seq(0L, Long.MaxValue)) {
+      val auto = VectorOps.assignCellsHierarchicalAuto(emb, "vec_id", cents,
+          nSuper = 3, wSuper = 2, bundleMaxBytes = thr)
+        .select(col("vec_id"), col("cell"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(auto == base, s"auto dispatch at threshold $thr diverged")
+    }
+    // knownNlist/knownDims skip the metadata probe without changing
+    // the dispatch semantics (10 label cells × 64 dims → bundle)
+    val known = VectorOps.assignCellsHierarchicalAuto(emb, "vec_id", cents,
+        nSuper = 3, wSuper = 2, knownNlist = 10L, knownDims = 64)
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(known == base)
+  }
+
   test("ivfBuildHierarchical: the parquet index artifact round-trips bit-exactly into serving") {
     // build an index with nlist = 8 (hierarchical assignment), store
     // both halves, and check serving from the STORED artifact equals
