@@ -125,10 +125,12 @@ object StreamDecade {
     // the stream's compactions rewrite the consolidated partition's
     // files, so refresh before every read (the compactStreamStore
     // cross-session reader contract — without it the first read
-    // after the SECOND compaction dies on the stale -2 listing)
+    // after the SECOND compaction dies on the stale -2 listing).
+    // BandStore.refreshStore is that contract as API (refresh + a
+    // listing sanity probe).
     def refreshed(): Unit =
       if (spark.catalog.tableExists(table))
-        spark.sql(s"REFRESH TABLE `$table`")
+        graft.ops.dedup.BandStore.refreshStore(spark, table)
     def candCount(b: Int): Long = {
       refreshed()
       if (!spark.catalog.tableExists(table) ||

@@ -220,6 +220,27 @@ object BandStore {
     }
   }
 
+  /** Cross-session store-reader refresh — the companion of
+    * [[compactStreamStore]]'s rewrite semantics: a compaction after
+    * the first REWRITES the files of the existing consolidated
+    * partition, and while the INVOKING session's cached relation is
+    * refreshed by the INSERT command itself (spec-pinned), any OTHER
+    * session that listed the table earlier (a monitoring query, a
+    * batch probe session next to the stream) holds a stale file
+    * listing and dies with FILE_NOT_EXIST on its next read. Every
+    * read path that does not own the stream calls this before
+    * reading: REFRESH TABLE drops the stale listing, and the listing
+    * sanity probe (a minimal limit(1) scan) turns any remaining
+    * staleness into a LOUD failure here rather than a confusing one
+    * mid-query. The round-15 StreamDecade harness hit exactly this
+    * edge from its monitoring session. */
+  def refreshStore(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"REFRESH TABLE `$table`")
+    // sanity probe: the refreshed listing must actually resolve —
+    // reads one row of one file at most
+    spark.table(table).limit(1).collect()
+  }
+
   /** The reserved batch_id partition holding compacted history
     * ([[compactStreamStore]]); stream batch ids are non-negative and
     * -1 is the migrated-roots partition, so -2 never collides. */

@@ -321,9 +321,40 @@ object WeeklyReportJob {
   /** Run the whole report and write both outputs (SUB rows partition-
     * overwritten by gubun — the reference's delete-section-then-insert
     * becomes partition replacement). */
-  def run(spark: SparkSession, outDir: String): Unit = {
-    Sinks.overwritePartitions(subRows(spark), s"$outDir/week_sub", Seq("gubun"))
-    summary(spark).write.mode("overwrite").parquet(s"$outDir/week_summary")
+  def run(spark: SparkSession, outDir: String): Unit =
+    runReport(spark, DomainSources.fixtures(spark), outDir)
+
+  /** [[run]] over caller-supplied sources — the deployment entry for
+    * the full weekly product (both compositions over one source
+    * bundle).
+    *
+    * `cacheHotFacts = true` wraps the configuration the round-15
+    * leafCache A/B measured as the composed-product win: `modon` and
+    * `modon_wk` — the two fact frames nearly every section scans, ~10
+    * scans of modon_wk per report run — are materialized ONCE
+    * ([[graft.ops.Materialize.leafCache]]) and released when both
+    * writes finish. Measured at 50k farms: sub_sched −73% and
+    * week_sub −32% inside the composition, but SINGLE-scan sections
+    * pay the full-width read without amortizing (sub_plan ran +66%
+    * WORSE standalone) — which is why this is an opt-in on the
+    * composed report runner, not a default inside the sections.
+    * Results are digest-identical either way (the A/B gate +
+    * WeeklyReportJobSpec pin it). Cluster durability caveat: leafCache
+    * is localCheckpoint — see [[graft.ops.Materialize]]. */
+  def runReport(spark: SparkSession, src: DomainSources, outDir: String,
+                cacheHotFacts: Boolean = false): Unit = {
+    val (eff, cached) =
+      if (cacheHotFacts) {
+        val m = graft.ops.Materialize.leafCache(src.modon)
+        val w = graft.ops.Materialize.leafCache(src.modonWk)
+        (src.copy(modon = m, modonWk = w), Seq(m, w))
+      } else (src, Seq.empty[DataFrame])
+    try {
+      Sinks.overwritePartitions(subRowsFrom(spark, eff),
+        s"$outDir/week_sub", Seq("gubun"))
+      summaryFrom(spark, eff).write.mode("overwrite")
+        .parquet(s"$outDir/week_summary")
+    } finally cached.foreach(graft.ops.Materialize.release)
   }
 
   /** ONE chained week step: compute week `wn`'s per-farm farrowing

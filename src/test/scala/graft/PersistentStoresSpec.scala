@@ -597,4 +597,61 @@ class PersistentStoresSpec extends SparkSpec {
       spark.conf.set("spark.sql.adaptive.enabled", prevA)
     }
   }
+
+  test("a SECOND session survives the stream's compactions via BandStore.refreshStore") {
+    // the round-15 StreamDecade-discovered edge as a spec: the
+    // invoking session's relation cache is refreshed by the
+    // compaction's own INSERT, but another session (monitoring query,
+    // batch probe next to the stream) that listed the table before a
+    // SECOND compaction rewrote the consolidated partition holds a
+    // stale file listing. BandStore.refreshStore (REFRESH TABLE + a
+    // listing sanity probe) is the documented contract as API.
+    val loc = java.nio.file.Files.createTempDirectory("graft_xsession").toString
+    spark.sql("DROP TABLE IF EXISTS xs_store")
+    BandStore.ensureStreamStore(spark, "xs_store", loc, "doc_id", nBuckets = 8)
+    val all = docs(60)
+    def writeSlice(b: Int): Unit = {
+      val slice = all.filter(col("doc_id") >= b * 10L && col("doc_id") < (b + 1) * 10L)
+      BandStore.writeBatch(spark, "xs_store",
+        Dedup.lshBands(Dedup.minHashText(slice, "doc_id", "text"), "doc_id"),
+        "doc_id", b.toLong)
+    }
+    // probe docs rebuilt per session (frames are session-bound):
+    // exact copies of standing docs 2 and 55 under fresh ids
+    def probeIn(s: org.apache.spark.sql.SparkSession): Set[(Long, Long)] = {
+      val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+        "eta", "theta", "iota", "kappa", "lambda", "mu")
+      import s.implicits._
+      val pdocs = Seq(2L, 55L).map { i =>
+        (i + 900L,
+          (0 until 12).map(j => words(((i * 7 + j * 3) % words.length).toInt))
+            .mkString(" "))
+      }.toDF("doc_id", "text")
+      BandStore.probe(s, "xs_store",
+          Dedup.lshBands(Dedup.minHashText(pdocs, "doc_id", "text"), "doc_id"),
+          "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val reader = spark.newSession()
+    (0 until 4).foreach(writeSlice)
+    BandStore.compactStreamStore(spark, "xs_store", loc, 1L) // -2 born
+    val truth1 = probeIn(spark)
+    assert(probeIn(reader) == truth1,
+      "the second session reads the first compaction's store")
+    (4 until 6).foreach(writeSlice)
+    BandStore.compactStreamStore(spark, "xs_store", loc, 5L) // -2 OVERWRITTEN
+    val truth2 = probeIn(spark)
+    assert(truth1.subsetOf(truth2) && truth2.size > truth1.size)
+    // without a refresh the reader's listing may be stale (reads die
+    // FILE_NOT_EXIST — the harness-observed behavior); with the
+    // helper it MUST see exactly the stream session's truth
+    val staleOutcome = scala.util.Try(probeIn(reader))
+    BandStore.refreshStore(reader, "xs_store")
+    assert(probeIn(reader) == truth2,
+      s"reader after refreshStore must match the stream session " +
+        s"(stale read outcome was: ${staleOutcome.isSuccess})")
+    // idempotent for the owning session too
+    BandStore.refreshStore(spark, "xs_store")
+    assert(probeIn(spark) == truth2)
+  }
 }
