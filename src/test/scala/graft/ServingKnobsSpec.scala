@@ -73,6 +73,71 @@ class ServingKnobsSpec extends SparkSpec {
     assert(auto.nonEmpty && auto == explicit)
   }
 
+  test("serve entry points fire ONE probe-frame job at construction (count + dims merged)") {
+    // the r15 verdict's redundant-eager-job item, pinned by counting
+    // REAL Spark jobs during plan CONSTRUCTION (no action taken):
+    //  - ivfAnn: exactly 1 (the probeStats job; routing stays lazy)
+    //  - pqRefinedTopK / pqServeTopK / ivfPqTopK: exactly 2 — the one
+    //    probeStats job plus the shortlist localize (a deliberate
+    //    eager collect: as a lazy plan the ADC pass would re-run per
+    //    consumer). Before the fix each fired 3 (count + dims + ...).
+    val e = emb
+    val (codes, books0) = VectorOps.pqCodes(e, "vec_id", m = 4, ksub = 4)
+    // materialize inputs to leaves FIRST so their build jobs don't
+    // pollute the construction count
+    val packedFlat = graft.ops.Materialize.localize(
+      VectorOps.pqCodesPacked(codes, "vec_id"))
+    val packedIvf = graft.ops.Materialize.localize(
+      VectorOps.pqCodesPacked(codes, "vec_id")
+        .join(e.select(col("vec_id"), col("label").cast("long").as("cell")), "vec_id"))
+    val books = graft.ops.Materialize.localize(books0)
+    val cents = graft.ops.Materialize.localize(VectorOps.ivfCentroids(e, "label"))
+    val codesLeaf = graft.ops.Materialize.localize(codes)
+    val probes = e.filter(col("vec_id") < 5)
+    // count eager ACTIONS (SQL execution roots), not raw jobs — AQE
+    // runs one action's stages as several jobs, which is not what the
+    // one-eager-count-per-entry-point property is about
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
+          if s.rootExecutionId.forall(_ == s.executionId) =>
+          jobs.incrementAndGet()
+        case _ => ()
+      }
+    }
+    def constructionJobs(what: String, expected: Int)(mk: => Unit): Unit = {
+      org.apache.spark.GraftMetricsBridge
+        .waitUntilListenerBusEmpty(spark.sparkContext)
+      jobs.set(0)
+      mk
+      org.apache.spark.GraftMetricsBridge
+        .waitUntilListenerBusEmpty(spark.sparkContext)
+      assert(jobs.get() == expected,
+        s"$what fired ${jobs.get()} eager actions at construction (expected $expected)")
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      constructionJobs("ivfAnn", 1) {
+        VectorOps.ivfAnn(probes, e, "label", k = 3, nprobe = 2,
+          centroids = Some(cents))
+      }
+      constructionJobs("pqRefinedTopK", 2) {
+        VectorOps.pqRefinedTopK(probes, e, codesLeaf, books, "vec_id",
+          m = 4, k = 3, shortlist = 10)
+      }
+      constructionJobs("pqServeTopK", 2) {
+        VectorOps.pqServeTopK(probes, e, packedFlat, books, "vec_id",
+          m = 4, ksub = 4, k = 3, shortlist = 10)
+      }
+      constructionJobs("ivfPqTopK", 2) {
+        VectorOps.ivfPqTopK(probes, e, cents, packedIvf, books, "vec_id",
+          m = 4, ksub = 4, k = 3, nprobe = 2, shortlist = 10)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("pqServeTopK: Auto shortlist applies the law's flat-PQ form (20% of ALL codes)") {
     val e = emb
     val (codes, books) = VectorOps.pqCodes(e, "vec_id", m = 4, ksub = 4)
