@@ -17,7 +17,7 @@ done
 java $ADD_OPENS -Xmx8g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
-  graft.Verify "$SF" "$OUT"
+  graft.Verify "$SF" "$OUT" "${@:3}"
 python3 dev/check.py "$SF" "$OUT"
 # doc-drift gate: only meaningful on a FULL dump (subset runs dump a
 # subset of query dirs, which would read as missing references)
