@@ -925,8 +925,18 @@ object QueryCatalogSim {
   val q128PqAdc: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
     val (codes, books) = VectorOps.pqCodes(e, "vec_id", m = 4, ksub = 4, iters = 1)
-    VectorOps.pqAdcTopK(e.filter(col("vec_id") % 97 === 0), codes, books,
-        "vec_id", m = 4, k = 5)
+    // ADC through the PACKED engine (r16): one row per vector, the
+    // m-way table sum an in-row integer fold over a broadcast LUT —
+    // bit-identical to the unpacked (mi, code)-join form (PqServeSpec
+    // pins the parity; the oracle below still replays the join form),
+    // but the nq × N grouped-row exchange never exists: at sf1 the
+    // unpacked join materialized 148M rows into a 37M-group
+    // aggregation for 620 probes (61.7 MB shuffle, the whole 10.7 s
+    // exec clock). Packed: scoring is a map over the code scan and
+    // the only shuffle is the k-bounded heap exchange.
+    VectorOps.pqAdcTopKPacked(e.filter(col("vec_id") % 97 === 0),
+        VectorOps.pqCodesPacked(codes, "vec_id"), books,
+        "vec_id", m = 4, ksub = 4, k = 5)
       .orderBy("q_id", "rank")
   }
 

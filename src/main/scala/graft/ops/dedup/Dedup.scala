@@ -359,9 +359,25 @@ object Dedup {
                             candCount: Option[Long] = None): Releasable = {
     val p = pairs.cache()
     val candSide = candidateSide(p, idCol, broadcastCandMax, candCount)
+    // row-level distinct FIRST: a replayed/duplicated document (same
+    // (id, text) row twice — the streaming replay case) must collapse
+    // before shingling, or the duplicate (id, w) rows inflate n_inter
+    // past n_a + n_b (a zero denominator at jaccard time). This
+    // exchange carries candidate-doc TEXT — an order of magnitude
+    // smaller than the exploded shingle relation the old
+    // shingleSet(...).distinct() form shuffled.
     val candDocs = docs.select(col(idCol), col(textCol))
       .join(candSide, Seq(idCol), "left_semi")
-    val cw = shingleSet(candDocs, idCol, textCol, k).distinct().cache()
+      .distinct()
+    // set semantics IN-ROW from there (array_distinct before the
+    // explode): shingleSetDistinct produces the identical (id, w) set
+    // with zero further exchange (guide §2.4) — the old form paid a
+    // full hash exchange of the candidate-doc shingle multiset to
+    // dedup pairs that are per-doc by construction. Contract note: an
+    // id carried by two DIFFERENT texts violates the same-id =
+    // same-doc contract every caller documents; the old form silently
+    // unioned such shingle sets, this form does not defend it.
+    val cw = shingleSetDistinct(candDocs, idCol, textCol, k).cache()
     Releasable(jaccardCore(p, cw, idCol),
       () => { p.unpersist(false); cw.unpersist(false) })
   }

@@ -68,6 +68,33 @@ object VectorOps {
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)
 
+  /** Per-probe top-k of a scored (q_id, c_id, <scoreCol>, ...) pairs
+    * frame — the FINAL ranking stage of every ANN path — through
+    * [[graft.plans.TopKPerKey]] partial bounded heaps, with `rank`
+    * attached by a window over the already-reduced nq × k winners
+    * (the pqAdcTopKPacked shape, generalized in r16).
+    *
+    * Why not `row_number() OVER (PARTITION BY q_id)` directly on the
+    * pairs frame: the scored set is nq × N for brute force, nq ×
+    * (nprobe × cell) for IVF, nq × bucket-occupancy for LSH — and a
+    * window exchanges and fully SORTS all of it just to discard
+    * everything past rank k. The TopK partial trims each input
+    * partition to k rows per probe BEFORE the exchange, so the q_id
+    * shuffle carries at most k × partitions rows per probe at any
+    * corpus size, and no full sort exists anywhere (measured on
+    * q128's flat-ADC scoring at sf1: the grouped nq × N frame was
+    * 37M rows through the window exchange). Same rows, same ranks:
+    * (score desc, c_id) is a total order per probe, the exact
+    * ordering the window used. */
+  private def rankTopK(pairs: DataFrame, scoreCol: String, k: Int,
+                       out: Seq[String]): DataFrame = {
+    val top = graft.plans.TopKPerKey.topK(pairs, Seq(col("q_id")),
+      Seq(col(scoreCol).desc, col("c_id")), k)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col(scoreCol).desc, col("c_id"))
+    top.withColumn("rank", row_number().over(w)).select(out.map(col): _*)
+  }
+
   /** Brute-force cosine top-k: for each probe, the k nearest
     * candidates (excluding itself), rank by (cos desc, cand id). */
   def bruteForceKnn(probes: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
@@ -77,9 +104,7 @@ object VectorOps {
       norm(col("embedding")).as("cn"))
     val pairs = p.crossJoin(c).filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("q_id", "c_id", "rank", "cos")
+    rankTopK(pairs, "cos", k, Seq("q_id", "c_id", "rank", "cos"))
   }
 
   /** Sign of hyperplane j for dimension k, computed driver-side:
@@ -222,9 +247,11 @@ object VectorOps {
     val pairs = probeSide.join(c, "cell")
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", cosine(col("qv"), col("cv2"), col("qn"), col("cn")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("q_id", "c_id", "cell", "rank", "cos")
+    // final ranking through partial heaps (rankTopK): the scored set
+    // is nq × (nprobe × cell occupancy) — corpus-proportional in the
+    // fixed-nlist regime — and the window form shuffled and sorted
+    // all of it
+    rankTopK(pairs, "cos", k, Seq("q_id", "c_id", "cell", "rank", "cos"))
   }
 
   /** Exact nearest-centroid assignment: for every row of `df`, the
@@ -780,9 +807,11 @@ object VectorOps {
       .filter(col("q_id") =!= col("c_id"))
       .groupBy("q_id", "c_id")
       .agg((sum(col("si")).cast("double") / 1e6).as("adc"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("c_id"))
-    adc.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("q_id", "c_id", "rank", "adc")
+    // final ranking through partial heaps (rankTopK): flat ADC scores
+    // every code, so the grouped frame is nq × N rows — the window
+    // form exchanged and fully sorted all of them (37M rows at sf1)
+    // to keep k per probe
+    rankTopK(adc, "adc", k, Seq("q_id", "c_id", "rank", "adc"))
   }
 
   /** The full PQ serving pattern: a cheap code-only ADC SHORTLIST
@@ -849,11 +878,12 @@ object VectorOps {
         c0.join(broadcast(short.select(col("c_id")).distinct()), "c_id")
       else c0
     val shortPairs = if (smallProbes) broadcast(short) else short
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-    shortPairs.join(p, "q_id").join(c, "c_id")
+    val scored = shortPairs.join(p, "q_id").join(c, "c_id")
       .withColumn("cos", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("q_id", "c_id", "rank", "cos")
+    // rankTopK: the refine set is probes × shortlist — bounded, but
+    // under Auto the shortlist is nprobe-cell-sized, and the heaps
+    // trim it to k per partition before any exchange
+    rankTopK(scored, "cos", k, Seq("q_id", "c_id", "rank", "cos"))
   }
 
   /** Pack the (id, mi, code) PQ code rows into ONE ROW PER VECTOR —
@@ -898,13 +928,22 @@ object VectorOps {
         round(dotD(col("qv"), col("cv")) * 1e6).cast("long").as("si"))
       .groupBy("q_id")
       .agg(map_from_entries(collect_list(struct(col("idx"), col("si")))).as("lut"))
+    // the m-way table sum is UNROLLED into a static sum of element_at
+    // terms, not an aggregate(transform(...)) fold: higher-order
+    // functions are CodegenFallback (interpreted per row), and this
+    // expression runs once per (probe, candidate) — nq × N times, the
+    // hottest scalar in the flat-ADC path. The static sum stays inside
+    // WholeStageCodegen. Null semantics unchanged: a missing LUT key
+    // (a codebook cell that lost every member) nulls one term and a
+    // null term nulls the whole sum — rank-last, exactly the fold's
+    // null-summed behavior.
     val scored = packedCodes.select(col(idCol).as("c_id"), col("codes"))
       .crossJoin(broadcast(luts))
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("adci", expr(
-        s"aggregate(transform(sequence(0, ${m - 1}), " +
-          s"mi -> element_at(lut, mi * $ksub + element_at(codes, mi + 1))), " +
-          "cast(0 as bigint), (a, v) -> a + v)"))
+      .withColumn("adci", (0 until m).map(mi =>
+        element_at(col("lut"),
+          lit(mi * ksub) + element_at(col("codes"), lit(mi + 1))))
+        .reduce(_ + _))
     val top = graft.plans.TopKPerKey.topK(scored, Seq(col("q_id")),
       Seq(col("adci").desc, col("c_id")), k)
     // rank over the already-reduced nq × k rows (bounded window)
@@ -1076,9 +1115,10 @@ object VectorOps {
     val c = bucketed(candidates, "c_id", "cv", "cn")
     val pairs = p.join(c, Seq("bucket")).filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("q_id", "c_id", "bucket", "rank", "cos")
+    // rankTopK: bucket-colliding pairs are corpus-proportional for a
+    // fixed probe batch; the heaps cut the rank exchange to k per
+    // (probe, partition)
+    rankTopK(pairs, "cos", k, Seq("q_id", "c_id", "bucket", "rank", "cos"))
   }
 
   /** Multi-table LSH ANN: `nTables` independent hyperplane sets, a
@@ -1152,8 +1192,8 @@ object VectorOps {
       else c0
     val pairs = candPairs.join(p, "q_id").join(c, "c_id")
       .withColumn("cos", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("q_id", "c_id", "rank", "cos")
+    // rankTopK: the multi-table candidate set grows linearly in
+    // nTables; the heaps keep the rank exchange k-bounded regardless
+    rankTopK(pairs, "cos", k, Seq("q_id", "c_id", "rank", "cos"))
   }
 }

@@ -104,6 +104,13 @@ object TopKPerKey {
     override def output: Seq[Attribute] = child.output
     override def requiredChildDistribution: Seq[Distribution] =
       ClusteredDistribution(keys) :: Nil
+    // per-partition row pruning preserves the child's (key-clustered)
+    // partitioning — without this override the node reports
+    // UnknownPartitioning and EnsureRequirements inserts a SECOND
+    // key exchange under any downstream keyed operator (measured in
+    // r16: every rank-attach window above a TopK pair re-shuffled the
+    // already-reduced winners)
+    override def outputPartitioning = child.outputPartitioning
     override protected def doExecute(): RDD[InternalRow] = {
       val (o, ks, so, kk) = (output, keys, order, k)
       child.execute().mapPartitions(it => boundedTopK(it, o, ks, so, kk))

@@ -514,13 +514,27 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
-  test("column profiler computes all distincts in a single Expand pass") {
+  test("column profiler: one Expand pass, hash-aggregated, two scans max") {
     val p = finalPlan(QueryCatalogCuration.q105ColumnProfile(spark, "/root/testdata/sf0.001"))
     assert("Expand".r.findAllIn(p).length == 1,
       s"multi-distinct must plan as ONE Expand:\n${p.take(800)}")
-    // one scan only: profiling N columns must not scan per column
-    assert("Scan parquet".r.findAllIn(p).length == 1,
-      s"profile must read the table once:\n${p.take(800)}")
+    // r16 split: the distinct branch and the keyless min/max branch
+    // each scan once (two scans total, NOT one per column). One
+    // combined scan would drag the immutable string min/max buffers
+    // into the Expand aggregate, forcing SortAggregate + a full Sort
+    // of the expanded rows (measured as the whole q105 clock) —
+    // asserted structurally below: no Sort may sit under the Expand's
+    // aggregation, and the distinct counts must hash-aggregate.
+    assert("Scan parquet".r.findAllIn(p).length == 2,
+      s"profile must read the table exactly twice (split branches):\n${p.take(800)}")
+    val expandIdx = p.indexOf("Expand")
+    assert(p.contains("HashAggregate"),
+      s"distinct branch must hash-aggregate:\n${p.take(800)}")
+    // the only Sort node allowed is the presentation ORDER BY
+    // ("Sort [" matches SortExec's rendering, not SortAggregate)
+    assert("Sort \\[".r.findAllIn(p).length <= 1,
+      s"only the presentation sort may remain:\n${p.take(1200)}")
+    assert(expandIdx >= 0)
   }
 
   test("PII scrub never hash-shuffles — only the presentation sort exchanges") {
